@@ -1,0 +1,127 @@
+"""Text-analysis column kit for LLM training-data pipelines.
+
+Not present in the reference (its only text ops are serialization + token
+trim, SURVEY.md §2.6); this is the extended surface a 100 TB document
+pipeline needs: quality scoring, language ID, token counting, fingerprinting.
+
+Every function here is a *pure Catalyst expression* (no Python UDF) so the
+whole pipeline stays inside whole-stage codegen, and each has an exact ANSI
+SQL equivalent for the DuckDB oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the language-ID heuristic. Order matters:
+# the same arrays are inlined in oracle SQL.
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"]
+STOPWORDS_FR = ["le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def avg_word_length(col: Column | str) -> Column:
+    w = words(col)
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    t = _c(col)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    w = words(F.lower(_c(col)))
+    hits = F.size(F.filter(w, lambda x: x.isin(sw)))
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(hits.cast("double") / F.size(w))
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    w = words(F.lower(_c(col)))
+    return F.size(F.filter(w, lambda x: x.isin(stopwords)))
+
+
+def language_id(col: Column | str) -> Column:
+    """N-gram-free heuristic language ID: argmax of stopword hits across
+    {en, de, fr}; 'unknown' when no stopwords hit at all."""
+    en, de, fr = (
+        stopword_hits(col, STOPWORDS_EN),
+        stopword_hits(col, STOPWORDS_DE),
+        stopword_hits(col, STOPWORDS_FR),
+    )
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation noise,
+    natural stopword density. Deterministic arithmetic only."""
+    wc = word_count(col).cast("double")
+    len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.4)) * 2.5, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 6)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    identical in any engine with md5(); used by exact dedup."""
+    norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_fingerprint(col: Column | str, modulus: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style), computed
+    with aggregate() over the char array — JVM-side, no UDF."""
+    t = _c(col)
+    chars = F.split(t, "(?!^)")  # each char, no leading empty
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(modulus),
+    )
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingles as an array<string> (for MinHash/Jaccard).
+    Documents shorter than n words get their full text as one shingle."""
+    w = words(F.lower(_c(col)))
+    k = F.size(w)
+    return F.when(k <= n, F.array(F.array_join(w, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Vector math as native Catalyst expressions.
+
+The reference's similarity is cosine over 1536-dim float vectors, evaluated
+inside the Cosmos index ("similarity": "COS",
+/root/reference/SharedLib/Services/MongoDbService.cs:135-136, :159-160).
+
+Here the similarity is a first-class column expression so Catalyst can
+pipeline it inside whole-stage codegen — no Python in the hot path. For
+brute-force scoring of very wide vectors there is also an Arrow-batched numpy
+path (`cosine_scores_pandas`) used by the top-k operator when configured;
+both produce identical rankings.
+
+All functions accept `array<float>` / `array<double>` columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_col(v: Column | str | Sequence[float]) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):
+        return F.col(v)
+    # literal query vector: array<double> literal, folded by Catalyst
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def dot_product(a: Column | str | Sequence[float], b: Column | str | Sequence[float]) -> Column:
+    """Elementwise dot product via zip_with + aggregate (JVM, codegen'd)."""
+    ca, cb = _to_col(a), _to_col(b)
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str | Sequence[float]) -> Column:
+    ca = _to_col(a)
+    return F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(
+    a: Column | str | Sequence[float],
+    b: Column | str | Sequence[float],
+    assume_normalized: bool = False,
+) -> Column:
+    """Cosine similarity; with `assume_normalized=True` it is just the dot
+    product (ada-002 vectors are unit-norm — the reference relies on the same
+    equivalence by configuring COS on normalized embeddings)."""
+    ca, cb = _to_col(a), _to_col(b)
+    if assume_normalized:
+        return dot_product(ca, cb)
+    # Spark 4 defaults to ANSI mode: a zero-norm vector would raise
+    # DIVIDE_BY_ZERO. Define cos(x, 0) = 0.0 instead (matches numpy oracle
+    # convention used in tests).
+    denom = l2_norm(ca) * l2_norm(cb)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(ca, cb) / denom)
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column (JVM-side)."""
+    ca = _to_col(a)
+    n = l2_norm(ca)
+    return F.transform(ca, lambda x: x / n)
+
+
+def make_cosine_scores_pandas(query: Sequence[float], normalized: bool = False):
+    """Arrow-batched numpy scorer: Series[list[float]] -> Series[float].
+
+    For wide vectors (1536 dims) and large scans, a single BLAS matmul per
+    Arrow batch beats per-element codegen. Used by operators.vector_search
+    when `use_pandas=True`.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q) if not normalized else q
+
+    @pandas_udf(DoubleType())
+    def cosine_scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            m = np.vstack(s.to_numpy())  # (rows, dims) float32/64
+            m = m.astype(np.float64, copy=False)
+            if not normalized:
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0.0] = 1.0
+                sims = (m @ qn) / norms
+            else:
+                sims = m @ qn
+            yield pd.Series(sims)
+
+    return cosine_scores

@@ -1,0 +1,108 @@
+"""Top-k vector search — the reference's core retrieval operator.
+
+Reference: MongoDbService.VectorSearchAsync
+(/root/reference/SharedLib/Services/MongoDbService.cs:179-239): a 2-stage
+aggregation pipeline `$search.cosmosSearch{vector, path:"vector", k}` then
+`$project {_id:0, vector:0}`, results string-joined with spaces (:227-229)
+into the RAG payload. k defaults to 10 (:56).
+
+Spark-first plan:
+    score = cosine(vector_col, lit(query_vec))   # codegen'd or Arrow/numpy
+    ORDER BY score DESC LIMIT k                  # TakeOrderedAndProject
+
+`ORDER BY ... LIMIT k` is planned as TakeOrderedAndProject: each partition
+keeps a k-row heap, the driver merges P×k rows — no global sort, no full
+shuffle. That is the exact distributed analogue of the index's top-k and it
+scales linearly with partition count; at 100 TB the scan dominates and the
+vector column is the only wide column read (column pruning keeps the payload
+columns out of the scoring scan when project-after-limit).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+    cosine_similarity,
+    make_cosine_scores_pandas,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.functions.docserde import (
+    serialize_document,
+)
+
+DEFAULT_K = 10  # MaxVectorSearchResults fallback, MongoDbService.cs:56
+
+
+def vector_search(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = DEFAULT_K,
+    vector_col: str = "vector",
+    score_col: str = "score",
+    use_pandas: bool = False,
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine retrieval. Returns the k best rows with a score
+    column, vectors dropped from the output (the reference's $project)."""
+    if use_pandas:
+        scorer = make_cosine_scores_pandas(list(query_vector), normalized=assume_normalized)
+        scored = df.withColumn(score_col, scorer(F.col(vector_col)))
+    else:
+        scored = df.withColumn(
+            score_col,
+            cosine_similarity(
+                F.col(vector_col).cast("array<double>"),
+                [float(x) for x in query_vector],
+                assume_normalized=assume_normalized,
+            ),
+        )
+    out_cols = [c for c in df.columns if c != vector_col] + [score_col]
+    return scored.orderBy(F.desc(score_col)).limit(k).select(*out_cols)
+
+
+def vector_search_payload(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = DEFAULT_K,
+    vector_col: str = "vector",
+    id_cols: tuple[str, ...] = ("_id",),
+) -> DataFrame:
+    """Full reference semantics: top-k → drop `_id`/vector → serialize each
+    doc to JSON → join with single spaces into ONE string payload
+    (MongoDbService.cs:227-229 — space-joined, not newline).
+
+    Returns a 1-row DataFrame with column `payload`. Ordering inside the
+    payload is score-descending, made deterministic by sorting the collected
+    (score, json) structs — collect_list alone has no cross-partition order
+    guarantee."""
+    topk = vector_search(df, query_vector, k=k, vector_col=vector_col)
+    doc_cols = [c for c in topk.columns if c not in id_cols and c != "score"]
+    docs = topk.select(
+        F.col("score"),
+        F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("doc"),
+    )
+    return docs.agg(
+        F.array_join(
+            F.transform(
+                F.reverse(F.array_sort(F.collect_list(F.struct("score", "doc")))),
+                lambda s: s["doc"],
+            ),
+            " ",
+        ).alias("payload")
+    )
+
+
+def embed_and_search(
+    df: DataFrame,
+    query_text: str,
+    embedder,
+    k: int = DEFAULT_K,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """V6 + V1: embed the natural-language question (driver-side, one small
+    embed — the 'predicate is a vector'), then top-k search."""
+    q = embedder.embed_numpy([query_text])[0]
+    return vector_search(df, [float(x) for x in q], k=k, vector_col=vector_col)
