@@ -1,0 +1,84 @@
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Queries execute to completion via the noop sink (full plan runs, nothing
+collected to the driver except intrinsic top-k results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship retrieval path + one per operator family.
+# embedding_neardup_pairs (quadratic oracle baseline) is deliberately
+# excluded — lsh_neardup_pairs is the scale path.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "regional_revenue",
+    "top_orders_by_price",
+    "events_conjunctive_filter",
+    "conversation_window_events",
+    "latest_events_per_user",
+    "sessionization",
+    "events_hourly_rollup",
+    "payload_concat_by_source",
+    "text_stats",
+    "quality_scores",
+    "exact_dedup_groups",
+    "simhash_fingerprints",
+    "minhash_band_pairs",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "knn_join",
+    "lsh_ann_topk",
+    "build_prompts_trim",
+]
+
+
+def main() -> None:
+    from vector_search_ai_assistant_mongodbvcore_spark import get_spark
+    from vector_search_ai_assistant_mongodbvcore_spark import queries as q
+
+    spark = get_spark(app_name="vsai-bench")
+    registry = q.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "vsai_spark_headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Not in the reference (its corpus is the Cosmic Works retail sample); this is
+the extended 100 TB surface mandated by BASELINE.json's north star. Five
+strategies, all shuffle-aware:
+
+  exact_dedup           hash-groupBy on normalized text (1 shuffle)
+  minhash_signatures /  portable MinHash (md5-based, engine-independent) +
+  minhash_lsh_pairs     banded LSH: explode bands -> bucket join -> verify
+  simhash               16-bit SimHash fingerprint, pure column expr
+  ngram_jaccard_pairs   EXACT Jaccard via inverted-index join (no N^2 scan)
+  (embedding near-dup lives in similarity.py)
+
+Hash portability: every hash is derived from md5() hex strings so the DuckDB
+oracle can reproduce results bit-for-bit — Spark's murmur3 `hash()` has no
+DuckDB twin. md5 min/lexicographic-compare is engine-independent (ASCII).
+
+Scale notes:
+  * exact: one hash-aggregate; Catalyst partial-aggregates map-side.
+  * minhash LSH: candidates = pairs sharing >=1 band bucket. The bucket join
+    shuffles on (band_idx, band_key) — skew guarded by AQE skew-join; a
+    pathological all-identical corpus degrades to the true duplicate class
+    size, which is the output size anyway.
+  * ngram-jaccard: inverted index join shuffles on shingle; frequent shingles
+    are capped (df_cut) like a stopword list, standard MinHash-paper trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+    fingerprint_md5,
+    shingles,
+    words,
+)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+    Returns (fingerprint, keep_id, dup_count): keep_id = min id per group."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _minhash_agg(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+) -> DataFrame:
+    """Core MinHash computation: one column `mh_i` per hash function.
+
+    Hash family: the 128-bit md5 of (g ':' shingle) is split into four
+    8-hex-char chunks, giving 4 independent min-wise hashes per md5 call —
+    hash i uses group g = i//4, chunk j = i%4. Lexicographic min over
+    uniform hex strings is a valid min-wise hash and is engine-independent.
+
+    Plan shape: explode(shingles) -> codegen'd md5 projection -> groupBy(id)
+    with min() aggregates. Partial aggregation collapses each doc to one row
+    map-side, so the shuffle carries ~num_docs × signature_width bytes, not
+    the exploded shingles. (A per-row higher-order-function variant avoids
+    the shuffle but runs interpreted and recomputes hashes per band — 10x
+    slower at sf0.1.)"""
+    groups = (num_hashes + 3) // 4
+    toks = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_size)).alias("ng"))
+    hcols = [
+        F.md5(F.concat(F.lit(f"{g}:"), F.col("ng"))).alias(f"_h{g}") for g in range(groups)
+    ]
+    proj = toks.select(id_col, *hcols)
+    aggs = [
+        F.min(F.substring(F.col(f"_h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return proj.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, signature array<string>[num_hashes]) per document."""
+    agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing at least one LSH band.
+
+    bands × rows layout: num_hashes = bands * rows_per_band. Pairs are
+    distinct (a < b). This is the *candidate generation* stage; callers
+    verify with exact Jaccard (ngram_jaccard_pairs) or accept LSH recall."""
+    rows_per_band = num_hashes // bands
+    agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = agg.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Portable SimHash fingerprint (default 16 bits).
+
+    bit_b(token) = 1 iff the (b+1)-th hex digit of md5(token) is odd
+    (hex-digit parity is a uniform deterministic bit, identical in any
+    engine); the fingerprint sets bit b when more than half the tokens
+    vote 1.
+
+    Plan shape: explode(words) -> one md5 per token (codegen) -> groupBy(id)
+    with `bits` conditional-sum aggregates + count -> fingerprint assembly.
+    Map-side partial aggregation collapses to one row per doc per partition.
+    Documents with zero words get fingerprint 0 via the left join."""
+    w = words(F.lower(F.col(text_col)))
+    toks = df.select(F.col(id_col), F.explode(w).alias("t"))
+    h = toks.select(id_col, F.md5(F.col("t")).alias("_md5"))
+    odd_hex = list("13579bdf")
+    votes = [
+        F.sum(
+            F.when(F.substring(F.col("_md5"), b + 1, 1).isin(odd_hex), 1).otherwise(0)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    fingerprints = agg.select(F.col(id_col), fp.alias("_fp"))
+    return (
+        df.select(id_col)
+        .join(fingerprints, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("_fp"), F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cut: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold, computed with an
+    inverted-index join instead of an N^2 cross join:
+
+        tokens(d) = distinct word n-grams
+        |A ∩ B|   = count of shared n-grams (join on n-gram, group by pair)
+        |A ∪ B|   = |A| + |B| - |A ∩ B|
+
+    Shuffle profile: explode -> shuffle on ngram -> pair aggregate. At scale,
+    `df_cut` drops n-grams appearing in more than df_cut docs (they generate
+    quadratic candidates and almost never decide near-dups)."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"))
+    )
+    if df_cut is not None:
+        freq = toks.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(F.broadcast(freq.filter(F.col("df") <= df_cut)), "ng", "inner").select(
+            id_col, "ng"
+        )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

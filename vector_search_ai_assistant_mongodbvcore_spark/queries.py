@@ -1,0 +1,1057 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark DataFrame program,
+DuckDB oracle SQL) pair, executed by the driver's correctness harness.
+
+Float determinism strategy (so value-hashes match bit-for-bit):
+  * money/metric sums go through DECIMAL casts — per-row doubles are exact
+    2-6 dp values, decimal quantization recovers them identically in both
+    engines, decimal summation is exact, final cast to DOUBLE is one
+    deterministic rounding.
+  * window running sums use the same DECIMAL trick (frame order is pinned
+    with unique-key tiebreaks).
+  * pure divisions of identical operands (ratios, jaccard) are IEEE-
+    deterministic and compared raw; cosine scores are rounded (engines'
+    internal summation order may differ at ~1e-15).
+  * every hash is md5-based (portable); no murmur3.
+  * every LIMIT sits under a total order (unique-key tiebreaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.session import load_tables
+from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
+    approx_token_count,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
+from vector_search_ai_assistant_mongodbvcore_spark.operators.conversation import (
+    conversation_window,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic query vectors (inlined into oracle SQL as literals)
+_QV_ANN = [round(float(x), 6) for x in np.random.RandomState(7).randn(64)]
+_QV_KNN = [[round(float(x), 6) for x in row] for row in np.random.RandomState(13).randn(4, 64)]
+_QV_IVF = [round(float(x), 6) for x in np.random.RandomState(11).randn(64)]
+
+_STOPWORDS_SQL = "['" + "','".join(TX.STOPWORDS_EN) + "']"
+
+
+def _vec_sql(v: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+
+def _w_sql(lower: bool = False) -> str:
+    inner = "lower(text)" if lower else "text"
+    return f"regexp_split_to_array(trim({inner}), '\\s+')"
+
+
+def _shingle_sql(n: int) -> str:
+    """Word n-gram shingles — must mirror functions.text.shingles exactly."""
+    return (
+        f"CASE WHEN len(w) <= {n} THEN [array_to_string(w, ' ')] "
+        f"ELSE list_transform(range(1, len(w)-{n}+2), i -> array_to_string(w[i:i+{n - 1}], ' ')) END"
+    )
+
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_tables(spark, sf_dir)
+
+
+# ===========================================================================
+# Relational core (SURVEY.md §2.9: Spark SQL provides these natively; the
+# harness exercises them over the TPC-H-ish tables)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg; Catalyst partial-aggregates
+    map-side, shipdate predicate pushes into the parquet scan."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity", 18, 2)).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice", 18, 2)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity", 18, 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice", 18, 2)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(dec("l_discount", 18, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+    customer-side is broadcast (small after filter); top-k is
+    TakeOrderedAndProject, no global sort."""
+    t = _tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join; region/nation/supplier broadcast, the
+    fact-side shuffle only happens on the orders-lineitem join."""
+    t = _tables(spark, sf_dir)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: bare ORDER BY ... LIMIT k -> TakeOrderedAndProject (per-partition
+    heap + driver merge; no shuffle of the full table)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 250000 GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "customer_order_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return t["part"].groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+# ===========================================================================
+# Filters & projections (P1-P4)
+# ===========================================================================
+
+
+@register(
+    "events_conjunctive_filter",
+    """
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE event_type = 'purchase' AND user_id < 10
+    """,
+)
+def events_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: conjunctive equality filter (MongoDbService.cs:478-481 shape);
+    both predicates push into the scan."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+@register(
+    "embeddings_projection",
+    """
+    SELECT vec_id, label, len(embedding) AS dims FROM embeddings WHERE label = 3
+    """,
+)
+def embeddings_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: the $project {_id:0, vector:0} shape — the wide vector column
+    is pruned out of everything downstream (only its length survives)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .filter(F.col("label") == 3)
+        .select("vec_id", "label", F.size("embedding").alias("dims"))
+    )
+
+
+# ===========================================================================
+# Windows & sorts (W1-W5, A3, A4)
+# ===========================================================================
+
+
+@register(
+    "conversation_window_events",
+    """
+    WITH m AS (
+      SELECT event_id, user_id,
+             row_number() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), viol AS (
+      SELECT user_id, MIN(rn) AS first_bad FROM m WHERE running > 500 GROUP BY user_id
+    )
+    SELECT m.event_id, m.user_id
+    FROM m LEFT JOIN viol USING (user_id)
+    WHERE m.rn < COALESCE(viol.first_bad, 2147483647)
+    """,
+)
+def conversation_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+W3: the reference's running-token-sum TakeWhile
+    (ChatService.cs:248-271) generalized to every session at once — here
+    `user_id` plays session, `value` plays tokens, cap 500."""
+    t = _tables(spark, sf_dir)
+    ev = t["events"].withColumn("value", F.col("value").cast("decimal(18,2)"))
+    out = conversation_window(
+        ev,
+        max_tokens=500,
+        session_col="user_id",
+        time_col="ts",
+        tokens_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id")
+
+
+@register(
+    "latest_events_per_user",
+    """
+    SELECT event_id, user_id, rn FROM (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W5: most-recent-first ranking per session."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+@register(
+    "running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 20
+    """,
+)
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as a running rollup (the reference's TokensUsed accumulation,
+    ChatService.cs:313-316, vectorized over history)."""
+    t = _tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .withColumn("running_value", F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("event_id", "user_id", "running_value")
+    )
+
+
+@register(
+    "user_value_rollup",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "first_exchange_trigger",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_type = 'signup' GROUP BY user_id HAVING COUNT(*) = 14
+    """,
+)
+def first_exchange_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the count-trigger shape (rename after messages.Count == 2,
+    ChatPane.razor:255-264)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 14)
+    )
+
+
+@register(
+    "sessionization",
+    """
+    SELECT user_id,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), the batch analogue of
+    session_window() in the streaming surface."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flag = F.when(
+        F.lag("ts").over(w).isNotNull()
+        & (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("_new", flag)
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("_new")).cast("long").alias("n_sessions"))
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming window agg)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Aggregation payloads & serialization (A1, A2, P2, F10)
+# ===========================================================================
+
+
+@register(
+    "payload_concat_by_source",
+    """
+    SELECT source, string_agg(text, ' ' ORDER BY doc_id) AS payload
+    FROM documents GROUP BY source
+    """,
+)
+def payload_concat_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the space-joined document payload (MongoDbService.cs:227-229),
+    deterministically ordered; collect_list alone has no cross-partition
+    order, so sort the collected structs."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("payload")
+        )
+    )
+
+
+@register(
+    "doc_serialize_json",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang, source := source,
+                               n_chars := n_chars)) AS doc_json
+    FROM documents
+    """,
+)
+def doc_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F10: whole-document JSON serialization minus the vector column
+    (RemoveVectorAndSerialize, MongoDbService.cs:397-413). The documents
+    table has no vector column; the `text` column plays the excluded role
+    here to keep payloads small."""
+    t = _tables(spark, sf_dir)
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("doc_json"),
+    )
+
+
+@register(
+    "event_type_distincts",
+    """
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# ===========================================================================
+# Scalar function suite (F1-F4, F9)
+# ===========================================================================
+
+
+@register(
+    "scalar_function_suite",
+    """
+    SELECT doc_id,
+           substr(text, 1, 20) AS prefix20,
+           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g') AS cleaned,
+           upper(lang) AS lang_upper,
+           length(text) AS text_len,
+           replace(source, 'src', 'source-') AS source_renamed
+    FROM documents
+    """,
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (regex clean, OpenAiService.cs:244), F4 (bounded substring,
+    NavMenu.razor:55), F3 (replace), plus case/length."""
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "").alias("cleaned"),
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").alias("text_len"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias("source_renamed"),
+    )
+
+
+# ===========================================================================
+# Text analysis (extended surface)
+# ===========================================================================
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(w) AS word_count,
+           length(text) AS char_count,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl FROM documents)
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        TX.word_count("text").alias("word_count"),
+        TX.char_count("text").alias("char_count"),
+        TX.avg_word_length("text").alias("avg_word_len"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "language_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS en_hits,
+             len(list_filter(wl, t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS de_hits,
+             len(list_filter(wl, t -> list_contains(['le','la','et','les','des','un','une','est','dans','pour'], t))) AS fr_hits
+      FROM (SELECT lang, {_w_sql(lower=True)} AS wl FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_guess,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the ground-truth lang column."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("lang", TX.language_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+           round((least(len(w) / 100.0, 1.0)
+                  + (1.0 - least(5.0 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 1.0))
+                  + (1.0 - least(abs(CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) - 0.4) * 2.5, 1.0))
+                 ) / 3.0, 6) AS quality
+    FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl FROM documents)
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return t["documents"].select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "token_counts_by_source",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: token counting (SQL-exact whitespace estimator; the BPE-ish
+    tokenizer UDF is exercised by build_prompts_trim + tests)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.sum(approx_token_count("text")).cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ===========================================================================
+# Dedup family (extended surface)
+# ===========================================================================
+
+
+@register(
+    "exact_dedup_groups",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return DD.exact_dedup(t["documents"], "text", "doc_id")
+
+
+@register(
+    "simhash_fingerprints",
+    """
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(range(0, 16), b ->
+                     CASE WHEN 2 * len(list_filter(w, t -> instr('13579bdf', substr(md5(t), b + 1, 1)) > 0)) > len(w)
+                          THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+           END AS simhash
+    FROM (SELECT doc_id, {w} AS w FROM documents)
+    """.format(w=_w_sql(lower=True)),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return DD.simhash(t["documents"], "text", "doc_id", bits=16)
+
+
+def _minhash_agg_sql(num_hashes: int = 16) -> str:
+    """Mirrors operators.dedup._minhash_agg: hash i = 8-hex-char chunk
+    (i%4) of md5((i//4) ':' shingle), min over shingles."""
+    mins = ", ".join(
+        f"min(substr(md5('{i // 4}:' || ng), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return (
+        f"SELECT doc_id, {mins} "
+        f"FROM (SELECT doc_id, unnest(s) AS ng FROM "
+        f"(SELECT doc_id, {_shingle_sql(5)} AS s "
+        f"FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents))) "
+        f"GROUP BY doc_id"
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    SELECT doc_id, [{", ".join(f"mh_{i}" for i in range(16))}] AS signature
+    FROM ({_minhash_agg_sql(16)})
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tables(spark, sf_dir)
+    return DD.minhash_signatures(t["documents"], "text", "doc_id", num_hashes=16, shingle_size=5)
+
+
+@register(
+    "minhash_band_pairs",
+    f"""
+    WITH sig AS ({_minhash_agg_sql(16)}),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+        + " AS key FROM sig"
+        for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bands a JOIN bands b2
+      ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    """,
+)
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows)."""
+    t = _tables(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=16, bands=4, shingle_size=5
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingle_sql(3)} AS s
+      FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents)
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct(s)) AS ng FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM toks a JOIN toks b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard >= 0.5 via inverted-index join (no N^2 scan)."""
+    t = _tables(spark, sf_dir)
+    out = DD.ngram_jaccard_pairs(t["documents"], "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ===========================================================================
+# Vector similarity (V1/V2 + extended ANN surface)
+# ===========================================================================
+
+
+def _cos_sql(vec_literal: str) -> str:
+    return f"list_cosine_similarity(embedding::DOUBLE[], {vec_literal})"
+
+
+@register(
+    "ann_topk",
+    f"""
+    SELECT vec_id, round({_cos_sql(_vec_sql(_QV_ANN))}, 4) AS score
+    FROM embeddings
+    ORDER BY round({_cos_sql(_vec_sql(_QV_ANN))}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2: exact top-k cosine (k=10, the reference default,
+    MongoDbService.cs:56). Scores rounded to 4dp so engine-internal float
+    summation order can't flip the hash; ordering tiebreaks on vec_id."""
+    t = _tables(spark, sf_dir)
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import cosine_similarity
+
+    scored = t["embeddings"].select(
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), _QV_ANN), 4
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+def _knn_values_sql() -> str:
+    rows = ", ".join(f"({i}, {_vec_sql(q)})" for i, q in enumerate(_QV_KNN))
+    return f"(VALUES {rows}) AS queries(query_id, qvec)"
+
+
+@register(
+    "knn_join",
+    f"""
+    SELECT query_id, vec_id, score FROM (
+      SELECT query_id, vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) DESC,
+                                         vec_id) AS rn
+      FROM embeddings CROSS JOIN {_knn_values_sql()}
+    ) WHERE rn <= 5
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join: Q query vectors x N rows in ONE scan, top-5 per
+    query via per-query window (the scalable 'many queries' retrieval
+    pattern; Q is broadcast as a literal table)."""
+    t = _tables(spark, sf_dir)
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import cosine_similarity
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_QV_KNN)], ["query_id", "qvec"]
+    )
+    scored = (
+        t["embeddings"]
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qvec")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact self-join (the correctness
+    baseline; the LSH-blocked scale path is lsh_neardup_pairs, rows-only)."""
+    t = _tables(spark, sf_dir)
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        cosine_pairs_exact,
+    )
+
+    out = cosine_pairs_exact(
+        t["embeddings"], threshold=0.45, vector_col="embedding", id_col="vec_id", use_pandas=False
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "ivf_search_all_probes",
+    f"""
+    SELECT vec_id, round({_cos_sql(_vec_sql(_QV_IVF))}, 4) AS score
+    FROM embeddings
+    ORDER BY round({_cos_sql(_vec_sql(_QV_IVF))}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ivf_search_all_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: IVF index build (KMeans -> centroid-partitioned parquet) +
+    pruned search. Probing ALL lists makes IVF exact, so the brute-force
+    SQL is a true oracle for the whole build+search path."""
+    import tempfile
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+
+    t = _tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        idx = IvfIndex(spark, d).build(
+            t["embeddings"], vector_col="embedding", num_lists=4, seed=42
+        )
+        out = idx.search(_QV_IVF, k=10, n_probe=4, use_pandas=False)
+        rows = out.select(
+            "vec_id", F.round("score", 4).alias("score")
+        ).collect()
+    return spark.createDataFrame(rows, "vec_id long, score double")
+
+
+# ===========================================================================
+# Rows-only queries (no ANSI-SQL oracle: Python-UDF tokenizer, LSH
+# approximation, multimodal plumbing). Driver records rows-only checks.
+# ===========================================================================
+
+
+@register("build_prompts_trim", None)
+def build_prompts_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: token-budgeted proportional prompt trim (ChatService.cs:172-243)
+    over every document triple at once. BPE-ish tokenizer (pandas UDF) has no
+    SQL twin -> rows-only check."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.prompt_budget import (
+        build_prompts,
+    )
+
+    t = _tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.col("text").alias("rag_payload"),
+        F.reverse(F.col("text")).alias("conversation"),
+        F.lit("what products are available?").alias("prompt"),
+    )
+    out = build_prompts(d, max_tokens=120)
+    return out.select(
+        "doc_id",
+        "rag_tokens_out",
+        "conv_tokens_out",
+        F.length("trimmed_rag").alias("rag_len"),
+        F.length("trimmed_conversation").alias("conv_len"),
+    )
+
+
+@register("lsh_ann_topk", None)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH bucket pruning — the 100 TB
+    serving path (scan touches ~1/2^bits of rows per table). Approximate by
+    design -> rows-only check; recall vs exact asserted in tests."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import lsh_ann
+
+    t = _tables(spark, sf_dir)
+    return lsh_ann(
+        t["embeddings"], _QV_ANN, k=10, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
+    )
+
+
+@register("lsh_neardup_pairs", None)
+def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup (candidates share a bucket; exact
+    verify). Recall < 1 by construction -> rows-only."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        embedding_neardup,
+    )
+
+    t = _tables(spark, sf_dir)
+    return embedding_neardup(
+        t["embeddings"], threshold=0.45, bits=6, tables=6, vector_col="embedding", id_col="vec_id"
+    )
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + mapInPandas feature
+    extraction (deterministic fake decoder; real codecs not in container)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        extract_features,
+        fake_decoder,
+    )
+
+    t = _tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, decoder=fake_decoder)
+    return feats.select("media_id", "decode_ok", F.size("feature").alias("feat_dims"))
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the reference's chat-retrieval core (V6+V1+P1) — embed a
+    natural-language question, exact top-k cosine over the embeddings table,
+    join back to document text (what the RAG payload is built from)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
+        HashNgramEmbedder,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+        vector_search,
+    )
+
+    t = _tables(spark, "/root/testdata/sf0.001")
+    emb = HashNgramEmbedder(dims=64)
+    q = [float(x) for x in emb.embed_numpy(["fast hash join over sorted tables"])[0]]
+    topk = vector_search(t["embeddings"], q, k=10, vector_col="embedding")
+    return topk.join(t["documents"], topk.vec_id == t["documents"].doc_id, "left").select(
+        "vec_id", "score", "text", "lang", "source"
+    )

@@ -79,9 +79,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             df = spark.read.parquet(path)
             for field in df.schema.fields:
                 if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                    )
+                    # integer div: ns values exceed 2^53, float division
+                    # would lose the low microsecond digit
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             df.createOrReplaceTempView(name)
             tables[name] = df
     return tables

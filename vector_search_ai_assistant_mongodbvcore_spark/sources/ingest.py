@@ -1,0 +1,183 @@
+"""Ingest-and-vectorize: the reference's bulk COPY path, Spark-first.
+
+Reference: Vectorize/IngestAndVectorize.cs:52-94 downloads
+{products,customers,salesOrders}.json from a blob container, then
+MongoDbService.ImportAndVectorizeAsync (:415-439) parses the JSON array and —
+SEQUENTIALLY, one HTTPS call per document — embeds and inserts each document.
+README.md:154 prices that loop at 5-10 minutes for the demo corpus.
+
+Here:  spark.read.json (any Hadoop filesystem: file/s3a/abfss/gs) ->
+serialize each document minus its vector (P2) -> ONE Arrow-batched embedding
+pass -> managed table / parquet sink. Throughput scales with
+executors × Arrow batch size instead of 1/doc·RTT.
+
+Declared schemas for the reference's retail entities live here too
+(SURVEY.md §1.2) — schema-on-read stays available by just omitting them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.docserde import (
+    serialize_document,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
+    HashNgramEmbedder,
+)
+
+# SURVEY.md §1.2 — Product (SharedLib/Models/Product.cs:8-35)
+PRODUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("categoryId", T.StringType()),
+        T.StructField("categoryName", T.StringType()),
+        T.StructField("sku", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField(
+            "tags",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+                )
+            ),
+        ),
+        T.StructField("vector", T.ArrayType(T.FloatType()), nullable=True),
+    ]
+)
+
+# Customer (SharedLib/Models/Customer.cs:6-43); creationDate stays a STRING
+# (reference quirk, Customer.cs:18)
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("customerId", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("firstName", T.StringType()),
+        T.StructField("lastName", T.StringType()),
+        T.StructField("emailAddress", T.StringType()),
+        T.StructField("phoneNumber", T.StringType()),
+        T.StructField("creationDate", T.StringType()),
+        T.StructField(
+            "addresses",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("addressLine1", T.StringType()),
+                        T.StructField("addressLine2", T.StringType()),
+                        T.StructField("city", T.StringType()),
+                        T.StructField("state", T.StringType()),
+                        T.StructField("country", T.StringType()),
+                        T.StructField("zipCode", T.StringType()),
+                        T.StructField(
+                            "location",
+                            T.StructType(
+                                [
+                                    T.StructField("type", T.StringType()),
+                                    T.StructField("coordinates", T.ArrayType(T.FloatType())),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "password",
+            T.StructType(
+                [T.StructField("hash", T.StringType()), T.StructField("salt", T.StringType())]
+            ),
+        ),
+        T.StructField("salesOrderCount", T.IntegerType()),
+        T.StructField("vector", T.ArrayType(T.FloatType()), nullable=True),
+    ]
+)
+
+# SalesOrder (SharedLib/Models/SalesOrder.cs:6-28); order/ship dates are
+# STRINGS (reference quirk, SalesOrder.cs:13-14)
+SALES_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("customerId", T.StringType()),
+        T.StructField("orderDate", T.StringType()),
+        T.StructField("shipDate", T.StringType()),
+        T.StructField(
+            "details",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sku", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("price", T.DoubleType()),
+                        T.StructField("quantity", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("vector", T.ArrayType(T.FloatType()), nullable=True),
+    ]
+)
+
+# Session / Message (SharedLib/Models/Session.cs:7-45, Message.cs:6-37) —
+# modeled as two tables instead of the reference's single polymorphic
+# `completions` collection (SURVEY.md §1.1)
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("tokens_used", T.IntegerType(), nullable=True),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("session_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("sender", T.StringType()),
+        T.StructField("tokens", T.IntegerType()),
+        T.StructField("prompt_tokens", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+COLLECTION_SCHEMAS = {
+    "products": PRODUCT_SCHEMA,
+    "customers": CUSTOMER_SCHEMA,
+    "salesOrders": SALES_ORDER_SCHEMA,
+}
+
+
+def read_json_collection(
+    spark: SparkSession, path: str, collection: str | None = None
+) -> DataFrame:
+    """S1/S2: read a JSON array of documents. With a known collection name
+    the declared schema is applied (nominal edge); otherwise schema-on-read
+    inference (the reference ingests BsonDocuments schema-free)."""
+    reader = spark.read.option("multiLine", True)
+    schema = COLLECTION_SCHEMAS.get(collection or "")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def ingest_and_vectorize(
+    df: DataFrame,
+    embedder=None,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Embed every document: doc_text = JSON of all non-vector fields (P2),
+    vector = embed(doc_text) in one Arrow-batched pass (replaces the
+    reference's per-document HTTPS loop, MongoDbService.cs:422-430)."""
+    embedder = embedder or HashNgramEmbedder()
+    doc_text = serialize_document(df, exclude=(vector_col,))
+    return df.withColumn(vector_col, embedder.udf()(doc_text))

@@ -1,0 +1,77 @@
+"""Near-real-time add/remove: incremental embed + upsert.
+
+Reference contract (/root/reference/README.md:180-194;
+Vectorize/AddRemoveData.cs:23-125): a single product add must be embedded and
+searchable "in near real-time"; a remove must disappear from search.
+
+Spark-first mapping: a Structured Streaming file/JSON source of change
+records -> foreachBatch: embed new/changed rows (one Arrow pass per
+micro-batch) -> ManagedTable.merge / delete. Readers see each micro-batch
+at its commit; this is exactly Delta's CDC upsert pattern with the managed
+table standing in for Delta.
+
+Change record convention: the source rows carry an `_op` column
+("upsert" | "delete"); everything else is the document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.docserde import (
+    serialize_document,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
+    HashNgramEmbedder,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    ManagedTable,
+)
+
+
+def apply_changes(
+    table: ManagedTable,
+    batch_df: DataFrame,
+    keys: list[str],
+    embedder=None,
+    vector_col: str = "vector",
+    op_col: str = "_op",
+) -> None:
+    """foreachBatch body: embed + MERGE upserts, anti-join deletes.
+    Idempotent per batch (keyed merge), so streaming retries are safe."""
+    embedder = embedder or HashNgramEmbedder()
+    ops = batch_df.select(op_col).distinct()
+    upserts = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
+    deletes = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
+    if upserts.isEmpty() is False:
+        doc_text = serialize_document(upserts, exclude=(vector_col, op_col))
+        embedded = upserts.withColumn(vector_col, embedder.udf()(doc_text))
+        table.merge(embedded, keys)
+    if deletes.isEmpty() is False:
+        table.delete_by_keys(deletes, keys)
+
+
+def start_change_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: ManagedTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    embedder=None,
+    vector_col: str = "vector",
+):
+    """readStream(json dir) -> foreachBatch(apply_changes). Returns the
+    StreamingQuery; callers own awaitTermination/stop."""
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        apply_changes(table, df, keys, embedder, vector_col)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
