@@ -65,10 +65,13 @@ def cosine_similarity(
 
 
 def normalize(a: Column | str) -> Column:
-    """Unit-normalize an array column (JVM-side)."""
+    """Unit-normalize an array column (JVM-side). Zero vectors pass through
+    unchanged — under Spark 4's default ANSI mode a bare division would raise
+    DIVIDE_BY_ZERO, and cosine_similarity already defines cos(x, 0) = 0 for
+    the same case."""
     ca = _to_col(a)
     n = l2_norm(ca)
-    return F.transform(ca, lambda x: x / n)
+    return F.when(n == 0.0, ca).otherwise(F.transform(ca, lambda x: x / n))
 
 
 def make_cosine_scores_pandas(query: Sequence[float], normalized: bool = False):

@@ -37,6 +37,25 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
 )
 
 
+def pair_structs(ids_col) -> "F.Column":
+    """All (i < j) element pairs of an array column, as
+    array<struct<id_a,id_b>> — generated JVM-side (nested transform), no
+    shuffle. Sort the input first for deterministic id_a < id_b pairs.
+    The bucket-join building block shared by the LSH/Jaccard dedup family:
+    grouping to posting lists + in-list pair expansion replaces a skewed
+    self-join shuffle with per-bucket quadratic work bounded by the bucket
+    size cap (df_cut / band selectivity)."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + 2, F.size(ids_col)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -114,7 +133,12 @@ def minhash_lsh_pairs(
 
     bands × rows layout: num_hashes = bands * rows_per_band. Pairs are
     distinct (a < b). This is the *candidate generation* stage; callers
-    verify with exact Jaccard (ngram_jaccard_pairs) or accept LSH recall."""
+    verify with exact Jaccard (ngram_jaccard_pairs) or accept LSH recall.
+
+    Plan shape: signatures -> explode bands -> ONE shuffle on (band, key)
+    into posting lists -> in-list pair expansion (pair_structs, no second
+    shuffle) -> distinct. A pathological all-identical corpus makes one fat
+    bucket whose size^2 pairs are the true output size anyway."""
     rows_per_band = num_hashes // bands
     agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
     band_structs = [
@@ -129,16 +153,14 @@ def minhash_lsh_pairs(
     banded = agg.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    groups = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.key") == F.col(f"b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        groups.select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -192,6 +214,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cut: int | None = None,
+    persist_index: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs >= threshold, computed with an
     inverted-index join instead of an N^2 cross join:
@@ -200,26 +223,39 @@ def ngram_jaccard_pairs(
         |A ∩ B|   = count of shared n-grams (join on n-gram, group by pair)
         |A ∪ B|   = |A| + |B| - |A ∩ B|
 
-    Shuffle profile: explode -> shuffle on ngram -> pair aggregate. At scale,
-    `df_cut` drops n-grams appearing in more than df_cut docs (they generate
-    quadratic candidates and almost never decide near-dups)."""
+    Plan shape (inverted-index, ONE shuffle on ngram): explode -> groupBy(ng)
+    collect_list(id) = posting lists. The df_cut is then a FREE filter on
+    list size (no separate frequency pass), per-doc sizes re-derive from the
+    filtered lists, and candidate pairs are generated JVM-side inside each
+    posting list (sorted ids, i<j combinations via nested transform) — the
+    quadratic work is bounded by df_cut^2 per shingle instead of an unbounded
+    skewed self-join shuffle. `persist_index` caches the posting lists (one
+    row per distinct shingle) for the two consumers; at 100 TB, swap the
+    persist for a parquet checkpoint of the inverted index, which repeated
+    dedup runs reuse anyway."""
     toks = (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"))
     )
+    groups = toks.groupBy("ng").agg(F.collect_list(id_col).alias("ids"))
     if df_cut is not None:
-        freq = toks.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(F.broadcast(freq.filter(F.col("df") <= df_cut)), "ng", "inner").select(
-            id_col, "ng"
-        )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
+        groups = groups.filter(F.size("ids") <= df_cut)
+    groups = groups.select(F.array_sort("ids").alias("ids"))
+    if persist_index:
+        groups = groups.persist()
+    sizes = (
+        groups.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
-        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        groups.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # sizes join: AQE broadcasts when small; at 100 TB it is a keyed shuffle
+    # join on the (already aggregated, one-row-per-doc) sizes table
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

