@@ -1,0 +1,89 @@
+"""SURVEY §3.1 E2E: the composed chat turn (embed -> search -> window ->
+trim -> complete -> persist) plus first-exchange summarize-rename, on
+deterministic fakes (ChatService.cs:119-165, :273-282)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+    RemoteCompleter,
+    RemoteSummarizer,
+    fake_completion_transport,
+    fake_summarize_transport,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+from vector_search_ai_assistant_mongodbvcore_spark.operators.chat import (
+    chat_turn,
+    summarize_session_name,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.operators.sessions import SessionStore
+from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import ingest_and_vectorize
+
+PRODUCTS = [
+    ("p1", "Touring Bike", "A comfortable touring bike for long rides"),
+    ("p2", "Mountain Bike", "A rugged mountain bike with suspension"),
+    ("p3", "Racing Socks", "Lightweight racing socks"),
+    ("p4", "Helmet", "A sturdy helmet for safety"),
+]
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    emb = HashNgramEmbedder(dims=64)
+    corpus = ingest_and_vectorize(
+        spark.createDataFrame(PRODUCTS, "id string, name string, description string"),
+        embedder=emb,
+    )
+    store = SessionStore(spark, str(tmp_path))
+    completer = RemoteCompleter(transport=fake_completion_transport)
+    summarizer = RemoteSummarizer(transport=fake_summarize_transport)
+    return emb, corpus, store, completer, summarizer
+
+
+def test_full_turn_persists_exchange_and_rollup(spark, world):
+    emb, corpus, store, completer, _ = world
+    sid = store.create_session()
+    completion = chat_turn(
+        spark, store, corpus, sid, "What kind of bikes do you have?",
+        emb, completer, k=2, vector_col="vector", id_cols=("id",),
+    )
+    assert completion.startswith("Based on ")
+    msgs = store.get_messages(sid).collect()
+    assert [m.sender for m in msgs] == ["User", "Assistant"]
+    assert msgs[0].text == "What kind of bikes do you have?"
+    assert msgs[1].text == completion
+    # A3 rollup: prompt.Tokens + completion.PromptTokens + completion.Tokens
+    sess = store.list_sessions().first()
+    assert sess.tokens_used == msgs[0].tokens + msgs[1].prompt_tokens + msgs[1].tokens
+    assert msgs[0].tokens > 0 and msgs[1].tokens > 0
+
+
+def test_second_turn_sees_conversation_history(spark, world):
+    emb, corpus, store, completer, _ = world
+    seen = []
+
+    def spy(system, user, params):
+        seen.append(user)
+        return fake_completion_transport(system, user, params)
+
+    completer = RemoteCompleter(transport=spy)
+    sid = store.create_session()
+    chat_turn(spark, store, corpus, sid, "first question?", emb, completer,
+              k=2, vector_col="vector", id_cols=("id",))
+    chat_turn(spark, store, corpus, sid, "second question?", emb, completer,
+              k=2, vector_col="vector", id_cols=("id",))
+    # turn 2's user payload = trimmed conversation + "\n" + prompt
+    assert "first question?" in seen[1]
+    assert seen[1].endswith("\nsecond question?")
+
+
+def test_first_exchange_summarize_rename(spark, world):
+    emb, corpus, store, completer, summarizer = world
+    sid = store.create_session()
+    chat_turn(spark, store, corpus, sid, "Bikes available today?", emb, completer,
+              k=2, vector_col="vector", id_cols=("id",))
+    assert {r.session_id for r in store.first_exchange_sessions().collect()} == {sid}
+    texts = [r.text for r in store.get_messages(sid).select("text").collect()]
+    name = summarize_session_name(store, summarizer, sid, "\n".join(texts))
+    assert name == "Bikes available"  # fake: first two words, F1-cleaned
+    assert store.list_sessions().first().name == "Bikes available"

@@ -1,0 +1,96 @@
+"""Dedup family: exact groups, MinHash/LSH invariants, SimHash, exact
+Jaccard vs itertools oracle, pair_structs building block."""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The  Quick Brown   Fox jumps over the lazy dog"),  # ws/case variant
+    (4, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    (5, "completely different content about databases and queries"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.fingerprint: (r.keep_id, r.dup_count) for r in DD.exact_dedup(docs).collect()}
+    # 1, 2, 3 normalize identically (lowercase + whitespace collapse)
+    assert sorted(v for v in out.values()) == [(1, 3), (4, 1), (5, 1)]
+
+
+def test_pair_structs_matches_itertools(spark):
+    ids = [3, 1, 4, 1, 5]  # duplicates allowed
+    df = spark.createDataFrame([(sorted(ids),)], "ids array<int>")
+    got = [
+        (r.p.id_a, r.p.id_b)
+        for r in df.select(F.explode(DD.pair_structs(F.col("ids"))).alias("p")).collect()
+    ]
+    assert got == list(combinations(sorted(ids), 2))
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = {r.doc_id: r.signature for r in DD.minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert len(sigs[1]) == 16
+    assert sigs[1] != sigs[5]
+
+
+def test_minhash_band_pairs_finds_duplicate_cluster(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()}
+    # identical signatures ALWAYS share every band
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    # the unrelated doc never pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.doc_id: r.simhash for r in DD.simhash(docs, bits=16).collect()}
+    assert fps[1] == fps[2] == fps[3]  # same token multiset
+    assert 0 <= fps[1] < (1 << 16)
+    assert bin(fps[1] ^ fps[4]).count("1") <= bin(fps[1] ^ fps[5]).count("1")
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert DD.simhash(empty, bits=16).first().simhash == 0
+
+
+def _jaccard_oracle(n=3, df_cut=None):
+    """Plain-Python Jaccard over distinct word n-gram shingles."""
+    def sh(text):
+        w = text.lower().split()
+        if len(w) <= n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    shingle_sets = {i: sh(t) for i, t in DOCS}
+    if df_cut is not None:
+        from collections import Counter
+
+        freq = Counter(g for s in shingle_sets.values() for g in s)
+        shingle_sets = {i: {g for g in s if freq[g] <= df_cut} for i, s in shingle_sets.items()}
+    out = {}
+    for a, b in combinations(sorted(shingle_sets), 2):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        if sa | sb:
+            out[(a, b)] = len(sa & sb) / len(sa | sb)
+    return out
+
+
+@pytest.mark.parametrize("df_cut", [None, 2])
+def test_ngram_jaccard_matches_python_oracle(spark, docs, df_cut):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, n=3, threshold=0.1, df_cut=df_cut).collect()
+    }
+    expect = {k: v for k, v in _jaccard_oracle(3, df_cut).items() if v >= 0.1}
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k])

@@ -1,0 +1,85 @@
+"""S1/S2/P2: JSON collection ingest with declared schemas + the batched
+embed-and-vectorize pass (A6 usage included)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.docserde import (
+    drop_vector_projection,
+    serialize_document,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import (
+    PRODUCT_SCHEMA,
+    ingest_and_vectorize,
+    read_json_collection,
+)
+
+PRODUCTS_JSON = [
+    {
+        "id": "p1",
+        "categoryId": "c1",
+        "categoryName": "Bikes",
+        "sku": "BK-1",
+        "name": "Touring Bike",
+        "description": "A comfy tourer",
+        "price": 1199.5,
+        "tags": [{"id": "t1", "name": "road"}],
+    },
+    {
+        "id": "p2",
+        "categoryId": "c2",
+        "categoryName": "Socks",
+        "sku": "SO-1",
+        "name": "Racing Socks",
+        "description": "Fast socks",
+        "price": 9.99,
+        "tags": [],
+    },
+]
+
+
+@pytest.fixture()
+def products_path(tmp_path):
+    p = tmp_path / "products.json"
+    p.write_text(json.dumps(PRODUCTS_JSON))
+    return str(p)
+
+
+def test_read_with_declared_schema(spark, products_path):
+    df = read_json_collection(spark, products_path, "products")
+    assert df.schema == PRODUCT_SCHEMA
+    rows = {r.id: r for r in df.collect()}
+    assert rows["p1"].price == 1199.5
+    assert rows["p1"].tags[0].name == "road"
+    assert rows["p1"].vector is None  # declared, not yet populated
+
+
+def test_schema_on_read_without_collection(spark, products_path):
+    df = read_json_collection(spark, products_path)
+    assert df.count() == 2 and "name" in df.columns  # inferred (BsonDocument-style)
+
+
+def test_ingest_and_vectorize(spark, products_path):
+    df = read_json_collection(spark, products_path, "products")
+    out = ingest_and_vectorize(df, embedder=HashNgramEmbedder(dims=32))
+    rows = out.collect()
+    assert all(len(r.vector) == 32 for r in rows)
+    # embedding input is the doc JSON minus the vector field (P2)
+    doc = df.select(serialize_document(df).alias("j")).first().j
+    assert '"vector"' not in doc and '"name":"Touring Bike"' in doc
+
+
+def test_ingest_with_usage_column(spark, products_path):
+    df = read_json_collection(spark, products_path, "products")
+    out = ingest_and_vectorize(df, embedder=HashNgramEmbedder(dims=32), usage_col="embed_tokens")
+    rows = out.collect()
+    assert all(r.embed_tokens > 0 for r in rows)  # A6: usage recorded per doc
+
+
+def test_drop_vector_projection(spark, products_path):
+    df = read_json_collection(spark, products_path, "products")
+    out = drop_vector_projection(df, exclude=("id", "vector"))
+    assert "vector" not in out.columns and "id" not in out.columns

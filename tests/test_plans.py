@@ -1,0 +1,71 @@
+"""Physical-plan guardrails (SURVEY §4): the properties that make queries
+survive 100x scale, asserted so regressions fail CI instead of the bench.
+Uses sf0.001 — plan SHAPE is scale-invariant."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from vector_search_ai_assistant_mongodbvcore_spark import queries as Q
+from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return Q.queries()
+
+
+def _report(spark, reg, name):
+    return plan_report(reg[name](spark, SF_DIR))
+
+
+def test_filters_push_into_scan(spark, reg):
+    rep = _report(spark, reg, "events_conjunctive_filter")
+    assert any("purchase" in s["pushed_filters"] for s in rep.scans), rep.scans
+    assert rep.exchanges == 0  # pure scan+filter: no shuffle at all
+
+
+def test_projection_prunes_unused_wide_column(spark, reg):
+    # doc_serialize_json serializes 4 narrow columns; the wide `text` column
+    # must be pruned out of the parquet ReadSchema entirely
+    rep = _report(spark, reg, "doc_serialize_json")
+    import re
+
+    schemas = re.findall(r"ReadSchema: (.*)", rep.raw)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, reg):
+    rep = _report(spark, reg, "ann_topk")
+    assert rep.take_ordered
+    assert rep.global_sorts == 0
+
+
+def test_star_join_broadcasts_dimensions(spark, reg):
+    rep = _report(spark, reg, "regional_revenue")
+    assert rep.broadcast_joins >= 3  # supplier, nation, region at minimum
+
+
+def test_text_pipeline_stays_jvm_side(spark, reg):
+    for name in ("text_stats", "quality_scores", "simhash_fingerprints", "exact_dedup_groups"):
+        rep = _report(spark, reg, name)
+        assert rep.python_evals == 0, f"{name} fell out of codegen into Python"
+
+
+def test_ivf_scan_partition_pruned(spark, reg):
+    rep = _report(spark, reg, "ivf_search_all_probes")
+    assert "PartitionFilters" in rep.raw and "centroid_id" in rep.raw
+
+
+def test_aggregations_partial_aggregate_map_side(spark, reg):
+    rep = _report(spark, reg, "pricing_summary")
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_sum" in rep.raw or "partial_count" in rep.raw
+    assert rep.exchanges <= 2
+
+
+def test_minhash_single_shuffle_to_signatures(spark, reg):
+    """The signature aggregation must collapse map-side: explode -> md5 ->
+    ONE exchange for the groupBy(doc_id), nothing quadratic."""
+    rep = _report(spark, reg, "minhash_signatures")
+    assert rep.exchanges <= 1
+    assert rep.python_evals == 0

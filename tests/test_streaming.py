@@ -1,0 +1,116 @@
+"""The golden 'Cosmic Socks' E2E (reference README.md:184-194) + the
+Structured Streaming change path (§2.7, AddRemoveData.cs:23-125).
+
+Script mirrored from the reference's acceptance walkthrough: a socks corpus
+is searchable; UPSERT one 'Cosmic Socks' product -> it appears in top-k for
+a socks query in the next committed batch; DELETE it -> the original result
+set returns."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import vector_search
+from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import ingest_and_vectorize
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import ManagedTable
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+    apply_changes,
+    start_change_stream,
+)
+
+EMB = HashNgramEmbedder(dims=64)
+
+SOCKS = [
+    ("sock-1", "socks", "Racing Socks, S", "Lightweight racing socks in small"),
+    ("sock-2", "socks", "Racing Socks, M", "Lightweight racing socks in medium"),
+    ("sock-3", "socks", "Mountain Socks, S", "Thick mountain bike socks in small"),
+    ("sock-4", "socks", "Mountain Socks, M", "Thick mountain bike socks in medium"),
+    ("helm-1", "helmets", "Sport Helmet", "A sturdy sport helmet"),
+]
+
+COSMIC = ("sock-9", "socks", "Cosmic Socks, M", "Limited edition cosmic print socks in medium")
+
+CHANGE_SCHEMA = "id string, categoryName string, name string, description string, _op string"
+
+
+def _seed_products(spark, tmp_path):
+    table = ManagedTable(spark, str(tmp_path / "products"))
+    df = spark.createDataFrame(SOCKS, "id string, categoryName string, name string, description string")
+    table.overwrite(ingest_and_vectorize(df, embedder=EMB))
+    return table
+
+
+def _socks_query(table, k=4, question="What kind of socks do you have?"):
+    q = [float(x) for x in EMB.embed_numpy([question])[0]]
+    top = vector_search(table.read(), q, k=k, vector_col="vector", id_col="id")
+    return [r.name for r in top.collect()]
+
+
+# a query textually close to the Cosmic doc so the toy 64-dim hash embedder
+# ranks it decisively (ranking QUALITY is the embedder's business; the E2E
+# contract under test is searchable-after-add / gone-after-remove)
+COSMIC_QUESTION = "limited edition cosmic print socks in medium"
+
+
+def test_golden_socks_add_remove(spark, tmp_path):
+    """README.md:184-194 via the batch change-apply path (AddRemoveData.cs
+    add/remove -> UpsertProductAsync/DeleteProductAsync)."""
+    table = _seed_products(spark, tmp_path)
+    baseline = _socks_query(table)
+    assert len(baseline) == 4 and "Cosmic Socks, M" not in baseline
+
+    # ADD: upsert + embed -> immediately searchable, top-ranked for its query
+    add = spark.createDataFrame([COSMIC + ("upsert",)], CHANGE_SCHEMA)
+    apply_changes(table, add, keys=["id"], embedder=EMB)
+    assert table.read().count() == len(SOCKS) + 1
+    assert _socks_query(table, k=3, question=COSMIC_QUESTION)[0] == "Cosmic Socks, M"
+
+    # REMOVE: delete -> gone from search, original result set restored
+    rm = spark.createDataFrame([COSMIC + ("delete",)], CHANGE_SCHEMA)
+    apply_changes(table, rm, keys=["id"], embedder=EMB)
+    assert "Cosmic Socks, M" not in _socks_query(table, k=5, question=COSMIC_QUESTION)
+    assert _socks_query(table) == baseline
+
+
+def test_upsert_replaces_by_key_and_reembeds(spark, tmp_path):
+    table = _seed_products(spark, tmp_path)
+    v_before = table.read().filter(F.col("id") == "sock-1").first().vector
+    edit = spark.createDataFrame(
+        [("sock-1", "socks", "Racing Socks, S", "Now with extra cushioning", "upsert")],
+        CHANGE_SCHEMA,
+    )
+    apply_changes(table, edit, keys=["id"], embedder=EMB)
+    rows = table.read().filter(F.col("id") == "sock-1").collect()
+    assert len(rows) == 1  # replaced, not duplicated
+    assert rows[0].description == "Now with extra cushioning"
+    assert rows[0].vector != v_before  # re-embedded from the new document
+
+
+def test_streaming_change_stream_end_to_end(spark, tmp_path):
+    """readStream(json) -> foreachBatch(apply_changes): the near-real-time
+    contract driven through an actual StreamingQuery (availableNow)."""
+    table = _seed_products(spark, tmp_path)
+    src = tmp_path / "changes"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    with open(src / "c1.json", "w") as f:
+        f.write(json.dumps(dict(zip(
+            ["id", "categoryName", "name", "description", "_op"], COSMIC + ("upsert",)
+        ))))
+    from pyspark.sql.types import StructType
+
+    schema = spark.createDataFrame([COSMIC + ("upsert",)], CHANGE_SCHEMA).schema
+    q = start_change_stream(spark, str(src), schema, table, keys=["id"], checkpoint_dir=ckpt, embedder=EMB)
+    q.awaitTermination(60)
+    assert _socks_query(table, k=3, question=COSMIC_QUESTION)[0] == "Cosmic Socks, M"
+
+    with open(src / "c2.json", "w") as f:
+        f.write(json.dumps(dict(zip(
+            ["id", "categoryName", "name", "description", "_op"], COSMIC + ("delete",)
+        ))))
+    q2 = start_change_stream(spark, str(src), schema, table, keys=["id"], checkpoint_dir=ckpt, embedder=EMB)
+    q2.awaitTermination(60)
+    assert "Cosmic Socks, M" not in _socks_query(table, k=5, question=COSMIC_QUESTION)

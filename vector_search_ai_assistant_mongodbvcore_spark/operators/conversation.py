@@ -70,10 +70,13 @@ def conversation_text(
     time_col: str = "ts",
     tokens_col: str = "tokens",
     text_col: str = "text",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """A2: one row per session with the trimmed conversation newline-joined
     in chronological order (ChatService.cs:267)."""
-    trimmed = conversation_window(messages, max_tokens, session_col, time_col, tokens_col)
+    trimmed = conversation_window(
+        messages, max_tokens, session_col, time_col, tokens_col, tiebreak_col
+    )
     return (
         trimmed.groupBy(session_col)
         .agg(

@@ -91,7 +91,13 @@ class SessionStore:
         Token rollup matches ChatService.cs:313-316:
         TokensUsed += promptMessage.Tokens + completion.PromptTokens +
         completion.Tokens."""
+        from datetime import timedelta
+
+        # the prompt message's timestamp must PRECEDE the completion's
+        # (ChatService.cs:129-130 creates it first for exactly this reason);
+        # +1us keeps the newest-first conversation window deterministic
         now = datetime.now(timezone.utc).replace(tzinfo=None)
+        after = now + timedelta(microseconds=1)
         msgs = self.spark.createDataFrame(
             [
                 (str(uuid.uuid4()), "Message", session_id, now, "User", prompt_tokens, 0, prompt_text),
@@ -99,7 +105,7 @@ class SessionStore:
                     str(uuid.uuid4()),
                     "Message",
                     session_id,
-                    now,
+                    after,
                     "Assistant",
                     completion_tokens,
                     completion_prompt_tokens,
@@ -127,5 +133,7 @@ class SessionStore:
         s = self.sessions.read().select(
             "id", "type", "session_id", F.col("tokens_used").cast("int").alias("tokens_used"), "name"
         )
-        m = self.messages.read().select("id", "type", "session_id", "ts", "sender", "tokens", "text")
+        m = self.messages.read().select(
+            "id", "type", "session_id", "ts", "sender", "tokens", "prompt_tokens", "text"
+        )
         return s.unionByName(m, allowMissingColumns=True)

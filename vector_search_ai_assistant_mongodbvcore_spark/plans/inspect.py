@@ -46,15 +46,24 @@ class PlanReport:
 
 
 def plan_report(df: DataFrame) -> PlanReport:
+    """Counts operate on the '(n) NodeName' detail headers only — each node
+    appears twice in formatted output (tree line + detail section), and a
+    bare substring count double-counts everything."""
     txt = explain_str(df, "formatted")
     rep = PlanReport(raw=txt)
-    rep.exchanges = len(re.findall(r"\bExchange\b", txt))
-    rep.broadcast_joins = len(re.findall(r"BroadcastHashJoin", txt))
-    rep.sortmerge_joins = len(re.findall(r"SortMergeJoin", txt))
+    rep.exchanges = len(re.findall(r"\(\d+\) Exchange\b", txt))
+    rep.broadcast_joins = len(re.findall(r"\(\d+\) BroadcastHashJoin\b", txt))
+    rep.sortmerge_joins = len(re.findall(r"\(\d+\) SortMergeJoin\b", txt))
     rep.take_ordered = "TakeOrderedAndProject" in txt
-    rep.global_sorts = len(re.findall(r"\(\d+\) Sort\b", txt))
+    # a Sort node's Arguments end with "<global>, <offset>"; only global=true
+    # sorts are the scale smell (SortAggregate's per-partition sorts are not)
+    rep.global_sorts = len(
+        re.findall(r"\(\d+\) Sort\b[^(]*?Arguments: \[[^\]]*\], true,", txt)
+    )
     rep.codegen_stages = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", txt)))
-    rep.python_evals = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas)", txt))
+    rep.python_evals = len(
+        re.findall(r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas)\b", txt)
+    )
     for m in re.finditer(r"PushedFilters: \[(.*?)\]", txt):
         rep.scans.append({"pushed_filters": m.group(1)})
     return rep

@@ -1024,6 +1024,92 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "summarize_labels",
+    f"""
+    SELECT doc_id,
+           regexp_replace(array_to_string(w[1:2], ' '), '[^a-zA-Z0-9\\s]', '', 'g') AS label
+    FROM (SELECT doc_id, {_w_sql()} AS w FROM documents)
+    """,
+)
+def summarize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 batch form: RemoteSummarizer.udf over every document — retry/
+    param plumbing is the production shape (OpenAiService.cs:217-247), the
+    transport is the deterministic local fake (first two words), and the F1
+    regex-clean (:244) is applied to the model output — all of which the
+    ANSI oracle reproduces exactly."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+        RemoteSummarizer,
+        fake_summarize_transport,
+    )
+
+    t = _tables(spark, sf_dir)
+    summ = RemoteSummarizer(transport=fake_summarize_transport)
+    return t["documents"].select("doc_id", summ.udf()(F.col("text")).alias("label"))
+
+
+@register("chat_turn", None)
+def chat_turn_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.1 end-to-end: two full chat turns (embed -> top-k payload ->
+    history window -> token trim -> completion -> transactional persist +
+    rollup) plus the first-exchange summarize-rename, on deterministic local
+    fakes. Each step's heavy lifting runs as the distributed operators; the
+    returned frame is the audit of final session state (ids/timestamps
+    excluded so reruns are value-identical). Imperative multi-action
+    lifecycle -> rows-only check; exact values asserted in
+    tests/test_chat_turn.py."""
+    import tempfile
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+        RemoteCompleter,
+        RemoteSummarizer,
+        fake_completion_transport,
+        fake_summarize_transport,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
+        HashNgramEmbedder,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chat import (
+        chat_turn,
+        summarize_session_name,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sessions import SessionStore
+
+    t = _tables(spark, sf_dir)
+    corpus = t["embeddings"].join(
+        t["documents"].select(F.col("doc_id").alias("vec_id"), "text"), "vec_id"
+    )
+    embedder = HashNgramEmbedder(dims=64)
+    completer = RemoteCompleter(transport=fake_completion_transport)
+    summarizer = RemoteSummarizer(transport=fake_summarize_transport)
+
+    store = SessionStore(spark, tempfile.mkdtemp(prefix="vsai_chat_"))
+    sid = store.create_session()
+    for question in ("What kind of bikes do you have?", "Do you have any socks?"):
+        chat_turn(
+            spark,
+            store,
+            corpus,
+            sid,
+            question,
+            embedder,
+            completer,
+            k=5,
+            vector_col="embedding",
+            id_cols=("vec_id",),
+        )
+        if store.first_exchange_sessions().count() == 1:
+            texts = [r["text"] for r in store.get_messages(sid).select("text").collect()]
+            summarize_session_name(store, summarizer, sid, "\n".join(texts))
+
+    state = store.completions_view().select(
+        "type", "sender", "tokens", "prompt_tokens", "tokens_used", "name",
+        F.substring("text", 1, 40).alias("text_head"),
+    )
+    rows = state.collect()
+    return spark.createDataFrame(rows, state.schema)
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + mapInPandas feature
