@@ -106,7 +106,8 @@ def rolling_fingerprint(col: Column | str, modulus: int = 2147483647, base: int 
     """Polynomial rolling hash over characters (Rabin-Karp style), computed
     with aggregate() over the char array — JVM-side, no UDF."""
     t = _c(col)
-    chars = F.split(t, "(?!^)")  # each char, no leading empty
+    # split leaves a trailing "" (ascii 0) that would poison the hash
+    chars = F.filter(F.split(t, "(?!^)"), lambda c: F.length(c) > 0)
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

@@ -73,16 +73,19 @@ def conversation_text(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """A2: one row per session with the trimmed conversation newline-joined
-    in chronological order (ChatService.cs:267)."""
+    in chronological order (ChatService.cs:267). collect_list has no
+    cross-partition order, so the collected structs are sorted by
+    (time, tiebreak) before joining."""
     trimmed = conversation_window(
         messages, max_tokens, session_col, time_col, tokens_col, tiebreak_col
     )
+    order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else []) + [text_col]
     return (
         trimmed.groupBy(session_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct(time_col, text_col))),
+                    F.array_sort(F.collect_list(F.struct(*order_cols))),
                     lambda s: s[text_col],
                 ),
                 "\n",

@@ -84,15 +84,18 @@ def _minhash_agg(
 
     Hash family: the 128-bit md5 of (g ':' shingle) is split into four
     8-hex-char chunks, giving 4 independent min-wise hashes per md5 call —
-    hash i uses group g = i//4, chunk j = i%4. Lexicographic min over
-    uniform hex strings is a valid min-wise hash and is engine-independent.
+    hash i uses group g = i//4, chunk j = i%4. Each chunk is decoded to a
+    BIGINT: numeric min over the fixed-width chunks equals lexicographic min
+    over the hex (zero-padded), stays engine-independent (DuckDB:
+    CAST('0x'||chunk AS UBIGINT)), and — the perf point — long-typed min()
+    keeps the aggregation in HashAggregate with a mutable buffer, where
+    string mins force SortAggregate (~30% slower at sf0.1, worse at scale:
+    per-partition sorts of the exploded shingles).
 
     Plan shape: explode(shingles) -> codegen'd md5 projection -> groupBy(id)
     with min() aggregates. Partial aggregation collapses each doc to one row
     map-side, so the shuffle carries ~num_docs × signature_width bytes, not
-    the exploded shingles. (A per-row higher-order-function variant avoids
-    the shuffle but runs interpreted and recomputes hashes per band — 10x
-    slower at sf0.1.)"""
+    the exploded shingles."""
     groups = (num_hashes + 3) // 4
     toks = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_size)).alias("ng"))
     hcols = [
@@ -100,7 +103,9 @@ def _minhash_agg(
     ]
     proj = toks.select(id_col, *hcols)
     aggs = [
-        F.min(F.substring(F.col(f"_h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"mh_{i}")
+        F.min(
+            F.conv(F.substring(F.col(f"_h{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast("long")
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return proj.groupBy(id_col).agg(*aggs)
@@ -145,7 +150,11 @@ def minhash_lsh_pairs(
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("key"),
         )
         for b in range(bands)

@@ -91,9 +91,14 @@ class IvfIndex:
         km = KMeans(k=num_lists, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
         model = km.fit(fit_input)
         assigned = model.transform(normed).drop("_features", "_nv")
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            os.path.join(self.path, "data")
-        )
+        # co-locate each list before writing: without this every write task
+        # emits a sliver file into every centroid dir (tasks x lists tiny
+        # files — a listing/open bottleneck at query time). One hash
+        # partition per centroid -> one well-sized file per list locally; a
+        # real deployment scales file count per list via repartition(N, key).
+        assigned.repartition(num_lists, F.col("centroid_id")).write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(os.path.join(self.path, "data"))
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         np.save(os.path.join(self.path, "centroids.npy"), centroids)
         with open(os.path.join(self.path, "meta.json"), "w") as f:

@@ -240,9 +240,12 @@ class LshIndex:
         # one pandas-UDF hash pass, exploded to (table, bucket) rows
         bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
         data = bucketed.join(df, id_col)
-        data.write.mode("overwrite").partitionBy("table", "bucket").parquet(
-            os.path.join(self.path, "data")
-        )
+        # co-locate buckets before the partitioned write — otherwise every
+        # task writes a sliver into every bucket dir (tasks x buckets tiny
+        # files); locally one shuffle partition per table is plenty
+        data.repartition(tables, F.col("table"), F.col("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("table", "bucket").parquet(os.path.join(self.path, "data"))
         with open(self._meta_file(), "w") as f:
             json.dump(
                 {

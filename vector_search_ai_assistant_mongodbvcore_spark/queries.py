@@ -377,6 +377,83 @@ def conversation_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_lookup",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id = 4242
+    """,
+)
+def key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: point lookup by key (the reference's FindIndex-by-SessionId
+    shape, ChatService.cs:56 etc.) — the equality predicate must reach the
+    scan as a pushed filter."""
+    t = _tables(spark, sf_dir)
+    return t["events"].filter(F.col("event_id") == 4242).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "latest_order_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+)
+def latest_order_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: latest-first pick (ChatSessions.FirstOrDefault after sort,
+    NavMenu.razor:189-198) — LIMIT 1 under a total order, planned as
+    TakeOrderedAndProject."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+    )
+
+
+@register(
+    "conversation_text_by_user",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER w AS rn,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS running
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), viol AS (
+      SELECT user_id, MIN(rn) AS first_bad FROM m WHERE running > 500 GROUP BY user_id
+    )
+    SELECT user_id, string_agg(event_type, chr(10) ORDER BY ts, event_id) AS conversation
+    FROM m LEFT JOIN viol USING (user_id)
+    WHERE rn < COALESCE(first_bad, 2147483647)
+    GROUP BY user_id
+    """,
+)
+def conversation_text_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 end-to-end: the trimmed window PLUS the newline join
+    (ChatService.cs:267) for every session at once — user_id plays session,
+    event_type plays message text, value plays tokens, cap 500."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.conversation import (
+        conversation_text,
+    )
+
+    t = _tables(spark, sf_dir)
+    ev = t["events"].withColumn("value", F.col("value").cast("decimal(18,2)"))
+    return conversation_text(
+        ev,
+        max_tokens=500,
+        session_col="user_id",
+        time_col="ts",
+        tokens_col="value",
+        text_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+@register(
     "latest_events_per_user",
     """
     SELECT event_id, user_id, rn FROM (
@@ -714,6 +791,26 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash (Rabin-Karp) —
+    pure JVM aggregate() over the char array, no UDF; the DuckDB twin folds
+    the identical recurrence."""
+    t = _tables(spark, sf_dir)
+    return t["documents"].select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
+
+
+@register(
     "exact_dedup_groups",
     """
     SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
@@ -745,9 +842,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_agg_sql(num_hashes: int = 16) -> str:
     """Mirrors operators.dedup._minhash_agg: hash i = 8-hex-char chunk
-    (i%4) of md5((i//4) ':' shingle), min over shingles."""
+    (i%4) of md5((i//4) ':' shingle) decoded to a UBIGINT, min over
+    shingles (numeric min == lexicographic min on fixed-width hex)."""
     mins = ", ".join(
-        f"min(substr(md5('{i // 4}:' || ng), {(i % 4) * 8 + 1}, 8)) AS mh_{i}"
+        f"min(CAST(('0x' || substr(md5('{i // 4}:' || ng), {(i % 4) * 8 + 1}, 8)) AS UBIGINT)) AS mh_{i}"
         for i in range(num_hashes)
     )
     return (
@@ -762,17 +860,21 @@ def _minhash_agg_sql(num_hashes: int = 16) -> str:
 @register(
     "minhash_signatures",
     f"""
-    SELECT doc_id, {" || '|' || ".join(f"mh_{i}" for i in range(16))} AS signature
+    SELECT doc_id, {" || '|' || ".join(f"mh_{i}::VARCHAR" for i in range(16))} AS signature
     FROM ({_minhash_agg_sql(16)})
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature emitted as ONE pipe-joined string (not array<string>): the
-    driver's canonicalizer sorts result columns with pandas, which cannot
-    hash list cells — and a flat string hashes identically everywhere."""
+    """Signature emitted as ONE pipe-joined string (not an array column):
+    the driver's canonicalizer sorts result columns with pandas, which
+    cannot hash list cells — and a flat string hashes identically
+    everywhere."""
     t = _tables(spark, sf_dir)
     sig = DD.minhash_signatures(t["documents"], "text", "doc_id", num_hashes=16, shingle_size=5)
-    return sig.select("doc_id", F.array_join("signature", "|").alias("signature"))
+    return sig.select(
+        "doc_id",
+        F.array_join(F.transform("signature", lambda x: x.cast("string")), "|").alias("signature"),
+    )
 
 
 @register(
@@ -782,7 +884,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+        + " || '|' || ".join(f"mh_{b * 4 + r}::VARCHAR" for r in range(4))
         + " AS key FROM sig"
         for b in range(4)
       )}
