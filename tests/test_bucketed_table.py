@@ -1,0 +1,124 @@
+"""BucketedTable: file-level COW — keyed mutations must rewrite ONLY the
+buckets containing touched keys, appends must rewrite nothing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import BucketedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "bt"), bucket_by=["id"], n_buckets=8)
+    rows = [(f"k{i}", i) for i in range(100)]
+    t.overwrite(spark.createDataFrame(rows, "id string, v int"))
+    return t
+
+
+def _manifest(table):
+    return {k: list(v) for k, v in table._manifest().items()}
+
+
+def test_read_roundtrip(spark, table):
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got == {f"k{i}": i for i in range(100)}
+    assert "_bucket" not in table.read().columns
+
+
+def test_merge_rewrites_only_affected_buckets(spark, table):
+    before = _manifest(table)
+    src = spark.createDataFrame([("k3", 999), ("k3b", -1)], "id string, v int")
+    affected = set(table._affected_buckets(src))
+    table.merge(src)
+    after = _manifest(table)
+    untouched = [b for b in after if int(b) not in affected]
+    assert untouched, "fixture must leave some buckets untouched"
+    for b in untouched:
+        assert after[b] == before[b], f"bucket {b} was rewritten without being touched"
+    for b in affected:
+        assert after[str(b)] != before.get(str(b))
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got["k3"] == 999 and got["k3b"] == -1 and len(got) == 101
+
+
+def test_append_is_pure_file_add(spark, table):
+    before = _manifest(table)
+    table.append(spark.createDataFrame([("new1", 1), ("new2", 2)], "id string, v int"))
+    after = _manifest(table)
+    for b, dirs in before.items():
+        assert after[b][: len(dirs)] == dirs, "append must keep existing files in place"
+    assert table.read().count() == 102
+
+
+def test_delete_by_keys_prunes_buckets(spark, table):
+    before = _manifest(table)
+    src = spark.createDataFrame([("k7",)], "id string")
+    affected = set(table._affected_buckets(src))
+    table.delete_by_keys(src)
+    after = _manifest(table)
+    for b in after:
+        if int(b) not in affected:
+            assert after[b] == before[b]
+    ids = {r.id for r in table.read().collect()}
+    assert "k7" not in ids and len(ids) == 99
+
+
+def test_predicate_delete_full_rewrite_correct(spark, table):
+    table.delete(F.col("v") >= 50)
+    got = {r.v for r in table.read().collect()}
+    assert got == set(range(50))
+
+
+def test_delete_everything_leaves_readable_empty_table(spark, table):
+    table.delete(F.col("v") >= 0)
+    out = table.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+
+
+def test_merge_then_append_then_merge_chain(spark, table):
+    table.append(spark.createDataFrame([("k5", 1000)], "id string, v int"))  # dup key k5
+    # merge must collapse BOTH copies of k5 (old file + appended file)
+    table.merge(spark.createDataFrame([("k5", 7)], "id string, v int"))
+    rows = table.read().filter(F.col("id") == "k5").collect()
+    assert len(rows) == 1 and rows[0].v == 7
+
+
+def test_vacuum_removes_stale_versions_keeps_referenced(spark, table):
+    for i in range(5):
+        table.merge(spark.createDataFrame([(f"k{i}", -i)], "id string, v int"))
+    # all buckets still readable after vacuuming old versions
+    assert table.read().count() == 100
+    cur = table.current_version()
+    # dirs referenced by the keep-window manifests (last 2 versions stay
+    # readable) must survive; everything older and unreferenced is gone
+    live = {
+        os.path.normpath(d).split(f"{os.sep}_bucket=")[0]
+        for v in (cur - 1, cur)
+        for dirs in table._manifest(v).values()
+        for d in dirs
+    }
+    for d in os.listdir(table.path):
+        if d.startswith("v_"):
+            full = os.path.join(table.path, d)
+            assert full in live or int(d[2:]) > cur - 2, f"{d} leaked past vacuum"
+    # stale manifests are gone too
+    manifests = sorted(int(m[9:-5]) for m in os.listdir(table.path) if m.startswith("manifest_"))
+    assert manifests == [cur - 1, cur]
+
+
+def test_works_as_vector_store(spark, table, tmp_path):
+    """The scale layout slots under the search operator unchanged."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import vector_search
+
+    emb = HashNgramEmbedder(dims=16)
+    t = BucketedTable(spark, str(tmp_path / "docs"), bucket_by=["id"], n_buckets=4)
+    docs = [("d1", "red mountain bike"), ("d2", "blue racing socks"), ("d3", "green helmet")]
+    df = spark.createDataFrame(docs, "id string, text string")
+    t.overwrite(df.withColumn("vector", emb.udf()(F.col("text"))))
+    q = [float(x) for x in emb.embed_numpy(["blue racing socks"])[0]]
+    top = vector_search(t.read(), q, k=1, vector_col="vector", id_col="id").first()
+    assert top.id == "d2"

@@ -88,6 +88,25 @@ def test_upsert_replaces_by_key_and_reembeds(spark, tmp_path):
     assert rows[0].vector != v_before  # re-embedded from the new document
 
 
+def test_change_apply_over_bucketed_store(spark, tmp_path):
+    """Same golden script against the file-level-COW BucketedTable — the
+    layout a LARGE product corpus needs (per-batch merge cost = touched
+    buckets, not the table)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import BucketedTable
+
+    table = BucketedTable(spark, str(tmp_path / "products"), bucket_by=["id"], n_buckets=4)
+    df = spark.createDataFrame(SOCKS, "id string, categoryName string, name string, description string")
+    table.overwrite(ingest_and_vectorize(df, embedder=EMB))
+
+    add = spark.createDataFrame([COSMIC + ("upsert",)], CHANGE_SCHEMA)
+    apply_changes(table, add, keys=["id"], embedder=EMB)
+    assert _socks_query(table, k=3, question=COSMIC_QUESTION)[0] == "Cosmic Socks, M"
+
+    rm = spark.createDataFrame([COSMIC + ("delete",)], CHANGE_SCHEMA)
+    apply_changes(table, rm, keys=["id"], embedder=EMB)
+    assert "Cosmic Socks, M" not in _socks_query(table, k=5, question=COSMIC_QUESTION)
+
+
 def test_streaming_change_stream_end_to_end(spark, tmp_path):
     """readStream(json) -> foreachBatch(apply_changes): the near-real-time
     contract driven through an actual StreamingQuery (availableNow)."""

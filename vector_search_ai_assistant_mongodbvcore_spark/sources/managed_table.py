@@ -17,9 +17,15 @@ changing callers:
 Every mutation = read current snapshot -> compute new table -> write v_{n+1}
 -> atomically swap pointer. Readers always see a complete committed version.
 Copy-on-write at snapshot granularity is O(table) per commit — fine for the
-session/message tables this backs (the reference's operational data), while
-the 100 TB analytical tables stay append-only parquet/Delta where Spark's
-file-level COW applies.
+session/message tables this backs (the reference's operational data).
+
+For tables too big to rewrite per commit, `BucketedTable` is the scale
+layout: rows hash-bucketed on the merge key, a per-version JSON manifest
+maps bucket -> parquet dirs, and a keyed MERGE/DELETE rewrites ONLY the
+buckets containing touched keys (file-level COW, the same idea as
+Delta/Iceberg file rewrite but with hash pruning instead of stats). An
+upsert of B rows into a T-row table costs O(T/n_buckets * distinct_buckets(B)),
+not O(T).
 
 Concurrency: single-writer (the harness); a real deployment gets optimistic
 concurrency from Delta. Atomicity of the pointer swap relies on POSIX rename.
@@ -118,6 +124,207 @@ class ManagedTable:
         """Point deletes by key set (anti-join)."""
         target = self.read()
         return self._commit(target.join(source.select(*keys), on=keys, how="left_anti"), "delete-keys")
+
+
+class BucketedTable:
+    """File-level-COW mutable table: hash-bucketed on `bucket_by`, keyed
+    mutations rewrite only affected buckets.
+
+    Layout:
+        <root>/v_<n>/_bucket=<i>/part-*.parquet   data written AT version n
+        <root>/manifest_<n>.json                  bucket -> dir list
+        <root>/_VERSION                           atomic pointer to n
+
+    A bucket's dir LIST supports cheap appends (new file added to the list,
+    nothing rewritten); merge/delete_by_keys compact the affected buckets'
+    lists back to one dir. Readers resolve the manifest to a flat path list
+    — always a complete committed version.
+
+    The bucket column is Spark's murmur3 `hash()` pmod n_buckets: internal
+    layout only, never part of query semantics (so no oracle-portability
+    constraint). Same key -> same bucket is all correctness needs."""
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, bucket_by: list[str], n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.bucket_by = list(bucket_by)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # ---- commit log -----------------------------------------------------
+    def _version_file(self) -> str:
+        return os.path.join(self.path, "_VERSION")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._version_file()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return -1
+
+    def exists(self) -> bool:
+        return self.current_version() >= 0
+
+    def _manifest_doc(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.path, f"manifest_{v}.json")) as f:
+            return json.load(f)
+
+    def _manifest(self, version: int | None = None) -> dict[str, list[str]]:
+        return self._manifest_doc(version)["buckets"]
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.BUCKET_COL, F.pmod(F.hash(*self.bucket_by), F.lit(self.n_buckets))
+        )
+
+    def _write_version(self, df: DataFrame, version: int) -> dict[int, str]:
+        """Write df (already bucket-stamped) partitioned by bucket; returns
+        {bucket: dir} for the buckets actually written."""
+        target = os.path.join(self.path, f"v_{version}")
+        (
+            df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(target)
+        )
+        out = {}
+        for name in os.listdir(target):
+            if name.startswith(f"{self.BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                out[b] = os.path.join(target, name)
+        return out
+
+    def _commit(
+        self, buckets: dict[str, list[str]], version: int, op: str, schema_json: str | None = None
+    ) -> int:
+        if schema_json is None and version > 0:
+            schema_json = self._manifest_doc(version - 1).get("schema")
+        with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
+            json.dump(
+                {"buckets": buckets, "op": op, "ts": time.time(), "schema": schema_json}, f
+            )
+        tmp = self._version_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._version_file())
+        self._vacuum(keep=2)
+        return version
+
+    def _vacuum(self, keep: int = 2) -> None:
+        """Drop version dirs no manifest in the keep-window references."""
+        cur = self.current_version()
+        live: set[str] = set()
+        for v in range(max(0, cur - keep + 1), cur + 1):
+            try:
+                for dirs in self._manifest(v).values():
+                    for d in dirs:
+                        live.add(os.path.normpath(d).split(f"{os.sep}{self.BUCKET_COL}=")[0])
+            except FileNotFoundError:
+                continue
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("v_") and int(name[2:]) <= cur - keep and full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+            if name.startswith("manifest_") and int(name[9:-5]) <= cur - keep:
+                os.remove(full)
+
+    # ---- reads ----------------------------------------------------------
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        doc = self._manifest_doc(v)
+        paths = [d for dirs in doc["buckets"].values() for d in dirs]
+        if not paths:  # fully-deleted table: empty frame with the last schema
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(doc["schema"]))
+            empty = self.spark.createDataFrame([], schema)
+            return empty.drop(self.BUCKET_COL) if self.BUCKET_COL in empty.columns else empty
+        return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+
+    def _read_buckets(self, manifest: dict[str, list[str]], buckets: list[int]) -> DataFrame | None:
+        paths = [d for b in buckets for d in manifest.get(str(b), [])]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+
+    # ---- writes ---------------------------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        v = self.current_version() + 1
+        stamped = self._with_bucket(df)
+        written = self._write_version(stamped, v)
+        return self._commit(
+            {str(b): [d] for b, d in written.items()}, v, "overwrite", stamped.schema.json()
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """S3: pure file add — NO existing data is read or rewritten; the
+        new files join the affected buckets' dir lists."""
+        v = self.current_version() + 1
+        stamped = self._with_bucket(df)
+        written = self._write_version(stamped, v)
+        buckets = {k: list(vv) for k, vv in (self._manifest() if self.exists() else {}).items()}
+        for b, d in written.items():
+            buckets.setdefault(str(b), []).append(d)
+        return self._commit(buckets, v, "append", stamped.schema.json())
+
+    def _affected_buckets(self, source: DataFrame) -> list[int]:
+        rows = self._with_bucket(source).select(self.BUCKET_COL).distinct().collect()
+        return sorted(r[0] for r in rows)
+
+    def merge(self, source: DataFrame, keys: list[str] | None = None) -> int:
+        """S4 MERGE: rewrites ONLY the buckets containing source keys —
+        O(touched buckets), not O(table). `keys` defaults to bucket_by and
+        must contain it (rows with equal keys must share a bucket)."""
+        keys = keys or self.bucket_by
+        assert set(self.bucket_by) <= set(keys), "merge keys must cover bucket_by"
+        if not self.exists():
+            return self.overwrite(source)
+        manifest = {k: list(v) for k, v in self._manifest().items()}
+        affected = self._affected_buckets(source)
+        old = self._read_buckets(manifest, affected)
+        if old is not None:
+            remaining = old.join(source.select(*keys), on=keys, how="left_anti")
+            merged = remaining.unionByName(source, allowMissingColumns=True)
+        else:
+            merged = source
+        v = self.current_version() + 1
+        written = self._write_version(self._with_bucket(merged), v)
+        for b in affected:
+            manifest[str(b)] = [written[b]] if b in written else []
+        return self._commit(manifest, v, "merge")
+
+    def delete_by_keys(self, source: DataFrame, keys: list[str] | None = None) -> int:
+        """S5: point deletes, bucket-pruned like merge."""
+        keys = keys or self.bucket_by
+        assert set(self.bucket_by) <= set(keys), "delete keys must cover bucket_by"
+        manifest = {k: list(v) for k, v in self._manifest().items()}
+        affected = self._affected_buckets(source)
+        old = self._read_buckets(manifest, affected)
+        v = self.current_version() + 1
+        manifest_update: dict[str, list[str]] = {str(b): [] for b in affected}
+        if old is not None:
+            remaining = self._with_bucket(old.join(source.select(*keys), on=keys, how="left_anti"))
+            written = self._write_version(remaining, v)
+            for b in affected:
+                manifest_update[str(b)] = [written[b]] if b in written else []
+        manifest.update(manifest_update)
+        return self._commit(manifest, v, "delete-keys")
+
+    def delete(self, predicate) -> int:
+        """S6: arbitrary-predicate delete — no key to prune on, so this one
+        IS a full rewrite (Delta without stats pays the same; predicate
+        deletes on huge tables want a partition/zorder column instead)."""
+        target = self.read()
+        v = self.current_version() + 1
+        written = self._write_version(
+            self._with_bucket(target.filter(~predicate | predicate.isNull())), v
+        )
+        return self._commit({str(b): [d] for b, d in written.items()}, v, "delete")
 
 
 class TransactionalWriter:

@@ -6,9 +6,15 @@ searchable "in near real-time"; a remove must disappear from search.
 
 Spark-first mapping: a Structured Streaming file/JSON source of change
 records -> foreachBatch: embed new/changed rows (one Arrow pass per
-micro-batch) -> ManagedTable.merge / delete. Readers see each micro-batch
-at its commit; this is exactly Delta's CDC upsert pattern with the managed
-table standing in for Delta.
+micro-batch) -> table.merge / delete. Readers see each micro-batch at its
+commit; this is exactly Delta's CDC upsert pattern with the managed table
+standing in for Delta.
+
+`table` is duck-typed: ManagedTable (snapshot COW — fine for small
+operational tables) or BucketedTable (file-level COW — REQUIRED when the
+target is large: a per-micro-batch merge that rewrites the whole table
+would turn streaming upserts into O(table) per batch; the bucketed layout
+makes each batch O(touched buckets)).
 
 Change record convention: the source rows carry an `_op` column
 ("upsert" | "delete"); everything else is the document.
