@@ -1062,10 +1062,49 @@ def ivf_search_all_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "score")
 
 
+@register(
+    "windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: the STREAMING windowed-agg transformation run in batch mode —
+    the same expression that runs under a watermark in
+    streaming/windows.windowed_event_counts (a 1-hour tumbling window's
+    start == date_trunc('hour')), so the DuckDB oracle validates the
+    streaming aggregation logic; the stream execution itself is tested in
+    tests/test_streaming_windows.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    t = _tables(spark, sf_dir)
+    return windowed_event_counts(t["events"])
+
+
 # ===========================================================================
 # Rows-only queries (no ANSI-SQL oracle: Python-UDF tokenizer, LSH
 # approximation, multimodal plumbing). Driver records rows-only checks.
 # ===========================================================================
+
+
+@register("ivf_search_pruned", None)
+def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 serving path: n_probe=1 of 4 — the scan reads ONE centroid
+    partition (file-listing-time pruning). Approximate by design ->
+    rows-only; recall/pruning asserted in tests/test_ivf.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+
+    t = _tables(spark, sf_dir)
+    idx = IvfIndex(spark, _cache_dir(sf_dir, "ivf_embeddings")).build_if_absent(
+        t["embeddings"], vector_col="embedding", num_lists=4, seed=42, fit_fraction=0.5
+    )
+    out = idx.search(_QV_IVF, k=10, n_probe=1, use_pandas=False, id_col="vec_id", round_scores=4)
+    return out.select("vec_id", "score")
 
 
 @register("build_prompts_trim", None)
