@@ -37,6 +37,10 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
 )
 
 
+# first prime > 2^32 — keeps (c1 + i*c2) % p uniform over ~32-bit range
+MINHASH_PRIME = 4294967311
+
+
 def pair_structs(ids_col) -> "F.Column":
     """All (i < j) element pairs of an array column, as
     array<struct<id_a,id_b>> — generated JVM-side (nested transform), no
@@ -82,30 +86,26 @@ def _minhash_agg(
 ) -> DataFrame:
     """Core MinHash computation: one column `mh_i` per hash function.
 
-    Hash family: the 128-bit md5 of (g ':' shingle) is split into four
-    8-hex-char chunks, giving 4 independent min-wise hashes per md5 call —
-    hash i uses group g = i//4, chunk j = i%4. Each chunk is decoded to a
-    BIGINT: numeric min over the fixed-width chunks equals lexicographic min
-    over the hex (zero-padded), stays engine-independent (DuckDB:
-    CAST('0x'||chunk AS UBIGINT)), and — the perf point — long-typed min()
-    keeps the aggregation in HashAggregate with a mutable buffer, where
-    string mins force SortAggregate (~30% slower at sf0.1, worse at scale:
-    per-partition sorts of the exploded shingles).
+    Hash family: ONE md5 per shingle; its first two 8-hex-char chunks decode
+    to BIGINTs (c1, c2) and the i-th hash is the Kirsch-Mitzenmacher double
+    hash (c1 + i*c2) mod p — the standard way to fan one strong hash into a
+    min-wise family without paying per-function hashing. Everything is
+    engine-portable (DuckDB: CAST('0x'||chunk AS UBIGINT), same modular
+    arithmetic), and long-typed min() keeps the aggregation in HashAggregate
+    with a mutable buffer (string mins force SortAggregate — per-partition
+    sorts of the exploded shingles).
 
     Plan shape: explode(shingles) -> codegen'd md5 projection -> groupBy(id)
     with min() aggregates. Partial aggregation collapses each doc to one row
     map-side, so the shuffle carries ~num_docs × signature_width bytes, not
     the exploded shingles."""
-    groups = (num_hashes + 3) // 4
     toks = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_size)).alias("ng"))
-    hcols = [
-        F.md5(F.concat(F.lit(f"{g}:"), F.col("ng"))).alias(f"_h{g}") for g in range(groups)
-    ]
-    proj = toks.select(id_col, *hcols)
+    h = F.md5(F.col("ng"))
+    c1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    c2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    proj = toks.select(id_col, c1.alias("_c1"), c2.alias("_c2"))
     aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"_h{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast("long")
-        ).alias(f"mh_{i}")
+        F.min((F.col("_c1") + F.lit(i) * F.col("_c2")) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return proj.groupBy(id_col).agg(*aggs)

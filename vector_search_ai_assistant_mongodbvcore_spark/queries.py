@@ -296,6 +296,47 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_priority_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: grouping sets/rollup come free from Spark SQL — one
+    pass, partial-aggregated per grouping set."""
+    t = _tables(spark, sf_dir)
+    return t["orders"].rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "active_vs_purchasing_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 490
+    ORDER BY user_id
+    """,
+)
+def active_vs_purchasing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: set operations — INTERSECT plans as a semi-join on
+    distinct keys, EXCEPT as an anti-join."""
+    t = _tables(spark, sf_dir)
+    ev = t["events"]
+    buyers = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 300)).select("user_id")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    whales = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 490)).select("user_id")
+    return buyers.intersect(viewers).exceptAll(whales.distinct()).orderBy("user_id")
+
+
 # ===========================================================================
 # Filters & projections (P1-P4)
 # ===========================================================================
@@ -841,18 +882,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_agg_sql(num_hashes: int = 16) -> str:
-    """Mirrors operators.dedup._minhash_agg: hash i = 8-hex-char chunk
-    (i%4) of md5((i//4) ':' shingle) decoded to a UBIGINT, min over
-    shingles (numeric min == lexicographic min on fixed-width hex)."""
+    """Mirrors operators.dedup._minhash_agg: ONE md5 per shingle, chunks
+    (c1, c2) decoded to UBIGINT, hash i = (c1 + i*c2) mod prime
+    (Kirsch-Mitzenmacher double hashing)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import MINHASH_PRIME
+
     mins = ", ".join(
-        f"min(CAST(('0x' || substr(md5('{i // 4}:' || ng), {(i % 4) * 8 + 1}, 8)) AS UBIGINT)) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min((c1 + {i} * c2) % {MINHASH_PRIME}) AS mh_{i}" for i in range(num_hashes)
     )
     return (
-        f"SELECT doc_id, {mins} "
+        f"SELECT doc_id, {mins} FROM ("
+        f"SELECT doc_id, CAST(('0x' || substr(md5(ng), 1, 8)) AS UBIGINT) AS c1, "
+        f"CAST(('0x' || substr(md5(ng), 9, 8)) AS UBIGINT) AS c2 "
         f"FROM (SELECT doc_id, unnest(s) AS ng FROM "
         f"(SELECT doc_id, {_shingle_sql(5)} AS s "
-        f"FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents))) "
+        f"FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents)))) "
         f"GROUP BY doc_id"
     )
 
