@@ -36,6 +36,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.operators.conversation import
 # ---------------------------------------------------------------------------
 # deterministic query vectors (inlined into oracle SQL as literals)
 _QV_ANN = [round(float(x), 6) for x in np.random.RandomState(7).randn(64)]
+_QV_PANN = [round(float(x), 6) for x in np.random.RandomState(17).randn(64)]
 _QV_KNN = [[round(float(x), 6) for x in row] for row in np.random.RandomState(13).randn(4, 64)]
 _QV_IVF = [round(float(x), 6) for x in np.random.RandomState(11).randn(64)]
 
@@ -1021,6 +1022,30 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "partitioned_ann_topk",
+    f"""
+    SELECT vec_id, round({_cos_sql(_vec_sql(_QV_PANN))}, 4) AS score
+    FROM embeddings
+    ORDER BY round({_cos_sql(_vec_sql(_QV_PANN))}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def partitioned_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3's distributed form: per-partition local index (injectable kernel;
+    exact matmul default makes the operator exact, so the brute-force SQL
+    is a true oracle) -> global TakeOrdered merge of P×k candidates. The
+    hnswlib kernel slots into the same factory on a real cluster."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.partitioned_ann import (
+        partitioned_ann_topk,
+    )
+
+    t = _tables(spark, sf_dir)
+    return partitioned_ann_topk(
+        t["embeddings"], _QV_PANN, k=10, vector_col="embedding", id_col="vec_id", round_scores=4
+    )
 
 
 def _knn_values_sql() -> str:
