@@ -1176,11 +1176,64 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "score")
 
 
-@register("build_prompts_trim", None)
+def _bankers_sql(x: str) -> str:
+    """Banker's rounding (C# Math.Round / Spark bround) for non-negative x —
+    DuckDB's round() is half-away-from-zero, so the exact-.5 case picks the
+    even neighbor explicitly. .5 is dyadic, so the equality test is exact in
+    both engines' doubles."""
+    return (
+        f"CASE WHEN ({x}) - floor({x}) = 0.5 THEN "
+        f"CAST(CASE WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN floor({x}) "
+        f"ELSE floor({x}) + 1 END AS INT) "
+        f"ELSE CAST(round({x}) AS INT) END"
+    )
+
+
+_TOKEN_PAT_SQL = r"\s?[A-Za-z]+|\s?\d+|\s?[^\sA-Za-z\d]+|\s+"  # tokenizer._TOKEN_RE
+
+_BUILD_PROMPTS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, text AS rag, reverse(text) AS conv,
+             regexp_extract_all(text, '{_TOKEN_PAT_SQL}') AS rt,
+             regexp_extract_all(reverse(text), '{_TOKEN_PAT_SQL}') AS ct,
+             len(regexp_extract_all('what products are available?', '{_TOKEN_PAT_SQL}')) AS pt
+      FROM documents
+    ), calc AS (
+      SELECT *, len(rt) AS rag_t, len(ct) AS conv_t,
+             len(rt) + len(ct) + pt + 200 AS total
+      FROM toks
+    ), cut AS (
+      SELECT *,
+        CASE WHEN total > 120 THEN greatest({_bankers_sql("rag_t - (rag_t::DOUBLE / total) * (total - 120)")}, 0)
+             ELSE rag_t END AS rag_tokens_out,
+        CASE WHEN total > 120 THEN greatest({_bankers_sql("conv_t - (conv_t::DOUBLE / total) * (total - 120)")}, 0)
+             ELSE conv_t END AS conv_tokens_out
+      FROM calc
+    )
+    SELECT doc_id, rag_tokens_out, conv_tokens_out,
+           length(CASE WHEN total > 120 THEN array_to_string(rt[1:rag_tokens_out], '') ELSE rag END) AS rag_len,
+           length(CASE WHEN total > 120 THEN
+                    CASE WHEN conv_tokens_out > 0
+                         THEN array_to_string(ct[len(ct) - conv_tokens_out + 1 : len(ct)], '')
+                         ELSE '' END
+                  ELSE conv END) AS conv_len
+    FROM cut
+"""
+
+# The oracle reproduces the FALLBACK tokenizer (the regex split). When
+# tiktoken is importable the Spark side tokenizes with real cl100k_base and
+# no ANSI twin exists -> fall back to a rows-only check.
+from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _ENC as _TIKTOKEN
+
+
+@register("build_prompts_trim", None if _TIKTOKEN is not None else _BUILD_PROMPTS_ORACLE)
 def build_prompts_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F6: token-budgeted proportional prompt trim (ChatService.cs:172-243)
-    over every document triple at once. BPE-ish tokenizer (pandas UDF) has no
-    SQL twin -> rows-only check."""
+    over every document triple at once. The DuckDB oracle replays the FULL
+    pipeline — regex tokenization, the totalTokens denominator, banker's
+    rounding, head/tail slices — so the trim arithmetic is hash-verified,
+    not just row-counted (oracle present only when the engine runs on the
+    fallback tokenizer; with tiktoken there is no ANSI twin)."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.prompt_budget import (
         build_prompts,
     )
