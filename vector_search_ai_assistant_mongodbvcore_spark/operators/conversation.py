@@ -60,7 +60,13 @@ def conversation_window(
         F.min(F.when(F.col("_running") > max_tokens, F.col("_rn"))).over(wall),
     )
     kept = with_cut.filter(F.col("_rn") < F.coalesce(F.col("_first_bad"), F.lit(2**31 - 1)))
-    return kept.drop("_running", "_rn", "_first_bad").orderBy(session_col, time_col)
+    # W3 needs CHRONOLOGICAL-PER-SESSION order, not a global order: the
+    # window already hash-partitioned by session, so an intra-partition sort
+    # delivers it with no extra exchange — a global orderBy would add a
+    # range-partitioning shuffle + full sort at 100 TB for nothing.
+    return kept.drop("_running", "_rn", "_first_bad").sortWithinPartitions(
+        session_col, time_col
+    )
 
 
 def conversation_text(
