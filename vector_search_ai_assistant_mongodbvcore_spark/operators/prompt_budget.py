@@ -38,9 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
-    count_tokens,
-    detokenize_head,
-    detokenize_tail,
+    count_tokens3,
+    slice_head_tail,
 )
 
 DEFAULT_MAX_COMPLETION_TOKENS = 2000  # Search/appsettings.json:16
@@ -59,11 +58,19 @@ def build_prompts(
     rag + conversation + prompt + buffer > max_tokens.
 
     Adds columns: trimmed_rag, trimmed_conversation, conversation_and_prompt,
-    rag_tokens_out, conv_tokens_out."""
+    rag_tokens_out, conv_tokens_out.
+
+    Plan shape: TWO Python eval nodes total — one fused count UDF (all three
+    texts per Arrow batch) and one fused head/tail slice UDF — instead of
+    five chained single-column evals; everything between is codegen'd column
+    arithmetic."""
+    d = df.withColumn(
+        "_counts", count_tokens3(F.col(rag_col), F.col(conv_col), F.col(prompt_col))
+    )
     d = (
-        df.withColumn("_rag_t", count_tokens(F.col(rag_col)))
-        .withColumn("_conv_t", count_tokens(F.col(conv_col)))
-        .withColumn("_prompt_t", count_tokens(F.col(prompt_col)))
+        d.withColumn("_rag_t", F.col("_counts")[0])
+        .withColumn("_conv_t", F.col("_counts")[1])
+        .withColumn("_prompt_t", F.col("_counts")[2])
     )
     # ChatService.cs:196 totalTokens — this full estimate is ALSO the
     # percentage denominator (:205-206), so ragPct+convPct < 1 and the
@@ -82,12 +89,17 @@ def build_prompts(
         d.withColumn("rag_tokens_out", F.when(over, F.greatest(new_rag, F.lit(0))).otherwise(F.col("_rag_t")))
         .withColumn("conv_tokens_out", F.when(over, F.greatest(new_conv, F.lit(0))).otherwise(F.col("_conv_t")))
         .withColumn(
-            "trimmed_rag",
-            F.when(over, detokenize_head(F.col(rag_col), F.col("rag_tokens_out"))).otherwise(F.col(rag_col)),
+            "_sliced",
+            slice_head_tail(
+                F.col(rag_col), F.col("rag_tokens_out"), F.col(conv_col), F.col("conv_tokens_out")
+            ),
+        )
+        .withColumn(
+            "trimmed_rag", F.when(over, F.col("_sliced.head")).otherwise(F.col(rag_col))
         )
         .withColumn(
             "trimmed_conversation",
-            F.when(over, detokenize_tail(F.col(conv_col), F.col("conv_tokens_out"))).otherwise(F.col(conv_col)),
+            F.when(over, F.col("_sliced.tail")).otherwise(F.col(conv_col)),
         )
         # ChatService.cs:228/:237 — both branches end with conv + "\n" + prompt
         .withColumn(
@@ -95,4 +107,4 @@ def build_prompts(
             F.concat(F.col("trimmed_conversation"), F.lit("\n"), F.col(prompt_col)),
         )
     )
-    return d.drop("_rag_t", "_conv_t", "_prompt_t")
+    return d.drop("_rag_t", "_conv_t", "_prompt_t", "_counts", "_sliced")
