@@ -1373,6 +1373,18 @@ def chat_turn_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, state.schema)
 
 
+@register("topic_clusters", None)
+def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic topic clustering (KMeans over embeddings, §7.7 extended
+    surface): per-topic document counts. Iterative MLlib fit has no ANSI
+    twin -> rows-only; assignment/determinism/purity asserted in
+    tests/test_topics.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.topics import topic_sizes
+
+    t = _tables(spark, sf_dir)
+    return topic_sizes(t["embeddings"], k=8)
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + mapInPandas feature
