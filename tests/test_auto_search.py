@@ -1,0 +1,47 @@
+"""auto_search: the §4 access-path rewrite — IVF when indexed, exact otherwise."""
+
+import numpy as np
+import pytest
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+    auto_search,
+    vector_search,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+
+def test_routes_to_exact_without_index(spark, tables, tmp_path):
+    q = list(map(float, np.random.RandomState(2).randn(64)))
+    out = auto_search(
+        spark, tables["embeddings"], q, k=5,
+        index_path=str(tmp_path / "missing"), vector_col="embedding", id_col="vec_id",
+    )
+    rep = plan_report(out)
+    assert rep.take_ordered and "PartitionFilters" not in rep.raw
+
+
+def test_routes_to_pruned_index_when_present(spark, tables, tmp_path):
+    IvfIndex(spark, str(tmp_path)).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    q = list(map(float, np.random.RandomState(2).randn(64)))
+    out = auto_search(
+        spark, tables["embeddings"], q, k=5,
+        index_path=str(tmp_path), vector_col="embedding", id_col="vec_id", n_probe=1,
+    )
+    raw = plan_report(out).raw
+    assert "PartitionFilters" in raw and "centroid_id" in raw
+
+
+def test_full_probe_route_equals_exact(spark, tables, tmp_path):
+    IvfIndex(spark, str(tmp_path)).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    q = list(map(float, np.random.RandomState(4).randn(64)))
+    routed = auto_search(
+        spark, tables["embeddings"], q, k=10,
+        index_path=str(tmp_path), vector_col="embedding", id_col="vec_id", n_probe=4,
+    )
+    exact = vector_search(tables["embeddings"], q, k=10, vector_col="embedding", id_col="vec_id")
+    assert [r.vec_id for r in routed.collect()] == [r.vec_id for r in exact.collect()]

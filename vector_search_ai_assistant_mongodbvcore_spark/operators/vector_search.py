@@ -119,3 +119,28 @@ def embed_and_search(
     embed — the 'predicate is a vector'), then top-k search."""
     q = embedder.embed_numpy([query_text])[0]
     return vector_search(df, [float(x) for x in q], k=k, vector_col=vector_col)
+
+
+def auto_search(
+    spark,
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = DEFAULT_K,
+    index_path: str | None = None,
+    vector_col: str = "vector",
+    id_col: str | None = None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """SURVEY §4's access-path choice, made explicit in the engine API (the
+    reference picks HNSW/IVF by config, MongoDbService.cs:82): when an
+    IvfIndex exists at `index_path`, the `ORDER BY cosine(...) DESC LIMIT k`
+    is rewritten onto the centroid-pruned index scan; otherwise exact
+    top-k over `df`. A SparkSessionExtensions-injected Catalyst rule is the
+    v2 polish; this is the documented v1 rewrite point."""
+    if index_path is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+
+        idx = IvfIndex(spark, index_path)
+        if idx.exists():
+            return idx.search(list(query_vector), k=k, n_probe=n_probe, id_col=id_col)
+    return vector_search(df, query_vector, k=k, vector_col=vector_col, id_col=id_col)
