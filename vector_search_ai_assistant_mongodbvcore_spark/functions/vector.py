@@ -74,6 +74,27 @@ def normalize(a: Column | str) -> Column:
     return F.when(n == 0.0, ca).otherwise(F.transform(ca, lambda x: x / n))
 
 
+def stack_vectors(s: "pd.Series", dims: int | None = None):
+    """Batch-to-matrix with NULL hygiene: None/empty cells become zero
+    vectors (scoring convention cos(x, 0) = 0 — matching the guarded column
+    expression), so a single null row can't kill an Arrow batch. Fast path
+    is a plain vstack when the batch is clean."""
+    import numpy as np
+
+    vals = s.to_numpy()
+    valid = [v is not None and len(v) > 0 for v in vals]
+    if all(valid) and len(vals):
+        return np.vstack(vals).astype(np.float64, copy=False)
+    if dims is None:
+        dims = next((len(v) for v, ok in zip(vals, valid) if ok), 1)
+    out = np.zeros((len(vals), dims), dtype=np.float64)
+    for i, (v, ok) in enumerate(zip(vals, valid)):
+        if ok:
+            a = np.asarray(v, dtype=np.float64)
+            out[i, : min(len(a), dims)] = a[:dims]
+    return out
+
+
 def make_cosine_scores_pandas(query: Sequence[float], normalized: bool = False):
     """Arrow-batched numpy scorer: Series[list[float]] -> Series[float].
 
@@ -91,8 +112,7 @@ def make_cosine_scores_pandas(query: Sequence[float], normalized: bool = False):
     @pandas_udf(DoubleType())
     def cosine_scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            m = np.vstack(s.to_numpy())  # (rows, dims) float32/64
-            m = m.astype(np.float64, copy=False)
+            m = stack_vectors(s, dims=len(q))  # (rows, dims), nulls -> zeros
             if not normalized:
                 norms = np.linalg.norm(m, axis=1)
                 norms[norms == 0.0] = 1.0

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
     cosine_similarity,
+    stack_vectors,
 )
 
 
@@ -56,7 +57,7 @@ def knn_brute_force(
     @pandas_udf(ArrayType(DoubleType()))
     def all_scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            m = np.vstack(s.to_numpy()).astype(np.float64)
+            m = stack_vectors(s, dims=Q.shape[1])  # nulls -> zero vectors
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             sims = (m / norms) @ Qn.T  # (rows, q)
@@ -99,8 +100,8 @@ def cosine_pairs_exact(
         @pandas_udf(DoubleType())
         def pair_cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
             for va, vb in it:
-                ma = np.vstack(va.to_numpy()).astype(np.float64)
-                mb = np.vstack(vb.to_numpy()).astype(np.float64)
+                ma = stack_vectors(va)
+                mb = stack_vectors(vb, dims=ma.shape[1])
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 na[na == 0] = 1.0
@@ -141,7 +142,7 @@ def lsh_bucket_ids(
     @pandas_udf(ArrayType(LongType()))
     def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            m = np.vstack(s.to_numpy()).astype(np.float64)  # (n, d)
+            m = stack_vectors(s, dims=dims)  # (n, d), nulls -> zero vectors
             out = []
             signs = np.einsum("nd,tbd->ntb", m, H) > 0  # (n, t, b)
             codes = signs @ weights  # (n, t)
@@ -318,7 +319,13 @@ def embedding_neardup(
         return cosine_pairs_exact(df, threshold, vector_col, id_col)
     from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import pair_structs
 
-    dims = len(df.select(vector_col).first()[0])
+    probe = df.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
+    if probe is None:  # empty / all-null input: empty result, right schema
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+        )
+    dims = len(probe[0])
     bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
     # ONE shuffle on (table, bucket) into posting lists; pairs expand
     # JVM-side inside each bucket (no self-join shuffle)

@@ -67,6 +67,9 @@ def vector_search(
                 assume_normalized=assume_normalized,
             ),
         )
+    # NULL vectors score 0.0 (the cos(x, 0) = 0 convention) instead of
+    # producing NULL scores that sort unpredictably across engines
+    scored = scored.withColumn(score_col, F.coalesce(F.col(score_col), F.lit(0.0)))
     if round_scores is not None:
         scored = scored.withColumn(score_col, F.round(F.col(score_col), round_scores))
     if id_col is None:
