@@ -243,8 +243,10 @@ class LshIndex:
         data = bucketed.join(df, id_col)
         # co-locate buckets before the partitioned write — otherwise every
         # task writes a sliver into every bucket dir (tasks x buckets tiny
-        # files); locally one shuffle partition per table is plenty
-        data.repartition(tables, F.col("table"), F.col("bucket")).write.mode(
+        # files). Default shuffle partitioning: each (table, bucket) combo
+        # hashes to exactly ONE partition (one file per dir) while write
+        # parallelism stays at the full partition count, not `tables`.
+        data.repartition(F.col("table"), F.col("bucket")).write.mode(
             "overwrite"
         ).partitionBy("table", "bucket").parquet(os.path.join(self.path, "data"))
         with open(self._meta_file(), "w") as f:
