@@ -1,0 +1,99 @@
+"""Empirical scale check: replicate sf0.1 N-fold into /tmp and time the
+shuffle-heavy operators, reporting the wall-clock ratio vs the 1x run.
+
+The bench answers "how fast at sf0.1"; this answers "what happens to each
+operator when the data grows Nx with the same cluster" — the cheap local
+proxy for the 100 TB question. Ratios well under N mean the operator is
+still overhead-dominated at this size; ratios near or above N on a
+linear-work operator mean a scale cliff (skewed key, quadratic candidate
+set, driver collect) worth investigating.
+
+Usage: python tools/scale_probe.py [N]      (default 8)
+Prints one JSON line: {"factor": N, "ops": {name: {"t1": s, "tN": s,
+"ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/vsai_scale_probe"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark import get_spark
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        LshIndex,
+        knn_brute_force,
+    )
+
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    def replicate(name: str, id_col: str):
+        src = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+        out = None
+        for i in range(factor):
+            d = src.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+            out = d if out is None else out.unionByName(d)
+        path = os.path.join(WORK, name)
+        out.repartition(32).write.mode("overwrite").parquet(path)
+        return src, spark.read.parquet(path)
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    docs1, docsN = replicate("documents", "doc_id")
+    emb1, embN = replicate("embeddings", "vec_id")
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 2)
+
+    ops = {
+        "exact_dedup": lambda d: DD.exact_dedup(d).write.format("noop").mode("overwrite").save(),
+        "minhash_band_pairs": lambda d: DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
+        .write.format("noop").mode("overwrite").save(),
+        "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
+        .write.format("noop").mode("overwrite").save(),
+    }
+    vec_ops = {
+        "knn_matmul": lambda e: knn_brute_force(e, [[0.1] * 64] * 4, k=5)
+        .write.format("noop").mode("overwrite").save(),
+        "ivf_build": lambda e: IvfIndex(spark, os.path.join(WORK, f"ivf_{e is embN}")).build(
+            e, vector_col="embedding", num_lists=8, seed=42, fit_fraction=0.2
+        ),
+        "lsh_build": lambda e: LshIndex(spark, os.path.join(WORK, f"lsh_{e is embN}")).build(
+            e, dims=64, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
+        ),
+    }
+
+    report = {}
+    for name, fn in ops.items():
+        fn(docs1)  # warm codegen/JIT for this op so t1 isn't cold-run noise
+        t1, tN = timed(lambda: fn(docs1)), timed(lambda: fn(docsN))
+        report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
+    for name, fn in vec_ops.items():
+        fn(emb1)
+        t1, tN = timed(lambda: fn(emb1)), timed(lambda: fn(embN))
+        report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
+
+    print(json.dumps({"factor": factor, "ops": report}))
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
