@@ -747,14 +747,11 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile: one word split feeds every metric (the
+    per-metric composable functions re-derive it; see TX.text_profile)."""
     t = _tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id",
-        TX.word_count("text").alias("word_count"),
-        TX.char_count("text").alias("char_count"),
-        TX.avg_word_length("text").alias("avg_word_len"),
-        TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stopword_ratio"),
+    return TX.text_profile(t["documents"]).select(
+        "doc_id", "word_count", "char_count", "avg_word_len", "punct_ratio", "stopword_ratio"
     )
 
 
@@ -801,7 +798,7 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
-    return t["documents"].select("doc_id", TX.quality_score("text").alias("quality"))
+    return TX.text_profile(t["documents"]).select("doc_id", "quality")
 
 
 @register(
