@@ -77,6 +77,35 @@ def exact_dedup(
     )
 
 
+def drop_exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY step of exact dedup: keep one representative (min id) per
+    normalized-text group, preserving all original columns. One extra
+    shuffle over exact_dedup (the keep-set join); the keep-set is one row
+    per distinct document, so AQE broadcasts it when small."""
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "inner")
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY step of near-dedup: given candidate/verified pairs
+    (id_a < id_b), drop every id_b — the GREEDY one-pass policy (any doc
+    near-duplicating a lower-id doc is removed). Exact cluster semantics
+    would need connected components (iterative; out of scope without a
+    graph library) — greedy can over-remove inside chains (a~b, b~c but
+    a!~c still drops both b and c), the standard trade documented in
+    MinHash-dedup pipelines."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def _minhash_agg(
     df: DataFrame,
     text_col: str,

@@ -338,6 +338,55 @@ def active_vs_purchasing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.intersect(viewers).exceptAll(whales.distinct()).orderBy("user_id")
 
 
+@register(
+    "purchase_ranks_per_user",
+    """
+    SELECT user_id, event_id, rnk, tile FROM (
+      SELECT user_id, event_id,
+             dense_rank() OVER w AS rnk,
+             ntile(4) OVER w AS tile
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    ) WHERE rnk <= 5
+    """,
+)
+def purchase_ranks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: window ranking functions (dense_rank/ntile) — free Spark
+    SQL surface, one shuffle on the partition key."""
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.dense_rank().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("tile"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "customers_without_big_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9: NOT EXISTS -> anti-join with a pushed predicate on the
+    probe side (broadcast at dim scale, shuffle at fact scale; AQE
+    decides)."""
+    t = _tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return t["customer"].join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
 # ===========================================================================
 # Filters & projections (P1-P4)
 # ===========================================================================
@@ -946,10 +995,7 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_DF_CUT = 20  # drop shingles shared by > this many docs (hot-key guard)
 
-
-@register(
-    "ngram_jaccard_pairs",
-    f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_shingle_sql(3)} AS s
       FROM (SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents)
@@ -971,8 +1017,10 @@ _NGRAM_DF_CUT = 20  # drop shingles shared by > this many docs (hot-key guard)
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
-    """,
-)
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard >= 0.5 via inverted-index join (no N^2 scan).
 
@@ -985,6 +1033,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_corpus_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+    """,
+)
+def dedup_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact dedup: the surviving corpus (min-id
+    representative per normalized-text group), not just the fingerprint
+    table."""
+    t = _tables(spark, sf_dir)
+    out = DD.drop_exact_duplicates(t["documents"], "text", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "dedup_corpus_neardup",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM ({_NGRAM_JACCARD_SQL}))
+    """,
+)
+def dedup_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dedup: drop every doc that near-duplicates a
+    lower-id doc (greedy policy over the exact-Jaccard pairs; see
+    drop_near_duplicates for the chain-over-removal trade)."""
+    t = _tables(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT
+    )
+    out = DD.drop_near_duplicates(t["documents"], pairs, "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
 
 
 # ===========================================================================
