@@ -94,3 +94,16 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs, df_cut):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k])
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark, docs):
+    out = DD.drop_exact_duplicates(docs)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4, 5]  # 2,3 dup 1
+
+
+def test_drop_near_duplicates_greedy_chain(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(1, 5)], "doc_id long, text string")
+    # chain a~b, b~c plus isolated pair c~d: greedy drops every id_b
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in DD.drop_near_duplicates(df, pairs).collect())
+    assert kept == [1]  # documented over-removal along chains

@@ -83,3 +83,28 @@ def test_drop_vector_projection(spark, products_path):
     df = read_json_collection(spark, products_path, "products")
     out = drop_vector_projection(df, exclude=("id", "vector"))
     assert "vector" not in out.columns and "id" not in out.columns
+
+
+def test_only_missing_skips_embedded_rows(spark, products_path):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    df = read_json_collection(spark, products_path, "products")
+    first = ingest_and_vectorize(df.limit(1), embedder=HashNgramEmbedder(dims=32))
+    # corpus where p1 already has a 32-dim vector and p2 doesn't
+    mixed = first.unionByName(df.filter(F.col("id") == "p2"))
+
+    class Marker:
+        """Embedder whose output is unmistakable: proves which rows ran."""
+
+        def udf(self):
+            @pandas_udf(ArrayType(FloatType()))
+            def embed(s):
+                return s.map(lambda _: [9.9] * 4)
+
+            return embed
+
+    out = {r.id: r.vector for r in
+           ingest_and_vectorize(mixed, embedder=Marker(), only_missing=True).collect()}
+    assert len(out["p1"]) == 32  # pre-embedded row untouched
+    assert out["p2"] == pytest.approx([9.9] * 4)  # only the gap was embedded

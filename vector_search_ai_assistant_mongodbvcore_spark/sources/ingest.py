@@ -175,6 +175,7 @@ def ingest_and_vectorize(
     embedder=None,
     vector_col: str = "vector",
     usage_col: str | None = None,
+    only_missing: bool = False,
 ) -> DataFrame:
     """Embed every document: doc_text = JSON of all non-vector fields (P2),
     vector = embed(doc_text) in one Arrow-batched pass (replaces the
@@ -182,8 +183,23 @@ def ingest_and_vectorize(
 
     With `usage_col`, also records the embedding token count per document
     (A6 — the API's (float[], int) pair, OpenAiService.cs:142), feeding
-    downstream token accounting in ONE embedding pass."""
+    downstream token accounting in ONE embedding pass.
+
+    With `only_missing`, rows whose `vector_col` is already populated skip
+    the embedder entirely — the idempotent-rerun optimization: embedding is
+    the expensive external call, and a resumed/partial ingest should only
+    pay for the gap (the reference re-embeds everything,
+    MongoDbService.cs:422-430)."""
     embedder = embedder or HashNgramEmbedder()
+    if only_missing and vector_col in df.columns:
+        missing = df.filter(F.col(vector_col).isNull())
+        done = df.filter(F.col(vector_col).isNotNull())
+        if usage_col is not None:
+            done = done.withColumn(usage_col, F.lit(None).cast("int"))
+        embedded = ingest_and_vectorize(
+            missing, embedder=embedder, vector_col=vector_col, usage_col=usage_col
+        )
+        return done.unionByName(embedded)
     doc_text = serialize_document(df, exclude=(vector_col,))
     if usage_col is None:
         return df.withColumn(vector_col, embedder.udf()(doc_text))
