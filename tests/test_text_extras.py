@@ -1,0 +1,65 @@
+"""Corpus readers + compression-ratio quality signal."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.text import compression_ratio
+from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import read_text_corpus
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    texts = ["spam spam spam spam spam spam spam spam", "aQ3$xZ!9kP_w#fU8@", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.c for r in df.select("doc_id", compression_ratio("text").alias("c")).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        expect = len(zlib.compress(b, 6)) / len(b) if b else 1.0
+        assert got[i] == pytest.approx(expect)
+    # redundant text compresses far better than high-entropy text
+    assert got[0] < got[1]
+
+
+def test_read_text_corpus_lines(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("first document\nsecond document\nthird document\n")
+    df = read_text_corpus(spark, str(p), fmt="text")
+    rows = df.collect()
+    assert {r.text for r in rows} == {"first document", "second document", "third document"}
+    assert len({r.doc_id for r in rows}) == 3  # unique ids
+
+
+def test_read_text_corpus_wholetext(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("doc a\nline two")
+    (tmp_path / "b.txt").write_text("doc b")
+    df = read_text_corpus(spark, str(tmp_path), fmt="wholetext")
+    rows = {r.doc_id.split("/")[-1]: r.text for r in df.collect()}
+    assert rows["a.txt"] == "doc a\nline two" and rows["b.txt"] == "doc b"
+
+
+def test_read_text_corpus_csv_tsv(spark, tmp_path):
+    (tmp_path / "c.csv").write_text("doc_id,text\n1,hello\n2,world\n")
+    df = read_text_corpus(spark, str(tmp_path / "c.csv"), fmt="csv")
+    assert {(r.doc_id, r.text) for r in df.collect()} == {("1", "hello"), ("2", "world")}
+
+    (tmp_path / "t.tsv").write_text("text\ttag\nalpha\tx\n")
+    df2 = read_text_corpus(spark, str(tmp_path / "t.tsv"), fmt="tsv")
+    row = df2.first()
+    assert row.text == "alpha" and row.tag == "x" and row.doc_id is not None
+
+
+def test_unknown_format_raises(spark):
+    with pytest.raises(ValueError):
+        read_text_corpus(spark, "/nonexistent", fmt="avro-ish")
+
+
+def test_corpus_reader_feeds_dedup(spark, tmp_path):
+    """The stable (doc_id, text) shape plugs straight into the dedup family."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import exact_dedup
+
+    p = tmp_path / "c.txt"
+    p.write_text("same line\nsame line\ndifferent line\n")
+    df = read_text_corpus(spark, str(p), fmt="text")
+    groups = exact_dedup(df).collect()
+    assert sorted(g.dup_count for g in groups) == [1, 2]

@@ -11,6 +11,9 @@ SQL equivalent for the DuckDB oracle harness.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -144,6 +147,30 @@ def fingerprint_md5(col: Column | str) -> Column:
     identical in any engine with md5(); used by exact dedup."""
     norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
     return F.md5(norm)
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """zlib-compressed size / raw size — the classic cheap redundancy
+    signal for corpus quality (boilerplate and repeated spans compress far
+    below ~0.4; high-entropy noise stays near 1). Pandas UDF (zlib isn't a
+    Catalyst expression); empty text -> 1.0."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def ratio(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        import zlib
+
+        def one(t):
+            b = (t or "").encode("utf-8", "ignore")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, 6)) / len(b)
+
+        for s in batches:
+            yield s.map(one)
+
+    return ratio(_c(col))
 
 
 def rolling_fingerprint(col: Column | str, modulus: int = 2147483647, base: int = 31) -> Column:

@@ -1455,6 +1455,17 @@ def chat_turn_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, state.schema)
 
 
+@register("compression_ratios", None)
+def compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy signal: zlib compression ratio per document
+    (boilerplate detection). Python-zlib UDF has no ANSI twin -> rows-only;
+    exact values asserted against python zlib in tests/test_text_extras.py."""
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", F.round(TX.compression_ratio("text"), 6).alias("compression_ratio")
+    )
+
+
 @register("topic_clusters", None)
 def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic topic clustering (KMeans over embeddings, §7.7 extended

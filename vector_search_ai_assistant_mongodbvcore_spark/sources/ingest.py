@@ -170,6 +170,49 @@ def read_json_collection(
     return reader.json(path)
 
 
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "text",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **options,
+) -> DataFrame:
+    """Corpus readers beyond JSON (S1 generalized): one document per line
+    ('text'), one document per file ('wholetext' — file path becomes the
+    id), CSV/TSV with a header, or parquet/json passthrough. Always returns
+    (id_col, text_col, ...): a stable shape every downstream text operator
+    (dedup, analysis, embedding) accepts.
+
+    Ids for line-oriented input are monotonically_increasing_id — unique and
+    stable within a read, NOT consecutive (the standard Spark caveat)."""
+    from pyspark.sql import functions as F
+
+    if fmt == "text":
+        df = spark.read.options(**options).text(path)
+        return df.select(
+            F.monotonically_increasing_id().alias(id_col), F.col("value").alias(text_col)
+        )
+    if fmt == "wholetext":
+        df = spark.read.options(**options).text(path, wholetext=True)
+        return df.select(
+            F.input_file_name().alias(id_col), F.col("value").alias(text_col)
+        )
+    if fmt in ("csv", "tsv"):
+        reader = spark.read.option("header", True).options(**options)
+        if fmt == "tsv":
+            reader = reader.option("sep", "\t")
+        df = reader.csv(path)
+        if id_col not in df.columns:
+            df = df.withColumn(id_col, F.monotonically_increasing_id())
+        return df
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "json":
+        return spark.read.options(**options).json(path)
+    raise ValueError(f"unknown corpus format: {fmt}")
+
+
 def ingest_and_vectorize(
     df: DataFrame,
     embedder=None,
