@@ -17,12 +17,14 @@ DuckDB twin. md5 min/lexicographic-compare is engine-independent (ASCII).
 
 Scale notes:
   * exact: one hash-aggregate; Catalyst partial-aggregates map-side.
-  * minhash LSH: candidates = pairs sharing >=1 band bucket. The bucket join
-    shuffles on (band_idx, band_key) — skew guarded by AQE skew-join; a
-    pathological all-identical corpus degrades to the true duplicate class
-    size, which is the output size anyway.
-  * ngram-jaccard: inverted index join shuffles on shingle; frequent shingles
-    are capped (df_cut) like a stopword list, standard MinHash-paper trick.
+  * minhash LSH: candidates = pairs sharing >=1 band bucket — ONE shuffle
+    into (band, key) posting lists, pairs expand JVM-side inside each list
+    (pair_structs); a pathological all-identical corpus makes one fat
+    bucket whose size^2 pairs are the true output size anyway.
+  * ngram-jaccard: inverted index as posting lists, one shuffle on shingle;
+    frequent shingles are capped (df_cut) like a stopword list, the
+    standard MinHash-paper trick — and the cap is a free filter on list
+    size, bounding per-shingle pair work at df_cut^2.
 """
 
 from __future__ import annotations

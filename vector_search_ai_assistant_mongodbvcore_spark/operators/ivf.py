@@ -17,8 +17,10 @@ Spark-first construction (SURVEY.md §4): there is no ANN server; instead the
 At 100 TB with num_lists ~ sqrt(N) this is the classic IVF-flat tradeoff.
 The KMeans fit runs on a sample (`fit_fraction`) — centroid quality needs
 thousands of vectors per list, not the full table — while the assignment
-pass still covers every row. tests/test_ivf.py asserts recall >= 0.9 at
-n_probe=1 and EXACT equality with brute force at n_probe = num_lists.
+pass still covers every row. tests/test_ivf.py asserts EXACT equality with
+brute force at n_probe = num_lists, monotone recall in n_probe on uniform
+random vectors (the no-structure worst case), and recall >= 0.9 at
+n_probe=1 of 4 on clustered data (the regime IVF exists for).
 
 HNSW (MongoDbService.cs:119-143) is intentionally NOT built: no distributed
 primitive exists, and batch-scale retrieval is dominated by scan+prune

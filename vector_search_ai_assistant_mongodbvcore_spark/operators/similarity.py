@@ -3,11 +3,15 @@
 Extended surface (BASELINE.json north star): approximate-nearest-neighbor
 over `array<float>` embeddings.
 
-  knn_brute_force       exact top-k per query (baseline; TakeOrdered per query)
+  knn_brute_force       exact top-k for a query BATCH (one matmul per Arrow
+                        batch, one scan for all queries)
   cosine_pairs_exact    all pairs with cosine >= threshold (self-join; the
                         sf-scale oracle path)
-  lsh_ann / lsh_pairs   random-hyperplane LSH bucketed variants (scale path)
-  embedding_neardup     near-duplicate rows by embedding cosine
+  lsh_ann               one-shot random-hyperplane LSH query (ad-hoc path)
+  LshIndex              MATERIALIZED bucket-partitioned LSH (serving path:
+                        build once, partition-prune per query)
+  embedding_neardup     near-duplicate pairs by embedding cosine
+                        (bucket posting lists -> in-list pair expansion)
 
 Scale notes: brute force is a full scan per query batch — fine when queries
 are batched (Q vectors broadcast in one pass: cost O(N·Q·D) FLOPS via one
