@@ -107,3 +107,52 @@ def test_drop_near_duplicates_greedy_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in DD.drop_near_duplicates(df, pairs).collect())
     assert kept == [1]  # documented over-removal along chains
+
+
+def test_capped_bucket_pairs_routes_hot_buckets_identically(spark):
+    """A pathological all-identical corpus puts every doc in ONE band bucket.
+    With max_bucket far below the corpus size, the hot bucket routes through
+    the equi-join path — the pair SET must be identical to the posting-list
+    path, and equal to all C(n,2) pairs."""
+    n = 40
+    df = spark.createDataFrame(
+        [(i, "identical text repeated for every single document") for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(df, num_hashes=16, bands=4, max_bucket=5).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(df, num_hashes=16, bands=4, max_bucket=10_000).collect()
+    }
+    expect = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert capped == uncapped == expect
+
+
+def test_ngram_checkpoint_leaves_no_persistent_rdds(spark, docs, tmp_path):
+    """checkpoint_dir materializes the inverted index as parquet: results
+    match the in-memory persist path and NOTHING stays cached on the
+    executors after the action (the round-2 persist leak)."""
+    via_ckpt = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, checkpoint_dir=str(tmp_path / "inv")
+        ).collect()
+    }
+    via_persist_df = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.1, persist_index=True)
+    via_persist = {(r.id_a, r.id_b): r.jaccard for r in via_persist_df.collect()}
+    assert via_ckpt == via_persist
+    # the checkpoint path must leave zero persistent RDDs; the explicit
+    # persist path leaves exactly the caller-owned one (cleared here)
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    assert {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.1, checkpoint_dir=str(tmp_path / "inv2")
+        ).collect()
+    } == via_ckpt
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

@@ -99,3 +99,35 @@ def test_one_shot_lsh_ann_subset_of_exact_scores(spark, tables):
     exact_best = exact.first().score
     # approximate top-1 can't BEAT the exact top-1
     assert max(approx_scores.values()) <= exact_best + 1e-9
+
+
+def test_knn_candidate_rows_bounded_by_partitions(spark, tables):
+    """The scale fix for the k-NN fan-in: the candidate stage emits at most
+    P×Q×k rows (per-partition local top-k), so the window shuffle never sees
+    the N×Q scored table."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        knn_candidates,
+    )
+
+    emb = tables["embeddings"].repartition(4)
+    queries = [np.random.RandomState(s).randn(64).tolist() for s in (1, 2, 3)]
+    cand = knn_candidates(emb, queries, k=5)
+    n = cand.count()
+    assert n <= 4 * len(queries) * 5
+    # and the bounded candidates still contain the true global top-k
+    top = knn_brute_force(emb, queries, k=5)
+    cand_set = {(r.query_id, r.vec_id) for r in cand.collect()}
+    assert {(r.query_id, r.vec_id) for r in top.collect()} <= cand_set
+
+
+def test_embedding_neardup_hot_bucket_cap_same_pairs(spark, tables):
+    emb = tables["embeddings"]
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(emb, threshold=0.45, bits=4, tables=8, max_bucket=3).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(emb, threshold=0.45, bits=4, tables=8).collect()
+    }
+    assert capped == uncapped

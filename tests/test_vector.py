@@ -70,3 +70,26 @@ def test_cosine_literal_query_vector(spark):
     a = [1.0, 0.0, 0.0]
     got = _one(spark, a).select(cosine_similarity(F.col("a"), [0.0, 1.0, 0.0]).alias("c")).first().c
     assert got == pytest.approx(0.0)
+
+
+def test_stack_vectors_raises_on_dimension_mismatch(spark):
+    """A non-null 63-dim row among 64-dim vectors must raise, not silently
+    truncate/pad into quietly-wrong cosine scores."""
+    import pandas as pd
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import stack_vectors
+
+    good = pd.Series([[1.0] * 64, [2.0] * 64])
+    assert stack_vectors(good, dims=64).shape == (2, 64)
+
+    bad = pd.Series([[1.0] * 64, [2.0] * 63])
+    with pytest.raises(ValueError, match="mixed vector dimensions"):
+        stack_vectors(bad)
+    with pytest.raises(ValueError, match="expected 64-dim"):
+        stack_vectors(pd.Series([[2.0] * 63]), dims=64)
+
+    # nulls/empties still zero-fill (the documented hygiene contract)
+    mixed = pd.Series([[1.0] * 4, None, []])
+    m = stack_vectors(mixed, dims=4)
+    assert m.shape == (3, 4)
+    assert (m[1] == 0).all() and (m[2] == 0).all()

@@ -78,20 +78,33 @@ def stack_vectors(s: "pd.Series", dims: int | None = None):
     """Batch-to-matrix with NULL hygiene: None/empty cells become zero
     vectors (scoring convention cos(x, 0) = 0 — matching the guarded column
     expression), so a single null row can't kill an Arrow batch. Fast path
-    is a plain vstack when the batch is clean."""
+    is a plain vstack when the batch is clean.
+
+    A NON-null vector whose length disagrees with `dims` (or with the other
+    vectors in the batch) raises ValueError: silently truncating/padding a
+    wrong-dimension embedding would skew every cosine score downstream
+    without any signal that the input was bad."""
     import numpy as np
 
     vals = s.to_numpy()
     valid = [v is not None and len(v) > 0 for v in vals]
+    lens = {len(v) for v, ok in zip(vals, valid) if ok}
+    if len(lens) > 1:
+        raise ValueError(
+            f"stack_vectors: mixed vector dimensions in batch: {sorted(lens)}"
+        )
+    if lens and dims is not None and (got := next(iter(lens))) != dims:
+        raise ValueError(
+            f"stack_vectors: expected {dims}-dim vectors, got {got}-dim"
+        )
     if all(valid) and len(vals):
         return np.vstack(vals).astype(np.float64, copy=False)
     if dims is None:
-        dims = next((len(v) for v, ok in zip(vals, valid) if ok), 1)
+        dims = next(iter(lens), 1)
     out = np.zeros((len(vals), dims), dtype=np.float64)
     for i, (v, ok) in enumerate(zip(vals, valid)):
         if ok:
-            a = np.asarray(v, dtype=np.float64)
-            out[i, : min(len(a), dims)] = a[:dims]
+            out[i] = np.asarray(v, dtype=np.float64)
     return out
 
 

@@ -157,6 +157,46 @@ def minhash_signatures(
     )
 
 
+def capped_bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """All (id_a < id_b) pairs of ids sharing a bucket, with a hot-bucket
+    cap: buckets of <= max_bucket rows collapse to posting lists and expand
+    pairs JVM-side (pair_structs — one array per bucket, no join); buckets
+    ABOVE the cap are routed through an equi-join on the bucket key instead,
+    so no single collect_list value can exceed max_bucket elements (the 2 GB
+    single-value wall on a near-duplicate-heavy corpus). The pair SET is
+    identical on both routes — capping changes the physical plan, never the
+    result. The window count, the small-path groupBy, and the big-path join
+    all hash-partition on the same bucket key, so the routing adds no extra
+    shuffle of the exploded rows. A hot bucket's size^2 pairs remain the
+    true output size; the join path streams them instead of materializing
+    one giant array value in a single task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    sized = rows.withColumn("_n", F.count(F.lit(1)).over(w)).filter(F.col("_n") > 1)
+    small = sized.filter(F.col("_n") <= max_bucket)
+    big = sized.filter(F.col("_n") > max_bucket)
+    pairs_small = (
+        small.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    a = big.select(*bucket_cols, F.col(id_col).alias("id_a"))
+    b = big.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    pairs_big = (
+        a.join(b, bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,6 +204,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing at least one LSH band.
 
@@ -172,9 +213,9 @@ def minhash_lsh_pairs(
     verify with exact Jaccard (ngram_jaccard_pairs) or accept LSH recall.
 
     Plan shape: signatures -> explode bands -> ONE shuffle on (band, key)
-    into posting lists -> in-list pair expansion (pair_structs, no second
-    shuffle) -> distinct. A pathological all-identical corpus makes one fat
-    bucket whose size^2 pairs are the true output size anyway."""
+    -> capped_bucket_pairs (posting lists for buckets <= max_bucket, an
+    equi-join route for hotter buckets — same pair set, bounded task
+    memory) -> distinct."""
     rows_per_band = num_hashes // bands
     agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
     band_structs = [
@@ -193,16 +234,7 @@ def minhash_lsh_pairs(
     banded = agg.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    groups = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        groups.select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
 
 
 def simhash(
@@ -254,7 +286,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cut: int | None = None,
-    persist_index: bool = True,
+    persist_index: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs >= threshold, computed with an
     inverted-index join instead of an N^2 cross join:
@@ -269,10 +302,19 @@ def ngram_jaccard_pairs(
     filtered lists, and candidate pairs are generated JVM-side inside each
     posting list (sorted ids, i<j combinations via nested transform) — the
     quadratic work is bounded by df_cut^2 per shingle instead of an unbounded
-    skewed self-join shuffle. `persist_index` caches the posting lists (one
-    row per distinct shingle) for the two consumers; at 100 TB, swap the
-    persist for a parquet checkpoint of the inverted index, which repeated
-    dedup runs reuse anyway."""
+    skewed self-join shuffle.
+
+    The posting lists have TWO consumers (sizes + intersections). Reuse:
+      * checkpoint_dir=<path>  writes the inverted index to parquet once and
+        reads it back for both consumers — nothing stays cached on the
+        executors after the job, and repeated dedup runs over the same
+        corpus reuse the materialized index. This is the 100 TB shape.
+      * persist_index=True     in-memory persist; the CALLER owns the
+        lifecycle and must unpersist after its action (a persist inside a
+        lazily-returned plan otherwise outlives the query and leaks executor
+        memory — the reason it is no longer the default).
+      * neither                the index recomputes for each consumer (one
+        extra explode+aggregate pass; fine at small scale)."""
     toks = (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"))
     )
@@ -280,7 +322,10 @@ def ngram_jaccard_pairs(
     if df_cut is not None:
         groups = groups.filter(F.size("ids") <= df_cut)
     groups = groups.select(F.array_sort("ids").alias("ids"))
-    if persist_index:
+    if checkpoint_dir is not None:
+        groups.write.mode("overwrite").parquet(checkpoint_dir)
+        groups = df.sparkSession.read.parquet(checkpoint_dir)
+    elif persist_index:
         groups = groups.persist()
     sizes = (
         groups.select(F.explode("ids").alias(id_col))

@@ -35,6 +35,76 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
 )
 
 
+def knn_candidates(
+    df: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Per-PARTITION top-k candidates for a batch of query vectors.
+
+    One mapInPandas pass: each task scores its whole partition against all Q
+    queries (one numpy matmul per Arrow batch) and emits ONLY its local
+    top-k per query — at most P×Q×k rows total leave the scan stage, never
+    the N×Q scored table. Scores are quantized (`round_scores`) BEFORE the
+    local selection so the local and global rankings use identical keys
+    (score desc, id asc)."""
+    from pyspark.sql import types as T
+
+    Q = np.asarray(queries, dtype=np.float64)  # (q, d)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq = Q.shape[0]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType()),
+            df.schema[id_col],
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_ids: list[list] = [[] for _ in range(nq)]
+        acc_sc: list[list] = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = stack_vectors(pdf[vector_col], dims=Q.shape[1])  # nulls -> zeros
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms) @ Qn.T  # (rows, q)
+            if round_scores is not None:
+                sims = np.round(sims, round_scores)
+            ids = pdf[id_col].to_numpy()
+            for qi in range(nq):
+                s = sims[:, qi]
+                order = np.lexsort((ids, -s))[:k]  # score desc, id asc
+                acc_ids[qi].append(ids[order])
+                acc_sc[qi].append(s[order])
+        frames = []
+        for qi in range(nq):
+            if not acc_ids[qi]:
+                continue
+            ids = np.concatenate(acc_ids[qi])
+            s = np.concatenate(acc_sc[qi])
+            order = np.lexsort((ids, -s))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qi, dtype=np.int32),
+                        id_col: ids[order],
+                        "score": s[order],
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vector_col).mapInPandas(local_topk, out_schema)
+
+
 def knn_brute_force(
     df: DataFrame,
     queries: Sequence[Sequence[float]],
@@ -45,37 +115,25 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact top-k for a BATCH of query vectors in one scan.
 
-    One Arrow-batched pandas UDF computes scores for all queries per batch
-    (single numpy matmul), then a per-query window takes the top k. Output:
-    (query_id, id, score) — one shuffle on query_id (Q is small).
+    Two stages: per-partition local top-k (knn_candidates — at most P×Q×k
+    rows leave the scan), then ONE window over the surviving candidates
+    picks the global top-k per query. The shuffle into Q reducer groups
+    carries only candidates, so reducer fan-in is bounded by P×k however
+    large the table grows. Output: (query_id, id, score).
 
     `round_scores` quantizes scores BEFORE ranking (with an id tiebreak) so
-    an oracle ranking on equally-rounded scores selects identical rows."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType
+    an oracle ranking on equally-rounded scores selects identical rows;
+    quantizing before the LOCAL selection too keeps both stages' orderings
+    identical (a raw-score local cut could drop a lower-id row that ties at
+    the rounded precision)."""
     from pyspark.sql import Window
 
-    Q = np.asarray(queries, dtype=np.float64)  # (q, d)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-
-    @pandas_udf(ArrayType(DoubleType()))
-    def all_scores(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            m = stack_vectors(s, dims=Q.shape[1])  # nulls -> zero vectors
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = (m / norms) @ Qn.T  # (rows, q)
-            yield pd.Series(list(sims))
-
-    scored = df.select(F.col(id_col), all_scores(F.col(vector_col)).alias("_scores"))
-    exploded = scored.select(
-        id_col, F.posexplode(F.col("_scores")).alias("query_id", "score")
+    cand = knn_candidates(
+        df, queries, k=k, vector_col=vector_col, id_col=id_col, round_scores=round_scores
     )
-    if round_scores is not None:
-        exploded = exploded.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
-        exploded.withColumn("_rn", F.row_number().over(w))
+        cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", F.col(id_col), "score")
     )
@@ -104,8 +162,15 @@ def cosine_pairs_exact(
         @pandas_udf(DoubleType())
         def pair_cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
             for va, vb in it:
-                ma = stack_vectors(va)
-                mb = stack_vectors(vb, dims=ma.shape[1])
+                # infer dims from whichever side has a real vector — an
+                # all-null va batch must not shrink vb (stack_vectors raises
+                # on any true dimension mismatch)
+                dims = next(
+                    (len(v) for s in (va, vb) for v in s if v is not None and len(v)),
+                    None,
+                )
+                ma = stack_vectors(va, dims=dims)
+                mb = stack_vectors(vb, dims=dims)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
                 na[na == 0] = 1.0
@@ -314,16 +379,22 @@ def embedding_neardup(
     id_col: str = "vec_id",
     seed: int = 42,
     exact: bool = False,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine.
 
     exact=True  -> quadratic exact join (oracle / small tables)
     exact=False -> LSH-blocked: only pairs sharing a bucket are verified
                    with exact cosine; misses pairs LSH never co-buckets
-                   (recall < 1, tunable via tables/bits)."""
+                   (recall < 1, tunable via tables/bits). Buckets hotter
+                   than `max_bucket` route through an equi-join instead of
+                   a collected posting list (identical pair set, bounded
+                   task memory — see dedup.capped_bucket_pairs)."""
     if exact:
         return cosine_pairs_exact(df, threshold, vector_col, id_col)
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import pair_structs
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+        capped_bucket_pairs,
+    )
 
     probe = df.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
     if probe is None:  # empty / all-null input: empty result, right schema
@@ -333,18 +404,9 @@ def embedding_neardup(
         )
     dims = len(probe[0])
     bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
-    # ONE shuffle on (table, bucket) into posting lists; pairs expand
-    # JVM-side inside each bucket (no self-join shuffle)
-    buckets_grouped = (
-        bucketed.groupBy("table", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        buckets_grouped.select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    # ONE shuffle on (table, bucket); pairs expand JVM-side inside each
+    # bucket (posting lists under max_bucket, equi-join route above it)
+    cand = capped_bucket_pairs(bucketed, ["table", "bucket"], id_col, max_bucket)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")

@@ -51,7 +51,12 @@ def topic_sizes(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
-    """Topic distribution: (topic_id, n_docs), the corpus-analytics rollup."""
-    assigned = cluster_topics(df, k=k, vector_col=vector_col, id_col=id_col, seed=seed)
+    """Topic distribution: (topic_id, n_docs), the corpus-analytics rollup.
+    `fit_fraction` samples the iterative KMeans fit (assignment still covers
+    every row) — at 100 TB the fit must never see the full table."""
+    assigned = cluster_topics(
+        df, k=k, vector_col=vector_col, id_col=id_col, seed=seed, fit_fraction=fit_fraction
+    )
     return assigned.groupBy("topic_id").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1027,10 +1027,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered WITH df_cut: a shingle appearing in > df_cut docs generates
     O(df^2) candidate pairs on one skewed shuffle key — the standard
     stopword-shingle guard. The oracle applies the identical cut, so Jaccard
-    is computed over the same filtered shingle space in both engines."""
+    is computed over the same filtered shingle space in both engines.
+
+    The inverted index is checkpointed to a temp parquet dir (not persist()):
+    its two consumers read the materialized file and nothing stays cached on
+    the executors after the query's action."""
+    import tempfile
+
     t = _tables(spark, sf_dir)
     out = DD.ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT
+        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
+        checkpoint_dir=tempfile.mkdtemp(prefix="vsai_nginv_"),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1064,9 +1071,12 @@ def dedup_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY step of near-dedup: drop every doc that near-duplicates a
     lower-id doc (greedy policy over the exact-Jaccard pairs; see
     drop_near_duplicates for the chain-over-removal trade)."""
+    import tempfile
+
     t = _tables(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT
+        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
+        checkpoint_dir=tempfile.mkdtemp(prefix="vsai_nginv_"),
     )
     out = DD.drop_near_duplicates(t["documents"], pairs, "doc_id")
     return out.select("doc_id", "lang", "source", "n_chars")
@@ -1337,36 +1347,102 @@ def build_prompts_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_ann_topk", None)
+# --- LSH oracle machinery: DuckDB reproduces the seed-42 sign-pattern
+# bucket codes bit-for-bit from inlined hyperplane literals (pre-validated
+# by tools/validate_lsh_oracle.py), so the LSH family is hash-verified like
+# every other query — the approximation is deterministic, not unverifiable.
+from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (  # noqa: E402
+    _hyperplanes,
+    _query_codes,
+)
+
+
+def _lsh_code_sql(emb: str, planes: "np.ndarray") -> str:
+    """bits-bit sign-pattern bucket code of `emb` against one table's
+    hyperplanes, as a DuckDB expression (mirrors similarity.lsh_bucket_ids:
+    bit b set iff dot(emb, plane_b) > 0)."""
+    terms = []
+    for b in range(planes.shape[0]):
+        lit = "[" + ",".join(repr(float(x)) for x in planes[b]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}::DOUBLE[], {lit}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_ANN_BITS, _LSH_ANN_TABLES = 6, 4
+_H_ANN = _hyperplanes(len(_QV_ANN), _LSH_ANN_BITS, _LSH_ANN_TABLES, 42)
+_QCODES_ANN = _query_codes(_QV_ANN, _LSH_ANN_BITS, _LSH_ANN_TABLES, 42)
+
+_LSH_ND_BITS, _LSH_ND_TABLES = 6, 6
+_H_ND = _hyperplanes(64, _LSH_ND_BITS, _LSH_ND_TABLES, 42)
+
+
+@register(
+    "lsh_ann_topk",
+    f"""
+    SELECT vec_id, round({_cos_sql(_vec_sql(_QV_ANN))}, 4) AS score
+    FROM embeddings
+    WHERE {" OR ".join(
+        f"{_lsh_code_sql('embedding', _H_ANN[t])} = {_QCODES_ANN[t]}"
+        for t in range(_LSH_ANN_TABLES)
+    )}
+    ORDER BY round({_cos_sql(_vec_sql(_QV_ANN))}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via a MATERIALIZED LSH bucket index: built once
     (bucket-partitioned parquet under the engine cache), then each query
     reads only its `tables` matching (table, bucket) partitions — Catalyst
     partition pruning, ~tables/2^bits of the files, no per-query hashing of
-    the corpus. Approximate by design -> rows-only check; recall vs exact
-    and the pruned-scan plan are asserted in tests/test_similarity.py."""
+    the corpus. The approximation is DETERMINISTIC (fixed seed-42
+    hyperplanes), so the DuckDB twin recomputes the same bucket codes from
+    inlined hyperplane literals and ranks the same candidate set — a full
+    hash-verified oracle, not a rows-only check. Recall vs exact and the
+    pruned-scan plan are asserted in tests/test_similarity.py."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
     t = _tables(spark, sf_dir)
     dims = len(_QV_ANN)
     idx = LshIndex(spark, _cache_dir(sf_dir, "lsh_embeddings")).build_if_absent(
-        t["embeddings"], dims=dims, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
+        t["embeddings"], dims=dims, bits=_LSH_ANN_BITS, tables=_LSH_ANN_TABLES,
+        vector_col="embedding", id_col="vec_id"
     )
-    return idx.search(_QV_ANN, k=10)
+    return idx.search(_QV_ANN, k=10, round_scores=4).select("vec_id", "score")
 
 
-@register("lsh_neardup_pairs", None)
+@register(
+    "lsh_neardup_pairs",
+    f"""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_lsh_code_sql('embedding', _H_ND[t])} AS c{t}" for t in range(_LSH_ND_TABLES))}
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM coded a JOIN coded b ON a.vec_id < b.vec_id
+     AND ({" OR ".join(f"a.c{t} = b.c{t}" for t in range(_LSH_ND_TABLES))})
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
 def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup (candidates share a bucket; exact
-    verify). Recall < 1 by construction -> rows-only."""
+    verify). Deterministic seed-42 blocking -> the DuckDB twin reproduces
+    the same candidate buckets from inlined hyperplane literals and the
+    same exact-cosine verification: hash-verified, recall<1 by design on
+    BOTH sides identically."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
         embedding_neardup,
     )
 
     t = _tables(spark, sf_dir)
-    return embedding_neardup(
-        t["embeddings"], threshold=0.45, bits=6, tables=6, vector_col="embedding", id_col="vec_id"
+    out = embedding_neardup(
+        t["embeddings"], threshold=0.45, bits=_LSH_ND_BITS, tables=_LSH_ND_TABLES,
+        vector_col="embedding", id_col="vec_id"
     )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @register(
