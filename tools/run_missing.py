@@ -1,5 +1,7 @@
-"""Diagnose the 4 queries with no CORRECTNESS_r02 rows: run each under a
-driver-like harness (collect + pandas canonicalize) and time it."""
+"""Diagnose queries with no CORRECTNESS rows: run each under a driver-like
+harness (collect + pandas canonicalize) and time it. Default list = the 4
+unrecorded names from rounds 2-3 plus summarize_labels (the LAST query the
+driver DID record — its timing anchors where the gate's budget ran out)."""
 import sys
 import time
 import traceback

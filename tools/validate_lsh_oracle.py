@@ -19,8 +19,15 @@ con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
 
 rows = con.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
 ids = [r[0] for r in rows]
-m = np.array([r[1] for r in rows], dtype=np.float64)
-print(f"{len(ids)} embeddings, dims={m.shape[1]}, any-null={any(r[1] is None for r in rows)}")
+# diagnose nulls BEFORE building the matrix (np.array on a ragged/None
+# column would raise and hide the very signal this tool exists to print);
+# None -> zero vector, matching stack_vectors' null hygiene
+n_null = sum(1 for r in rows if r[1] is None)
+dims_found = next((len(r[1]) for r in rows if r[1] is not None), DIMS)
+m = np.array(
+    [r[1] if r[1] is not None else [0.0] * dims_found for r in rows], dtype=np.float64
+)
+print(f"{len(ids)} embeddings, dims={m.shape[1]}, nulls={n_null}")
 
 H = _hyperplanes(DIMS, BITS, TABLES, 42)
 weights = (1 << np.arange(BITS)).astype(np.int64)
