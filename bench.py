@@ -33,14 +33,14 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "payload_concat_by_source",
     "text_stats",
-    "quality_scores",
-    "exact_dedup_groups",
+    "dedup_corpus_exact",
     "simhash_fingerprints",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
     "ann_topk",
     "knn_join",
     "lsh_ann_topk",
+    "lsh_neardup_pairs",
     "ivf_search_all_probes",
     "summarize_labels",
     "rolling_fingerprints",

@@ -46,7 +46,7 @@ def test_star_join_broadcasts_dimensions(spark, reg):
 
 
 def test_text_pipeline_stays_jvm_side(spark, reg):
-    for name in ("text_stats", "quality_scores", "simhash_fingerprints", "exact_dedup_groups"):
+    for name in ("text_stats", "simhash_fingerprints", "dedup_corpus_exact"):
         rep = _report(spark, reg, name)
         assert rep.python_evals == 0, f"{name} fell out of codegen into Python"
 
