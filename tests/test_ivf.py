@@ -111,3 +111,41 @@ def test_exists_and_build_if_absent(spark, tables, tmp_path):
     idx.build_if_absent(tables["embeddings"], vector_col="embedding", num_lists=2, seed=42)
     assert os.path.getmtime(os.path.join(str(tmp_path), "meta.json")) == mtime
     assert idx.meta() == v_before
+
+
+def test_stale_fingerprint_forces_rebuild(spark, tables, tmp_path):
+    """Regenerating the dataset under the same path must force a rebuild:
+    build_if_absent compares the stored data fingerprint (row count + scalar
+    maxes) and rebuilds on mismatch instead of serving the old corpus."""
+    from pyspark.sql import functions as F
+
+    idx = IvfIndex(spark, str(tmp_path))
+    idx.build_if_absent(tables["embeddings"], vector_col="embedding", num_lists=2, seed=42)
+    fp_before = idx.meta()["fingerprint"]
+
+    # "regenerated" dataset: same schema/path key, different contents
+    regenerated = tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    idx.build_if_absent(regenerated, vector_col="embedding", num_lists=2, seed=42)
+    fp_after = idx.meta()["fingerprint"]
+    assert fp_after != fp_before
+    q = [0.1] * 64
+    got = {r.vec_id for r in idx.search(q, k=5, n_probe=2, id_col="vec_id").collect()}
+    assert all(v >= 1_000_000 for v in got)  # serves the NEW corpus
+
+
+def test_lsh_index_stale_fingerprint_forces_rebuild(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    idx = LshIndex(spark, str(tmp_path / "lsh")).build_if_absent(
+        tables["embeddings"], dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
+    )
+    fp_before = idx.meta()["fingerprint"]
+    regenerated = tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    idx.build_if_absent(
+        regenerated, dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
+    )
+    assert idx.meta()["fingerprint"] != fp_before
+    got = {r.vec_id for r in idx.search([0.1] * 64, k=5).collect()}
+    assert got and all(v >= 1_000_000 for v in got)

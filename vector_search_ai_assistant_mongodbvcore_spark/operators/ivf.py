@@ -45,6 +45,29 @@ from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search impor
 DEFAULT_NUM_LISTS = 2  # MongoDbService.cs:158 numLists
 
 
+def data_fingerprint(df: DataFrame) -> dict:
+    """Cheap content fingerprint of an index's source table: row count plus
+    max() of every scalar (non-array/struct/binary) column — one
+    column-pruned aggregate scan, order-independent, deterministic. A
+    materialized index whose stored fingerprint disagrees is STALE (the
+    dataset was regenerated under the same path) and must rebuild; without
+    this, build_if_absent silently serves results from the old corpus. At
+    warehouse scale the same check comes free from catalog snapshot ids —
+    this is the filesystem-layout equivalent."""
+    from pyspark.sql import types as T
+
+    scalar_cols = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    aggs = [F.count(F.lit(1)).alias("_rows")] + [
+        F.max(c).alias(f"max_{c}") for c in scalar_cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {k: (None if v is None else str(v)) for k, v in row.asDict().items()}
+
+
 class IvfIndex:
     """IVF-flat index materialized as centroid-partitioned parquet."""
 
@@ -59,8 +82,11 @@ class IvfIndex:
         return os.path.exists(os.path.join(self.path, "meta.json"))
 
     def build_if_absent(self, df: DataFrame, **build_kwargs) -> "IvfIndex":
-        """Create-if-missing, mirroring MongoDbService.CreateVectorIndexIfNotExists."""
-        if not self.exists():
+        """Create-if-missing OR stale, mirroring
+        MongoDbService.CreateVectorIndexIfNotExists. Staleness = the stored
+        data fingerprint no longer matches `df` (regenerated dataset under
+        the same path) — a stale hit would silently serve the old corpus."""
+        if not self.exists() or self.meta().get("fingerprint") != data_fingerprint(df):
             self.build(df, **build_kwargs)
         return self
 
@@ -104,7 +130,15 @@ class IvfIndex:
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         np.save(os.path.join(self.path, "centroids.npy"), centroids)
         with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump({"num_lists": num_lists, "vector_col": vector_col, "seed": seed}, f)
+            json.dump(
+                {
+                    "num_lists": num_lists,
+                    "vector_col": vector_col,
+                    "seed": seed,
+                    "fingerprint": data_fingerprint(df),
+                },
+                f,
+            )
         return self
 
     # ---- search ----------------------------------------------------------

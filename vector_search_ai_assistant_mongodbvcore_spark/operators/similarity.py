@@ -290,7 +290,15 @@ class LshIndex:
         return os.path.exists(self._meta_file())
 
     def build_if_absent(self, df: DataFrame, **build_kwargs) -> "LshIndex":
-        if not self.exists():
+        """Create-if-missing OR stale (stored data fingerprint no longer
+        matches `df` — see ivf.data_fingerprint): a regenerated dataset
+        under the same path must force a rebuild, not silently serve the
+        old corpus."""
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import (
+            data_fingerprint,
+        )
+
+        if not self.exists() or self.meta().get("fingerprint") != data_fingerprint(df):
             self.build(df, **build_kwargs)
         return self
 
@@ -318,6 +326,10 @@ class LshIndex:
         data.repartition(F.col("table"), F.col("bucket")).write.mode(
             "overwrite"
         ).partitionBy("table", "bucket").parquet(os.path.join(self.path, "data"))
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import (
+            data_fingerprint,
+        )
+
         with open(self._meta_file(), "w") as f:
             json.dump(
                 {
@@ -327,6 +339,7 @@ class LshIndex:
                     "vector_col": vector_col,
                     "id_col": id_col,
                     "seed": seed,
+                    "fingerprint": data_fingerprint(df),
                 },
                 f,
             )
