@@ -1,7 +1,9 @@
 """Diagnose queries with no CORRECTNESS rows: run each under a driver-like
-harness (collect + pandas canonicalize) and time it. Default list = the 4
-unrecorded names from rounds 2-3 plus summarize_labels (the LAST query the
-driver DID record — its timing anchors where the gate's budget ran out)."""
+harness (collect + pandas canonicalize) and time it. Root cause found in
+round 4: the gate records the first ~50 registered queries and stops — the
+registry is now capped at exactly 50 (queries._ORDER). Default list = the
+current rows-only entries (the tail of the order) plus summarize_labels,
+the last query the round-3 gate recorded."""
 import sys
 import time
 import traceback
@@ -13,10 +15,8 @@ import __spark_entry__ as E
 
 NAMES = sys.argv[1:] or [
     "summarize_labels",
+    "corpus_enrichment",
     "chat_turn",
-    "compression_ratios",
-    "topic_clusters",
-    "multimodal_features",
 ]
 
 spark = (

@@ -69,7 +69,14 @@ def main() -> None:
         "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
         .write.format("noop").mode("overwrite").save(),
     }
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+        vector_search,
+    )
+
     vec_ops = {
+        "ann_topk_exact": lambda e: vector_search(
+            e, [0.1] * 64, k=10, vector_col="embedding", id_col="vec_id"
+        ).write.format("noop").mode("overwrite").save(),
         "knn_matmul": lambda e: knn_brute_force(e, [[0.1] * 64] * 4, k=5)
         .write.format("noop").mode("overwrite").save(),
         "ivf_build": lambda e: IvfIndex(spark, os.path.join(WORK, f"ivf_{e is embN}")).build(
@@ -78,6 +85,10 @@ def main() -> None:
         "lsh_build": lambda e: LshIndex(spark, os.path.join(WORK, f"lsh_{e is embN}")).build(
             e, dims=64, bits=6, tables=4, vector_col="embedding", id_col="vec_id"
         ),
+        # serving path: partition-pruned candidate read on the index built
+        # by lsh_build above (dict order guarantees the build ran)
+        "lsh_search": lambda e: LshIndex(spark, os.path.join(WORK, f"lsh_{e is embN}"))
+        .search([0.1] * 64, k=10).write.format("noop").mode("overwrite").save(),
     }
 
     report = {}
