@@ -57,6 +57,15 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't billed for
     # session startup (it was ~+4s on the first groupBy otherwise)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python/Arrow worker warmup: the ANN/kNN family runs pandas UDFs, and
+    # the first UDF call pays daemon + Arrow serializer startup (~1s)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in BENCH_QUERIES:

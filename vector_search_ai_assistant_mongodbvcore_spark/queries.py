@@ -1007,15 +1007,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-shingle guard. The oracle applies the identical cut, so Jaccard
     is computed over the same filtered shingle space in both engines.
 
-    The inverted index is checkpointed to a temp parquet dir (not persist()):
-    its two consumers read the materialized file and nothing stays cached on
-    the executors after the query's action."""
-    import tempfile
-
+    The inverted index is NOT materialized here: this is a one-shot query,
+    so its two consumers (sizes + intersections) share the posting-list
+    shuffle via runtime exchange reuse, and an eager parquet checkpoint
+    would pay a full write per invocation it could never amortize. Repeated
+    dedup pipelines over the same corpus should pass `checkpoint_dir` to
+    reuse the index across runs (nothing is persist()ed either way)."""
     t = _tables(spark, sf_dir)
     out = DD.ngram_jaccard_pairs(
         t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
-        checkpoint_dir=tempfile.mkdtemp(prefix="vsai_nginv_"),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1057,13 +1057,12 @@ def dedup_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY step of near-dedup: drop every doc that near-duplicates a
     lower-id doc (greedy policy over the exact-Jaccard pairs; see
-    drop_near_duplicates for the chain-over-removal trade)."""
-    import tempfile
-
+    drop_near_duplicates for the chain-over-removal trade). One-shot query:
+    no checkpoint (see ngram_jaccard_pairs — exchange reuse covers the
+    shared posting-list subtree)."""
     t = _tables(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(
         t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
-        checkpoint_dir=tempfile.mkdtemp(prefix="vsai_nginv_"),
     )
     out = DD.drop_near_duplicates(t["documents"], pairs, "doc_id")
     return out.select("doc_id", "lang", "source", "n_chars")
