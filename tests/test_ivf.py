@@ -115,17 +115,23 @@ def test_exists_and_build_if_absent(spark, tables, tmp_path):
 
 def test_stale_fingerprint_forces_rebuild(spark, tables, tmp_path):
     """Regenerating the dataset under the same path must force a rebuild:
-    build_if_absent compares the stored data fingerprint (row count + scalar
-    maxes) and rebuilds on mismatch instead of serving the old corpus."""
+    build_if_absent compares the stored source-file fingerprint (path, size,
+    mtime listing — a driver-side metadata check, no data scan) and rebuilds
+    on mismatch instead of serving the old corpus."""
     from pyspark.sql import functions as F
 
-    idx = IvfIndex(spark, str(tmp_path))
-    idx.build_if_absent(tables["embeddings"], vector_col="embedding", num_lists=2, seed=42)
+    src = str(tmp_path / "corpus")
+    tables["embeddings"].write.mode("overwrite").parquet(src)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build_if_absent(spark.read.parquet(src), vector_col="embedding", num_lists=2, seed=42)
     fp_before = idx.meta()["fingerprint"]
+    assert fp_before["mode"] == "files"  # metadata-only staleness check
 
-    # "regenerated" dataset: same schema/path key, different contents
-    regenerated = tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    idx.build_if_absent(regenerated, vector_col="embedding", num_lists=2, seed=42)
+    # regenerate the dataset IN PLACE: same path, different contents
+    tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000).write.mode(
+        "overwrite"
+    ).parquet(src)
+    idx.build_if_absent(spark.read.parquet(src), vector_col="embedding", num_lists=2, seed=42)
     fp_after = idx.meta()["fingerprint"]
     assert fp_after != fp_before
     q = [0.1] * 64
@@ -138,14 +144,33 @@ def test_lsh_index_stale_fingerprint_forces_rebuild(spark, tables, tmp_path):
 
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
+    src = str(tmp_path / "corpus")
+    tables["embeddings"].write.mode("overwrite").parquet(src)
     idx = LshIndex(spark, str(tmp_path / "lsh")).build_if_absent(
-        tables["embeddings"], dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
+        spark.read.parquet(src), dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id",
     )
     fp_before = idx.meta()["fingerprint"]
-    regenerated = tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    tables["embeddings"].withColumn("vec_id", F.col("vec_id") + 1_000_000).write.mode(
+        "overwrite"
+    ).parquet(src)
     idx.build_if_absent(
-        regenerated, dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
+        spark.read.parquet(src), dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id",
     )
     assert idx.meta()["fingerprint"] != fp_before
     got = {r.vec_id for r in idx.search([0.1] * 64, k=5).collect()}
     assert got and all(v >= 1_000_000 for v in got)
+
+
+def test_fingerprint_content_fallback_for_in_memory_frames(spark):
+    """Frames with no file listing (createDataFrame) fingerprint by content
+    (row count + scalar maxes) so build_if_absent still detects changes."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
+
+    schema = "vec_id int, embedding array<double>"
+    a = spark.createDataFrame([(1, [0.1] * 4)], schema)
+    b = spark.createDataFrame([(1, [0.1] * 4), (2, [0.2] * 4)], schema)
+    fp_a = data_fingerprint(a)
+    assert fp_a["_rows"] == "1" and "mode" not in fp_a
+    assert data_fingerprint(b) != fp_a

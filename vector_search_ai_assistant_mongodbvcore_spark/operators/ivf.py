@@ -46,14 +46,42 @@ DEFAULT_NUM_LISTS = 2  # MongoDbService.cs:158 numLists
 
 
 def data_fingerprint(df: DataFrame) -> dict:
-    """Cheap content fingerprint of an index's source table: row count plus
-    max() of every scalar (non-array/struct/binary) column — one
-    column-pruned aggregate scan, order-independent, deterministic. A
-    materialized index whose stored fingerprint disagrees is STALE (the
-    dataset was regenerated under the same path) and must rebuild; without
-    this, build_if_absent silently serves results from the old corpus. At
-    warehouse scale the same check comes free from catalog snapshot ids —
-    this is the filesystem-layout equivalent."""
+    """Fingerprint of an index's source table, used by build_if_absent to
+    detect a dataset regenerated under the same path (a stale hit would
+    silently serve the old corpus).
+
+    File-backed sources (the normal case): md5 over the sorted
+    (path, size, mtime_ns) listing of `df.inputFiles()` — a DRIVER-SIDE
+    metadata operation, zero executor work, so the staleness check on the
+    serving path costs O(#files) stats however large the table is. This is
+    the filesystem equivalent of a catalog snapshot id, with the same
+    contract: it versions the SOURCE FILES, not the plan on top of them —
+    two different transformations over the same files fingerprint alike, so
+    build an index from the scan (or bust the cache yourself), exactly as
+    you would with a snapshot-id-keyed index over a view.
+
+    Sources with no file listing (in-memory frames, exotic filesystems where
+    stat fails): fall back to a content fingerprint — row count plus max()
+    of every scalar column, one column-pruned aggregate scan. Small by
+    nature (they fit on the driver) so the scan is acceptable there."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if files:
+        try:
+            stats = []
+            for uri in sorted(files):
+                p = urlparse(uri).path
+                st = os.stat(p)
+                stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+            return {
+                "mode": "files",
+                "n_files": str(len(files)),
+                "files_md5": hashlib.md5("\n".join(stats).encode()).hexdigest(),
+            }
+        except OSError:
+            pass  # non-local scheme: fall through to the content scan
     from pyspark.sql import types as T
 
     scalar_cols = [
