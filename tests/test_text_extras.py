@@ -63,3 +63,37 @@ def test_corpus_reader_feeds_dedup(spark, tmp_path):
     df = read_text_corpus(spark, str(p), fmt="text")
     groups = exact_dedup(df).collect()
     assert sorted(g.dup_count for g in groups) == [1, 2]
+
+
+def test_exploded_shingles_matches_hof_form(spark):
+    """exploded_shingles (posexplode + lead window, the fast codegen form)
+    must emit the exact (id, ng) multiset of explode(shingles(...)) across
+    the edge cases its filter encodes: normal docs, a doc of exactly n
+    words, shorter-than-n docs, single-word, empty text, whitespace-only,
+    and NULL text."""
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        exploded_shingles,
+        shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "exactly five words right here"),
+        (3, "one two three"),
+        (4, "single"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+        (8, "a a a a a a"),  # repeated words -> duplicate shingles kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n in (2, 5):
+        hof = (
+            df.select("doc_id", F.explode(shingles("text", n)).alias("ng"))
+            .groupBy("doc_id", "ng").count()
+        )
+        fast = exploded_shingles(df, "text", "doc_id", n).groupBy("doc_id", "ng").count()
+        sym_diff = hof.exceptAll(fast).unionByName(fast.exceptAll(hof)).collect()
+        assert sym_diff == [], f"n={n}: {sym_diff}"

@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+    exploded_shingles,
     fingerprint_md5,
-    shingles,
     words,
 )
 
@@ -126,11 +126,12 @@ def _minhash_agg(
     with a mutable buffer (string mins force SortAggregate — per-partition
     sorts of the exploded shingles).
 
-    Plan shape: explode(shingles) -> codegen'd md5 projection -> groupBy(id)
-    with min() aggregates. Partial aggregation collapses each doc to one row
-    map-side, so the shuffle carries ~num_docs × signature_width bytes, not
-    the exploded shingles."""
-    toks = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_size)).alias("ng"))
+    Plan shape: exploded_shingles (posexplode words + lead() window — the
+    codegen-able form; the array-building HOF chain was 4x slower) ->
+    codegen'd md5 projection -> groupBy(id) with min() aggregates. The
+    window already hash-partitions on id, so the aggregation reuses that
+    exchange and the min() combine collapses each doc to one row in place."""
+    toks = exploded_shingles(df, text_col, id_col, shingle_size)
     h = F.md5(F.col("ng"))
     c1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     c2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
@@ -315,10 +316,12 @@ def ngram_jaccard_pairs(
         memory — the reason it is no longer the default).
       * neither                the index recomputes for each consumer (one
         extra explode+aggregate pass; fine at small scale)."""
-    toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"))
-    )
-    groups = toks.groupBy("ng").agg(F.collect_list(id_col).alias("ids"))
+    # exploded_shingles may emit the same (id, ng) twice when a shingle
+    # repeats within a doc; collect_set dedupes at the aggregation — the
+    # same posting lists the old explode(array_distinct(...)) produced,
+    # without the interpreted HOF chain (4x slower) on the hot path
+    toks = exploded_shingles(df, text_col, id_col, n)
+    groups = toks.groupBy("ng").agg(F.collect_set(id_col).alias("ids"))
     if df_cut is not None:
         groups = groups.filter(F.size("ids") <= df_cut)
     groups = groups.select(F.array_sort("ids").alias("ids"))
