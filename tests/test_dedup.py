@@ -156,3 +156,51 @@ def test_ngram_checkpoint_leaves_no_persistent_rdds(spark, docs, tmp_path):
         ).collect()
     } == via_ckpt
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def _py_components(pairs):
+    """Union-find oracle: node -> min reachable id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_neardup_components_matches_union_find(spark):
+    """Min-label propagation must equal a union-find oracle on a graph with
+    a long chain, a clique, a star, and an isolated pair."""
+    edges = (
+        [(i, i + 1) for i in range(1, 8)]            # chain 1..8
+        + [(a, b) for a in (20, 21, 22) for b in (21, 22, 23) if a < b]  # clique
+        + [(30, 31), (30, 32), (30, 33)]             # star
+        + [(40, 41)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in DD.neardup_components(pairs).collect()}
+    assert got == _py_components(edges)
+
+
+def test_neardup_components_raises_on_max_iter(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 30)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.neardup_components(pairs, max_iter=2)
+
+
+def test_drop_component_duplicates_keeps_one_per_cluster(spark):
+    """Cluster-exact apply: the a~b, b~c chain keeps a (component min) —
+    where the greedy policy over-removes to [1] on the same graph, CC
+    keeps one representative per component."""
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in DD.drop_component_duplicates(df, pairs).collect())
+    assert kept == [1, 4, 6]  # 6 is in no pair and survives untouched

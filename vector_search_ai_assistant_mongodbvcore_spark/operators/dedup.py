@@ -99,12 +99,94 @@ def drop_near_duplicates(
 ) -> DataFrame:
     """The APPLY step of near-dedup: given candidate/verified pairs
     (id_a < id_b), drop every id_b — the GREEDY one-pass policy (any doc
-    near-duplicating a lower-id doc is removed). Exact cluster semantics
-    would need connected components (iterative; out of scope without a
-    graph library) — greedy can over-remove inside chains (a~b, b~c but
-    a!~c still drops both b and c), the standard trade documented in
-    MinHash-dedup pipelines."""
+    near-duplicating a lower-id doc is removed). Greedy can over-remove
+    inside chains (a~b, b~c but a!~c still drops both b and c), the
+    standard trade documented in MinHash-dedup pipelines; for exact
+    cluster semantics (keep ONE doc per connected component) use
+    neardup_components + drop_component_duplicates."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def neardup_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph, pure DataFrame ops:
+    (node, component) where component = min id reachable from the node.
+
+    Iterative min-label propagation: every node starts labeled with the
+    smallest direct neighbor (or itself); each round joins labels across
+    edges and keeps the per-node min, until a round changes nothing (checked
+    with ONE count per round, not a collect of labels). Near-dup graphs are
+    almost all tiny cliques plus short chains, so convergence takes
+    O(longest chain) rounds — bounded by max_iter (raises if exceeded
+    rather than returning wrong clusters silently).
+
+    Scale shape per round: edges ⋈ labels (shuffle on node id) -> groupBy
+    min, both partial-aggregated, so each round is one pass over the edge
+    list — label-propagation CC, the shape GraphX/GraphFrames use, without
+    the graph-library dependency. Each round's result is
+    localCheckpoint()ed (eager) to truncate the lineage an iterative plan
+    would otherwise grow exponentially — the standard Spark iteration
+    idiom; superseded rounds' cached blocks are dropped by the
+    ContextCleaner once unreferenced. The convergence check costs one
+    LIMIT-1 count per round (an existence probe, not a label collect)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # initial label: min(self, direct neighbors)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("node"), "comp")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # propagate: a node adopts the smallest label among its own and
+        # every neighbor's current label
+        neighbor_labels = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds — "
+        "the pair graph has a chain longer than max_iter; raise max_iter"
+    )
+
+
+def drop_component_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-exact APPLY step: keep exactly ONE representative (the min
+    id) per connected component of the near-dup graph, plus every doc that
+    appears in no pair. Unlike the greedy policy this never over-removes on
+    chains: a~b, b~c keeps a (component min) and removes b, c only."""
+    comps = neardup_components(pairs, max_iter=max_iter)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 
