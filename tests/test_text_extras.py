@@ -97,3 +97,39 @@ def test_exploded_shingles_matches_hof_form(spark):
         fast = exploded_shingles(df, "text", "doc_id", n).groupBy("doc_id", "ng").count()
         sym_diff = hof.exceptAll(fast).unionByName(fast.exceptAll(hof)).collect()
         assert sym_diff == [], f"n={n}: {sym_diff}"
+
+
+def test_stopword_and_wordlen_codegen_forms_match_hof(spark):
+    """stopword_hits (lookahead regexp_count) and the concat_ws word-length
+    sum must exactly equal their interpreted higher-order-function
+    ancestors on delimiter/edge-heavy inputs."""
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_FR,
+        stopword_hits,
+        words,
+    )
+
+    rows = [
+        (1, ""), (2, "   "), (3, None), (4, "the"), (5, "the  the a"),
+        (6, "xthe they on, on on"), (7, "THE The tHe"), (8, "der und das ist"),
+        (9, "le la et the und"), (10, "  padded the text  "),
+        (11, "a\tb\nthe\r\nof"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    t = F.col("text")
+    w = words(F.lower(t))
+    for sw in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR):
+        hof = F.size(F.filter(w, lambda x: x.isin(sw)))
+        bad = df.filter(~(stopword_hits(t, sw).eqNullSafe(hof))).collect()
+        assert bad == [], bad
+    # concat_ws maps a NULL array to "" where aggregate stays NULL; the
+    # composed text_profile expression guards with isNotNull, so parity is
+    # asserted under that guard (bare forms differ ONLY on NULL text)
+    wl_hof = F.aggregate(words(t), F.lit(0.0), lambda acc, x: acc + F.length(x))
+    wl_cw = F.when(t.isNotNull(), F.length(F.concat_ws("", words(t))).cast("double"))
+    bad = df.filter(~wl_cw.eqNullSafe(wl_hof)).collect()
+    assert bad == [], bad

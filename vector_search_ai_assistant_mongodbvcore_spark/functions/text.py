@@ -59,16 +59,26 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
 
 
+def _stopword_pattern(stopwords: list[str]) -> str:
+    """Zero-width-lookahead pattern whose regexp_count equals the number of
+    whitespace-delimited tokens exactly matching a stopword — the codegen
+    form of size(filter(words, isin(stopwords))), which is an interpreted
+    higher-order function. The lookahead makes matches zero-width so
+    adjacent stopwords sharing a delimiter both count ("the the" -> 2);
+    exact equality with the HOF form across empty/multi-space/punctuation
+    edges is asserted in tests."""
+    return r"(?=(^|\s)(" + "|".join(stopwords) + r")(\s|$))"
+
+
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS_EN
     w = words(F.lower(_c(col)))
-    hits = F.size(F.filter(w, lambda x: x.isin(sw)))
+    hits = stopword_hits(col, sw)
     return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(hits.cast("double") / F.size(w))
 
 
 def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
-    w = words(F.lower(_c(col)))
-    return F.size(F.filter(w, lambda x: x.isin(stopwords)))
+    return F.regexp_count(F.trim(F.lower(_c(col))), F.lit(_stopword_pattern(stopwords)))
 
 
 def language_id(col: Column | str) -> Column:
@@ -117,12 +127,17 @@ def text_profile(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
     wc = F.size(F.col("_w"))
     punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
     punct_r = F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
-    sw_hits = F.size(F.filter(F.col("_wl"), lambda x: x.isin(STOPWORDS_EN)))
+    # codegen forms of the two remaining per-word reductions: stopword hits
+    # as a zero-width-lookahead regexp_count (see _stopword_pattern), total
+    # word length as length(concat_ws("", words)) — both exactly equal
+    # their HOF ancestors (parity-tested) without interpreted per-element
+    # evaluation
+    sw_hits = stopword_hits(t, STOPWORDS_EN)
     sw_r = F.when(F.size(F.col("_wl")) == 0, F.lit(0.0)).otherwise(
         sw_hits.cast("double") / F.size(F.col("_wl"))
     )
     awl = F.when(wc == 0, F.lit(0.0)).otherwise(
-        F.aggregate(F.col("_w"), F.lit(0.0), lambda acc, x: acc + F.length(x)) / wc
+        F.length(F.concat_ws("", F.col("_w"))).cast("double") / wc
     )
     metrics = pre.select(
         *keep,
