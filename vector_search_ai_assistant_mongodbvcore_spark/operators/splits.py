@@ -1,0 +1,117 @@
+"""Deterministic train/validation/test splits for training-data pipelines.
+
+Two shapes, both pure column expressions (no UDF, no driver state):
+
+* `assign_split` — hash-boundary assignment. md5(seed:id) -> 32-bit bucket
+  -> cumulative weight boundaries. NARROW: no shuffle, no fit, no state;
+  every executor assigns its rows independently, so the plan is identical
+  at 100 TB. Proportions are exact only in expectation (law of large
+  numbers — at corpus scale the error is negligible; at 500 rows it is a
+  few percent).
+* `assign_split_stratified` — exact per-stratum proportions via a
+  row_number over the same hash within each stratum. ONE shuffle on the
+  stratum column; boundaries are floor(n_stratum * cumweight), so every
+  stratum lands within one row of the requested fractions. Use when a
+  skewed stratum (e.g. a rare language) must not be starved by chance.
+
+Both are reproducible across engines: assignment depends only on
+(seed, id) — not on row order, partitioning, or Spark internals — so an
+ANSI SQL twin produces the identical split (the CORRECTNESS oracle for
+`dataset_split_counts` reproduces the md5 bucketing in DuckDB).
+
+Reference parity: the reference has no split operator (it is a serving
+stack, not a training pipeline); this is part of the added training-data
+surface alongside dedup/similarity/text-quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32 buckets: md5's first 8 hex chars, uniform over [0, 2^32).
+_BUCKETS = 1 << 32
+
+
+def _validate(splits: dict[str, float]) -> list[tuple[str, float]]:
+    if not splits:
+        raise ValueError("splits must be a non-empty {name: weight} mapping")
+    items = list(splits.items())
+    if any(w <= 0 for _, w in items):
+        raise ValueError(f"split weights must be positive: {splits}")
+    total = sum(w for _, w in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    return items
+
+
+def split_bucket(id_col: Column, seed: int = 42) -> Column:
+    """Uniform 32-bit bucket from md5("<seed>:<id>") — the first 8 hex chars
+    decoded to a long. Engine-portable: DuckDB reproduces it with
+    CAST('0x' || substr(md5(...), 1, 8) AS UBIGINT)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label by hash boundary (narrow plan).
+
+    Rows with a NULL id all hash to the same bucket (md5 of "<seed>:"),
+    i.e. they land together in one split — pass a surrogate id upstream if
+    that is not acceptable.
+    """
+    items = _validate(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    bucket = split_bucket(F.col(id_col), seed)
+    expr = F.lit(items[-1][0])  # last split takes the residual boundary
+    cum = 0.0
+    branches = []
+    for name, w in items[:-1]:
+        cum += w
+        branches.append((int(cum * _BUCKETS), name))
+    # build when-chain from the first boundary up; evaluation order matters
+    out = None
+    for bound, name in branches:
+        cond = bucket < F.lit(bound)
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    out = expr if out is None else out.otherwise(expr)
+    return df.withColumn(out_col, out)
+
+
+def assign_split_stratified(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Exact per-stratum proportions: rank rows inside each stratum by the
+    same md5 bucket (id tiebreak), then cut at floor(n * cum_weight).
+
+    One shuffle (window over stratum). At 100 TB a single hot stratum's
+    window sorts within one task's partition range — Spark's window sort
+    spills, so this is size-bounded but still the heavier form; prefer
+    `assign_split` unless exact stratum proportions are required.
+    """
+    items = _validate(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    bucket = split_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(id_col))
+    n = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(n)
+    )
+    out = None
+    cum = 0.0
+    for name, wgt in items[:-1]:
+        cum += wgt
+        cond = F.col("_rn") <= F.floor(F.col("_n") * F.lit(cum))
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    last = F.lit(items[-1][0])
+    out = last if out is None else out.otherwise(last)
+    return ranked.withColumn(out_col, out).drop("_rn", "_n")
