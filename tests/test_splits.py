@@ -1,0 +1,103 @@
+"""Deterministic train/val/test splits (operators/splits.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+    assign_split,
+    assign_split_stratified,
+    split_bucket,
+)
+
+
+def _py_bucket(seed: int, doc_id) -> int:
+    return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+
+
+def test_split_bucket_matches_python_md5(spark, tables):
+    rows = (
+        tables["documents"]
+        .select("doc_id", split_bucket(F.col("doc_id"), seed=42).alias("b"))
+        .collect()
+    )
+    assert rows, "documents fixture is empty"
+    for r in rows:
+        assert r.b == _py_bucket(42, r.doc_id)
+
+
+def test_assign_split_deterministic_total_and_disjoint(spark, tables):
+    docs = tables["documents"]
+    out = assign_split(docs, "doc_id", seed=42)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # complete: every row labeled
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic across invocations and independent of row order
+    again = assign_split(docs.orderBy(F.desc("doc_id")), "doc_id", seed=42)
+    assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+    # a different seed moves documents between splits
+    other = assign_split(docs, "doc_id", seed=7)
+    assert out.select("doc_id", "split").subtract(other.select("doc_id", "split")).count() > 0
+
+
+def test_assign_split_proportions_in_expectation(spark, tables):
+    docs = tables["documents"]
+    n = docs.count()
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # hash split: binomial tolerance, generous for a small fixture
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.15
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+
+
+def test_assign_split_stratified_exact_per_stratum(spark, tables):
+    docs = tables["documents"]
+    out = assign_split_stratified(docs, "doc_id", "lang", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per = (
+        out.groupBy("lang")
+        .pivot("split", ["train", "val", "test"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .collect()
+    )
+    assert per
+    for r in per:
+        n = r.train + r.val + r.test
+        # boundaries are floor(n * cumweight): train == floor(0.8n),
+        # train+val == floor(0.9n), test takes the remainder
+        assert r.train == int(n * 0.8)
+        assert r.train + r.val == int(n * 0.9)
+    # same rows, same labels on re-run (window is ordered by (bucket, id))
+    again = assign_split_stratified(docs, "doc_id", "lang", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+
+
+def test_split_weight_validation(spark, tables):
+    docs = tables["documents"]
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {"train": 0.5, "test": 0.4})  # sums to 0.9
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {"train": 1.2, "test": -0.2})
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {})
+
+
+def test_single_split_takes_everything(spark, tables):
+    docs = tables["documents"]
+    out = assign_split(docs, "doc_id", {"all": 1.0})
+    assert out.filter(F.col("split") != "all").count() == 0
+
+
+def test_assign_split_plan_is_narrow(spark, tables):
+    """The hash split must add NO shuffle: at 100 TB it is a free column."""
+    plan = assign_split(tables["documents"], "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -66,7 +66,9 @@ def assign_split(
     i.e. they land together in one split — pass a surrogate id upstream if
     that is not acceptable.
     """
-    items = _validate(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    items = _validate(
+        splits if splits is not None else {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
     bucket = split_bucket(F.col(id_col), seed)
     expr = F.lit(items[-1][0])  # last split takes the residual boundary
     cum = 0.0
@@ -99,7 +101,9 @@ def assign_split_stratified(
     spills, so this is size-bounded but still the heavier form; prefer
     `assign_split` unless exact stratum proportions are required.
     """
-    items = _validate(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    items = _validate(
+        splits if splits is not None else {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
     bucket = split_bucket(F.col(id_col), seed)
     w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(id_col))
     n = Window.partitionBy(stratum_col)

@@ -235,20 +235,53 @@ def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_boundaries(splits: "list[tuple[str, float]]") -> "list[tuple[int, str]]":
+    """Cumulative md5-bucket boundaries, computed with the SAME float
+    accumulation as operators.splits.assign_split so the inlined SQL
+    literals match the Spark plan bit-for-bit."""
+    out, cum = [], 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        out.append((int(cum * (1 << 32)), name))
+    return out
+
+
+_SPLIT_ITEMS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_CASE = " ".join(
+    f"WHEN CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) < {bound} THEN '{name}'"
+    for bound, name in _split_boundaries(_SPLIT_ITEMS)
+)
+
+
 @register(
-    "order_priority_counts",
-    """
-    SELECT o_orderpriority, COUNT(*) AS n
-    FROM orders WHERE o_totalprice > 250000 GROUP BY o_orderpriority
+    "dataset_split_counts",
+    f"""
+    SELECT source,
+           CASE {_SPLIT_CASE} ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
     """,
 )
-def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split over the documents corpus
+    (operators/splits.py assign_split — md5(seed:id) bucket boundaries, a
+    narrow plan with NO shuffle beyond the final aggregate), rolled up per
+    (source, split). The DuckDB twin reproduces the exact md5 bucketing
+    from inlined boundary literals, so assignment is verified row-for-row
+    through the rollup. The reference has no training-split operator; this
+    is part of the added training-data surface (SURVEY §2 extras)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
+
     t = _tables(spark, sf_dir)
     return (
-        t["orders"]
-        .filter(F.col("o_totalprice") > 250000)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+        assign_split(t["documents"], "doc_id", dict(_SPLIT_ITEMS), seed=42)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
@@ -1583,7 +1616,7 @@ def corpus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDER = [
     # relational core
     "pricing_summary", "top_orders_by_revenue", "regional_revenue",
-    "top_orders_by_price", "order_priority_counts", "customer_order_stats",
+    "top_orders_by_price", "dataset_split_counts", "customer_order_stats",
     "part_brand_stats", "order_priority_rollup", "active_vs_purchasing_users",
     "purchase_ranks_per_user", "customers_without_big_orders",
     # reference operator surface (filters/projections/windows/aggregates)
