@@ -678,9 +678,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window() in the streaming surface."""
     t = _tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # interval comparison instead of unix_micros: works for both TIMESTAMP
+    # and TIMESTAMP_NTZ (parquet timestamp[us] with no tz reads as NTZ under
+    # Spark 4's inferTimestampNTZ) and never routes through the session tz
     flag = F.when(
         F.lag("ts").over(w).isNotNull()
-        & (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+        & (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL '30' MINUTE")),
         1,
     ).otherwise(0)
     return (
