@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "ann_topk",
     "knn_join",
+    "bm25_topk",
+    "hybrid_search_rrf",
     "lsh_ann_topk",
     "lsh_neardup_pairs",
     "ivf_search_all_probes",

@@ -1,0 +1,128 @@
+"""BM25 keyword search + RRF hybrid fusion (operators/keyword_search.py).
+
+The BM25 oracle here is an independent pure-Python implementation over a
+hand-built corpus — not the DuckDB SQL twin (that runs in the driver gate);
+if both agree with this third implementation the score expression is right.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
+
+CORPUS = [
+    (0, "spark joins fast spark spark"),
+    (1, "hash join hash join hash join"),
+    (2, "the quick brown fox"),
+    (3, "spark hash scan scan"),
+    (4, ""),  # empty doc: no tokens, excluded from N/avgdl and results
+    (5, "Spark!! SCAN, spark-scan"),  # case + punctuation fold into terms
+]
+TERMS = ["spark", "hash", "scan"]
+
+
+def py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: [t for t in _split(txt)] for i, txt in corpus}
+    toks = {i: ts for i, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    out = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += (idf * tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * len(ts)) / avgdl))
+        if any(t in ts for t in terms):
+            out[i] = s
+    return out
+
+
+def _split(txt):
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_matches_python_oracle(spark, docs):
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in KW.bm25_scores(docs, TERMS).collect()
+    }
+    want = py_bm25(CORPUS, TERMS)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+
+
+def test_bm25_excludes_nonmatching_and_empty(spark, docs):
+    ids = {r["doc_id"] for r in KW.bm25_scores(docs, TERMS).collect()}
+    assert 2 not in ids  # no query term
+    assert 4 not in ids  # empty doc
+    assert 5 in ids  # matched through case/punctuation folding
+
+
+def test_bm25_rare_term_outscores_common_on_equal_tf(spark):
+    # 'rare' appears in 1 of 10 docs, 'common' in 9 of 10; the probe doc
+    # has each exactly once at identical length -> idf must dominate.
+    rows = [(i, "common filler words here") for i in range(9)]
+    rows.append((9, "rare common filler here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s_rare = KW.bm25_scores(docs, ["rare"]).filter("doc_id = 9").collect()[0]["bm25"]
+    s_common = KW.bm25_scores(docs, ["common"]).filter("doc_id = 9").collect()[0]["bm25"]
+    assert s_rare > s_common
+
+
+def test_ranked_topk_limits_then_ranks(spark, docs):
+    scored = KW.bm25_scores(docs, TERMS)
+    ranked = KW.ranked_topk(scored, "bm25", "doc_id", k=2).collect()
+    assert [r["rank"] for r in sorted(ranked, key=lambda r: r["rank"])] == [1, 2]
+    assert len(ranked) == 2
+
+
+def test_rrf_fuse_union_and_scores(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in KW.rrf_fuse(a, b).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["rrf"] == pytest.approx(1 / 61)
+    assert got[2]["rrf"] == pytest.approx(1 / 62 + 1 / 61)  # both lists
+    assert got[3]["rrf"] == pytest.approx(1 / 62)
+    assert got[1]["rank_b"] is None and got[3]["rank_a"] is None
+
+
+def test_registered_queries_shape(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark import queries as q
+
+    reg = q.queries()
+    top = reg["bm25_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(top) <= 10
+    assert [c for c in top[0].asDict()] == ["doc_id", "bm25"]
+    # descending by rounded score, id tiebreak
+    keys = [(-r["bm25"], r["doc_id"]) for r in top]
+    assert keys == sorted(keys)
+
+    hyb = reg["hybrid_search_rrf"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(hyb) <= 10
+    for r in hyb:
+        present = (r["kw_rank"] is not None) + (r["vec_rank"] is not None)
+        assert present >= 1
+        assert r["rrf"] > 0
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark import queries as q
+
+    df = q.queries()["bm25_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

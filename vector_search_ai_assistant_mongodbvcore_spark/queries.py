@@ -28,7 +28,11 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
 from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
     approx_token_count,
 )
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
+    HashNgramEmbedder as _HashNgramEmbedder,
+)
 from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
+from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
 from vector_search_ai_assistant_mongodbvcore_spark.operators.conversation import (
     conversation_window,
 )
@@ -1467,6 +1471,112 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+# ===========================================================================
+# Keyword (BM25) + hybrid RRF retrieval — the search surface the reference's
+# production successors pair with the vector index (keyword path + RRF
+# fusion); operators/keyword_search.py
+# ===========================================================================
+
+_BM25_TERMS = ["spark", "hash", "join", "scan"]
+_HYB_QUERY_TEXT = "spark hash join scan"
+_QV_HYB = [
+    round(float(x), 6)
+    for x in _HashNgramEmbedder(dims=64).embed_numpy([_HYB_QUERY_TEXT])[0]
+]
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH {KW.bm25_cte_sql(_BM25_TERMS)}
+    SELECT doc_id, round(bm25, 4) AS bm25
+    FROM bm25_scored
+    ORDER BY round(bm25, 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-k over the documents corpus: one scan
+    (explode -> per-doc conditional aggregate, map-side combine), broadcast
+    stats, pure-codegen score expression, TakeOrdered top-10. Scores
+    rounded 4dp before ranking; doc_id tiebreak."""
+    t = _tables(spark, sf_dir)
+    scored = KW.bm25_scores(t["documents"], _BM25_TERMS)
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH {KW.bm25_cte_sql(_BM25_TERMS)},
+    kw_top AS (
+      SELECT doc_id, round(bm25, 4) AS s FROM bm25_scored
+      ORDER BY s DESC, doc_id LIMIT 20
+    ),
+    kw_ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS kw_rank
+      FROM kw_top
+    ),
+    vec_top AS (
+      SELECT vec_id AS doc_id, round({_cos_sql(_vec_sql(_QV_HYB))}, 4) AS s FROM embeddings
+      ORDER BY s DESC, doc_id LIMIT 20
+    ),
+    vec_ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS vec_rank
+      FROM vec_top
+    ),
+    fused AS (
+      SELECT doc_id, kw_rank, vec_rank,
+             coalesce(1.0 / (60 + kw_rank), 0.0)
+               + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf
+      FROM kw_ranked FULL OUTER JOIN vec_ranked USING (doc_id)
+    )
+    SELECT doc_id, kw_rank, vec_rank, round(rrf, 6) AS rrf
+    FROM fused ORDER BY round(rrf, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking + exact cosine vector ranking
+    for the SAME query (text and its HashNgramEmbedder vector), fused with
+    Reciprocal Rank Fusion (k=60). Each list is limited to its top-20
+    BEFORE ranks are assigned (windows only ever see 20 rows), the fusion
+    join is 20x20, and missing membership contributes 0 — the standard
+    hybrid-search topology at any corpus scale."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import cosine_similarity
+
+    t = _tables(spark, sf_dir)
+    kw = KW.ranked_topk(
+        KW.bm25_scores(t["documents"], _BM25_TERMS), "bm25", "doc_id", k=20
+    ).withColumnRenamed("rank", "kw_rank")
+    vec_scored = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity(F.col("embedding").cast("array<double>"), _QV_HYB).alias("cos"),
+    )
+    vec = KW.ranked_topk(vec_scored, "cos", "doc_id", k=20).withColumnRenamed(
+        "rank", "vec_rank"
+    )
+    fused = kw.join(vec, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 @register(
     "summarize_labels",
     f"""
@@ -1639,6 +1749,8 @@ _ORDER = [
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "ivf_search_pruned", "lsh_ann_topk",
     "lsh_neardup_pairs",
+    # keyword + hybrid retrieval
+    "bm25_topk", "hybrid_search_rrf",
     # streaming / LLM surface
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
     "corpus_enrichment",
@@ -1648,7 +1760,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 50, len(_ORDER)
+assert len(_ORDER) == 52, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
