@@ -1,0 +1,109 @@
+"""As-of join operator (operators/asof.py) vs pandas.merge_asof."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = np.random.RandomState(42)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200),
+            "key": rng.randint(0, 5, 200),
+            "t": rng.randint(0, 1000, 200).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.randint(0, 5, 300),
+            "t": rng.randint(0, 1000, 300).astype("int64"),
+            "payload": rng.randint(0, 10**6, 300).astype("int64"),
+        }
+    )
+    # unique (key, t) on the right: the determinism contract
+    right = right.groupby(["key", "t"], as_index=False).agg(payload=("payload", "max"))
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    return left, right, ldf, rdf
+
+
+def _expected(left, right, direction):
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t",
+        by="key",
+        direction=direction,
+        suffixes=("", "_r"),
+        allow_exact_matches=True,
+    )
+    return {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload)) for r in exp.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, frames, direction):
+    left, right, ldf, rdf = frames
+    got_rows = asof_join(
+        ldf, rdf, on="t", by="key", right_cols=["payload"], direction=direction
+    ).collect()
+    assert len(got_rows) == len(left)  # LEFT semantics: every left row survives
+    got = {r["lid"]: r["payload_right"] for r in got_rows}
+    assert got == _expected(left, right, direction)
+
+
+def test_asof_inclusive_tie_and_no_match(spark):
+    ldf = spark.createDataFrame([(1, 1, 100), (2, 1, 50)], "lid long, key long, t long")
+    rdf = spark.createDataFrame([(1, 100, 7), (1, 99, 5)], "key long, t long, v long")
+    got = {
+        r["lid"]: r["v_right"]
+        for r in asof_join(ldf, rdf, on="t", by="key", right_cols=["v"]).collect()
+    }
+    assert got[1] == 7  # exact-time right row matches (inclusive)
+    assert got[2] is None  # nothing at-or-before t=50
+
+
+def test_asof_carries_right_time(spark):
+    ldf = spark.createDataFrame([(1, 1, 100)], "lid long, key long, t long")
+    rdf = spark.createDataFrame([(1, 40, 5)], "key long, t long, v long")
+    row = asof_join(ldf, rdf, on="t", by="key", right_cols=["v"]).collect()[0]
+    assert row["t_right"] == 40 and row["v_right"] == 5
+
+
+def test_asof_multi_key(spark):
+    ldf = spark.createDataFrame(
+        [(1, "a", 1, 10), (2, "a", 2, 10)], "lid long, k1 string, k2 long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [("a", 1, 5, 111), ("a", 2, 5, 222)], "k1 string, k2 long, t long, v long"
+    )
+    got = {
+        r["lid"]: r["v_right"]
+        for r in asof_join(
+            ldf, rdf, on="t", by=["k1", "k2"], right_cols=["v"]
+        ).collect()
+    }
+    assert got == {1: 111, 2: 222}
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    *_, ldf, rdf = frames
+    df = asof_join(ldf, rdf, on="t", by="key", right_cols=["payload"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one keyed exchange for the window; union sides must not add their own
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_bad_direction(spark, frames):
+    *_, ldf, rdf = frames
+    with pytest.raises(ValueError):
+        asof_join(ldf, rdf, direction="nearest")

@@ -1577,6 +1577,56 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# As-of join (operators/asof.py) — purchase -> latest preceding view
+# attribution, the classic event-time as-of workload
+# ===========================================================================
+
+
+@register(
+    "asof_purchase_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.view_id, v.ts AS ts_view
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's latest view
+    at-or-before it (union + ordered window — ONE keyed shuffle, no range
+    explosion; operators/asof.py). The right side is deduped to one row per
+    (user, ts) so the match is total-order deterministic; unmatched
+    purchases keep LEFT semantics with null view columns. DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.asof import asof_join
+
+    t = _tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(
+        purchases, views, on="ts", by="user_id", right_cols=["view_id"], suffix="_view"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("view_id_view").alias("view_id"), "ts_view",
+    )
+
+
 @register(
     "summarize_labels",
     f"""
@@ -1749,8 +1799,8 @@ _ORDER = [
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "ivf_search_pruned", "lsh_ann_topk",
     "lsh_neardup_pairs",
-    # keyword + hybrid retrieval
-    "bm25_topk", "hybrid_search_rrf",
+    # keyword + hybrid retrieval, as-of join
+    "bm25_topk", "hybrid_search_rrf", "asof_purchase_attribution",
     # streaming / LLM surface
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
     "corpus_enrichment",
@@ -1760,7 +1810,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 52, len(_ORDER)
+assert len(_ORDER) == 53, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
