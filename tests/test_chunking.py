@@ -1,0 +1,72 @@
+"""Document chunking operator (operators/chunking.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunk_documents
+
+
+def _chunks(spark, text, size, overlap):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=size, overlap=overlap).collect()
+    return sorted(rows, key=lambda r: r["chunk_id"])
+
+
+def test_overlap_and_coverage(spark):
+    words = [f"w{i}" for i in range(10)]
+    rows = _chunks(spark, " ".join(words), size=4, overlap=2)
+    # stride 2 -> starts 0,2,4,6,8
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[4]["chunk_text"] == "w8 w9"  # truncated tail, never empty
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+    # every word covered
+    covered = set(" ".join(r["chunk_text"] for r in rows).split())
+    assert covered == set(words)
+
+
+def test_short_doc_single_chunk(spark):
+    rows = _chunks(spark, "a b c", size=32, overlap=8)
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
+
+
+def test_empty_and_whitespace_docs_produce_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=4, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_zero_overlap_partitions_exactly(spark):
+    rows = _chunks(spark, " ".join(str(i) for i in range(9)), size=3, overlap=0)
+    texts = [r["chunk_text"] for r in rows]
+    assert texts == ["0 1 2", "3 4 5", "6 7 8"]
+
+
+def test_invalid_params_raise(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=-1)
+
+
+def test_no_shuffle_plan(spark, tables):
+    df = chunk_documents(tables["documents"], size=32, overlap=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan -> generate -> project only
+    assert "Generate" in plan
+
+
+def test_row_count_bound(spark, tables):
+    # chunks per doc = ceil(n_words / stride); with overlap<size the output
+    # token total is bounded by tokens * size/stride
+    docs = tables["documents"]
+    n_chunks = chunk_documents(docs, size=32, overlap=8).count()
+    n_docs = docs.filter(F.trim("text") != "").count()
+    assert n_chunks >= n_docs  # at least one chunk per nonempty doc

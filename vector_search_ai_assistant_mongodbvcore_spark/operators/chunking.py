@@ -1,0 +1,89 @@
+"""RAG document chunking: overlapping token-window chunks as pure column
+expressions.
+
+The reference ingests whole documents and embeds them 1:1
+(Vectorize/Program.cs; each CosmosDB item -> one vector). Production RAG
+pipelines chunk long documents into overlapping windows BEFORE embedding so
+retrieval granularity matches context budgets; this operator supplies that
+stage Spark-first:
+
+  words  = whitespace-split(trim(text))          n = len(words)
+  starts = 0, stride, 2*stride, ... < n          stride = size - overlap
+  chunk  i covers words[start+1 .. start+size]   (1-based slice, truncated
+                                                  at the tail)
+
+Entirely narrow operations — split/sequence/explode/slice/array_join, no
+shuffle, no UDF: the plan is scan -> generate -> project, which scales
+linearly and partition-locally at any corpus size. Chunk counts per doc are
+ceil(n/stride), so output row count is bounded by tokens/stride — the
+explode cannot amplify beyond the token count.
+
+Every expression has an exact DuckDB twin (chunking_sql) for the oracle
+gate: same split regex, same 1-based inclusive slicing, same integer
+start/stride arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_text): overlapping word windows.
+
+    size = tokens per chunk, overlap = tokens shared with the previous
+    chunk; stride = size - overlap must be positive. Documents that are
+    empty after trim() produce no chunks; the final chunk may be shorter
+    than `size` (never empty)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    nonempty = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), w.alias("_w")
+    )
+    starts = F.sequence(F.lit(0), F.size("_w") - 1, F.lit(stride))
+    chunks = nonempty.select(
+        id_col, "_w", F.explode(starts).alias("_start")
+    )
+    piece = F.slice(F.col("_w"), F.col("_start") + 1, size)
+    return chunks.select(
+        F.col(id_col),
+        F.floor(F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunking_sql(
+    size: int = 32,
+    overlap: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of chunk_documents (same arithmetic, same
+    truncating 1-based inclusive slice)."""
+    stride = size - overlap
+    return f"""
+    WITH words AS (
+      SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS w
+      FROM {table} WHERE trim({text_col}) <> ''
+    ),
+    st AS (
+      SELECT {id_col}, w, unnest(range(0, len(w), {stride})) AS start
+      FROM words
+    )
+    SELECT {id_col},
+           start // {stride} AS chunk_id,
+           len(w[start + 1 : start + {size}]) AS n_tokens,
+           array_to_string(w[start + 1 : start + {size}], ' ') AS chunk_text
+    FROM st
+    """

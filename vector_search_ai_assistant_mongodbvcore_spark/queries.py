@@ -33,6 +33,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
 )
 from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
 from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
+from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunking_sql as _chunking_sql
 from vector_search_ai_assistant_mongodbvcore_spark.operators.conversation import (
     conversation_window,
 )
@@ -1578,6 +1579,25 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# RAG document chunking (operators/chunking.py)
+# ===========================================================================
+
+
+@register(
+    "document_chunks",
+    _chunking_sql(size=32, overlap=8),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking stage: overlapping 32-token windows (8-token overlap)
+    over every document — scan -> generate -> project, zero shuffles, the
+    stage that precedes embedding in a chunked-retrieval pipeline."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunk_documents
+
+    t = _tables(spark, sf_dir)
+    return chunk_documents(t["documents"], size=32, overlap=8)
+
+
+# ===========================================================================
 # As-of join (operators/asof.py) — purchase -> latest preceding view
 # attribution, the classic event-time as-of workload
 # ===========================================================================
@@ -1799,8 +1819,9 @@ _ORDER = [
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "ivf_search_pruned", "lsh_ann_topk",
     "lsh_neardup_pairs",
-    # keyword + hybrid retrieval, as-of join
+    # keyword + hybrid retrieval, as-of join, chunking
     "bm25_topk", "hybrid_search_rrf", "asof_purchase_attribution",
+    "document_chunks",
     # streaming / LLM surface
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
     "corpus_enrichment",
@@ -1810,7 +1831,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 53, len(_ORDER)
+assert len(_ORDER) == 54, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
