@@ -82,6 +82,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                     # integer div: ns values exceed 2^53, float division
                     # would lose the low microsecond digit
                     df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                elif name == "events" and field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+                    # newer Spark reads TIMESTAMP(NANOS, adjustedToUTC=false)
+                    # natively as TIMESTAMP_NTZ (the nanosAsLong conf no
+                    # longer applies); normalize to session-TZ (UTC)
+                    # TimestampType so event-time ops that require LTZ
+                    # (streaming watermarks) keep working unchanged
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             tables[name] = df
     return tables
