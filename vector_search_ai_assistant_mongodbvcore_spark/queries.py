@@ -138,44 +138,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "top_orders_by_revenue",
-    """
-    SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-)
-def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
-    customer-side is broadcast (small after filter); top-k is
-    TakeOrderedAndProject, no global sort."""
-    t = _tables(spark, sf_dir)
-    cutoff = F.lit("1998-03-15").cast("timestamp")
-    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
-    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
     "regional_revenue",
     """
     SELECT n_name,
@@ -312,26 +274,6 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
-    )
-
-
-@register(
-    "part_brand_stats",
-    """
-    SELECT p_brand, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           MAX(p_size) AS max_size
-    FROM part GROUP BY p_brand
-    """,
-)
-def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tables(spark, sf_dir)
-    return t["part"].groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        (F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
-            "avg_price"
-        ),
-        F.max("p_size").alias("max_size"),
     )
 
 
@@ -631,22 +573,6 @@ def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "user_value_rollup",
-    """
-    SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY user_id
-    """,
-)
-def user_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tables(spark, sf_dir)
-    return t["events"].groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-    )
-
-
-@register(
     "first_exchange_trigger",
     """
     SELECT user_id, COUNT(*) AS n FROM events
@@ -771,20 +697,6 @@ def doc_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias("doc_json"),
-    )
-
-
-@register(
-    "event_type_distincts",
-    """
-    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY event_type
-    """,
-)
-def event_type_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _tables(spark, sf_dir)
-    return t["events"].groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
     )
 
 
@@ -1798,17 +1710,17 @@ def corpus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      one that was already missing, never a cheap hash-verified query
 _ORDER = [
     # relational core
-    "pricing_summary", "top_orders_by_revenue", "regional_revenue",
+    "pricing_summary", "regional_revenue",
     "top_orders_by_price", "dataset_split_counts", "customer_order_stats",
-    "part_brand_stats", "order_priority_rollup", "active_vs_purchasing_users",
+    "order_priority_rollup", "active_vs_purchasing_users",
     "purchase_ranks_per_user", "customers_without_big_orders",
     # reference operator surface (filters/projections/windows/aggregates)
     "events_conjunctive_filter", "embeddings_projection",
     "conversation_window_events", "key_lookup", "latest_order_lookup",
     "conversation_text_by_user", "latest_events_per_user",
-    "running_value_per_user", "user_value_rollup", "first_exchange_trigger",
+    "running_value_per_user", "first_exchange_trigger",
     "sessionization", "events_hourly_rollup", "payload_concat_by_source",
-    "doc_serialize_json", "event_type_distincts", "scalar_function_suite",
+    "doc_serialize_json", "scalar_function_suite",
     # text analysis
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints",
@@ -1831,7 +1743,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 54, len(_ORDER)
+assert len(_ORDER) == 50, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
