@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "knn_join",
     "bm25_topk",
     "hybrid_search_rrf",
+    "asof_purchase_attribution",
+    "document_chunks",
     "lsh_ann_topk",
     "lsh_neardup_pairs",
     "ivf_search_all_probes",
