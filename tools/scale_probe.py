@@ -56,14 +56,25 @@ def main() -> None:
     shutil.rmtree(WORK, ignore_errors=True)
     docs1, docsN = replicate("documents", "doc_id")
     emb1, embN = replicate("embeddings", "vec_id")
+    # events: ids offset per copy but user_ids kept — every user gets N×
+    # the history, the worst case for the per-key as-of window
+    ev1, evN = replicate("events", "event_id")
 
     def timed(fn) -> float:
         t0 = time.time()
         fn()
         return round(time.time() - t0, 2)
 
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.asof import asof_join
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunk_documents
+
     ops = {
         "exact_dedup": lambda d: DD.exact_dedup(d).write.format("noop").mode("overwrite").save(),
+        "bm25_score": lambda d: KW.bm25_scores(d, ["spark", "hash", "join", "scan"])
+        .write.format("noop").mode("overwrite").save(),
+        "chunking": lambda d: chunk_documents(d, size=32, overlap=8)
+        .write.format("noop").mode("overwrite").save(),
         "minhash_band_pairs": lambda d: DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
         .write.format("noop").mode("overwrite").save(),
         "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
@@ -91,10 +102,28 @@ def main() -> None:
         .search([0.1] * 64, k=10).write.format("noop").mode("overwrite").save(),
     }
 
+    def asof_attr(e):
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        asof_join(purchases, views, on="ts", by="user_id", right_cols=["view_id"]) \
+            .write.format("noop").mode("overwrite").save()
+
+    ev_ops = {"asof_attribution": asof_attr}
+
     report = {}
     for name, fn in ops.items():
         fn(docs1)  # warm codegen/JIT for this op so t1 isn't cold-run noise
         t1, tN = timed(lambda: fn(docs1)), timed(lambda: fn(docsN))
+        report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
+    for name, fn in ev_ops.items():
+        fn(ev1)
+        t1, tN = timed(lambda: fn(ev1)), timed(lambda: fn(evN))
         report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
     for name, fn in vec_ops.items():
         fn(emb1)
