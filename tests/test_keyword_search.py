@@ -126,3 +126,55 @@ def test_bm25_topk_plan_is_take_ordered(spark):
     df = q.queries()["bm25_topk"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_index_matches_batch_scores(spark, tmp_path, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    docs = tables["documents"]
+    idx = Bm25Index(spark, str(tmp_path / "bm25")).build_if_absent(docs, n_buckets=16)
+    got = {r["doc_id"]: r["bm25"] for r in idx.search(TERMS, k=10).collect()}
+    batch = KW.bm25_scores(docs, TERMS)
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in batch.orderBy(F.col("bm25").desc(), "doc_id").limit(10).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_bm25_index_prunes_partitions(spark, tmp_path, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    idx = Bm25Index(spark, str(tmp_path / "bm25p")).build_if_absent(
+        tables["documents"], n_buckets=16
+    )
+    df = idx.search(["spark"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    b = Bm25Index.bucket_py("spark", 16)
+    assert f"bucket#" in plan  # partition column present
+    assert "PartitionFilters: [" in plan and str(b) in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_bm25_index_rebuilds_on_stale_fingerprint(spark, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    src = tmp_path / "corpus"
+    spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    docs1 = spark.read.parquet(str(src))
+    idx = Bm25Index(spark, str(tmp_path / "idx")).build_if_absent(docs1, n_buckets=4)
+    assert idx.search(["alpha"], k=1).count() == 1
+
+    import time
+
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(0, "gamma delta"), (1, "gamma")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(src))
+    docs2 = spark.read.parquet(str(src))
+    idx = Bm25Index(spark, str(tmp_path / "idx")).build_if_absent(docs2, n_buckets=4)
+    assert idx.search(["alpha"], k=5).count() == 0
+    assert idx.search(["gamma"], k=5).count() == 2

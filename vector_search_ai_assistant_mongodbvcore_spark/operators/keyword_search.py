@@ -163,6 +163,148 @@ def bm25_cte_sql(
     )"""
 
 
+class Bm25Index:
+    """MATERIALIZED inverted index for BM25 serving: build once, then each
+    query reads only its terms' partitions.
+
+    Layout (same build/exists/build_if_absent/meta discipline as IvfIndex /
+    LshIndex):
+
+      postings/   parquet PARTITIONED BY term-bucket; one row per
+                  (term, doc) carrying tf and DENORMALIZED dl + df — the
+                  serving scan needs no join at all
+      meta.json   n_docs, avgdl, n_buckets, source-data fingerprint
+
+    bucket(term) = first-8-hex-of-md5 mod n_buckets — computable
+    identically driver-side (Python) and executor-side (Catalyst md5/conv),
+    so the query plans an IN-filter on the partition column and Catalyst
+    prunes at file-listing time: a q-term query reads ~q/n_buckets of the
+    index however large the corpus. Build cost is ONE scan of the text
+    column (dl and df both derive from the tf aggregate, no second pass).
+
+    At 100 TB: n_buckets sizes the pruning granularity (default 64 keeps
+    local test dirs sane; a real corpus wants ~4096) and hot terms spread
+    within a bucket across its parquet files; serving = pruned scan ->
+    per-doc sum -> TakeOrdered, the same bounded shape as bm25_scores."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---- bucket hash (portable Python/Catalyst pair) ---------------------
+    @staticmethod
+    def bucket_py(term: str, n_buckets: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+    @staticmethod
+    def bucket_col(col, n_buckets: int):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+        ).cast("int")
+
+    # ---- lifecycle -------------------------------------------------------
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self.path, "meta.json"))
+
+    def meta(self) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "meta.json")) as f:
+            return json.load(f)
+
+    def build_if_absent(self, docs: DataFrame, **kwargs) -> "Bm25Index":
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
+
+        if not self.exists() or self.meta().get("fingerprint") != data_fingerprint(docs):
+            self.build(docs, **kwargs)
+        return self
+
+    def build(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> "Bm25Index":
+        import json
+        import os
+
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
+
+        toks = docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        # dl/df derive from tf — ONE scan of the text column total
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = (
+            tf.join(dl, id_col)
+            .join(dfreq, "term")
+            .withColumn("bucket", self.bucket_col(F.col("term"), n_buckets))
+        )
+        postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(self.path, "postings"))
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": row["n_docs"],
+                    "avgdl": row["avgdl"],
+                    "n_buckets": n_buckets,
+                    "id_col": id_col,
+                    "fingerprint": data_fingerprint(docs),
+                },
+                f,
+            )
+        return self
+
+    # ---- serving ---------------------------------------------------------
+    def search(
+        self,
+        query_terms: Sequence[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Pruned-scan BM25 top-k, returned LAZILY. The bucket IN-filter
+        prunes partitions at file-listing time (check explain():
+        PartitionFilters); n_docs/avgdl come from meta — no stats pass, no
+        join on the serving path."""
+        import os
+
+        meta = self.meta()
+        terms = list(dict.fromkeys(query_terms))
+        n_b = meta["n_buckets"]
+        buckets = sorted({self.bucket_py(t, n_b) for t in terms})
+        id_col = meta["id_col"]
+        scan = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+        idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        denom = F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / F.lit(avgdl))
+        contrib = (idf * F.col("tf") * (k1 + 1.0)) / denom
+        return (
+            scan.withColumn("_c", contrib)
+            .groupBy(id_col)
+            .agg(F.sum("_c").alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+
 def ranked_topk(
     scored: DataFrame,
     score_col: str,
