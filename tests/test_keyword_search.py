@@ -178,3 +178,30 @@ def test_bm25_index_rebuilds_on_stale_fingerprint(spark, tmp_path):
     idx = Bm25Index(spark, str(tmp_path / "idx")).build_if_absent(docs2, n_buckets=4)
     assert idx.search(["alpha"], k=5).count() == 0
     assert idx.search(["gamma"], k=5).count() == 2
+
+
+def test_hybrid_search_indexed_end_to_end(spark, tmp_path, tables):
+    """Both legs served from materialized indexes, fused with RRF."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+        hybrid_search_indexed,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    bm = Bm25Index(spark, str(tmp_path / "bm")).build_if_absent(
+        tables["documents"], n_buckets=16
+    )
+    lsh = LshIndex(spark, str(tmp_path / "lsh")).build_if_absent(
+        tables["embeddings"], dims=64, bits=4, tables=2,
+        vector_col="embedding", id_col="vec_id",
+    )
+    qtext = "spark hash join scan"
+    qvec = [float(x) for x in HashNgramEmbedder(dims=64).embed_numpy([qtext])[0]]
+    out = hybrid_search_indexed(bm, lsh, qtext, qvec, k=10).collect()
+    assert 0 < len(out) <= 10
+    # rrf scores positive, sorted desc with id tiebreak
+    keys = [(-r["rrf"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    for r in out:
+        assert (r["rank_a"] is not None) or (r["rank_b"] is not None)

@@ -326,6 +326,45 @@ def ranked_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
 
 
+def hybrid_search_indexed(
+    bm25_index: "Bm25Index",
+    vector_index,
+    query_text: str,
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_candidates: int = 20,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-backed hybrid serving: BOTH retrieval legs run off their
+    materialized, partition-pruned indexes (Bm25Index postings + LSH/IVF
+    bucket partitions), then fuse with RRF — the full production topology:
+    per-query cost is two pruned scans + two k-row rank windows + a k×k
+    join, independent of corpus size.
+
+    `vector_index` is anything with .search(query, k=...) returning
+    (vec_id, score) — LshIndex or IvfIndex."""
+    terms = [t for t in query_text.lower().split() if t]
+    kw_scored = bm25_index.search(terms, k=n_candidates)
+    kw = ranked_topk(kw_scored, "bm25", id_col, k=n_candidates).withColumnRenamed(
+        "rank", "rank_a"
+    )
+    vec_scored = vector_index.search(list(query_vector), k=n_candidates).select(
+        F.col(vec_id_col).alias(id_col), F.col("score")
+    )
+    vec = ranked_topk(vec_scored, "score", id_col, k=n_candidates).withColumnRenamed(
+        "rank", "rank_b"
+    )
+    fused = rrf_fuse(
+        kw.withColumnRenamed("rank_a", "rank"),
+        vec.withColumnRenamed("rank_b", "rank"),
+        id_col=id_col,
+        k_rrf=k_rrf,
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
