@@ -1,0 +1,120 @@
+"""Repetition signals + PII scrubbing (functions/text.py round-5 additions),
+checked against independent pure-Python oracles."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+
+
+def _one(spark, expr, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+# ---- repetition ------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("a\nb\nc", 0.0),
+        ("same\nsame\nsame", 2 / 3),
+        ("x\n\n  \nx", 0.5),  # blank lines ignored, trimmed dup counts
+        ("only one line", 0.0),
+        ("", 0.0),
+    ],
+)
+def test_duplicate_line_fraction(spark, text, want):
+    got = _one(spark, TX.duplicate_line_fraction("text"), text)
+    assert got == pytest.approx(want)
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("spam spam spam spam", 1.0),
+        ("a a b c", 0.5),
+        ("all words differ here", 0.25),
+        ("", 0.0),
+    ],
+)
+def test_repeated_word_fraction(spark, text, want):
+    got = _one(spark, TX.repeated_word_fraction("text"), text)
+    assert got == pytest.approx(want)
+
+
+def py_top_bigram_fraction(text):
+    ws = [w for w in re.split(r"\s+", text.strip()) if w]
+    bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    if not bg:
+        return 0.0
+    return max(bg.count(u) for u in set(bg)) / len(bg)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "the cat sat on the cat sat again",
+        "buy now buy now buy now",
+        "one two three four",
+        "single",
+        "",
+    ],
+)
+def test_top_bigram_fraction_matches_python(spark, text):
+    got = _one(spark, TX.top_bigram_fraction("text"), text)
+    assert got == pytest.approx(py_top_bigram_fraction(text))
+
+
+def test_repetition_signals_on_corpus_are_bounded(spark, tables):
+    rows = tables["documents"].select(
+        TX.duplicate_line_fraction("text").alias("dl"),
+        TX.repeated_word_fraction("text").alias("rw"),
+        TX.top_bigram_fraction("text").alias("tb"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["dl"] <= 1.0
+        assert 0.0 <= r["rw"] <= 1.0
+        assert 0.0 <= r["tb"] <= 1.0
+
+
+# ---- PII -------------------------------------------------------------------
+
+
+def test_scrub_pii_each_category(spark):
+    cases = {
+        "contact bob@example.com now": "<EMAIL>",
+        "server at 192.168.0.1 down": "<IP>",
+        "ssn 123-45-6789 leaked": "<SSN>",
+        "card 4111 1111 1111 1111 charged": "<CARD>",
+        "call +1 555-123-4567 today": "<PHONE>",
+    }
+    for text, tag in cases.items():
+        got = _one(spark, TX.scrub_pii("text"), text)
+        assert tag in got, (text, got)
+        # no raw long digit runs / addresses survive
+        assert "@" not in got or tag != "<EMAIL>"
+
+
+def test_scrub_pii_email_before_phone(spark):
+    got = _one(spark, TX.scrub_pii("text"), "mail a1234567890@host.org ok")
+    assert got == "mail <EMAIL> ok"
+
+
+def test_scrub_pii_leaves_clean_text(spark):
+    clean = "spark joins two tables on a key in 2024"
+    assert _one(spark, TX.scrub_pii("text"), clean) == clean
+
+
+def test_pii_hit_counts(spark):
+    text = "a@b.co and c@d.org from 10.0.0.1, ssn 123-45-6789"
+    got = _one(spark, TX.pii_hit_counts("text"), text).asDict()
+    assert got["email"] == 2
+    assert got["ipv4"] == 1
+    assert got["ssn"] == 1
+    assert got["card"] == 0

@@ -257,3 +257,104 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5):
         )
         .select(id_col, "ng")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher/C4 family of quality filters: published
+# training-data pipelines drop documents whose content is dominated by
+# repeated lines / words / n-grams). Pure column expressions; the per-row
+# higher-order functions are interpreted (not codegen) but stay linear in
+# tokens per row and fully distributed — acceptable for a per-document
+# signal, and there is no shuffle anywhere in these.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line
+    (0 when <= 1 line). A document of copy-pasted boilerplate scores high."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n.cast("double")
+    )
+
+
+def repeated_word_fraction(col: Column | str) -> Column:
+    """Occurrence fraction of the single most frequent word (0 for empty
+    text). All-same-word spam scores ~1; natural text stays low."""
+    ws = words(col)
+    n = F.size(ws)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda u: F.size(F.filter(ws, lambda x: x == u)),
+        )
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        top.cast("double") / n.cast("double")
+    )
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Occurrence fraction of the most frequent word bigram (0 when < 2
+    words) — the n=2 member of the repeated-n-gram filter family."""
+    ws = words(col)
+    n = F.size(ws)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.slice(ws, 1, n - 1),
+            lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
+        )
+    )
+    nb = F.size(bigrams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda u: F.size(F.filter(bigrams, lambda x: x == u)),
+        )
+    )
+    return F.when(nb <= 0, F.lit(0.0)).otherwise(
+        top.cast("double") / nb.cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of the common machine-recognizable
+# formats. Pure regexp_replace chain (codegen, no UDF). Order matters:
+# emails before phones (an email's digits must not be phone-matched),
+# SSN-style before generic phone (both are digit runs with dashes).
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b(?:\d[ -]?){13,16}\d\b", "<CARD>"),
+    ("phone", r"(?:\+?\d{1,3}[ .\-])?(?:\(\d{2,4}\)[ .\-]?)?\d{2,4}[ .\-]\d{3,4}[ .\-]?\d{0,4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4s, SSN-style ids, card-like digit runs, and
+    phone-like numbers with typed placeholders. Pattern order is load-
+    bearing (see module comment); patterns favor recall on machine-
+    formatted PII and do not attempt free-text name detection."""
+    out = _c(col)
+    for _, pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hit_counts(col: Column | str) -> Column:
+    """Struct of per-category PII match counts (email/ipv4/ssn/card/phone),
+    computed on the same cascade state scrub_pii redacts in — counts agree
+    with what scrub_pii would replace."""
+    out = _c(col)
+    fields = []
+    for name, pat, repl in _PII_PATTERNS:
+        fields.append(F.regexp_count(out, F.lit(pat)).alias(name))
+        out = F.regexp_replace(out, pat, repl)
+    return F.struct(*fields)
