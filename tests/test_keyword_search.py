@@ -205,3 +205,14 @@ def test_hybrid_search_indexed_end_to_end(spark, tmp_path, tables):
     assert keys == sorted(keys)
     for r in out:
         assert (r["rank_a"] is not None) or (r["rank_b"] is not None)
+
+
+def test_entry_flagship_hybrid(spark):
+    """Driver smoke-check twin: entry() returns >0 rows, stable schema."""
+    from vector_search_ai_assistant_mongodbvcore_spark import queries as q
+
+    df = q.entry(spark)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert df.columns == ["doc_id", "rrf", "kw_rank", "vec_rank", "text", "lang", "source"]
+    assert all(r["rrf"] > 0 for r in rows)

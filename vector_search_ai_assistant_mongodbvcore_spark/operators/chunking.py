@@ -2,7 +2,8 @@
 expressions.
 
 The reference ingests whole documents and embeds them 1:1
-(Vectorize/Program.cs; each CosmosDB item -> one vector). Production RAG
+(Vectorize/IngestAndVectorize.cs: each item serialized and embedded as one
+vector). Production RAG
 pipelines chunk long documents into overlapping windows BEFORE embedding so
 retrieval granularity matches context budgets; this operator supplies that
 stage Spark-first:

@@ -1780,20 +1780,41 @@ def oracle_sql() -> dict[str, str]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the reference's chat-retrieval core (V6+V1+P1) — embed a
-    natural-language question, exact top-k cosine over the embeddings table,
-    join back to document text (what the RAG payload is built from)."""
+    """Flagship: hybrid chat retrieval — the reference's vector core
+    (V6+V1+P1: embed the question, exact top-k cosine) RRF-fused with the
+    BM25 keyword leg for the same question, joined back to document text
+    (what the RAG payload is built from)."""
     from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import (
         HashNgramEmbedder,
     )
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
-        vector_search,
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+        cosine_similarity,
     )
 
     t = _tables(spark, "/root/testdata/sf0.001")
+    question = "fast hash join over sorted tables"
     emb = HashNgramEmbedder(dims=64)
-    q = [float(x) for x in emb.embed_numpy(["fast hash join over sorted tables"])[0]]
-    topk = vector_search(t["embeddings"], q, k=10, vector_col="embedding")
-    return topk.join(t["documents"], topk.vec_id == t["documents"].doc_id, "left").select(
-        "vec_id", "score", "text", "lang", "source"
+    q = [float(x) for x in emb.embed_numpy([question])[0]]
+    vec_scored = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_similarity(F.col("embedding").cast("array<double>"), q).alias("cos"),
+    )
+    vec = KW.ranked_topk(vec_scored, "cos", "doc_id", k=10).withColumnRenamed(
+        "rank", "vec_rank"
+    )
+    kw = KW.ranked_topk(
+        KW.bm25_scores(t["documents"], question.split()), "bm25", "doc_id", k=10
+    ).withColumnRenamed("rank", "kw_rank")
+    fused = kw.join(vec, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    )
+    top = (
+        fused.select("doc_id", "kw_rank", "vec_rank", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+    return top.join(t["documents"], "doc_id", "left").select(
+        "doc_id", "rrf", "kw_rank", "vec_rank", "text", "lang", "source"
     )
