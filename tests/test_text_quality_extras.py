@@ -118,3 +118,21 @@ def test_pii_hit_counts(spark):
     assert got["ipv4"] == 1
     assert got["ssn"] == 1
     assert got["card"] == 0
+
+
+def test_pii_hit_total_matches_struct_sum(spark, tables):
+    from pyspark.sql import functions as F
+
+    got = tables["documents"].select(
+        TX.pii_hit_total("text").alias("total"),
+        TX.pii_hit_counts("text").alias("c"),
+    ).collect()
+    for r in got:
+        c = r["c"].asDict()
+        assert r["total"] == sum(c.values())
+
+
+def test_pii_hit_total_counts(spark):
+    text = "a@b.co and c@d.org from 10.0.0.1, ssn 123-45-6789"
+    got = _one(spark, TX.pii_hit_total("text"), text)
+    assert got == 4

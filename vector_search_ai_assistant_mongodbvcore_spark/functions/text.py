@@ -282,20 +282,42 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     )
 
 
+def _max_run_fraction(arr: Column) -> Column:
+    """Occurrence fraction of the most frequent element: sort, then ONE
+    aggregate pass tracking the longest equal-run — O(n log n) per row vs
+    the O(distinct × n) of the naive transform(distinct, filter) nesting
+    (which is interpreted and was measured ~10× slower on real docs)."""
+    sorted_arr = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    best = F.aggregate(
+        sorted_arr,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        best.cast("double") / n.cast("double")
+    )
+
+
 def repeated_word_fraction(col: Column | str) -> Column:
     """Occurrence fraction of the single most frequent word (0 for empty
     text). All-same-word spam scores ~1; natural text stays low."""
-    ws = words(col)
-    n = F.size(ws)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda u: F.size(F.filter(ws, lambda x: x == u)),
-        )
-    )
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        top.cast("double") / n.cast("double")
-    )
+    return _max_run_fraction(words(col))
 
 
 def top_bigram_fraction(col: Column | str) -> Column:
@@ -309,16 +331,7 @@ def top_bigram_fraction(col: Column | str) -> Column:
             lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
         )
     )
-    nb = F.size(bigrams)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda u: F.size(F.filter(bigrams, lambda x: x == u)),
-        )
-    )
-    return F.when(nb <= 0, F.lit(0.0)).otherwise(
-        top.cast("double") / nb.cast("double")
-    )
+    return _max_run_fraction(bigrams)
 
 
 # ---------------------------------------------------------------------------
@@ -351,10 +364,23 @@ def scrub_pii(col: Column | str) -> Column:
 def pii_hit_counts(col: Column | str) -> Column:
     """Struct of per-category PII match counts (email/ipv4/ssn/card/phone),
     computed on the same cascade state scrub_pii redacts in — counts agree
-    with what scrub_pii would replace."""
+    with what scrub_pii would replace.
+
+    NOTE: each getField() on this struct re-inlines the whole cascade into
+    the plan (Catalyst collapses projections); when you only need ONE
+    total, use pii_hit_total — a single alternation regex, one expression
+    node."""
     out = _c(col)
     fields = []
     for name, pat, repl in _PII_PATTERNS:
         fields.append(F.regexp_count(out, F.lit(pat)).alias(name))
         out = F.regexp_replace(out, pat, repl)
     return F.struct(*fields)
+
+
+def pii_hit_total(col: Column | str) -> Column:
+    """Total PII matches as ONE regexp_count over the alternation of every
+    category pattern (earlier-category precedence comes free: regex
+    alternation is first-match, mirroring the cascade's order)."""
+    alternation = "|".join(f"(?:{pat})" for _, pat, _ in _PII_PATTERNS)
+    return F.regexp_count(_c(col), F.lit(alternation))

@@ -1666,6 +1666,9 @@ def corpus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit on a 0.5 sample (fit_fraction — the fit must never see the
         full table at 100 TB), assignment covering every row
         (tests/test_topics.py: determinism/purity)
+      * repetition signals + PII hit count — the Gopher/C4 repetition
+        filters and the redaction-cascade counts (pure column exprs;
+        python-oracle tests in tests/test_text_quality_extras.py)
     """
     from vector_search_ai_assistant_mongodbvcore_spark.operators.topics import cluster_topics
     from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
@@ -1693,7 +1696,12 @@ def corpus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"], k=8, fit_fraction=0.5
     ).withColumnRenamed("vec_id", "doc_id")
     comp = docs.select(
-        "doc_id", F.round(TX.compression_ratio("text"), 6).alias("compression_ratio")
+        "doc_id",
+        F.round(TX.compression_ratio("text"), 6).alias("compression_ratio"),
+        F.round(TX.duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(TX.repeated_word_fraction("text"), 6).alias("rep_word_frac"),
+        F.round(TX.top_bigram_fraction("text"), 6).alias("top_bigram_frac"),
+        TX.pii_hit_total("text").alias("pii_hits"),
     )
     return comp.join(feats, "doc_id").join(topics, "doc_id")
 
