@@ -101,3 +101,51 @@ def test_assign_split_plan_is_narrow(spark, tables):
     """The hash split must add NO shuffle: at 100 TB it is a free column."""
     plan = assign_split(tables["documents"], "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- sample_by_rates -------------------------------------------------------
+
+
+def test_sample_by_rates_deterministic_and_nested(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import sample_by_rates
+
+    docs = tables["documents"]
+    a = {r["doc_id"] for r in sample_by_rates(docs, "source", {"src0": 0.25}, default_rate=0.0).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_by_rates(docs, "source", {"src0": 0.25}, default_rate=0.0).select("doc_id").collect()}
+    assert a == b  # reproducible
+    half = {r["doc_id"] for r in sample_by_rates(docs, "source", {"src0": 0.5}, default_rate=0.0).select("doc_id").collect()}
+    assert a <= half  # thresholds nest
+
+
+def test_sample_by_rates_proportions(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import sample_by_rates
+
+    docs = tables["documents"]
+    n_src0 = docs.filter("source = 'src0'").count()
+    kept = sample_by_rates(docs, "source", {"src0": 0.5}, default_rate=1.0)
+    k_src0 = kept.filter("source = 'src0'").count()
+    # md5 buckets are uniform; 50% ± generous tolerance at small n
+    assert abs(k_src0 / n_src0 - 0.5) < 0.25
+    # other sources untouched at default_rate=1.0
+    assert kept.filter("source <> 'src0'").count() == docs.filter("source <> 'src0'").count()
+
+
+def test_sample_by_rates_default_drop_and_validation(spark, tables):
+    import pytest as _pytest
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import sample_by_rates
+
+    docs = tables["documents"]
+    kept = sample_by_rates(docs, "source", {"src0": 1.0})  # default 0.0
+    assert kept.filter("source <> 'src0'").count() == 0
+    assert kept.filter("source = 'src0'").count() == docs.filter("source = 'src0'").count()
+    with _pytest.raises(ValueError):
+        sample_by_rates(docs, "source", {"src0": 1.5})
+
+
+def test_sample_by_rates_no_shuffle(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import sample_by_rates
+
+    df = sample_by_rates(tables["documents"], "source", {"src0": 0.5}, default_rate=0.2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -119,3 +119,44 @@ def assign_split_stratified(
     last = F.lit(items[-1][0])
     out = last if out is None else out.otherwise(last)
     return ranked.withColumn(out_col, out).drop("_rn", "_n")
+
+
+def sample_by_rates(
+    df: DataFrame,
+    rate_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic dataset-mixture sampling: keep each row with its
+    group's rate (e.g. {"src0": 1.0, "src1": 0.25} downsamples src1 4×) —
+    the source-mixing step of a training-data pipeline.
+
+    Unlike df.sampleBy this is DETERMINISTIC and reproducible across runs,
+    engines and partitionings: keep iff md5-bucket(seed, id) < rate, the
+    same portable hash as assign_split, so the kept set is a pure function
+    of (id, seed) — re-running the pipeline (or re-partitioning the input)
+    yields the identical mixture, and nested rates compose (a row kept at
+    0.25 is also kept at 0.5: buckets are uniform, thresholds nest).
+
+    Narrow plan: one when-chain filter, no shuffle. Groups absent from
+    `rates` use default_rate (0.0 = drop, the safe default for an explicit
+    mixture spec)."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = split_bucket(F.col(id_col), seed)
+    thresh = None
+    for g, r in rates.items():
+        cond = F.col(rate_col) == g
+        lit = F.lit(int(r * _BUCKETS))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        F.lit(int(default_rate * _BUCKETS))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_rate * _BUCKETS)))
+    )
+    return df.filter(bucket < thresh)
