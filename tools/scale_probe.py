@@ -73,6 +73,14 @@ def main() -> None:
         "exact_dedup": lambda d: DD.exact_dedup(d).write.format("noop").mode("overwrite").save(),
         "bm25_score": lambda d: KW.bm25_scores(d, ["spark", "hash", "join", "scan"])
         .write.format("noop").mode("overwrite").save(),
+        "bm25_index_build": lambda d: KW.Bm25Index(
+            spark, os.path.join(WORK, f"bm25_{d is docsN}")
+        ).build(d, n_buckets=64),
+        # serving path on the index built above (dict order guarantees it)
+        "bm25_index_search": lambda d: KW.Bm25Index(
+            spark, os.path.join(WORK, f"bm25_{d is docsN}")
+        ).search(["spark", "hash", "join", "scan"], k=10)
+        .write.format("noop").mode("overwrite").save(),
         "chunking": lambda d: chunk_documents(d, size=32, overlap=8)
         .write.format("noop").mode("overwrite").save(),
         "minhash_band_pairs": lambda d: DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
