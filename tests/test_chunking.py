@@ -70,3 +70,47 @@ def test_row_count_bound(spark, tables):
     n_chunks = chunk_documents(docs, size=32, overlap=8).count()
     n_docs = docs.filter(F.trim("text") != "").count()
     assert n_chunks >= n_docs  # at least one chunk per nonempty doc
+
+
+# ---- property tests --------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        words=st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=40),
+        size=st.integers(2, 10),
+        overlap=st.integers(0, 8),
+    )
+    def test_chunking_invariants(spark, words, size, overlap):
+        if overlap >= size:
+            overlap = size - 1
+        text = " ".join(words)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, size=size, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        stride = size - overlap
+        # chunk count = ceil(n / stride)
+        assert len(rows) == -(-len(words) // stride)
+        # ids contiguous from 0
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        # every chunk nonempty, at most `size` tokens, n_tokens consistent
+        for r in rows:
+            toks = r["chunk_text"].split(" ")
+            assert 1 <= len(toks) <= size
+            assert len(toks) == r["n_tokens"]
+        # exact coverage: token i of the doc appears at its expected
+        # offset inside chunk i//stride
+        for i, w in enumerate(words):
+            c = rows[i // stride]
+            assert c["chunk_text"].split(" ")[i - (i // stride) * stride] == w
