@@ -69,3 +69,32 @@ def test_minhash_single_shuffle_to_signatures(spark, reg):
     rep = _report(spark, reg, "minhash_signatures")
     assert rep.exchanges <= 1
     assert rep.python_evals == 0
+
+
+def test_bm25_topk_take_ordered_no_global_sort(spark, reg):
+    rep = _report(spark, reg, "bm25_topk")
+    assert rep.take_ordered
+    assert rep.global_sorts == 0
+    assert rep.python_evals == 0  # pure codegen score expression
+
+
+def test_hybrid_rrf_take_ordered_and_tiny_join(spark, reg):
+    rep = _report(spark, reg, "hybrid_search_rrf")
+    assert rep.take_ordered
+    assert rep.global_sorts == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_asof_join_single_window_shuffle(spark, reg):
+    """Union + ordered window: the views dedup agg plus ONE keyed window
+    exchange — never a range-join explosion."""
+    rep = _report(spark, reg, "asof_purchase_attribution")
+    assert rep.exchanges <= 2
+    assert "CartesianProduct" not in rep.raw
+    assert rep.sortmerge_joins == 0
+
+
+def test_document_chunks_narrow_plan(spark, reg):
+    rep = _report(spark, reg, "document_chunks")
+    assert rep.exchanges == 0
+    assert rep.python_evals == 0
