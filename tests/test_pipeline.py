@@ -1,0 +1,66 @@
+"""End-to-end corpus preparation pipeline (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+    prepare_training_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        (0, "src0", "the spark engine joins tables for fast analytics work today"),
+        (1, "src0", "the spark engine joins tables for fast analytics work today"),  # dup of 0
+        (2, "src0", "spam spam spam spam spam spam spam spam"),  # repetition filter
+        (3, "src1", "email me at a@b.com about the data pipeline we are building"),
+        (4, "src1", "x"),  # too short -> quality floor
+        (5, "src1", "a clean second document with plenty of ordinary words to keep it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pipeline_stages_apply(spark, raw):
+    out = prepare_training_corpus(
+        raw, min_quality=0.1, chunk_size=6, chunk_overlap=2
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(ids & {0, 1}) == 1  # exactly one of the duplicate pair
+    assert 2 not in ids  # repetition-filtered
+    assert 4 not in ids  # quality floor
+    assert 3 in ids and 5 in ids
+    # PII scrubbed before chunking
+    text3 = " ".join(
+        r["chunk_text"] for r in sorted(
+            (r for r in out if r["doc_id"] == 3), key=lambda r: r["chunk_id"]
+        )
+    )
+    assert "<EMAIL>" in text3 and "a@b.com" not in text3
+    # one split label per doc (no leakage across chunks)
+    for d in ids:
+        assert len({r["split"] for r in out if r["doc_id"] == d}) == 1
+
+
+def test_pipeline_deterministic(spark, raw):
+    a = prepare_training_corpus(raw, min_quality=0.1).collect()
+    b = prepare_training_corpus(raw, min_quality=0.1).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(tuple, a), key=lambda t: t[:3]) == sorted(map(tuple, b), key=lambda t: t[:3])
+
+
+def test_pipeline_source_rates(spark, raw):
+    out = prepare_training_corpus(
+        raw, min_quality=0.1, source_rates={"src1": 0.0}
+    ).collect()
+    assert all(r["doc_id"] in (0, 1) for r in out)  # src1 dropped entirely
+
+
+def test_pipeline_on_real_corpus(spark, tables):
+    out = prepare_training_corpus(tables["documents"])
+    rows = out.count()
+    assert rows > 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits

@@ -1,0 +1,89 @@
+"""End-to-end training-corpus preparation: the operators composed the way
+a 100 TB pipeline actually runs them.
+
+    raw docs
+      -> exact dedup          (operators/dedup.exact_dedup keep-set)
+      -> quality filters      (functions/text: quality_score floor,
+                               repetition ceilings — the Gopher/C4 pass)
+      -> PII scrub            (functions/text.scrub_pii)
+      -> mixture sampling     (operators/splits.sample_by_rates, optional)
+      -> split assignment     (operators/splits.assign_split)
+      -> chunking             (operators/chunking.chunk_documents)
+
+Every stage is one of the individually-tested operators; this module only
+composes them, adds no new semantics, and keeps the whole flow lazy (one
+DataFrame in, one DataFrame out — callers write it wherever the corpus
+lives). Stage order is load-bearing: dedup before quality (a duplicate
+passing quality once must not pass twice), scrub before chunking (chunk
+boundaries must not split a redaction placeholder), splits before chunking
+(all chunks of a doc belong to one split — no train/test leakage through
+shared text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunk_documents
+from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import exact_dedup
+from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+    assign_split,
+    sample_by_rates,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    max_repeated_word_frac: float = 0.5,
+    max_dup_line_frac: float = 0.5,
+    source_rates: dict[str, float] | None = None,
+    source_col: str = "source",
+    splits: dict[str, float] | None = None,
+    chunk_size: int = 32,
+    chunk_overlap: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
+
+    Deterministic end to end: hash-based dedup keep-set, hash-based
+    sampling/splits, expression-only filters — re-running over the same
+    corpus yields the identical chunk set."""
+    keep = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    deduped = docs.join(keep, id_col, "left_semi")
+
+    quality = deduped.filter(
+        (TX.quality_score(F.col(text_col)) >= min_quality)
+        & (TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac)
+        & (TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac)
+    )
+
+    scrubbed = quality.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
+
+    if source_rates is not None:
+        scrubbed = sample_by_rates(
+            scrubbed, source_col, source_rates, id_col=id_col, seed=seed,
+            default_rate=1.0,
+        )
+
+    labeled = assign_split(scrubbed, id_col=id_col, splits=splits, seed=seed)
+
+    chunks = chunk_documents(
+        labeled.select(id_col, text_col, "split"),
+        size=chunk_size,
+        overlap=chunk_overlap,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    # chunk_documents projects (id, chunk_id, n_tokens, chunk_text); rejoin
+    # the split label via the doc id (broadcast-friendly: labels are narrow)
+    labels = labeled.select(id_col, "split")
+    return chunks.join(labels, id_col).select(
+        id_col, "split", "chunk_id", "n_tokens", "chunk_text"
+    )
