@@ -85,3 +85,38 @@ def test_batch_mode_equivalence(spark, tables):
     docs = tables["documents"]
     n_distinct = docs.select(fingerprint_md5("text").alias("fp")).distinct().count()
     assert dedup_stream(docs).count() == n_distinct
+
+
+def test_narrow_prep_stages_run_on_a_stream(spark, tmp_path):
+    """Chunking + PII scrub + quality filters are narrow column programs,
+    so the SAME operators run unchanged under Structured Streaming — the
+    continuous-ingest half of the corpus-prep pipeline."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import chunk_documents
+
+    src = tmp_path / "stream_docs"
+    src.mkdir()
+    _write(src, "b1.json", [
+        {"doc_id": 0, "ts": "2024-01-01T10:00:00",
+         "text": "contact a@b.com about the new spark engine pipeline work"},
+        {"doc_id": 1, "ts": "2024-01-01T10:01:00", "text": "spam spam spam spam spam"},
+    ])
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    prepped = (
+        stream.filter(TX.repeated_word_fraction("text") <= 0.5)
+        .withColumn("text", TX.scrub_pii("text"))
+    )
+    q = (
+        chunk_documents(prepped, size=4, overlap=1)
+        .writeStream.format("memory")
+        .queryName("prep_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM prep_chunks").collect()
+    assert {r["doc_id"] for r in rows} == {0}  # spam doc filtered on-stream
+    text = " ".join(r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"]))
+    assert "<EMAIL>" in text and "a@b.com" not in text
