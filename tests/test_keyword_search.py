@@ -216,3 +216,36 @@ def test_entry_flagship_hybrid(spark):
     assert 0 < len(rows) <= 10
     assert df.columns == ["doc_id", "rrf", "kw_rank", "vec_rank", "text", "lang", "source"]
     assert all(r["rrf"] > 0 for r in rows)
+
+
+def test_bm25_index_incremental_add_equals_rebuild(spark, tmp_path, tables):
+    """After add_documents, serving is IDENTICAL to a fresh build over the
+    union corpus — df/dl/N/total_tokens are exact integers."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    docs = tables["documents"]
+    base = docs.filter("doc_id < 300")
+    extra = docs.filter("doc_id >= 300")
+
+    inc = Bm25Index(spark, str(tmp_path / "inc")).build(base, n_buckets=8)
+    inc.add_documents(extra)
+    full = Bm25Index(spark, str(tmp_path / "full")).build(docs, n_buckets=8)
+
+    got = {r["doc_id"]: r["bm25"] for r in inc.search(TERMS, k=20).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in full.search(TERMS, k=20).collect()}
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # meta totals accumulated exactly
+    assert inc.meta()["n_docs"] == full.meta()["n_docs"]
+    assert inc.meta()["total_tokens"] == full.meta()["total_tokens"]
+
+
+def test_bm25_index_add_rejects_wrong_key(spark, tmp_path, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    idx = Bm25Index(spark, str(tmp_path / "wk")).build(
+        tables["documents"].limit(10), n_buckets=4
+    )
+    with pytest.raises(ValueError):
+        idx.add_documents(tables["documents"].limit(5), id_col="other_id")

@@ -164,16 +164,21 @@ def bm25_cte_sql(
 
 
 class Bm25Index:
-    """MATERIALIZED inverted index for BM25 serving: build once, then each
-    query reads only its terms' partitions.
+    """MATERIALIZED inverted index for BM25 serving: build once, serve many
+    queries, ABSORB NEW DOCUMENTS INCREMENTALLY (the keyword twin of the
+    reference's near-real-time AddRemoveData path, AddRemoveData.cs:23-125).
 
     Layout (same build/exists/build_if_absent/meta discipline as IvfIndex /
-    LshIndex):
+    LshIndex) — split so that adds are appends:
 
       postings/   parquet PARTITIONED BY term-bucket; one row per
-                  (term, doc) carrying tf and DENORMALIZED dl + df — the
-                  serving scan needs no join at all
-      meta.json   n_docs, avgdl, n_buckets, source-data fingerprint
+                  (term, doc) carrying tf + the doc's dl. Document-local
+                  facts only -> new docs APPEND into their buckets, nothing
+                  existing is rewritten
+      terms/      (term, df) — the one corpus-global per-term fact, small
+                  (vocabulary-sized), atomically swapped on each add
+      meta.json   n_docs, total_tokens (avgdl = total/n exactly), n_buckets,
+                  source-data fingerprint of the base build
 
     bucket(term) = first-8-hex-of-md5 mod n_buckets — computable
     identically driver-side (Python) and executor-side (Catalyst md5/conv),
@@ -181,11 +186,14 @@ class Bm25Index:
     prunes at file-listing time: a q-term query reads ~q/n_buckets of the
     index however large the corpus. Build cost is ONE scan of the text
     column (dl and df both derive from the tf aggregate, no second pass).
+    Serving joins the query terms' df rows (a per-query-terms pruned read
+    of the small terms table, broadcast).
 
     At 100 TB: n_buckets sizes the pruning granularity (default 64 keeps
-    local test dirs sane; a real corpus wants ~4096) and hot terms spread
-    within a bucket across its parquet files; serving = pruned scan ->
-    per-doc sum -> TakeOrdered, the same bounded shape as bm25_scores."""
+    local test dirs sane; a real corpus wants ~4096); add_documents cost is
+    O(new docs' postings) + O(vocabulary) for the terms swap. Updates and
+    deletes of EXISTING docs are the documented extension: copy-on-write of
+    the touched buckets, the BucketedTable pattern."""
 
     def __init__(self, spark, path: str):
         self.spark = spark
@@ -236,36 +244,93 @@ class Bm25Index:
 
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
 
-        toks = docs.select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
-        )
-        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-        # dl/df derive from tf — ONE scan of the text column total
-        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        postings = (
-            tf.join(dl, id_col)
-            .join(dfreq, "term")
-            .withColumn("bucket", self.bucket_col(F.col("term"), n_buckets))
-        )
-        postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        tf, dl, dfreq = self._doc_facts(docs, text_col, id_col, n_buckets)
+        tf.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
+        dfreq.write.mode("overwrite").parquet(os.path.join(self.path, "terms"))
         row = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
         ).collect()[0]
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(
                 {
-                    "n_docs": row["n_docs"],
-                    "avgdl": row["avgdl"],
+                    "n_docs": int(row["n_docs"]),
+                    "total_tokens": int(row["total_tokens"] or 0),
                     "n_buckets": n_buckets,
                     "id_col": id_col,
                     "fingerprint": data_fingerprint(docs),
                 },
                 f,
             )
+        return self
+
+    def _doc_facts(self, docs, text_col: str, id_col: str, n_buckets: int):
+        """(postings tf+dl rows with bucket, per-doc dl, per-term df) from
+        ONE scan of the text column (dl/df derive from the tf aggregate)."""
+        toks = docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = tf.join(dl, id_col).withColumn(
+            "bucket", self.bucket_col(F.col("term"), n_buckets)
+        )
+        return postings, dl, dfreq
+
+    # ---- incremental maintenance ----------------------------------------
+    def add_documents(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "Bm25Index":
+        """Absorb NEW documents (ids not already indexed — the caller's
+        contract, as with the reference's add path) without touching
+        existing postings:
+
+          * new (term, doc, tf, dl) rows APPEND into their buckets
+          * the terms table merges df counts and atomically swaps
+          * n_docs/total_tokens accumulate in meta (avgdl stays exact)
+
+        After add_documents, search() results are IDENTICAL to a fresh
+        build over the union corpus (asserted in tests) — df/dl/N/avgdl are
+        all exact integers or exact ratios of them."""
+        import json
+        import os
+        import shutil
+
+        meta = self.meta()
+        n_buckets, stored_id = meta["n_buckets"], meta["id_col"]
+        if id_col != stored_id:
+            raise ValueError(f"index is keyed by {stored_id!r}, got {id_col!r}")
+        tf, dl, dfreq = self._doc_facts(docs, text_col, id_col, n_buckets)
+        tf.repartition(F.col("bucket")).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(self.path, "postings"))
+
+        terms_dir = os.path.join(self.path, "terms")
+        old = self.spark.read.parquet(terms_dir)
+        merged = (
+            old.unionByName(dfreq)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        tmp = terms_dir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(terms_dir)
+        os.rename(tmp, terms_dir)  # local swap; a real deployment swaps a
+        # catalog pointer / table version instead
+
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+        ).collect()[0]
+        meta["n_docs"] = int(meta["n_docs"]) + int(row["n_docs"])
+        meta["total_tokens"] = int(meta["total_tokens"]) + int(row["total_tokens"] or 0)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
         return self
 
     # ---- serving ---------------------------------------------------------
@@ -278,8 +343,9 @@ class Bm25Index:
     ) -> DataFrame:
         """Pruned-scan BM25 top-k, returned LAZILY. The bucket IN-filter
         prunes partitions at file-listing time (check explain():
-        PartitionFilters); n_docs/avgdl come from meta — no stats pass, no
-        join on the serving path."""
+        PartitionFilters); n_docs/avgdl come from meta; the query terms' df
+        rows come from a pruned read of the small terms table, broadcast
+        into the join."""
         import os
 
         meta = self.meta()
@@ -292,7 +358,13 @@ class Bm25Index:
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
         )
-        n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+        dfreq = (
+            self.spark.read.parquet(os.path.join(self.path, "terms"))
+            .filter(F.col("term").isin(terms))
+        )
+        scan = scan.join(F.broadcast(dfreq), "term")
+        n_docs = float(meta["n_docs"])
+        avgdl = float(meta["total_tokens"]) / max(n_docs, 1.0)
         idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         denom = F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / F.lit(avgdl))
         contrib = (idf * F.col("tf") * (k1 + 1.0)) / denom
