@@ -107,3 +107,12 @@ def test_asof_bad_direction(spark, frames):
     *_, ldf, rdf = frames
     with pytest.raises(ValueError):
         asof_join(ldf, rdf, direction="nearest")
+
+
+def test_asof_reserved_column_guard(spark):
+    ldf = spark.createDataFrame([(1, 1, 1)], "lid long, key long, t long").withColumn(
+        "_side", F.lit(0)
+    )
+    rdf = spark.createDataFrame([(1, 1, 5)], "key long, t long, v long")
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(ldf, rdf, on="t", by="key", right_cols=["v"])

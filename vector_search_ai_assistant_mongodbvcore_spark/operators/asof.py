@@ -50,6 +50,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_t", "_side", "_rv", "_m"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left columns collide with asof internals: {sorted(reserved)}")
     by = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*by, on)]
