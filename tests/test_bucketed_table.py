@@ -122,3 +122,42 @@ def test_works_as_vector_store(spark, table, tmp_path):
     q = [float(x) for x in emb.embed_numpy(["blue racing socks"])[0]]
     top = vector_search(t.read(), q, k=1, vector_col="vector", id_col="id").first()
     assert top.id == "d2"
+
+
+def test_compact_collapses_append_dir_lists(spark, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import BucketedTable
+
+    t = BucketedTable(spark, str(tmp_path / "bt_compact"), bucket_by=["k"], n_buckets=4)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k long, val string")
+    t.overwrite(base)
+    for j in range(3):  # three appends -> dir lists grow
+        t.append(
+            spark.createDataFrame([(100 + 20 * j + i, "a") for i in range(20)], "k long, val string")
+        )
+    before = t.read().collect()
+    assert any(len(d) >= 2 for d in t._manifest().values())
+
+    v = t.compact()
+    assert v == t.current_version()
+    assert all(len(d) <= 1 for d in t._manifest().values())
+    after = t.read().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))  # contents unchanged
+
+    # idempotent: nothing left to compact, version unchanged
+    assert t.compact() == v
+
+
+def test_compact_untouched_buckets_carry_forward(spark, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import BucketedTable
+
+    t = BucketedTable(spark, str(tmp_path / "bt_cf"), bucket_by=["k"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, "x") for i in range(40)], "k long, val string"))
+    manifest_before = {k: list(v) for k, v in t._manifest().items()}
+    # append touching (very likely) a strict subset of buckets
+    t.append(spark.createDataFrame([(1000, "y")], "k long, val string"))
+    touched = {b for b, dirs in t._manifest().items() if len(dirs) >= 2}
+    t.compact()
+    manifest_after = t._manifest()
+    for b, dirs in manifest_after.items():
+        if b not in touched:
+            assert dirs == manifest_before[b]  # untouched bucket: same files

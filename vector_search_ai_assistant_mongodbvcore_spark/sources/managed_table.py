@@ -315,6 +315,28 @@ class BucketedTable:
         manifest.update(manifest_update)
         return self._commit(manifest, v, "delete-keys")
 
+    def compact(self, min_dirs: int = 2) -> int:
+        """Maintenance (the OPTIMIZE analog): rewrite every bucket whose
+        dir LIST has grown to >= min_dirs entries (each append adds one)
+        back to a single dir; already-compact buckets carry forward
+        untouched. Semantics-preserving, O(touched buckets), committed as a
+        normal version so concurrent readers keep a complete snapshot.
+        At 100 TB this is the periodic job that keeps per-bucket file
+        counts — and therefore scan listing/open cost — bounded no matter
+        how append-heavy the workload is."""
+        if not self.exists():
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        manifest = {k: list(v) for k, v in self._manifest().items()}
+        todo = sorted(int(b) for b, dirs in manifest.items() if len(dirs) >= min_dirs)
+        if not todo:
+            return self.current_version()
+        old = self._read_buckets(manifest, todo)
+        v = self.current_version() + 1
+        written = self._write_version(self._with_bucket(old), v)
+        for b in todo:
+            manifest[str(b)] = [written[b]] if b in written else []
+        return self._commit(manifest, v, "compact")
+
     def delete(self, predicate) -> int:
         """S6: arbitrary-predicate delete — no key to prune on, so this one
         IS a full rewrite (Delta without stats pays the same; predicate
