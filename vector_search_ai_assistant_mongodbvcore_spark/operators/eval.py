@@ -39,7 +39,11 @@ def evaluate_retrieval(
     """One row: (n_queries, recall_at_k, mrr, ndcg_at_k) — macro-averaged
     over the queries present in `qrels` (queries with no relevant docs are
     excluded, the TREC convention; queries the engine returned nothing for
-    score 0 via the right join from qrels)."""
+    score 0 via the right join from qrels).
+
+    recall_at_k uses the CAPPED denominator min(n_rel, k) (the BEIR
+    convention) so a query with more relevant docs than k can still reach
+    1.0; divide by n_rel instead if you want classic recall."""
     r = results.filter(F.col(rank_col) <= k).select(
         F.col(query_col), F.col(doc_col), F.col(rank_col)
     )
