@@ -418,22 +418,12 @@ def hybrid_search_indexed(
     `vector_index` is anything with .search(query, k=...) returning
     (vec_id, score) — LshIndex or IvfIndex."""
     terms = [t for t in query_text.lower().split() if t]
-    kw_scored = bm25_index.search(terms, k=n_candidates)
-    kw = ranked_topk(kw_scored, "bm25", id_col, k=n_candidates).withColumnRenamed(
-        "rank", "rank_a"
-    )
+    kw = ranked_topk(bm25_index.search(terms, k=n_candidates), "bm25", id_col, k=n_candidates)
     vec_scored = vector_index.search(list(query_vector), k=n_candidates).select(
         F.col(vec_id_col).alias(id_col), F.col("score")
     )
-    vec = ranked_topk(vec_scored, "score", id_col, k=n_candidates).withColumnRenamed(
-        "rank", "rank_b"
-    )
-    fused = rrf_fuse(
-        kw.withColumnRenamed("rank_a", "rank"),
-        vec.withColumnRenamed("rank_b", "rank"),
-        id_col=id_col,
-        k_rrf=k_rrf,
-    )
+    vec = ranked_topk(vec_scored, "score", id_col, k=n_candidates)
+    fused = rrf_fuse(kw, vec, id_col=id_col, k_rrf=k_rrf)
     return fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
 
 
