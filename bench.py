@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "knn_join",
     "bm25_topk",
-    "hybrid_search_rrf",
+    "hybrid_search_indexed",
     "asof_purchase_attribution",
     "document_chunks",
     "lsh_ann_topk",

