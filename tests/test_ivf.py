@@ -174,3 +174,51 @@ def test_fingerprint_content_fallback_for_in_memory_frames(spark):
     fp_a = data_fingerprint(a)
     assert fp_a["_rows"] == "1" and "mode" not in fp_a
     assert data_fingerprint(b) != fp_a
+
+
+def test_multiprobe_recall_curve_with_evaluate_retrieval(spark, tmp_path):
+    """The 1 < nProbe < numLists regime, measured with the engine's own
+    evaluate_retrieval: queries placed BETWEEN two clusters (the case
+    single-probe IVF exists to get wrong) — recall@10 must be monotone in
+    n_probe, >= 0.9 at n_probe=2 of 4, and 1.0 at full probe."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.eval import (
+        evaluate_retrieval,
+    )
+
+    rng = np.random.RandomState(3)
+    # four ORTHOGONAL axis clusters: under cosine, a query on the bisector
+    # of axes i and j is equidistant from both clusters, so its true top-10
+    # interleaves them ~5/5 and n_probe=1 structurally recalls only half
+    centers = np.zeros((4, 16))
+    for i in range(4):
+        centers[i, i] = 5.0
+    rows = []
+    for i in range(600):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.randn(16) * 0.3).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IvfIndex(spark, str(tmp_path)).build(df, vector_col="embedding", num_lists=4, seed=2)
+
+    queries = []
+    for qi in range(8):
+        a, b = centers[qi % 4], centers[(qi + 1) % 4]
+        queries.append((qi, (a + b + rng.randn(16) * 0.05).tolist()))
+
+    qrels_rows = [
+        (qi, doc, 1) for qi, q in queries for doc in _exact_ids(df, q, k=10)
+    ]
+    qrels = spark.createDataFrame(qrels_rows, "query_id long, doc_id long, rel int")
+
+    def run(n_probe):
+        res = []
+        for qi, q in queries:
+            hits = idx.search(q, k=10, n_probe=n_probe, use_pandas=False, id_col="vec_id").collect()
+            res += [(qi, r["vec_id"], rank + 1) for rank, r in enumerate(hits)]
+        frame = spark.createDataFrame(res, "query_id long, doc_id long, rank int")
+        row = evaluate_retrieval(frame, qrels, k=10).collect()[0]
+        return row["recall_at_10"]
+
+    r1, r2, r4 = run(1), run(2), run(4)
+    assert r1 <= r2 <= r4 == pytest.approx(1.0)
+    assert r2 >= 0.9, (r1, r2, r4)
+    assert r1 < 0.9  # the straddle actually stresses single-probe

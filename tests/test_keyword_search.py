@@ -291,3 +291,81 @@ def test_hybrid_indexed_punctuated_query_hits_keyword_leg(spark, tmp_path, table
     punct = hybrid_search_indexed(bm, lsh, "Spark: hash-join (scan)!", qvec, k=10).collect()
     assert [r.asDict() for r in clean] == [r.asDict() for r in punct]
     assert any(r["kw_rank"] is not None for r in clean)
+
+
+def test_bm25_index_add_duplicate_raises_then_skip_noops(spark, tmp_path, tables):
+    """Re-adding an indexed doc must NOT silently corrupt df/dl/N: default
+    mode raises naming offenders; skip mode adds only genuinely-new ids and
+    leaves serving identical to the correct union build."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    docs = tables["documents"]
+    base = docs.filter("doc_id < 300")
+    idx = Bm25Index(spark, str(tmp_path / "dup")).build(base, n_buckets=8)
+    before = idx.meta()
+
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add_documents(docs.filter("doc_id < 5"))
+    # failed guard left nothing behind
+    assert idx.meta() == before
+    got = {r["doc_id"]: r["bm25"] for r in idx.search(TERMS, k=20).collect()}
+
+    # skip: overlap (0..299 indexed) + new (300..) -> equals fresh full build
+    idx.add_documents(docs, on_duplicate="skip")
+    full = Bm25Index(spark, str(tmp_path / "dupfull")).build(docs, n_buckets=8)
+    got2 = {r["doc_id"]: r["bm25"] for r in idx.search(TERMS, k=20).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in full.search(TERMS, k=20).collect()}
+    assert got2.keys() == want.keys()
+    for d in want:
+        assert got2[d] == pytest.approx(want[d], abs=1e-12)
+    assert idx.meta()["n_docs"] == full.meta()["n_docs"]
+    assert idx.meta()["total_tokens"] == full.meta()["total_tokens"]
+    # pure-duplicate add is a no-op
+    idx.add_documents(docs.filter("doc_id < 5"), on_duplicate="skip")
+    assert idx.meta()["n_docs"] == full.meta()["n_docs"]
+
+
+def test_bm25_index_remove_equals_fresh_build(spark, tmp_path, tables):
+    """remove_documents == fresh build over the surviving corpus — the
+    near-real-time delete twin of AddRemoveData.cs; df/dl/N all exact."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    docs = tables["documents"]
+    removed_ids = [r["doc_id"] for r in docs.limit(7).collect()]
+    idx = Bm25Index(spark, str(tmp_path / "rm")).build(docs, n_buckets=8)
+    idx.remove_documents(removed_ids)
+
+    survivors = docs.filter(~F.col("doc_id").isin(removed_ids))
+    fresh = Bm25Index(spark, str(tmp_path / "rmfresh")).build(survivors, n_buckets=8)
+    got = {r["doc_id"]: r["bm25"] for r in idx.search(TERMS, k=30).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in fresh.search(TERMS, k=30).collect()}
+    assert got.keys() == want.keys()
+    assert not (set(got) & set(removed_ids))
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    assert idx.meta()["n_docs"] == fresh.meta()["n_docs"]
+    assert idx.meta()["total_tokens"] == fresh.meta()["total_tokens"]
+    # removing unknown ids is a no-op
+    idx.remove_documents([10**9])
+    assert idx.meta()["n_docs"] == fresh.meta()["n_docs"]
+
+
+def test_bm25_index_remove_all_docs_of_a_bucket(spark):
+    """A term-bucket whose every posting is doomed must end up EMPTY (the
+    dynamic-overwrite blind spot): searching the removed doc's unique term
+    finds nothing."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(0, "zzzuniquez only here"), (1, "common words common")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        idx = Bm25Index(spark, d).build(docs, n_buckets=4)
+        assert idx.search(["zzzuniquez"], k=5).count() == 1
+        idx.remove_documents([0])
+        assert idx.search(["zzzuniquez"], k=5).count() == 0
+        assert idx.search(["common"], k=5).count() == 1
+        assert idx.meta()["n_docs"] == 1

@@ -70,3 +70,40 @@ def test_real_corpus_scores_finite(spark, tables):
     assert len(rows) > 0
     for r in rows:
         assert r["perplexity"] > 0 and math.isfinite(r["perplexity"])
+
+
+def test_bigram_broadcast_bounded_on_adversarial_vocab(spark):
+    """A corpus engineered for near-V² distinct bigrams: the broadcast-side
+    table must be capped at max_broadcast_bigrams, scores stay finite, and
+    truncation can only RAISE perplexity (dropped pairs fall to the α floor
+    that unseen pairs already pay). With a cap above the table size the
+    result is bit-identical to the uncapped path."""
+    import itertools
+
+    words = [f"w{i}" for i in range(60)]
+    # every ordered pair appears exactly once -> 60*59 distinct bigrams
+    text = " ".join(a + " " + b for a, b in itertools.permutations(words, 2))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "w0 w1 w0 w1 w0 w1"), (2, "w5 w6 w5 w6")],
+        "doc_id long, text string",
+    )
+    lm = fit_bigram_lm(docs, vocab_size=100)
+    n_bigrams = lm.bigrams.count()
+    assert n_bigrams > 1000  # adversarial: far more bigrams than vocab
+
+    full = {r["doc_id"]: r["perplexity"]
+            for r in score_perplexity(docs, lm, max_broadcast_bigrams=None).collect()}
+    capped = {r["doc_id"]: r["perplexity"]
+              for r in score_perplexity(docs, lm, max_broadcast_bigrams=100).collect()}
+    loose = {r["doc_id"]: r["perplexity"]
+             for r in score_perplexity(docs, lm, max_broadcast_bigrams=10**9).collect()}
+
+    assert full.keys() == capped.keys() == loose.keys()
+    for d in full:
+        assert math.isfinite(capped[d]) and capped[d] > 0
+        assert capped[d] >= full[d] * (1 - 1e-12)  # floor only raises ppl
+        assert loose[d] == full[d]  # cap above table size: identical
+    # the top-count bigrams survive: the repetitive docs (1, 2) score close
+    # to their uncapped perplexity (their bigrams are the head of the table)
+    for d in (1, 2):
+        assert capped[d] == pytest.approx(full[d], rel=0.35)

@@ -64,3 +64,35 @@ def test_pipeline_on_real_corpus(spark, tables):
     assert rows > 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_pipeline_chunking_adds_no_exchange(spark, tables):
+    """The split label is CARRIED through the explode, not rejoined: the
+    full pipeline's plan must contain zero extra Exchange vs bare chunking
+    over the same filtered docs (the rejoin it replaces shuffled the
+    biggest table in the pipeline)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+    full = prepare_training_corpus(tables["documents"])
+    rep = plan_report(full)
+    # exact dedup's keep-set needs one aggregate exchange + its broadcast;
+    # chunking itself must add none: total exchanges stay at the dedup cost
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import exact_dedup
+
+    keep_rep = plan_report(exact_dedup(tables["documents"]))
+    assert rep.exchanges == keep_rep.exchanges, (
+        f"pipeline {rep.exchanges} vs dedup-only {keep_rep.exchanges}:\n{rep.raw[:3000]}"
+    )
+    assert "SortMergeJoin" not in rep.raw
+
+
+def test_pipeline_chunks_carry_correct_split(spark, raw):
+    """Every chunk's split equals its document's split label."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
+
+    docs = assign_split(raw, id_col="doc_id").select("doc_id", "split")
+    want = {r["doc_id"]: r["split"] for r in docs.collect()}
+    out = prepare_training_corpus(raw, min_quality=0.0).collect()
+    assert out
+    for r in out:
+        assert r["split"] == want[r["doc_id"]], r

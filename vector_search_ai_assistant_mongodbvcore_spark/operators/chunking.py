@@ -36,27 +36,38 @@ def chunk_documents(
     overlap: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
-    """(id, chunk_id, n_tokens, chunk_text): overlapping word windows.
+    """(id, *carry_cols, chunk_id, n_tokens, chunk_text): overlapping word
+    windows.
 
     size = tokens per chunk, overlap = tokens shared with the previous
     chunk; stride = size - overlap must be positive. Documents that are
     empty after trim() produce no chunks; the final chunk may be shorter
-    than `size` (never empty)."""
+    than `size` (never empty).
+
+    `carry_cols` are per-document columns (split labels, source tags)
+    carried through the explode onto every chunk — a narrow projection, so
+    downstream consumers never pay a join back to the document table to
+    recover them (the join would shuffle the LARGEST table in the pipeline
+    on id; at 100 TB that is the difference between a zero-exchange stage
+    and the dominant shuffle)."""
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    carry = [c for c in carry_cols if c != id_col]
     stride = size - overlap
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     nonempty = docs.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), w.alias("_w")
+        F.col(id_col), *[F.col(c) for c in carry], w.alias("_w")
     )
     starts = F.sequence(F.lit(0), F.size("_w") - 1, F.lit(stride))
     chunks = nonempty.select(
-        id_col, "_w", F.explode(starts).alias("_start")
+        id_col, *carry, "_w", F.explode(starts).alias("_start")
     )
     piece = F.slice(F.col("_w"), F.col("_start") + 1, size)
     return chunks.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.floor(F.col("_start") / stride).cast("long").alias("chunk_id"),
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),

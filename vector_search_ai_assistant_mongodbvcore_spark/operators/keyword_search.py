@@ -198,8 +198,11 @@ class Bm25Index:
                   (term, doc) carrying tf + the doc's dl. Document-local
                   facts only -> new docs APPEND into their buckets, nothing
                   existing is rewritten
+      docs/       (doc_id, dl) PARTITIONED BY id-bucket — the indexed-id
+                  set. Adds append; duplicate-id guards and removes touch
+                  only the ids' buckets (copy-on-write), never the table
       terms/      (term, df) — the one corpus-global per-term fact, small
-                  (vocabulary-sized), atomically swapped on each add
+                  (vocabulary-sized), atomically swapped on each add/remove
       meta.json   n_docs, total_tokens (avgdl = total/n exactly), n_buckets,
                   source-data fingerprint of the base build
 
@@ -214,9 +217,12 @@ class Bm25Index:
 
     At 100 TB: n_buckets sizes the pruning granularity (default 64 keeps
     local test dirs sane; a real corpus wants ~4096); add_documents cost is
-    O(new docs' postings) + O(vocabulary) for the terms swap. Updates and
-    deletes of EXISTING docs are the documented extension: copy-on-write of
-    the touched buckets, the BucketedTable pattern."""
+    O(new docs' postings) + O(vocabulary) for the terms swap + an id-bucket-
+    pruned duplicate check. remove_documents is the near-real-time delete
+    twin of the reference's AddRemoveData path (AddRemoveData.cs:23-125):
+    copy-on-write of exactly the term-buckets holding the removed docs'
+    postings and the id-buckets holding their doc rows (dynamic partition
+    overwrite), df decrements via the atomic terms swap."""
 
     def __init__(self, spark, path: str):
         self.spark = spark
@@ -271,6 +277,7 @@ class Bm25Index:
         tf.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
+        self._write_doc_rows(dl, id_col, n_buckets, mode="overwrite")
         dfreq.write.mode("overwrite").parquet(os.path.join(self.path, "terms"))
         row = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
@@ -288,6 +295,48 @@ class Bm25Index:
                 f,
             )
         return self
+
+    def _write_doc_rows(self, dl: DataFrame, id_col: str, n_buckets: int, mode: str):
+        import os
+
+        rows = dl.withColumn(
+            "id_bucket", self.bucket_col(F.col(id_col).cast("string"), n_buckets)
+        )
+        rows.repartition(F.col("id_bucket")).write.mode(mode).partitionBy(
+            "id_bucket"
+        ).parquet(os.path.join(self.path, "docs"))
+
+    def _doc_rows(self) -> DataFrame:
+        import os
+
+        docs_dir = os.path.join(self.path, "docs")
+        if not os.path.exists(docs_dir):
+            raise ValueError(
+                f"{self.path} predates the docs/ table (indexed-id set); "
+                "rebuild the index to enable duplicate guards and removes"
+            )
+        return self.spark.read.parquet(docs_dir)
+
+    def _swap_terms(self, merged: DataFrame) -> None:
+        """Replace the terms table via tmp-write + rename ordering: the new
+        table is fully written before the old name is touched, so a crash
+        leaves either the old or the new table under `terms`, never a
+        half-written one (the remaining rename-rename window is the local-FS
+        stand-in for a catalog pointer swap in a real deployment)."""
+        import os
+        import shutil
+
+        terms_dir = os.path.join(self.path, "terms")
+        tmp = terms_dir + "_next"
+        old = terms_dir + "_old"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(terms_dir, old)
+        os.rename(tmp, terms_dir)
+        shutil.rmtree(old)
 
     def _doc_facts(self, docs, text_col: str, id_col: str, n_buckets: int):
         """(postings tf+dl rows with bucket, per-doc dl, per-term df) from
@@ -309,13 +358,22 @@ class Bm25Index:
         docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        on_duplicate: str = "error",
     ) -> "Bm25Index":
-        """Absorb NEW documents (ids not already indexed — the caller's
-        contract, as with the reference's add path) without touching
-        existing postings:
+        """Absorb documents without touching existing postings:
 
+          * incoming ids are checked against the indexed-id table (an
+            id-bucket-PRUNED anti/semi join — the check reads only the
+            incoming ids' buckets, not the whole table); a re-add would
+            silently double-count df/dl/N and corrupt every score, so the
+            guard is on by default:
+              on_duplicate='error'  raise ValueError naming offenders
+              on_duplicate='skip'   drop already-indexed ids, add the rest
+              on_duplicate='trust'  skip the check (caller guarantees new
+                                    ids; saves the id-bucket read)
           * new (term, doc, tf, dl) rows APPEND into their buckets
           * the terms table merges df counts and atomically swaps
+            (tmp-write + rename ordering, see _swap_terms)
           * n_docs/total_tokens accumulate in meta (avgdl stays exact)
 
         After add_documents, search() results are IDENTICAL to a fresh
@@ -323,38 +381,173 @@ class Bm25Index:
         all exact integers or exact ratios of them."""
         import json
         import os
-        import shutil
 
+        if on_duplicate not in ("error", "skip", "trust"):
+            raise ValueError(f"on_duplicate must be error|skip|trust, got {on_duplicate!r}")
         meta = self.meta()
         n_buckets, stored_id = meta["n_buckets"], meta["id_col"]
         if id_col != stored_id:
             raise ValueError(f"index is keyed by {stored_id!r}, got {id_col!r}")
+
+        if on_duplicate != "trust":
+            incoming = docs.select(id_col).distinct().withColumn(
+                "id_bucket", self.bucket_col(F.col(id_col).cast("string"), n_buckets)
+            )
+            buckets = [
+                r["id_bucket"]
+                for r in incoming.select("id_bucket").distinct().collect()
+            ]
+            existing = self._doc_rows().filter(F.col("id_bucket").isin(buckets))
+            dups = incoming.join(existing, id_col, "left_semi")
+            if on_duplicate == "error":
+                offenders = [r[id_col] for r in dups.limit(10).collect()]
+                if offenders:
+                    raise ValueError(
+                        f"ids already indexed (re-adding would corrupt df/dl/N): "
+                        f"{offenders!r}; use on_duplicate='skip' to add only new ids"
+                    )
+            else:  # skip
+                docs = docs.join(
+                    dups.select(id_col), id_col, "left_anti"
+                )
+
         tf, dl, dfreq = self._doc_facts(docs, text_col, id_col, n_buckets)
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+        ).collect()[0]
+        if int(row["n_docs"]) == 0:
+            return self  # nothing new to add
         tf.repartition(F.col("bucket")).write.mode("append").partitionBy(
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
+        self._write_doc_rows(dl, id_col, n_buckets, mode="append")
 
-        terms_dir = os.path.join(self.path, "terms")
-        old = self.spark.read.parquet(terms_dir)
+        old = self.spark.read.parquet(os.path.join(self.path, "terms"))
         merged = (
             old.unionByName(dfreq)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
-        tmp = terms_dir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(terms_dir)
-        os.rename(tmp, terms_dir)  # local swap; a real deployment swaps a
-        # catalog pointer / table version instead
+        self._swap_terms(merged)
 
-        row = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-        ).collect()[0]
         meta["n_docs"] = int(meta["n_docs"]) + int(row["n_docs"])
         meta["total_tokens"] = int(meta["total_tokens"]) + int(row["total_tokens"] or 0)
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(meta, f)
         return self
+
+    def remove_documents(self, ids: Sequence) -> "Bm25Index":
+        """Delete indexed documents near-real-time — the keyword twin of the
+        reference's delete path (AddRemoveData.cs:23-125 'remove' action →
+        MongoDbService.DeleteProductAsync, immediately unsearchable):
+
+          1. the removed docs' postings are found with one scan of the
+             postings table (predicate-pushed on id); the TERM-buckets they
+             occupy are rewritten copy-on-write via dynamic partition
+             overwrite — untouched buckets' files are never rewritten
+          2. the docs table drops the ids the same way (id-bucket COW —
+             pruned to the removed ids' buckets)
+          3. per-term df decrements merge into the terms table (atomic
+             swap); terms with df=0 drop out
+          4. n_docs/total_tokens decrement in meta (avgdl stays exact)
+
+        After remove_documents, search() is IDENTICAL to a fresh build over
+        the surviving corpus (asserted in tests). Unknown ids are ignored.
+
+        Scale: cost is O(touched term-buckets' rows) for the COW rewrite —
+        a handful of partitions for a handful of docs — plus the vocabulary-
+        sized terms swap; never a full-index rewrite."""
+        import json
+        import os
+
+        meta = self.meta()
+        n_buckets, id_col = meta["n_buckets"], meta["id_col"]
+        ids = list(ids)
+        if not ids:
+            return self
+        spark = self.spark
+
+        postings_dir = os.path.join(self.path, "postings")
+        postings = spark.read.parquet(postings_dir)
+        doomed = postings.filter(F.col(id_col).isin(ids))
+        touched = [r["bucket"] for r in doomed.select("bucket").distinct().collect()]
+        if not touched:
+            return self  # none of the ids are indexed
+
+        # per-term df decrements + removed dl totals, MATERIALIZED before the
+        # rewrite (their lineage reads the files the COW replaces)
+        dec = doomed.groupBy("term").agg(
+            F.count(F.lit(1)).alias("dec")
+        ).localCheckpoint(eager=True)
+        gone = (
+            doomed.select(id_col, "dl").dropDuplicates([id_col])
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("toks"))
+            .collect()[0]
+        )
+
+        # COW: rewrite ONLY the touched term-buckets, minus the doomed rows.
+        # localCheckpoint cuts the lineage from the files being overwritten
+        # (a write can't read its own target); dynamic partition overwrite
+        # leaves untouched buckets' files alone. A touched bucket whose rows
+        # are ALL doomed is absent from the written frame — dynamic
+        # overwrite won't rewrite it, so its directory is dropped explicitly.
+        survivors = postings.filter(
+            F.col("bucket").isin(touched) & ~F.col(id_col).isin(ids)
+        ).localCheckpoint(eager=True)
+        self._cow_partitions(postings_dir, survivors, "bucket", touched)
+
+        docs_dir = os.path.join(self.path, "docs")
+        doc_rows = spark.read.parquet(docs_dir)
+        id_buckets = sorted({self.bucket_py(str(i), n_buckets) for i in ids})
+        doc_survivors = doc_rows.filter(
+            F.col("id_bucket").isin(id_buckets) & ~F.col(id_col).isin(ids)
+        ).localCheckpoint(eager=True)
+        self._cow_partitions(docs_dir, doc_survivors, "id_bucket", id_buckets)
+
+        old = spark.read.parquet(os.path.join(self.path, "terms"))
+        merged = (
+            old.join(F.broadcast(dec), "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce(F.col("dec"), F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        self._swap_terms(merged)
+
+        meta["n_docs"] = int(meta["n_docs"]) - int(gone["n"])
+        meta["total_tokens"] = int(meta["total_tokens"]) - int(gone["toks"] or 0)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return self
+
+    def _cow_partitions(
+        self, path: str, survivors: DataFrame, part_col: str, touched: Sequence[int]
+    ) -> None:
+        """Copy-on-write of exactly `touched` partitions: dynamic partition
+        overwrite rewrites the partitions present in `survivors`; touched
+        partitions with NO survivors are deleted outright."""
+        import os
+        import shutil
+
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            survivors.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+                part_col
+            ).parquet(path)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+        alive = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
+        for b in touched:
+            if b not in alive:
+                shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
+        # drop the now-stale cached file listing for the rewritten path
+        self.spark.catalog.refreshByPath(path)
 
     # ---- serving ---------------------------------------------------------
     def search(

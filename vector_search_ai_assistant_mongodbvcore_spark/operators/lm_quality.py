@@ -117,17 +117,41 @@ def _map_unk(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+DEFAULT_MAX_BROADCAST_BIGRAMS = 2_000_000  # ~50 MB of (str, str, long) rows
+
+
 def score_perplexity(
     docs: DataFrame,
     lm: BigramLm,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_bigrams: int | None = DEFAULT_MAX_BROADCAST_BIGRAMS,
 ) -> DataFrame:
     """(id, n_bigrams, perplexity): exp(-mean log P) per document; lower is
-    more in-domain. Docs with < 2 tokens are absent from the result."""
+    more in-domain. Docs with < 2 tokens are absent from the result.
+
+    The bigram table is bounded only by observed bigrams in the fit sample
+    (worst case V², V=10k -> 1e8 rows) — far past broadcast limits on a
+    large in-domain sample, so it is NOT broadcast unconditionally: if its
+    row count exceeds `max_broadcast_bigrams` the table is truncated to the
+    top-M bigrams by count before broadcasting. Truncation only perturbs
+    rare-bigram mass: a dropped (w1, w2) scores as unseen and pays the
+    α floor — the same floor every genuinely-unseen bigram already pays —
+    so scores stay finite and the head of the distribution (which carries
+    the perplexity signal) is exact. Pass None to broadcast the full table
+    (only when the caller KNOWS the fit sample is small). The unigram table
+    is vocab-bounded (≤ V+1 rows) and always broadcasts."""
     pairs = _map_unk(_word_pairs(docs, text_col, id_col), lm.vocab)
+    bigrams = lm.bigrams
+    if max_broadcast_bigrams is not None:
+        n_bigrams = bigrams.count()
+        if n_bigrams > max_broadcast_bigrams:
+            bigrams = (
+                bigrams.orderBy(F.col("c2").desc(), "w1", "w2")
+                .limit(max_broadcast_bigrams)
+            )
     scored = (
-        pairs.join(F.broadcast(lm.bigrams), ["w1", "w2"], "left")
+        pairs.join(F.broadcast(bigrams), ["w1", "w2"], "left")
         .join(F.broadcast(lm.unigrams), "w1", "left")
         .select(
             F.col(id_col),

@@ -74,16 +74,15 @@ def prepare_training_corpus(
 
     labeled = assign_split(scrubbed, id_col=id_col, splits=splits, seed=seed)
 
+    # the split label rides through the explode as a carried column — no
+    # join back to the (large) document table, the chunking stage stays
+    # zero-exchange (asserted in test_pipeline)
     chunks = chunk_documents(
         labeled.select(id_col, text_col, "split"),
         size=chunk_size,
         overlap=chunk_overlap,
         text_col=text_col,
         id_col=id_col,
+        carry_cols=("split",),
     )
-    # chunk_documents projects (id, chunk_id, n_tokens, chunk_text); rejoin
-    # the split label via the doc id (broadcast-friendly: labels are narrow)
-    labels = labeled.select(id_col, "split")
-    return chunks.join(labels, id_col).select(
-        id_col, "split", "chunk_id", "n_tokens", "chunk_text"
-    )
+    return chunks.select(id_col, "split", "chunk_id", "n_tokens", "chunk_text")
