@@ -87,3 +87,63 @@ def test_first_exchange_summarize_rename(spark, world):
     name = summarize_session_name(store, summarizer, sid, "\n".join(texts))
     assert name == "Bikes available"  # fake: first two words, F1-cleaned
     assert store.list_sessions().first().name == "Bikes available"
+
+
+def test_turn_payload_is_reranked(spark, world):
+    """Verdict #7: the lifecycle serves retrieve -> rerank -> payload. With
+    the lexical scorer, the query's own words dominate the rerank, so the
+    doc sharing the most query vocabulary must lead the payload even when
+    cosine recall ranked it lower."""
+    emb, corpus, store, completer, _ = world
+    captured = []
+
+    def spy(system, user, params):
+        captured.append(system)
+        return fake_completion_transport(system, user, params)
+
+    completer = RemoteCompleter(transport=spy)
+    sid = store.create_session()
+    q = "rugged mountain bike with suspension"
+    chat_turn(spark, store, corpus, sid, q, emb, completer,
+              k=4, vector_col="vector", id_cols=("id",))
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+        SYSTEM_PROMPT_RETAIL_ASSISTANT,
+    )
+
+    payload = captured[0].removeprefix(SYSTEM_PROMPT_RETAIL_ASSISTANT)
+    # p2's description IS the query minus one word -> max lexical overlap
+    first_doc = payload.split("} {")[0]
+    assert "Mountain Bike" in first_doc
+    # rerank order must differ from raw reference order only in ordering,
+    # never in membership: all 4 docs still present
+    for name in ("Touring Bike", "Mountain Bike", "Racing Socks", "Helmet"):
+        assert name in payload
+
+
+def test_rerank_disabled_matches_reference_shape(spark, world):
+    """rerank_candidates=None serves the raw top-k payload (score order)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+        vector_search_payload,
+    )
+
+    emb, corpus, store, completer, _ = world
+    captured = []
+
+    def spy(system, user, params):
+        captured.append(system)
+        return fake_completion_transport(system, user, params)
+
+    completer = RemoteCompleter(transport=spy)
+    sid = store.create_session()
+    q = "What kind of bikes do you have?"
+    chat_turn(spark, store, corpus, sid, q, emb, completer,
+              k=3, vector_col="vector", id_cols=("id",), rerank_candidates=None)
+    qv = [float(x) for x in emb.embed_numpy([q])[0]]
+    expected = vector_search_payload(
+        corpus, qv, k=3, vector_col="vector", id_cols=("id",)
+    ).collect()[0]["payload"]
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+        SYSTEM_PROMPT_RETAIL_ASSISTANT,
+    )
+
+    assert captured[0] == SYSTEM_PROMPT_RETAIL_ASSISTANT + expected

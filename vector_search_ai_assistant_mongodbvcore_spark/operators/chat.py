@@ -40,6 +40,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.operators.prompt_budget impor
 from vector_search_ai_assistant_mongodbvcore_spark.operators.sessions import SessionStore
 from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
     vector_search_payload,
+    vector_search_payload_reranked,
 )
 
 
@@ -56,19 +57,42 @@ def chat_turn(
     id_cols: tuple[str, ...] = ("_id",),
     max_conversation_tokens: int = DEFAULT_MAX_CONVERSATION_TOKENS,
     max_completion_tokens: int = 2000,  # Search/appsettings.json:16
+    rerank_candidates: int | None = 30,
+    rerank_scorer_factory=None,
 ) -> str:
     """One user turn end-to-end; returns the completion text and persists
-    the exchange (2 messages + session token rollup) transactionally."""
+    the exchange (2 messages + session token rollup) transactionally.
+
+    The retrieval stage is retrieve → rerank → payload: cosine recall of
+    `rerank_candidates`, then a rerank pass (deterministic lexical scorer by
+    default; inject a cross-encoder via `rerank_scorer_factory`) orders the
+    k survivors into the payload. `rerank_candidates=None` disables the
+    rerank stage and serves the raw reference shape — payload straight from
+    top-k, exactly MongoDbService.cs:227-229."""
     # 1. embed the prompt; usage tokens become promptMessage.Tokens
     #    (ChatService.cs:128-130)
     vectors, counts = embedder.embed_with_usage_numpy([user_prompt])
     query_vector = [float(x) for x in vectors[0]]
     prompt_tokens = int(counts[0])
 
-    # 2. top-k search -> ONE space-joined payload string (MongoDbService.cs:227-229)
-    payload_row = vector_search_payload(
-        corpus, query_vector, k=k, vector_col=vector_col, id_cols=id_cols
-    ).collect()
+    # 2. retrieval -> ONE space-joined payload string (MongoDbService.cs:227-229),
+    #    with the rerank stage between retrieve and payload when enabled
+    if rerank_candidates is not None:
+        payload_frame = vector_search_payload_reranked(
+            corpus,
+            query_vector,
+            user_prompt,
+            k=k,
+            n_candidates=max(rerank_candidates, k),
+            vector_col=vector_col,
+            id_cols=id_cols,
+            scorer_factory=rerank_scorer_factory,
+        )
+    else:
+        payload_frame = vector_search_payload(
+            corpus, query_vector, k=k, vector_col=vector_col, id_cols=id_cols
+        )
+    payload_row = payload_frame.collect()
     rag_payload = payload_row[0]["payload"] if payload_row else ""
 
     # 3. conversation history, trimmed newest-first (ChatService.cs:248-271)

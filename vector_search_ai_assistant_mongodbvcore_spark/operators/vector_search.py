@@ -111,6 +111,72 @@ def vector_search_payload(
     )
 
 
+def vector_search_payload_reranked(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    query_text: str,
+    k: int = DEFAULT_K,
+    n_candidates: int = 30,
+    vector_col: str = "vector",
+    id_cols: tuple[str, ...] = ("_id",),
+    scorer_factory=None,
+) -> DataFrame:
+    """Retrieve → rerank → payload: the production serving chain the raw
+    reference path (vector_search_payload) lacks. Cosine top-`n_candidates`
+    recall stage, then one Arrow-batched rerank pass (operators/rerank.py)
+    scores each serialized candidate against `query_text`, and the payload
+    is space-joined in RERANK order (rerank_score desc, id asc — the same
+    tiebreak rerank() itself applies).
+
+    Scale shape: the corpus-sized work is still the TakeOrdered recall scan;
+    rerank touches only n_candidates rows, so payload cost stays independent
+    of corpus size. `scorer_factory` defaults to the deterministic lexical
+    scorer; inject the cross-encoder transport in production."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.rerank import (
+        lexical_overlap_scorer,
+        rerank,
+    )
+
+    if scorer_factory is None:
+        scorer_factory = lexical_overlap_scorer
+    topk = vector_search(df, query_vector, k=n_candidates, vector_col=vector_col)
+    doc_cols = [c for c in topk.columns if c not in id_cols and c != "score"]
+    id_col = next((c for c in id_cols if c in topk.columns), None) or doc_cols[0]
+    docs = topk.select(
+        F.col(id_col).alias("_cand_id"),
+        F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("doc"),
+    )
+    ranked = rerank(
+        docs,
+        query_text,
+        k=k,
+        text_col="doc",
+        id_col="_cand_id",
+        scorer_factory=scorer_factory,
+        keep_cols=("doc",),
+    )
+    # struct(-score, id, doc) sorted ascending = score desc, id asc — the
+    # exact rerank order, reproduced inside the aggregate so the payload is
+    # deterministic regardless of partitioning
+    return ranked.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rerank_score")).alias("neg"),
+                            F.col("_cand_id").alias("i"),
+                            F.col("doc").alias("doc"),
+                        )
+                    )
+                ),
+                lambda s: s["doc"],
+            ),
+            " ",
+        ).alias("payload")
+    )
+
+
 def embed_and_search(
     df: DataFrame,
     query_text: str,
