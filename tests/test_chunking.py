@@ -114,3 +114,70 @@ if _HAS_HYPOTHESIS:
         for i, w in enumerate(words):
             c = rows[i // stride]
             assert c["chunk_text"].split(" ")[i - (i // stride) * stride] == w
+
+
+# ---------------------------------------------------------------------------
+# unit="token": the engine-tokenizer currency (verdict #8)
+# ---------------------------------------------------------------------------
+
+
+def _token_chunks(spark, text, size, overlap):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=size, overlap=overlap, unit="token").collect()
+    return sorted(rows, key=lambda r: r["chunk_id"])
+
+
+def test_token_unit_matches_engine_tokenizer(spark):
+    """The JVM regexp splitter produces EXACTLY the tokenizer's fallback
+    split (functions/tokenizer.py _split_py), so chunk n_tokens is the same
+    currency the prompt-budget operators count."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _split_py
+
+    text = "Hello, world!  Order #42 ships in 3-5 days (maybe)."
+    toks = _split_py(text)
+    rows = _token_chunks(spark, text, size=len(toks) + 1, overlap=0)
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == len(toks)
+    assert rows[0]["chunk_text"] == "".join(toks) == text
+
+
+def test_token_unit_round_trip_reconstructs_document(spark):
+    """Round-trip contract: chunk 0 plus each later chunk minus its
+    `overlap` leading tokens reconstructs the document byte-for-byte."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _split_py
+
+    text = (
+        "Spark chunks documents, with punctuation: 12 tokens/window... "
+        "then   rebuilds them -- exactly; even with   weird   spacing!"
+    )
+    size, overlap = 7, 3
+    rows = _token_chunks(spark, text, size=size, overlap=overlap)
+    assert len(rows) > 2
+    rebuilt = rows[0]["chunk_text"]
+    for r in rows[1:]:
+        toks = _split_py(r["chunk_text"])
+        rebuilt += "".join(toks[overlap:])
+    assert rebuilt == text
+
+
+def test_token_unit_overlap_tokens_shared(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _split_py
+
+    text = " ".join(f"tok{i}" for i in range(20))
+    rows = _token_chunks(spark, text, size=6, overlap=2)
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = _split_py(a["chunk_text"]), _split_py(b["chunk_text"])
+        assert ta[-2:] == tb[:2]
+
+
+def test_token_unit_no_shuffle_plan(spark, tables):
+    df = chunk_documents(tables["documents"], size=32, overlap=8, unit="token")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_invalid_unit_raises(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=1, unit="sentence")
