@@ -136,3 +136,27 @@ def test_pii_hit_total_counts(spark):
     text = "a@b.co and c@d.org from 10.0.0.1, ssn 123-45-6789"
     got = _one(spark, TX.pii_hit_total("text"), text)
     assert got == 4
+
+
+def test_scrub_pii_keeps_date_like_numerics(spark):
+    """ADVICE r5: short digit runs that look like dates/ids must survive —
+    the phone core needs >= 7 digits."""
+    for clean in (
+        "released 03-2024 under id 12-3456",
+        "the sprint runs 2024-04-15 through 2024-04-29",
+        "zip plus four 12345-6789 stays",
+        "versions 1.2-3.4 and 10-20 unchanged",
+    ):
+        assert _one(spark, TX.scrub_pii("text"), clean) == clean, clean
+
+
+def test_scrub_pii_phone_shapes_still_redacted(spark):
+    for text in (
+        "call 555-123-4567 now",
+        "or (555) 123-4567",
+        "intl +44 555 123 4567",
+        "local 555-1234 works",
+        "dotted 555.123.4567 too",
+    ):
+        got = _one(spark, TX.scrub_pii("text"), text)
+        assert "<PHONE>" in got, (text, got)

@@ -346,7 +346,14 @@ _PII_PATTERNS = [
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("card", r"\b(?:\d[ -]?){13,16}\d\b", "<CARD>"),
-    ("phone", r"(?:\+?\d{1,3}[ .\-])?(?:\(\d{2,4}\)[ .\-]?)?\d{2,4}[ .\-]\d{3,4}[ .\-]?\d{0,4}\b", "<PHONE>"),
+    # phone requires >= 7 digits in the core (3-4 or 3-3-2..4 after an
+    # optional country/area prefix) so date-like and id-like short digit
+    # runs ('03-2024', '12-3456', '2024-04-15') are NOT redacted; the \b
+    # before the core stops matches starting inside longer digit runs
+    # (ZIP+4 '12345-6789'). 7-digit-plus false positives (page ranges like
+    # '100-2024') are accepted by design — recall over precision on
+    # machine-formatted PII.
+    ("phone", r"(?:\+?\d{1,3}[ .\-])?(?:\(\d{2,4}\)[ .\-]?)?\b(?:\d{3}[ .\-]\d{3}[ .\-]\d{2,4}|\d{3}[ .\-]\d{4})\b", "<PHONE>"),
 ]
 
 
