@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "lsh_neardup_pairs",
     "ivf_search_all_probes",
+    "decontamination_report",
+    "packed_sequences",
     "summarize_labels",
     "rolling_fingerprints",
     "build_prompts_trim",

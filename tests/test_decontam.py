@@ -1,0 +1,104 @@
+"""Decontamination operator (operators/decontam.py): benchmark n-gram
+overlap flagging, python-oracle parity, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators import decontam as DC
+
+
+def _df(spark, rows, cols=("doc_id", "text")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _py_ngrams(text, n):
+    w = text.lower().strip().split()
+    if not text.strip():
+        return {""}
+    if len(w) <= n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_hand_computed_hits(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "quick brown fox jumps over something else entirely here"),
+        ],
+    )
+    bench = _df(spark, [(100, "the quick brown fox jumps over a fence")])
+    rep = {
+        r.doc_id: r
+        for r in DC.contamination_report(docs, bench, n=3, min_hits=1).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    # "fox jumps over" with the benchmark
+    assert rep[1].hits == 4 and rep[1].contaminated
+    assert rep[2].hits == 0 and not rep[2].contaminated
+    assert rep[3].hits == 3 and rep[3].contaminated
+    # n_ngrams = 9 words -> 7 trigrams each
+    assert rep[1].n_ngrams == 7
+
+
+def test_python_oracle_parity(spark, tables):
+    docs = tables["documents"].limit(60)
+    bench = tables["documents"].filter(F.col("doc_id") % 11 == 0).limit(10)
+    n = 4
+    got = {
+        r.doc_id: (r.n_ngrams, r.hits)
+        for r in DC.contamination_report(docs, bench, n=n).collect()
+    }
+    bset = set()
+    for r in bench.select("text").collect():
+        bset |= _py_ngrams(r.text or "", n)
+    for r in docs.select("doc_id", "text").collect():
+        ngs = _py_ngrams(r.text or "", n) if r.text is not None else set()
+        exp = (len(ngs), len(ngs & bset)) if r.text is not None else (0, 0)
+        assert got[r.doc_id] == exp, r.doc_id
+
+
+def test_min_hits_threshold_and_decontaminate(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma unrelated tail words here"),
+            (3, "totally clean document goes right here now"),
+        ],
+    )
+    bench = _df(spark, [(9, "alpha beta gamma delta epsilon eta")])
+    # doc1 shares 3 trigrams, doc2 shares 1
+    strict = DC.contamination_report(docs, bench, n=3, min_hits=2)
+    flags = {r.doc_id: r.contaminated for r in strict.collect()}
+    assert flags == {1: True, 2: False, 3: False}
+    kept = sorted(
+        r.doc_id for r in DC.decontaminate(docs, bench, n=3, min_hits=2).collect()
+    )
+    assert kept == [2, 3]
+    # decontaminate preserves all original columns
+    assert DC.decontaminate(docs, bench, n=3).columns == docs.columns
+
+
+def test_every_doc_reported_including_unshingleable(spark):
+    docs = _df(spark, [(1, "some real text right here"), (2, ""), (3, None)])
+    bench = _df(spark, [(9, "benchmark text")])
+    rep = {r.doc_id: r for r in DC.contamination_report(docs, bench, n=3).collect()}
+    assert set(rep) == {1, 2, 3}
+    # NULL text: no shingle rows -> zeros; empty text: the "" shingle
+    assert rep[3].n_ngrams == 0 and rep[3].hits == 0 and not rep[3].contaminated
+    assert rep[2].hits == 0
+
+
+def test_benchmark_side_is_broadcast(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+    docs = tables["documents"]
+    bench = tables["documents"].filter(F.col("doc_id") % 13 == 0)
+    rep = plan_report(DC.contamination_report(docs, bench, n=5))
+    assert rep.broadcast_joins >= 1
+    assert rep.python_evals == 0  # pure column exprs end to end

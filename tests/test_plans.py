@@ -66,7 +66,10 @@ def test_aggregations_partial_aggregate_map_side(spark, reg):
 def test_minhash_single_shuffle_to_signatures(spark, reg):
     """The signature aggregation must collapse map-side: explode -> md5 ->
     ONE exchange for the groupBy(doc_id), nothing quadratic."""
-    rep = _report(spark, reg, "minhash_signatures")
+    # retired from the 50-slot registry (oracle lives on in
+    # minhash_band_pairs' CTE); the plan property is asserted on the
+    # function directly
+    rep = plan_report(Q.minhash_signatures(spark, SF_DIR))
     assert rep.exchanges <= 1
     assert rep.python_evals == 0
 

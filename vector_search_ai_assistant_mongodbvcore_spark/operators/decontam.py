@@ -1,0 +1,110 @@
+"""Benchmark decontamination: flag/drop corpus documents that overlap an
+evaluation set by word n-grams.
+
+Not in the reference (its corpus is the Cosmic Works retail sample); part of
+the extended LLM-training-pipeline surface. The standard recipe (GPT-3
+appendix C / PaLM / Llama report) marks a training document as contaminated
+when it shares >= min_hits distinct n-grams (n ~ 8..13) with any benchmark
+document, then drops it before training.
+
+Scale design — the asymmetry IS the plan:
+  * The benchmark side is tiny (eval suites are MBs; the corpus is 100 TB),
+    so its distinct n-gram set is collected into a BROADCAST hash join —
+    the corpus side streams through map-side, no shuffle for the probe.
+  * The corpus side reuses exploded_shingles() (codegen lead()-window
+    assembly). Its window shuffle on id is the ONLY wide exchange, and the
+    per-doc hit aggregation groups on the same id key, so Catalyst plans
+    zero additional Exchange for the count.
+  * Both `hits` (distinct overlapping n-grams) and `n_ngrams` (distinct
+    n-grams in the doc) come out of ONE aggregation pass — the match flag
+    is a column from the broadcast LEFT join, not a second scan.
+
+Every expression has an exact DuckDB twin (the registered
+`decontamination_report` query) — same lowercased whitespace shingles, same
+distinct-count semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.text import exploded_shingles
+
+
+def benchmark_ngrams(
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct lowercased word n-grams of the benchmark set: one `ng`
+    column. Small by construction (eval sets), meant to be broadcast."""
+    return exploded_shingles(bench, text_col, id_col, n).select("ng").distinct()
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """(id_col, n_ngrams, hits, contaminated) for EVERY corpus doc.
+
+    n_ngrams = distinct n-grams in the doc, hits = distinct n-grams also
+    present anywhere in the benchmark, contaminated = hits >= min_hits.
+    Docs whose text yields no shingle rows (NULL text) report 0/0/false.
+
+    One broadcast join + one keyed aggregation; the aggregation key (id)
+    matches exploded_shingles' window partitioning so no extra Exchange.
+    """
+    bng = benchmark_ngrams(
+        bench, bench_text_col or text_col, bench_id_col or id_col, n
+    ).withColumn("_hit", F.lit(1))
+    doc_ngs = exploded_shingles(docs, text_col, id_col, n)
+    agg = (
+        doc_ngs.join(F.broadcast(bng), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("ng").alias("n_ngrams"),
+            F.countDistinct(F.when(F.col("_hit").isNotNull(), F.col("ng"))).alias(
+                "hits"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Corpus minus contaminated docs (all original columns preserved).
+
+    The keep-set join is on id only; at scale prefer calling
+    contamination_report once, persisting the (id, contaminated) frame, and
+    anti-joining — which is exactly what this does lazily."""
+    report = contamination_report(
+        docs, bench, n, min_hits, text_col, id_col, bench_text_col, bench_id_col
+    )
+    keep = report.filter(~F.col("contaminated")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -28,7 +28,13 @@ def cluster_topics(
     max_iter: int = 20,
     fit_fraction: float | None = None,
 ) -> DataFrame:
-    """(id, topic_id) for every row; deterministic under a fixed seed."""
+    """(id, topic_id) for every row; deterministic under a fixed seed.
+
+    k=1 short-circuits (MLlib KMeans requires k >= 2): every row is topic
+    0 with no fit at all — the degenerate case semdedup uses to scope its
+    greedy pass to the whole corpus on small inputs."""
+    if k == 1:
+        return df.select(F.col(id_col), F.lit(0).alias("topic_id"))
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

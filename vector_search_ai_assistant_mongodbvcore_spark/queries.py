@@ -879,18 +879,18 @@ def _minhash_agg_sql(num_hashes: int = 16) -> str:
     )
 
 
-@register(
-    "minhash_signatures",
-    f"""
-    SELECT doc_id, {" || '|' || ".join(f"mh_{i}::VARCHAR" for i in range(16))} AS signature
-    FROM ({_minhash_agg_sql(16)})
-    """,
-)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature emitted as ONE pipe-joined string (not an array column):
     the driver's canonicalizer sorts result columns with pandas, which
     cannot hash list cells — and a flat string hashes identically
-    everywhere."""
+    everywhere.
+
+    Retired from the 50-slot registry in round 6 (slot went to
+    `decontamination_report`): the signatures are the CTE inside the
+    still-green `minhash_band_pairs` oracle (_minhash_agg_sql), so their
+    correctness remains hash-gated transitively; the single-shuffle plan
+    property is asserted in tests/test_plans.py against this function
+    directly."""
     t = _tables(spark, sf_dir)
     sig = DD.minhash_signatures(t["documents"], "text", "doc_id", num_hashes=16, shingle_size=5)
     return sig.select(
@@ -1019,6 +1019,90 @@ def dedup_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = DD.drop_near_duplicates(t["documents"], pairs, "doc_id")
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_DECON_N = 5  # benchmark-overlap shingle width (GPT-3 appendix-C family)
+
+
+@register(
+    "decontamination_report",
+    f"""
+    WITH bw AS (
+      SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents WHERE doc_id % 17 = 0
+    ),
+    bng AS (SELECT DISTINCT unnest({_shingle_sql(_DECON_N)}) AS ng FROM bw),
+    cw AS (
+      SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents WHERE doc_id % 17 <> 0
+    ),
+    cng AS (SELECT doc_id, unnest(s) AS ng FROM (SELECT doc_id, {_shingle_sql(_DECON_N)} AS s FROM cw)),
+    agg AS (
+      SELECT doc_id,
+             count(DISTINCT ng) AS n_ngrams,
+             count(DISTINCT ng) FILTER (ng IN (SELECT ng FROM bng)) AS hits
+      FROM cng GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(a.hits, 0) AS BIGINT) AS hits,
+           coalesce(a.hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): the corpus
+    (doc_id % 17 != 0) is screened against a held-out eval set
+    (doc_id % 17 == 0) for shared word 5-grams; every corpus doc reports
+    its distinct-shingle count, benchmark-overlap count, and the
+    contaminated flag a training pipeline would drop on. Benchmark n-gram
+    set is broadcast; the only wide exchange is the per-doc aggregation,
+    co-partitioned with the shingle window."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import contamination_report
+
+    t = _tables(spark, sf_dir)
+    bench = t["documents"].filter(F.col("doc_id") % 17 == 0)
+    corpus = t["documents"].filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(corpus, bench, n=_DECON_N, min_hits=1)
+
+
+@register(
+    "packed_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pre AS (
+      SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      FROM toks
+    ),
+    pieces AS (
+      SELECT doc_id, n, start, unnest(range(start // 128, (start + n - 1) // 128 + 1)) AS seq_id
+      FROM pre
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(start, seq_id * 128) - start AS BIGINT) AS begin,
+           CAST(least(start + n, (seq_id + 1) * 128) - greatest(start, seq_id * 128) AS BIGINT) AS n_toks
+    FROM pieces
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): word-token counts
+    of every document laid out concat-and-chop into 128-token blocks in
+    doc_id order. The global prefix sum is the two-level distributed scan
+    (group-local window + tiny totals prefix + broadcast offsets) — the
+    oracle's single ORDER-BY window is exactly the plan shape the operator
+    exists to avoid at corpus scale."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import word_count
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", word_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=128, group_size=64)
 
 
 # ===========================================================================
@@ -1192,11 +1276,15 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("ivf_search_pruned", None)
 def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4 serving path: n_probe=1 of 4 — the scan reads ONE centroid
-    partition (file-listing-time pruning). Approximate by design ->
-    rows-only; recall/pruning asserted in tests/test_ivf.py."""
+    partition (file-listing-time pruning). Approximate by design, so it
+    could only ever be a rows-only gate row; retired from the 50-slot
+    registry in round 6 (slot went to the oracle-paired
+    `packed_sequences`). The pruned path stays verified where it can be:
+    recall + multi-probe curve + PartitionFilters plan asserts in
+    tests/test_ivf.py, and `ivf_search_all_probes` keeps the exact-path
+    hash gate."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
     t = _tables(spark, sf_dir)
@@ -1737,12 +1825,13 @@ _ORDER = [
     # text analysis
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints",
-    # dedup family
-    "dedup_corpus_exact", "simhash_fingerprints", "minhash_signatures",
+    # dedup family + training-corpus hygiene
+    "dedup_corpus_exact", "simhash_fingerprints",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
+    "decontamination_report", "packed_sequences",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
-    "ivf_search_all_probes", "ivf_search_pruned", "lsh_ann_topk",
+    "ivf_search_all_probes", "lsh_ann_topk",
     "lsh_neardup_pairs",
     # keyword + hybrid retrieval, as-of join, chunking
     "bm25_topk", "hybrid_search_indexed", "asof_purchase_attribution",
