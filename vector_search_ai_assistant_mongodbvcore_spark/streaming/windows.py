@@ -78,6 +78,47 @@ def windowed_event_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session aggregation via F.session_window — the streaming
+    twin of the batch `sessionization` registry query (same 30-minute gap
+    rule: an event more than `gap` after its predecessor opens a new
+    session). Sessions are MERGED across micro-batches until the watermark
+    passes their end, then finalized and dropped from state — state is
+    O(live sessions per key), not O(events).
+
+    Boundary parity with the batch lag()-based query, asserted in tests:
+    session_window treats a gap of exactly `gap` as the SAME session
+    (interval is [start, last+gap)), while the batch query's `> gap`
+    comparison also keeps it — both split strictly-greater gaps only.
+
+    On a batch frame the same expression is an ordinary aggregate, which
+    is how the stream-vs-batch agreement test validates it."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(time_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(time_col), gap).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            *keys,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_token_totals(
     messages: DataFrame,
     session_col: str = "session_id",
