@@ -96,3 +96,56 @@ def test_pipeline_chunks_carry_correct_split(spark, raw):
     assert out
     for r in out:
         assert r["split"] == want[r["doc_id"]], r
+
+
+def test_decontamination_stage_drops_benchmark_overlap(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    base = prepare_training_corpus(corpus)
+    screened = prepare_training_corpus(
+        corpus, benchmark=bench, decontam_n=5, decontam_min_hits=1
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    kept_ids = {r.doc_id for r in screened.select("doc_id").distinct().collect()}
+    assert kept_ids <= base_ids
+    # the screen actually fires on this corpus (4 contaminated docs at n=5)
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    contaminated = {
+        r.doc_id
+        for r in contamination_report(corpus, bench, n=5).filter("contaminated").collect()
+    }
+    assert contaminated
+    assert not (kept_ids & contaminated)
+    assert base_ids - kept_ids <= contaminated  # nothing else was dropped
+
+
+def test_classifier_floor_stage(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import quality_classifier as QC
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    model = QC.fit_quality_classifier(labeled)
+    base = prepare_training_corpus(docs)
+    floored = prepare_training_corpus(docs, quality_model=model, min_classifier_prob=0.5)
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    kept = {r.doc_id for r in floored.select("doc_id").distinct().collect()}
+    assert kept <= base_ids
+    # every kept doc scores above the floor
+    probs = {
+        r.doc_id: r.quality_prob for r in QC.score_quality(docs, model).collect()
+    }
+    for d in kept:
+        assert probs[d] >= 0.5

@@ -87,7 +87,26 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
         "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
         .write.format("noop").mode("overwrite").save(),
+        # benchmark side stays FIXED (docs1-derived) while the corpus grows
+        # Nx — the realistic shape: eval sets don't scale with the corpus
+        "decontam": lambda d: _decontam(d)
+        .write.format("noop").mode("overwrite").save(),
+        "pack_sequences": lambda d: pack_sequences(
+            d.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")),
+            seq_len=128,
+            group_size=4096,
+        ).write.format("noop").mode("overwrite").save(),
     }
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        contamination_report,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
+
+    bench_docs = docs1.filter(F.col("doc_id") % 17 == 0)
+
+    def _decontam(d):
+        return contamination_report(d, bench_docs, n=5)
     from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
         vector_search,
     )
@@ -108,7 +127,13 @@ def main() -> None:
         # by lsh_build above (dict order guarantees the build ran)
         "lsh_search": lambda e: LshIndex(spark, os.path.join(WORK, f"lsh_{e is embN}"))
         .search([0.1] * 64, k=10).write.format("noop").mode("overwrite").save(),
+        "semdedup": lambda e: semantic_duplicates(
+            e, eps=0.97, k=8, fit_fraction=0.2, max_cluster=50_000
+        ).write.format("noop").mode("overwrite").save(),
     }
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.semdedup import (
+        semantic_duplicates,
+    )
 
     def asof_attr(e):
         purchases = e.filter(F.col("event_type") == "purchase").select(

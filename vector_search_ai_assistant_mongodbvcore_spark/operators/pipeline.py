@@ -3,8 +3,12 @@ a 100 TB pipeline actually runs them.
 
     raw docs
       -> exact dedup          (operators/dedup.exact_dedup keep-set)
+      -> decontamination      (operators/decontam, optional: drop docs
+                               sharing n-grams with a benchmark set)
       -> quality filters      (functions/text: quality_score floor,
                                repetition ceilings — the Gopher/C4 pass)
+      -> classifier floor     (operators/quality_classifier, optional:
+                               P(high quality) >= threshold)
       -> PII scrub            (functions/text.scrub_pii)
       -> mixture sampling     (operators/splits.sample_by_rates, optional)
       -> split assignment     (operators/splits.assign_split)
@@ -14,10 +18,17 @@ Every stage is one of the individually-tested operators; this module only
 composes them, adds no new semantics, and keeps the whole flow lazy (one
 DataFrame in, one DataFrame out — callers write it wherever the corpus
 lives). Stage order is load-bearing: dedup before quality (a duplicate
-passing quality once must not pass twice), scrub before chunking (chunk
-boundaries must not split a redaction placeholder), splits before chunking
-(all chunks of a doc belong to one split — no train/test leakage through
-shared text).
+passing quality once must not pass twice); decontamination before the
+quality stages (contaminated docs must not influence what survives, and
+the benchmark screen is cheapest on the deduped corpus); scrub before
+chunking (chunk boundaries must not split a redaction placeholder);
+splits before chunking (all chunks of a doc belong to one split — no
+train/test leakage through shared text).
+
+Sequence packing (operators/packing.py) deliberately stays OUT of this
+composition: packing consumes the TOKENIZED chunk stream and its layout
+depends on the trainer's context length — run pack_sequences over this
+function's output joined to its token counts as a separate stage.
 """
 
 from __future__ import annotations
@@ -47,22 +58,56 @@ def prepare_training_corpus(
     chunk_size: int = 32,
     chunk_overlap: int = 8,
     seed: int = 42,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+    quality_model: dict | None = None,
+    min_classifier_prob: float = 0.5,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
     Deterministic end to end: hash-based dedup keep-set, hash-based
     sampling/splits, expression-only filters — re-running over the same
-    corpus yields the identical chunk set."""
+    corpus yields the identical chunk set.
+
+    `benchmark` (optional) enables the decontamination stage: docs sharing
+    >= decontam_min_hits word decontam_n-grams with any benchmark doc are
+    dropped. `quality_model` (optional, from
+    quality_classifier.fit_quality_classifier) adds the learned-classifier
+    floor on top of the heuristic quality gates — both are map-side
+    (broadcast n-gram set / inlined literal weights)."""
     keep = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
     deduped = docs.join(keep, id_col, "left_semi")
+
+    if benchmark is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import decontaminate
+
+        deduped = decontaminate(
+            deduped,
+            benchmark,
+            n=decontam_n,
+            min_hits=decontam_min_hits,
+            text_col=text_col,
+            id_col=id_col,
+        )
 
     quality = deduped.filter(
         (TX.quality_score(F.col(text_col)) >= min_quality)
         & (TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac)
         & (TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac)
     )
+
+    if quality_model is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.quality_classifier import (
+            score_quality,
+        )
+
+        good = score_quality(quality, quality_model, text_col, id_col).filter(
+            F.col("quality_prob") >= min_classifier_prob
+        )
+        quality = quality.join(good.select(id_col), id_col, "left_semi")
 
     scrubbed = quality.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
 
