@@ -204,3 +204,55 @@ def test_drop_component_duplicates_keeps_one_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
     kept = sorted(r.doc_id for r in DD.drop_component_duplicates(df, pairs).collect())
     assert kept == [1, 4, 6]  # 6 is in no pair and survives untouched
+
+
+def test_duplicated_ngram_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boiler plate text here plus unique tail alpha"),
+            (2, "shared boiler plate text here plus unique tail beta"),
+            (3, "completely different words nothing in common at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in DD.duplicated_ngram_stats(docs, n=3).collect()}
+    # 9 words -> 7 trigram positions; docs 1/2 share trigrams from the
+    # 8-word common prefix: trigrams at positions 0..5 identical, position
+    # 6 differs ("unique tail alpha" vs "unique tail beta")
+    assert out[1].n_positions == 7 and out[1].dup_positions == 6
+    assert out[2].dup_positions == 6
+    assert out[3].dup_positions == 0 and out[3].dup_fraction == 0.0
+    assert out[1].dup_fraction == pytest.approx(6 / 7)
+
+
+def test_duplicated_ngram_stats_python_oracle(spark, tables):
+    docs = tables["documents"].limit(50)
+    n = 4
+    rows = docs.select("doc_id", "text").collect()
+    def ngrams(text):
+        w = text.lower().strip().split()
+        if not text.strip():
+            return [""]
+        if len(w) <= n:
+            return [" ".join(w)]
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    by_doc = {r.doc_id: ngrams(r.text) for r in rows if r.text is not None}
+    owners = {}
+    for d, ngs in by_doc.items():
+        for g in set(ngs):
+            owners.setdefault(g, set()).add(d)
+    got = {r.doc_id: (r.n_positions, r.dup_positions) for r in
+           DD.duplicated_ngram_stats(docs, n=n).collect()}
+    for d, ngs in by_doc.items():
+        exp_dup = sum(1 for g in ngs if len(owners[g]) > 1)
+        assert got[d] == (len(ngs), exp_dup), d
+
+
+def test_duplicated_ngram_stats_within_doc_repeat_not_cross(spark):
+    # a shingle repeated INSIDE one doc but found nowhere else is not dup
+    docs = spark.createDataFrame(
+        [(1, "la la la la la la"), (2, "other words entirely here now")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in DD.duplicated_ngram_stats(docs, n=3).collect()}
+    assert out[1].dup_positions == 0

@@ -149,3 +149,24 @@ def test_sample_by_rates_no_shuffle(spark, tables):
     df = sample_by_rates(tables["documents"], "source", {"src0": 0.5}, default_rate=0.2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_key_deterministic_uniform_and_total(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import shuffle_key
+    import hashlib
+
+    docs = tables["documents"].select("doc_id")
+    k1 = [r.k for r in docs.select(shuffle_key("doc_id", seed=1).alias("k")).collect()]
+    k2 = [r.k for r in docs.select(shuffle_key("doc_id", seed=1).alias("k")).collect()]
+    assert k1 == k2  # deterministic
+    assert len(set(k1)) == len(k1)  # total order: no ties
+    # portable: reproducible with plain python md5
+    ids = [r.doc_id for r in docs.collect()]
+    exp = [hashlib.md5(f"1:{i}".encode()).hexdigest() + f":{i}" for i in ids]
+    assert k1 == exp
+    # different seeds give a genuinely different permutation
+    k3 = [r.k for r in docs.select(shuffle_key("doc_id", seed=2).alias("k")).collect()]
+    assert sorted(zip(k1, ids)) != sorted(zip(k3, ids))
+    order1 = [i for _, i in sorted(zip(k1, ids))]
+    order3 = [i for _, i in sorted(zip(k3, ids))]
+    assert order1 != order3 and order1 != sorted(ids)

@@ -437,3 +437,48 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(id_col, n_positions, dup_positions, dup_fraction): per-document
+    fraction of word n-gram positions whose n-gram also occurs in ANOTHER
+    document — the cheap distributed stand-in for suffix-array substring
+    dedup (Lee et al. 2021, arXiv:2107.06499): a high fraction marks
+    boilerplate/templated text duplicated across the corpus even when no
+    whole-document or Jaccard-level duplicate exists.
+
+    Plan: one shingle pass (exploded_shingles, position rows preserved),
+    a per-n-gram aggregate where "appears in >= 2 docs" is computed as
+    min(id) != max(id) — fully map-side-combinable, NO count-distinct
+    expansion and no posting lists, so a stopword-heavy n-gram costs one
+    accumulator however hot it is — then a broadcast-free join back on the
+    n-gram and a per-doc rollup. Three keyed shuffles (ng, ng, id), all
+    linear in token count; nothing quadratic anywhere.
+
+    Docs whose text yields no shingle rows (NULL text) are absent from the
+    output, matching exploded_shingles; empty text contributes its single
+    "" shingle (shared only with other empty docs)."""
+    toks = exploded_shingles(df, text_col, id_col, n)
+    cross = (
+        toks.groupBy("ng")
+        .agg((F.min(id_col) != F.max(id_col)).alias("_cross"))
+    )
+    return (
+        toks.join(cross, "ng")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.col("_cross").cast("long")).alias("dup_positions"),
+        )
+        .select(
+            id_col,
+            "n_positions",
+            "dup_positions",
+            (F.col("dup_positions") / F.col("n_positions")).alias("dup_fraction"),
+        )
+    )

@@ -160,3 +160,24 @@ def sample_by_rates(
         else thresh.otherwise(F.lit(int(default_rate * _BUCKETS)))
     )
     return df.filter(bucket < thresh)
+
+
+def shuffle_key(id_col: Column | str, seed: int = 42) -> Column:
+    """Deterministic pseudo-random TOTAL order key for corpus shuffling:
+    md5("<seed>:<id>") with the id appended as tiebreak, so the ordering
+    is (a) uniform-random with respect to any natural ordering of the
+    data, (b) a pure function of (id, seed) — identical across runs,
+    engines and partitionings, like split_bucket — and (c) strict (no
+    ties for unique ids).
+
+    This is the curriculum/shuffle hook for sequence packing
+    (operators/packing.py orders by id): materialize
+    `row_number() over (order by shuffle_key(...))` once as a surrogate id
+    — or better at scale, sort the write by this key (repartitionByRange +
+    sortWithinPartitions, a single range shuffle) so downstream packing
+    reads an already-shuffled corpus. Changing `seed` gives an
+    independent reshuffle per epoch."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.concat_ws(
+        ":", F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), c.cast("string")
+    )
