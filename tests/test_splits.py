@@ -170,3 +170,46 @@ def test_shuffle_key_deterministic_uniform_and_total(spark, tables):
     order1 = [i for _, i in sorted(zip(k1, ids))]
     order3 = [i for _, i in sorted(zip(k3, ids))]
     assert order1 != order3 and order1 != sorted(ids)
+
+
+def test_leakage_safe_split_keeps_neardup_clusters_together(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        assign_split,
+        assign_split_leakage_safe,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # chains: (0,1),(1,2) one component; (10,11); rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51)], ["id_a", "id_b"]
+    )
+    out = assign_split_leakage_safe(docs, pairs, splits={"train": 0.5, "test": 0.5})
+    lab = {r.doc_id: r.split for r in out.collect()}
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[10] == lab[11]
+    assert lab[50] == lab[51]
+    # members adopt the REPRESENTATIVE's hash = plain assign_split of min id
+    base = {
+        r.doc_id: r.split
+        for r in assign_split(docs, splits={"train": 0.5, "test": 0.5}).collect()
+    }
+    assert lab[2] == base[0] and lab[11] == base[10]
+    # singletons keep their own assignment
+    for i in (5, 99, 150):
+        assert lab[i] == base[i]
+    # columns preserved + split column added
+    assert out.columns == ["doc_id", "split"]
+
+
+def test_leakage_safe_split_real_neardups(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import dedup as DD
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        assign_split_leakage_safe,
+    )
+
+    docs = tables["documents"]
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, df_cut=20)
+    out = assign_split_leakage_safe(docs, pairs)
+    lab = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    for r in pairs.collect():
+        assert lab[r.id_a] == lab[r.id_b], (r.id_a, r.id_b)

@@ -181,3 +181,45 @@ def shuffle_key(id_col: Column | str, seed: int = 42) -> Column:
     return F.concat_ws(
         ":", F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), c.cast("string")
     )
+
+
+def assign_split_leakage_safe(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+    max_iter: int = 25,
+) -> DataFrame:
+    """assign_split, but near-duplicate documents NEVER straddle splits.
+
+    `dup_pairs` is an (id_a, id_b) near-dup pair frame from any of the
+    engine's dedup detectors (ngram_jaccard_pairs, minhash+verify,
+    embedding_neardup, semantic_duplicates pairs). The pairs are closed
+    into connected components (dedup.neardup_components) and every member
+    of a component is split by the COMPONENT representative's hash, not
+    its own — so a test document's near-duplicates land in test with it,
+    never in train (the leakage path splitting-then-deduping leaves open,
+    and the reason pipelines split on cluster ids: e.g. The Pile / Llama
+    dedup-then-split orderings).
+
+    Cost: the component propagation over the PAIR graph (tiny next to the
+    corpus — only documents with at least one near-dup appear) + one
+    left join of the corpus against the component map on id; singleton
+    documents keep their own hash. Determinism: components label by min
+    id, the hash is the same portable md5 as assign_split."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    comp = neardup_components(dup_pairs, max_iter=max_iter).select(
+        F.col("node").alias(id_col), F.col("comp").alias("_comp")
+    )
+    keyed = df.join(comp, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("_comp"), F.col(id_col))
+    )
+    return (
+        assign_split(keyed, id_col="_split_key", splits=splits, seed=seed, out_col=out_col)
+        .drop("_comp", "_split_key")
+    )
