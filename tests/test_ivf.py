@@ -222,3 +222,39 @@ def test_multiprobe_recall_curve_with_evaluate_retrieval(spark, tmp_path):
     assert r1 <= r2 <= r4 == pytest.approx(1.0)
     assert r2 >= 0.9, (r1, r2, r4)
     assert r1 < 0.9  # the straddle actually stresses single-probe
+
+
+def test_ivf_quantized_build_search_and_rerank(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    import os
+
+    emb = tables["embeddings"]
+    q = [0.1] * 64
+    full = IvfIndex(spark, str(tmp_path / "ivf_f")).build(
+        emb, vector_col="embedding", num_lists=4, seed=42
+    )
+    quant = IvfIndex(spark, str(tmp_path / "ivf_q")).build(
+        emb, vector_col="embedding", num_lists=4, seed=42, quantize=True
+    )
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_q"), "data"))
+    assert "_q8" in stored.columns and "embedding" not in stored.columns
+    exact = {
+        r.vec_id: r.score
+        for r in full.search(q, k=10, n_probe=4, id_col="vec_id").collect()
+    }
+    approx = {
+        r.vec_id: r.score
+        for r in quant.search(q, k=10, n_probe=4, id_col="vec_id").collect()
+    }
+    assert len(set(exact) & set(approx)) >= 8
+    for vid in set(exact) & set(approx):
+        assert abs(exact[vid] - approx[vid]) < 0.02
+    rer = {
+        r.vec_id: r.score
+        for r in quant.search(
+            q, k=10, n_probe=4, id_col="vec_id", exact_source=emb
+        ).collect()
+    }
+    for vid in set(exact) & set(rer):
+        assert rer[vid] == pytest.approx(exact[vid], abs=1e-9)
+    assert len(set(exact) & set(rer)) >= 9

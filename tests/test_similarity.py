@@ -131,3 +131,50 @@ def test_embedding_neardup_hot_bucket_cap_same_pairs(spark, tables):
         for r in embedding_neardup(emb, threshold=0.45, bits=4, tables=8).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_index_quantized_build_and_search(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    import numpy as np
+
+    emb = tables["embeddings"]
+    q = [0.1] * 64
+    full = LshIndex(spark, str(tmp_path / "lsh_f")).build(
+        emb, dims=64, bits=4, tables=4
+    )
+    quant = LshIndex(spark, str(tmp_path / "lsh_q")).build(
+        emb, dims=64, bits=4, tables=4, quantize=True
+    )
+    assert quant.meta()["quantized"] and not full.meta()["quantized"]
+    # the stored frame carries int8 codes, not float vectors
+    import os
+
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "lsh_q"), "data"))
+    assert "_q8" in stored.columns and "embedding" not in stored.columns
+    f = {r.vec_id: r.score for r in full.search(q, k=10).collect()}
+    g = {r.vec_id: r.score for r in quant.search(q, k=10).collect()}
+    # same candidate buckets; int8 scores within the quantization bound
+    overlap = len(set(f) & set(g))
+    assert overlap >= 8
+    for vid in set(f) & set(g):
+        assert abs(f[vid] - g[vid]) < 0.02
+
+
+def test_lsh_index_quantized_exact_rerank_recovers_exact_scores(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    emb = tables["embeddings"]
+    q = [0.05] * 64
+    full = LshIndex(spark, str(tmp_path / "lshf2")).build(emb, dims=64, bits=4, tables=4)
+    quant = LshIndex(spark, str(tmp_path / "lshq2")).build(
+        emb, dims=64, bits=4, tables=4, quantize=True
+    )
+    exact = {r.vec_id: r.score for r in full.search(q, k=10).collect()}
+    rer = {
+        r.vec_id: r.score
+        for r in quant.search(q, k=10, exact_source=emb, expand=4).collect()
+    }
+    # reranked scores are EXACT for every id surviving the int8 shortlist
+    for vid in set(exact) & set(rer):
+        assert rer[vid] == pytest.approx(exact[vid], abs=1e-9)
+    assert len(set(exact) & set(rer)) >= 9

@@ -126,10 +126,16 @@ class IvfIndex:
         seed: int = 42,
         max_iter: int = 20,
         fit_fraction: float | None = None,
+        quantize: bool = False,
     ) -> "IvfIndex":
         """Fit KMeans (on a `fit_fraction` sample when given — at 100 TB the
         centroids only need a representative sample, not the full table),
-        then assign EVERY row and write partitioned by centroid_id."""
+        then assign EVERY row and write partitioned by centroid_id.
+
+        quantize=True stores vectors int8 (functions/vector.quantize_int8)
+        — the same 4x serving-IO cut as LshIndex(quantize=True); search()
+        dequantizes in the scan projection and accepts `exact_source` for
+        full-precision re-ranking."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -147,6 +153,14 @@ class IvfIndex:
         km = KMeans(k=num_lists, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
         model = km.fit(fit_input)
         assigned = model.transform(normed).drop("_features", "_nv")
+        if quantize:
+            from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+                quantize_int8,
+            )
+
+            assigned = assigned.withColumn(
+                "_q8", quantize_int8(F.col(vector_col))
+            ).drop(vector_col)
         # co-locate each list before writing: without this every write task
         # emits a sliver file into every centroid dir (tasks x lists tiny
         # files — a listing/open bottleneck at query time). One hash
@@ -163,6 +177,7 @@ class IvfIndex:
                     "num_lists": num_lists,
                     "vector_col": vector_col,
                     "seed": seed,
+                    "quantized": quantize,
                     "fingerprint": data_fingerprint(df),
                 },
                 f,
@@ -193,22 +208,51 @@ class IvfIndex:
         use_pandas: bool = True,
         id_col: str | None = None,
         round_scores: int | None = None,
+        exact_source: DataFrame | None = None,
+        expand: int = 4,
     ) -> DataFrame:
         """Centroid-pruned exact top-k, returned as a LAZY DataFrame over the
         index files (no driver-side collect — callers compose further ops on
         it). The IN-filter on the partition column prunes at file-listing
-        time (check explain(): PartitionFilters)."""
+        time (check explain(): PartitionFilters).
+
+        On a quantized index, scores come from the dequantized int8 codes;
+        with `exact_source` the shortlist of k*expand ids is rescored at
+        full precision against the source table (broadcast semi join —
+        keep the source bucketed by id at warehouse scale)."""
         meta = self.meta()
         probes = self.nearest_centroids(query, n_probe)
         scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
             F.col("centroid_id").isin(probes)
         )
-        return vector_search(
+        quantized = meta.get("quantized", False)
+        if quantized:
+            from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+                dequantize_int8,
+            )
+
+            scan = scan.withColumn(meta["vector_col"], dequantize_int8("_q8")).drop("_q8")
+        shortlist_k = k * expand if (quantized and exact_source is not None) else k
+        approx = vector_search(
             scan,
+            query,
+            k=shortlist_k,
+            vector_col=meta["vector_col"],
+            use_pandas=use_pandas,
+            id_col=id_col,
+            round_scores=round_scores,
+        ).drop("centroid_id")
+        if not (quantized and exact_source is not None):
+            return approx
+        key = id_col if id_col is not None else approx.columns[0]
+        ids = approx.select(key)
+        exact_cands = exact_source.join(F.broadcast(ids), key, "left_semi")
+        return vector_search(
+            exact_cands,
             query,
             k=k,
             vector_col=meta["vector_col"],
             use_pandas=use_pandas,
             id_col=id_col,
             round_scores=round_scores,
-        ).drop("centroid_id")
+        )
