@@ -178,3 +178,81 @@ def test_lsh_index_quantized_exact_rerank_recovers_exact_scores(spark, tables, t
     for vid in set(exact) & set(rer):
         assert rer[vid] == pytest.approx(exact[vid], abs=1e-9)
     assert len(set(exact) & set(rer)) >= 9
+
+
+def test_lsh_index_add_documents_matches_fresh_build(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    first = emb.filter(F.col("vec_id") < 40)
+    rest = emb.filter(F.col("vec_id") >= 40)
+    q = [0.1] * 64
+    incr = LshIndex(spark, str(tmp_path / "lsh_incr")).build(
+        first, dims=64, bits=4, tables=4
+    )
+    incr.add_documents(rest)
+    fresh = LshIndex(spark, str(tmp_path / "lsh_fresh")).build(
+        emb, dims=64, bits=4, tables=4
+    )
+    got = [(r.vec_id, r.score) for r in incr.search(q, k=10, round_scores=6).collect()]
+    exp = [(r.vec_id, r.score) for r in fresh.search(q, k=10, round_scores=6).collect()]
+    assert got == exp
+
+
+def test_lsh_index_add_duplicate_guard(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    idx = LshIndex(spark, str(tmp_path / "lsh_dup")).build(
+        emb.filter(F.col("vec_id") < 30), dims=64, bits=4, tables=4
+    )
+    overlap = emb.filter(F.col("vec_id") < 35)  # 30 dups + 5 new
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add_documents(overlap)
+    idx.add_documents(overlap, on_duplicate="skip")
+    import os
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "lsh_dup"), "data"))
+    # every id appears exactly `tables` times (once per table) -> no dups
+    bad = (
+        stored.groupBy("vec_id").count().filter(F.col("count") != 4).count()
+    )
+    assert bad == 0
+    assert stored.select("vec_id").distinct().count() == 35
+
+
+def test_lsh_index_remove_documents_matches_fresh_build(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    q = [0.1] * 64
+    idx = LshIndex(spark, str(tmp_path / "lsh_rm")).build(emb, dims=64, bits=4, tables=4)
+    gone = [r.vec_id for r in idx.search(q, k=3).collect()]  # remove top hits
+    idx.remove_documents(gone + [999_999])  # unknown id ignored
+    fresh = LshIndex(spark, str(tmp_path / "lsh_rm_f")).build(
+        emb.filter(~F.col("vec_id").isin(gone)), dims=64, bits=4, tables=4
+    )
+    got = [(r.vec_id, r.score) for r in idx.search(q, k=10, round_scores=6).collect()]
+    exp = [(r.vec_id, r.score) for r in fresh.search(q, k=10, round_scores=6).collect()]
+    assert got == exp
+    assert not (set(g for g, _ in got) & set(gone))
+
+
+def test_lsh_index_quantized_incremental(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    idx = LshIndex(spark, str(tmp_path / "lsh_qi")).build(
+        emb.filter(F.col("vec_id") < 50), dims=64, bits=4, tables=4, quantize=True
+    )
+    idx.add_documents(emb.filter(F.col("vec_id") >= 50))
+    fresh = LshIndex(spark, str(tmp_path / "lsh_qi_f")).build(
+        emb, dims=64, bits=4, tables=4, quantize=True
+    )
+    q = [0.2] * 64
+    got = [(r.vec_id, r.score) for r in idx.search(q, k=10, round_scores=6).collect()]
+    exp = [(r.vec_id, r.score) for r in fresh.search(q, k=10, round_scores=6).collect()]
+    assert got == exp

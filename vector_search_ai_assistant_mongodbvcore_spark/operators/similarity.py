@@ -370,6 +370,118 @@ class LshIndex:
         with open(self._meta_file()) as f:
             return json.load(f)
 
+    def add_documents(self, df: DataFrame, on_duplicate: str = "error") -> "LshIndex":
+        """Absorb new vectors near-real-time — the ANN twin of the
+        reference's add path (AddRemoveData.cs 'add' → upsert → immediately
+        searchable) and of Bm25Index.add_documents. LSH keeps NO global
+        statistics (no df/avgdl), so an add is exactly an APPEND of the new
+        rows into their (table, bucket) partitions: after add_documents,
+        search() is IDENTICAL to a fresh build over the union corpus
+        (asserted in tests), with no rescoring caveats.
+
+        Duplicate-id guard (a re-added id would surface twice in candidate
+        reads and double its vector's storage):
+          on_duplicate='error'  raise naming offenders
+          on_duplicate='skip'   add only unseen ids
+          on_duplicate='trust'  skip the check (saves an id-column scan of
+                                the index; the scan is column-pruned, but
+                                at warehouse scale keep a doc-id side
+                                table as Bm25Index does and trust here)."""
+        import os
+
+        if on_duplicate not in ("error", "skip", "trust"):
+            raise ValueError(f"on_duplicate must be error|skip|trust, got {on_duplicate!r}")
+        m = self.meta()
+        id_col, vector_col = m["id_col"], m["vector_col"]
+        data_dir = os.path.join(self.path, "data")
+        if on_duplicate != "trust":
+            existing = self.spark.read.parquet(data_dir).select(id_col)
+            dups = df.select(id_col).distinct().join(existing, id_col, "left_semi")
+            if on_duplicate == "error":
+                offenders = [r[id_col] for r in dups.limit(10).collect()]
+                if offenders:
+                    raise ValueError(
+                        f"ids already indexed: {offenders!r}; "
+                        f"use on_duplicate='skip' to add only new ids"
+                    )
+            else:
+                df = df.join(dups, id_col, "left_anti")
+        bucketed = lsh_bucket_ids(
+            df, m["dims"], m["bits"], m["tables"], vector_col, id_col, m["seed"]
+        )
+        data = bucketed.join(df, id_col)
+        if m.get("quantized"):
+            from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+                quantize_int8,
+            )
+
+            data = data.withColumn("_q8", quantize_int8(F.col(vector_col))).drop(
+                vector_col
+            )
+        data.repartition(F.col("table"), F.col("bucket")).write.mode(
+            "append"
+        ).partitionBy("table", "bucket").parquet(data_dir)
+        self.spark.catalog.refreshByPath(data_dir)
+        return self
+
+    def remove_documents(self, ids: "Sequence") -> "LshIndex":
+        """Delete vectors near-real-time: the removed ids' (table, bucket)
+        partitions are rewritten copy-on-write (dynamic partition
+        overwrite) minus the doomed rows; untouched partitions' files are
+        never rewritten, and a partition left empty is dropped outright.
+        After remove_documents, search() is IDENTICAL to a fresh build
+        over the survivors (asserted in tests). Unknown ids are ignored.
+
+        Cost is O(touched partitions' rows) — each id occupies `tables`
+        partitions — never a full-index rewrite."""
+        import os
+        import shutil
+
+        ids = list(ids)
+        if not ids:
+            return self
+        m = self.meta()
+        id_col = m["id_col"]
+        data_dir = os.path.join(self.path, "data")
+        scan = self.spark.read.parquet(data_dir)
+        doomed = scan.filter(F.col(id_col).isin(ids))
+        touched = [
+            (r["table"], r["bucket"])
+            for r in doomed.select("table", "bucket").distinct().collect()
+        ]
+        if not touched:
+            return self
+        t_cond = F.lit(False)
+        for t, b in touched:
+            t_cond = t_cond | ((F.col("table") == t) & (F.col("bucket") == b))
+        survivors = scan.filter(t_cond & ~F.col(id_col).isin(ids)).localCheckpoint(
+            eager=True
+        )
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            survivors.repartition(F.col("table"), F.col("bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("table", "bucket").parquet(data_dir)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+        alive = {
+            (r["table"], r["bucket"])
+            for r in survivors.select("table", "bucket").distinct().collect()
+        }
+        for t, b in touched:
+            if (t, b) not in alive:
+                shutil.rmtree(
+                    os.path.join(data_dir, f"table={t}", f"bucket={b}"),
+                    ignore_errors=True,
+                )
+        self.spark.catalog.refreshByPath(data_dir)
+        return self
+
     def search(
         self,
         query: Sequence[float],
