@@ -133,3 +133,59 @@ def test_streaming_change_stream_end_to_end(spark, tmp_path):
     q2 = start_change_stream(spark, str(src), schema, table, keys=["id"], checkpoint_dir=ckpt, embedder=EMB)
     q2.awaitTermination(60)
     assert "Cosmic Socks, M" not in _socks_query(table, k=5, question=COSMIC_QUESTION)
+
+
+def test_socks_e2e_served_from_streaming_maintained_lsh_index(spark, tmp_path):
+    """The golden add/remove script, but SERVED FROM THE ANN INDEX with the
+    index kept fresh by the change stream — the production topology: change
+    records -> foreachBatch -> LshIndex remove/add -> partition-pruned
+    search sees the change at the next commit."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+        start_index_change_stream,
+    )
+
+    df = spark.createDataFrame(
+        SOCKS, "id string, categoryName string, name string, description string"
+    )
+    corpus = ingest_and_vectorize(df, embedder=EMB)
+    idx = LshIndex(spark, str(tmp_path / "lsh_sock")).build(
+        corpus, dims=64, bits=1, tables=4, vector_col="vector", id_col="id"
+    )
+    q = [float(x) for x in EMB.embed_numpy(["What kind of socks do you have?"])[0]]
+
+    def names(k=6):
+        hits = idx.search(q, k=k).select("id")
+        return sorted(
+            r.name for r in corpus_all().join(hits, "id", "left_semi").collect()
+        )
+
+    def corpus_all():
+        extra = spark.createDataFrame(
+            [COSMIC], "id string, categoryName string, name string, description string"
+        )
+        return df.unionByName(extra)
+
+    before = names()
+    assert "Cosmic Socks, M" not in before and len(before) >= 4
+
+    src = tmp_path / "idx_changes"
+    src.mkdir()
+    rec = dict(zip(("id", "categoryName", "name", "description"), COSMIC))
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({**rec, "_op": "upsert"}) + "\n")
+    start_index_change_stream(
+        spark, str(src), CHANGE_SCHEMA, idx, "id",
+        str(tmp_path / "ckpt_idx1"), embedder=EMB,
+    ).awaitTermination(120)
+    assert "Cosmic Socks, M" in names()
+
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({**rec, "_op": "delete"}) + "\n")
+    start_index_change_stream(
+        spark, str(src), CHANGE_SCHEMA, idx, "id",
+        str(tmp_path / "ckpt_idx1"), embedder=EMB,  # same checkpoint: only b2 processes
+    ).awaitTermination(120)
+    after = names()
+    assert "Cosmic Socks, M" not in after
+    assert after == before

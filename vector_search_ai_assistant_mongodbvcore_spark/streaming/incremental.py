@@ -81,3 +81,69 @@ def start_change_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_index_changes(
+    index,
+    batch_df: DataFrame,
+    id_col: str = "id",
+    embedder=None,
+    op_col: str = "_op",
+    text_exclude: tuple[str, ...] = (),
+) -> None:
+    """foreachBatch body maintaining a SERVING INDEX (LshIndex) instead of
+    a table: upserts re-embed the document text and replace the id's index
+    rows (remove-then-add — exact upsert semantics, no duplicate
+    candidates); deletes remove. This closes the reference's near-real-time
+    loop at the index layer: a change record is searchable from the
+    partition-pruned index at the next micro-batch commit, mirroring how
+    the reference's upsert is immediately visible to $search
+    (AddRemoveData.cs + MongoDbService.UpsertProductAsync).
+
+    Cost per batch: O(changed ids' (table, bucket) partitions) — the
+    remove is a COW of the touched partitions, the add an append. Safe
+    under streaming retries: remove-then-add is idempotent for the same
+    batch content."""
+    embedder = embedder or HashNgramEmbedder()
+    m = index.meta()
+    vector_col = m["vector_col"]
+    upserts = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
+    deletes = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
+    up_rows = None
+    if upserts.isEmpty() is False:
+        doc_text = serialize_document(
+            upserts, exclude=(vector_col, op_col, *text_exclude)
+        )
+        up_rows = upserts.select(
+            F.col(id_col).alias(m["id_col"]),
+            embedder.udf()(doc_text).cast("array<float>").alias(vector_col),
+        )
+        ids = [r[m["id_col"]] for r in up_rows.select(m["id_col"]).distinct().collect()]
+        index.remove_documents(ids)
+        index.add_documents(up_rows, on_duplicate="trust")
+    if deletes.isEmpty() is False:
+        ids = [r[id_col] for r in deletes.select(id_col).distinct().collect()]
+        index.remove_documents(ids)
+
+
+def start_index_change_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index,
+    id_col: str,
+    checkpoint_dir: str,
+    embedder=None,
+):
+    """readStream(json dir) -> foreachBatch(apply_index_changes)."""
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        apply_index_changes(index, df, id_col, embedder)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
