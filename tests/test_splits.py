@@ -213,3 +213,50 @@ def test_leakage_safe_split_real_neardups(spark, tables):
     lab = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
     for r in pairs.collect():
         assert lab[r.id_a] == lab[r.id_b], (r.id_a, r.id_b)
+
+
+def test_mixture_planning_end_to_end(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        plan_mixture_rates,
+        sample_by_rates,
+        source_token_stats,
+    )
+
+    docs = tables["documents"]
+    avail = source_token_stats(docs)
+    assert set(avail) and all(v > 0 for v in avail.values())
+    total = sum(avail.values())
+    targets = {s: 1.0 for s in avail}  # equal shares
+    plan = plan_mixture_rates(avail, targets, token_budget=total // 2)
+    assert all(0.0 <= r <= 1.0 for r in plan["rates"].values())
+    # the plan's expected tokens land near the budget (caps may undershoot)
+    assert 0 < sum(plan["expected_tokens"].values()) <= total // 2 + len(avail)
+    sampled = sample_by_rates(docs, "source", plan["rates"])
+    got = source_token_stats(sampled)
+    # the sampling is a pure function of (id, seed): reproduce the kept
+    # token totals exactly in python and compare (no statistical band —
+    # at 500 docs per-source variance would swamp any loose assertion)
+    import hashlib
+
+    exp_toks = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        bucket = int(hashlib.md5(f"42:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        if bucket < int(plan["rates"][r.source] * (1 << 32)):
+            exp_toks[r.source] = exp_toks.get(r.source, 0) + len(r.text.strip().split())
+    for s in avail:
+        assert got.get(s, 0) == exp_toks.get(s, 0), s
+
+
+def test_mixture_planning_shortfall_and_validation(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        plan_mixture_rates,
+    )
+
+    plan = plan_mixture_rates({"a": 100, "b": 10_000}, {"a": 0.5, "b": 0.5}, 2_000)
+    assert plan["rates"]["a"] == 1.0 and plan["shortfall"]["a"] == 900
+    assert plan["rates"]["b"] == pytest.approx(0.1)
+    assert plan["shortfall"]["b"] == 0
+    missing = plan_mixture_rates({"b": 10}, {"a": 1.0}, 100)
+    assert missing["rates"]["a"] == 0.0 and missing["shortfall"]["a"] == 100
+    with pytest.raises(ValueError):
+        plan_mixture_rates({"a": 1}, {"a": 1.0}, 0)

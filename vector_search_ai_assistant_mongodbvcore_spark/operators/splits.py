@@ -223,3 +223,56 @@ def assign_split_leakage_safe(
         assign_split(keyed, id_col="_split_key", splits=splits, seed=seed, out_col=out_col)
         .drop("_comp", "_split_key")
     )
+
+
+def source_token_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    text_col: str = "text",
+) -> dict:
+    """{source: available_tokens}: the supply side of mixture planning.
+    `weight_col` names a precomputed token-count column; otherwise tokens
+    are whitespace word counts of `text_col`. One map-side-combined
+    aggregate; the result is one row per source (driver-safe)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import word_count
+
+    w = F.col(weight_col) if weight_col else word_count(text_col)
+    rows = df.groupBy(source_col).agg(F.sum(w.cast("long")).alias("toks")).collect()
+    return {r[source_col]: int(r["toks"] or 0) for r in rows}
+
+
+def plan_mixture_rates(
+    available: dict,
+    target_shares: dict,
+    token_budget: int,
+) -> dict:
+    """Solve the mixture: per-source keep rates for sample_by_rates so the
+    sampled corpus approximates `target_shares` of `token_budget` tokens.
+
+    rate_s = min(1, share_s * budget / available_s); a source that cannot
+    supply its share caps at 1.0 (keep-rate sampling cannot upsample — the
+    shortfall is reported rather than silently shifted onto other
+    sources, because re-normalizing would distort the ratios the caller
+    asked for; epoch-level repetition of short sources is the trainer's
+    call). Returns {"rates", "expected_tokens", "shortfall"} — feed
+    "rates" straight into sample_by_rates.
+
+    Pure driver-side arithmetic over one row per source."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    tot = sum(target_shares.values())
+    if not tot > 0:
+        raise ValueError("target_shares must sum to > 0")
+    rates, expected, shortfall = {}, {}, {}
+    for s, share in target_shares.items():
+        want = share / tot * token_budget
+        have = available.get(s, 0)
+        if have <= 0:
+            rates[s], expected[s], shortfall[s] = 0.0, 0, int(round(want))
+            continue
+        r = min(1.0, want / have)
+        rates[s] = r
+        expected[s] = int(round(r * have))
+        shortfall[s] = int(round(want - r * have)) if r >= 1.0 and have < want else 0
+    return {"rates": rates, "expected_tokens": expected, "shortfall": shortfall}
