@@ -141,3 +141,48 @@ def test_no_global_corpus_sort_in_plan(spark, tables):
     assert rep.raw.count("Exchange SinglePartition") <= 1
     assert "hashpartitioning(_g" in rep.raw
     assert rep.python_evals == 0
+
+
+def test_pack_corpus_chunks_per_split_no_leakage(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_corpus_chunks
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    chunks = prepare_training_corpus(tables["documents"]).cache()
+    packed = pack_corpus_chunks(chunks, seq_len=64, group_size=32).cache()
+    # sequences are split-pure by construction; per-(split, seq) totals
+    # are exactly 64 except each split's tail
+    per_seq = (
+        packed.groupBy("split", "seq_id").agg(F.sum("n_toks").alias("t")).collect()
+    )
+    tails = {}
+    for r in per_seq:
+        if r.t != 64:
+            tails.setdefault(r.split, []).append(r.t)
+    for s, ts in tails.items():
+        assert len(ts) == 1 and 0 < ts[0] <= 64, (s, ts)
+    # every chunk's tokens are fully laid out
+    chunk_tot = {
+        (r.split, r.doc_id, r.chunk_id): r.n_tokens
+        for r in chunks.select("split", "doc_id", "chunk_id", "n_tokens").collect()
+    }
+    laid = {
+        (r.split, r.doc_id, r.chunk_id): r.t
+        for r in packed.groupBy("split", "doc_id", "chunk_id")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
+    }
+    assert laid == chunk_tot
+    chunks.unpersist(); packed.unpersist()
+
+
+def test_pack_corpus_chunks_guards_chunk_id_overflow(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_corpus_chunks
+    from pyspark.sql.utils import AnalysisException
+
+    bad = spark.createDataFrame(
+        [("train", 1, 5, 10)], ["split", "doc_id", "chunk_id", "n_tokens"]
+    )
+    with pytest.raises(Exception, match="chunk_id|ASSERT"):
+        pack_corpus_chunks(bad, seq_len=8, chunk_bits=2).collect()

@@ -388,6 +388,15 @@ def pii_hit_counts(col: Column | str) -> Column:
 def pii_hit_total(col: Column | str) -> Column:
     """Total PII matches as ONE regexp_count over the alternation of every
     category pattern (earlier-category precedence comes free: regex
-    alternation is first-match, mirroring the cascade's order)."""
+    alternation is first-match, mirroring the cascade's order).
+
+    Caveat vs pii_hit_counts: the per-category cascade scans text the
+    EARLIER categories already redacted, so a substring matched by two
+    patterns counts once here (first alternative wins) and once there
+    (first cascade stage wins) — same count, but if a LATER pattern can
+    only match because an earlier redaction created its context, the two
+    can differ by that row. The single-alternation form is the cheap
+    corpus-stat; use pii_hit_counts when per-category attribution
+    matters."""
     alternation = "|".join(f"(?:{pat})" for _, pat, _ in _PII_PATTERNS)
     return F.regexp_count(_c(col), F.lit(alternation))

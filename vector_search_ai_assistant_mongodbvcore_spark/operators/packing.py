@@ -172,3 +172,65 @@ def pack_sequences_greedy(
 
     out_schema = f"bin_id long, {id_col} long, n_toks long, overflow boolean"
     return d.groupBy("_g").applyInPandas(pack, schema=out_schema)
+
+
+def pack_corpus_chunks(
+    chunks: DataFrame,
+    seq_len: int,
+    split_col: str = "split",
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    n_tokens_col: str = "n_tokens",
+    chunk_bits: int = 20,
+    group_size: int = 4096,
+) -> DataFrame:
+    """Pack prepare_training_corpus output into training sequences, PER
+    SPLIT: (split, seq_id, doc_id, chunk_id, begin, n_toks). Sequences
+    never mix splits — a train sequence containing a test chunk would be
+    leakage at the token level, after all the document-level care.
+
+    Each chunk gets the surrogate ordering id doc_id * 2^chunk_bits +
+    chunk_id (guarded row-wise: a chunk_id >= 2^chunk_bits fails loudly
+    rather than silently colliding), so packing order is (doc, chunk) —
+    chunks of a document stay adjacent and in order inside the token
+    stream, which is what lets a loader reconstruct contiguous text. For
+    a shuffled curriculum, materialize a surrogate id ordered by
+    splits.shuffle_key upstream instead.
+
+    One pack_sequences pass per split over a filtered branch of the same
+    lazy frame; plan cost is the number of splits times the two-level
+    prefix scan, all on disjoint row sets."""
+    names = [
+        r[split_col]
+        for r in chunks.select(split_col).distinct().collect()
+    ]
+    lim = 1 << chunk_bits
+    out = None
+    for s in sorted(names):
+        # the guard lives INSIDE the surrogate-id expression so Catalyst
+        # cannot prune it away (a standalone assert column would be
+        # dropped as unused and never evaluate)
+        sid = F.when(
+            F.col(chunk_col) < lim, F.col(doc_col) * lim + F.col(chunk_col)
+        ).otherwise(
+            F.raise_error(F.lit(f"chunk_id >= 2^{chunk_bits}; raise chunk_bits"))
+        )
+        sub = chunks.filter(F.col(split_col) == s).select(
+            F.col(doc_col),
+            F.col(chunk_col),
+            sid.alias("_sid"),
+            F.col(n_tokens_col),
+        )
+        packed = pack_sequences(
+            sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid", group_size=group_size
+        )
+        part = packed.select(
+            F.lit(s).alias(split_col),
+            "seq_id",
+            F.floor(F.col("_sid") / lim).cast("long").alias(doc_col),
+            (F.col("_sid") % lim).cast("long").alias(chunk_col),
+            "begin",
+            "n_toks",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
