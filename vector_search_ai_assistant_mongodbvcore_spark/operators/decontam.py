@@ -76,14 +76,23 @@ def contamination_report(
             ),
         )
     )
+    # every doc with non-NULL text has >= 1 shingle row, so `agg` already
+    # covers it (empty text yields the "" shingle); only NULL-text docs
+    # are missing. A narrow filter+union covers them — NOT a corpus-sized
+    # left join back to `docs`, which would add two more id exchanges to
+    # the plan for rows that are all zeros anyway.
+    nulls = docs.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_ngrams"),
+        F.lit(0).cast("long").alias("hits"),
+    )
     return (
-        docs.select(id_col)
-        .join(agg, id_col, "left")
+        agg.unionByName(nulls)
         .select(
             F.col(id_col),
-            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-            F.coalesce("hits", F.lit(0)).alias("hits"),
-            (F.coalesce("hits", F.lit(0)) >= min_hits).alias("contaminated"),
+            "n_ngrams",
+            "hits",
+            (F.col("hits") >= min_hits).alias("contaminated"),
         )
     )
 
