@@ -65,3 +65,30 @@ def test_approx_mode_runs(spark, tables):
     exact = column_profile(tables["events"], columns=["user_id"]).collect()
     # HLL within 5% of exact at this cardinality
     assert rows[0]["n_distinct"] == pytest.approx(exact[0]["n_distinct"], rel=0.05)
+
+
+def test_approx_percentiles_bounded_sketch(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import column_profile
+
+    ev = tables["events"]
+    exact = {
+        r.column: r.percentiles
+        for r in column_profile(ev, columns=["value"]).collect()
+    }
+    approx = {
+        r.column: r.percentiles
+        for r in column_profile(
+            ev, columns=["value"], approx_percentiles=True
+        ).collect()
+    }
+    # same schema either way; at accuracy=10000 over 1000 rows the sketch
+    # rank error is < 1 row, so quantiles land on real data values near
+    # the exact interpolated ones
+    ex, ap = exact["value"], approx["value"]
+    assert len(ex) == len(ap) == 3
+    import numpy as np
+
+    vals = np.array([r.value for r in ev.select("value").collect()])
+    spread = vals.max() - vals.min()
+    for e, a in zip(ex, ap):
+        assert abs(e - a) <= spread * 0.02

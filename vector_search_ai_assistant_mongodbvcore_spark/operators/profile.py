@@ -38,10 +38,21 @@ def column_profile(
     columns: list[str] | None = None,
     percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     approx_distinct: bool = False,
+    approx_percentiles: bool = False,
+    percentile_accuracy: int = 10_000,
 ) -> DataFrame:
     """Long-format profile, one output row per column. Complex-typed
     columns (array/map/struct/binary) are skipped — profile their exploded
-    or derived forms instead."""
+    or derived forms instead.
+
+    approx_percentiles=True switches exact `percentile` (which buffers a
+    value->count map per aggregate — exact, but memory grows with the
+    column's distinct-value count, the wrong trade for high-cardinality
+    numerics at corpus scale) to `percentile_approx` (Greenwald-Khanna
+    sketch, memory bounded by `percentile_accuracy` regardless of input
+    size; error <= 1/accuracy of rank). The 100 TB dataset-card profile
+    is approx_distinct=True + approx_percentiles=True: every accumulator
+    constant-memory, still one scan."""
     fields = {
         f.name: f.dataType
         for f in df.schema.fields
@@ -61,8 +72,15 @@ def column_profile(
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
         if isinstance(fields[c], _NUMERIC):
+            pcts = F.array(*[F.lit(p) for p in percentiles])
             aggs.append(
-                F.percentile(F.col(c).cast("double"), F.array(*[F.lit(p) for p in percentiles])).alias(f"{c}__p")
+                (
+                    F.percentile_approx(
+                        F.col(c).cast("double"), pcts, F.lit(percentile_accuracy)
+                    ).cast("array<double>")
+                    if approx_percentiles
+                    else F.percentile(F.col(c).cast("double"), pcts)
+                ).alias(f"{c}__p")
             )
     one = df.agg(*aggs)
 
