@@ -95,3 +95,20 @@ def test_transaction_retry_is_idempotent(spark, tmp_path):
         txn.upsert_session_batch(s_row, m_rows, ["session_id"], ["id"], txn_id="txn-9")
     assert messages.read().count() == 1
     assert sessions.read().first().tokens_used == 7
+
+
+def test_time_travel_read(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.createDataFrame([(1, "a")], ["id", "val"]))          # v0
+    t.merge(spark.createDataFrame([(1, "b"), (2, "c")], ["id", "val"]), ["id"])  # v1
+    v0 = sorted(tuple(r) for r in t.read(version=0).collect())
+    v1 = sorted(tuple(r) for r in t.read().collect())
+    assert v0 == [(1, "a")]
+    assert v1 == [(1, "b"), (2, "c")]
+    with pytest.raises(ValueError):
+        t.read(version=99)
+    # a vacuumed version reports clearly rather than a raw path error
+    t.delete(F.col("id") == 2)  # v2; default vacuum keeps last 2 -> v0 gone
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read(version=0)
+    assert sorted(tuple(r) for r in t.read(version=1).collect()) == v1

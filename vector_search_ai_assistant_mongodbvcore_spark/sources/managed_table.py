@@ -87,11 +87,27 @@ class ManagedTable:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # ---- reads ----------------------------------------------------------
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current committed version, or TIME-TRAVEL to an older
+        one (`version=N`): every commit is a complete immutable snapshot
+        dir, so any version the vacuum horizon still retains (`_vacuum`
+        keeps the last `keep`) reads exactly as it was committed — the
+        Delta `versionAsOf` analog, free with the snapshot-COW layout.
+        Useful for reproducing a training run against the corpus snapshot
+        it actually saw, and for auditing a bad write."""
+        cur = self.current_version()
+        if cur < 0:
             raise FileNotFoundError(f"table {self.path} has no committed version")
-        return self.spark.read.parquet(self._data_dir(v))
+        v = cur if version is None else version
+        if not 0 <= v <= cur:
+            raise ValueError(f"version {v} out of range [0, {cur}]")
+        d = self._data_dir(v)
+        if not os.path.exists(d):
+            raise FileNotFoundError(
+                f"version {v} was vacuumed (oldest retained snapshot wins); "
+                f"current={cur}"
+            )
+        return self.spark.read.parquet(d)
 
     # ---- writes ---------------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
