@@ -161,3 +161,13 @@ def test_compact_untouched_buckets_carry_forward(spark, tmp_path):
     for b, dirs in manifest_after.items():
         if b not in touched:
             assert dirs == manifest_before[b]  # untouched bucket: same files
+
+
+def test_bucketed_time_travel(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "btt"), bucket_by=["id"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"]))   # v0
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"]), ["id"])  # v1
+    assert sorted(tuple(r) for r in t.read(version=0).collect()) == [(1, "a"), (2, "b")]
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "B"), (3, "c")]
+    with pytest.raises(ValueError):
+        t.read(version=7)

@@ -149,3 +149,28 @@ def test_classifier_floor_stage(spark, tables):
     }
     for d in kept:
         assert probs[d] >= 0.5
+
+
+def test_perplexity_ceiling_stage(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.lm_quality import (
+        fit_bigram_lm,
+        score_perplexity,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    lm = fit_bigram_lm(docs, vocab_size=500)
+    # pick a ceiling at the corpus median so the stage provably fires
+    ppl = score_perplexity(docs, lm)
+    med = ppl.agg(F.percentile(F.col("perplexity"), F.lit(0.5))).first()[0]
+    base = prepare_training_corpus(docs)
+    capped = prepare_training_corpus(docs, lm_model=lm, max_perplexity=float(med))
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    kept = {r.doc_id for r in capped.select("doc_id").distinct().collect()}
+    assert kept < base_ids  # strictly fewer docs survive
+    scores = {r.doc_id: r.perplexity for r in ppl.collect()}
+    for d in kept:
+        assert d not in scores or scores[d] <= med

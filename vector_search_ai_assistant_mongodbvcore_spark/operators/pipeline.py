@@ -9,6 +9,8 @@ a 100 TB pipeline actually runs them.
                                repetition ceilings — the Gopher/C4 pass)
       -> classifier floor     (operators/quality_classifier, optional:
                                P(high quality) >= threshold)
+      -> perplexity ceiling   (operators/lm_quality, optional: CCNet-style
+                               reference-LM surprise cap)
       -> PII scrub            (functions/text.scrub_pii)
       -> mixture sampling     (operators/splits.sample_by_rates, optional)
       -> split assignment     (operators/splits.assign_split)
@@ -63,6 +65,8 @@ def prepare_training_corpus(
     decontam_min_hits: int = 1,
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
+    lm_model=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
@@ -108,6 +112,19 @@ def prepare_training_corpus(
             F.col("quality_prob") >= min_classifier_prob
         )
         quality = quality.join(good.select(id_col), id_col, "left_semi")
+
+    if lm_model is not None and max_perplexity is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.lm_quality import (
+            score_perplexity,
+        )
+
+        # CCNet-style in-domain floor: docs the reference LM finds too
+        # surprising are dropped; docs with < 2 tokens have no perplexity
+        # row and pass through (no signal is not a rejection)
+        bad = score_perplexity(quality, lm_model, text_col, id_col).filter(
+            F.col("perplexity") > max_perplexity
+        )
+        quality = quality.join(bad.select(id_col), id_col, "left_anti")
 
     scrubbed = quality.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
 

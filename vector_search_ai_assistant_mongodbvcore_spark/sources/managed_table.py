@@ -248,11 +248,24 @@ class BucketedTable:
                 os.remove(full)
 
     # ---- reads ----------------------------------------------------------
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current committed version, or time-travel to any older
+        version whose manifest survives the vacuum window (`_vacuum` keeps
+        the last `keep` manifests and every file they reference) — the
+        manifest IS the snapshot, so file-level COW gives versionAsOf for
+        free, same contract as ManagedTable.read(version=)."""
+        cur = self.current_version()
+        if cur < 0:
             raise FileNotFoundError(f"table {self.path} has no committed version")
-        doc = self._manifest_doc(v)
+        v = cur if version is None else version
+        if not 0 <= v <= cur:
+            raise ValueError(f"version {v} out of range [0, {cur}]")
+        try:
+            doc = self._manifest_doc(v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"version {v} was vacuumed (manifest gone); current={cur}"
+            ) from None
         paths = [d for dirs in doc["buckets"].values() for d in dirs]
         if not paths:  # fully-deleted table: empty frame with the last schema
             from pyspark.sql.types import StructType
