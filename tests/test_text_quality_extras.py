@@ -160,3 +160,76 @@ def test_scrub_pii_phone_shapes_still_redacted(spark):
     ):
         got = _one(spark, TX.scrub_pii("text"), text)
         assert "<PHONE>" in got, (text, got)
+
+
+class TestGopherRules:
+    def _one(self, spark, fn, text):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(text,)], ["text"])
+        return df.select(fn("text").alias("v")).first().v
+
+    def test_alpha_word_fraction(self, spark):
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.text import alpha_word_fraction
+
+        assert self._one(spark, alpha_word_fraction, "one two three") == 1.0
+        assert self._one(spark, alpha_word_fraction, "a1 22 $$ b") == pytest.approx(0.5)
+        assert self._one(spark, alpha_word_fraction, "") == 0.0
+
+    def test_bullet_line_fraction(self, spark):
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.text import bullet_line_fraction
+
+        text = "- first\n* second\n1. third\n2) fourth\nplain prose line"
+        assert self._one(spark, bullet_line_fraction, text) == pytest.approx(0.8)
+        assert self._one(spark, bullet_line_fraction, "just\nprose") == 0.0
+        # bullet marker requires trailing whitespace: "-dash" is not a bullet
+        assert self._one(spark, bullet_line_fraction, "-dash word") == 0.0
+
+    def test_ellipsis_line_fraction(self, spark):
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+            ellipsis_line_fraction,
+        )
+
+        text = "read more...\nfull line here\ntruncated teaser…\nanother full"
+        assert self._one(spark, ellipsis_line_fraction, text) == pytest.approx(0.5)
+
+    def test_gopher_flags_battery(self, spark):
+        from pyspark.sql import functions as F
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+            gopher_quality_flags,
+        )
+
+        prose = " ".join(
+            ["the quick brown fox jumps over lazy dogs near riverbank today"] * 6
+        )  # 60 words, mean len ~4.6, all alphabetic
+        spam = "zz " * 60  # repetitive, short words
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, prose), (2, spam), (3, bullets)], ["doc_id", "text"]
+        )
+        rows = {
+            r.doc_id: r.f.asDict()
+            for r in df.select("doc_id", gopher_quality_flags("text").alias("f")).collect()
+        }
+        assert not any(rows[1].values()), rows[1]  # clean prose passes all
+        assert rows[2]["repetitive"]
+        assert rows[2]["bad_mean_word_len"]
+        assert rows[3]["mostly_bullets"]
+        # keep predicate form: ~any flag
+        flags = gopher_quality_flags("text")
+        keep = ~sum(
+            [F.col("f." + n).cast("int") for n in rows[1]], F.lit(0)
+        ).cast("boolean")
+        kept = df.select("doc_id", flags.alias("f")).filter(keep).collect()
+        assert [r.doc_id for r in kept] == [1]
+
+    def test_gopher_flags_pure_codegen(self, spark, tables):
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+            gopher_quality_flags,
+        )
+        from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+        rep = plan_report(
+            tables["documents"].select(gopher_quality_flags("text").alias("f"))
+        )
+        assert rep.python_evals == 0 and rep.exchanges == 0

@@ -334,6 +334,81 @@ def top_bigram_fraction(col: Column | str) -> Column:
     return _max_run_fraction(bigrams)
 
 
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher's 80%-alphabetic rule (symbol/number soup scores low; prose
+    scores ~1). 0 for empty text."""
+    ws = words(col)
+    n = F.size(ws)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / n.cast("double")
+    )
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker
+    (-, *, •, or a 'N.'/'N)' enumerator) — Gopher drops docs that are
+    mostly bullet lists (>= 90% bullets). 0 when no lines."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^(-|\*|\u2022|\d+[.)])\s"))
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        bullets.cast("double") / n.cast("double")
+    )
+
+
+def ellipsis_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines ending in an ellipsis ('...' or '…') —
+    Gopher drops docs that are mostly truncated teasers (>= 30%)."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    ell = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|\u2026)$")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        ell.cast("double") / n.cast("double")
+    )
+
+
+def gopher_quality_flags(col: Column | str) -> Column:
+    """The Gopher rule battery as ONE struct column of booleans (true =
+    rule VIOLATED), composable into any filter or report:
+
+      too_few_words / too_many_words   n_words outside [50, 100000]
+      bad_mean_word_len                mean word length outside [3, 10]
+      low_alpha_words                  < 80% words contain a letter
+      mostly_bullets                   >= 90% bullet lines
+      mostly_ellipsis                  >= 30% ellipsis lines
+      repetitive                       top word > 50% of tokens or
+                                       duplicate lines > 30%
+
+    Thresholds follow Rae et al. 2021 (arXiv:2112.11446, table A1). Pure
+    column expressions — zero shuffle; `~any` of the struct's fields is
+    the keep predicate. The continuous signals behind each flag remain
+    individually exposed (word_count, avg_word_length, ...) for tuning."""
+    wc = word_count(col)
+    return F.struct(
+        (wc < 50).alias("too_few_words"),
+        (wc > 100_000).alias("too_many_words"),
+        (~avg_word_length(col).between(3.0, 10.0)).alias("bad_mean_word_len"),
+        (alpha_word_fraction(col) < 0.8).alias("low_alpha_words"),
+        (bullet_line_fraction(col) >= 0.9).alias("mostly_bullets"),
+        (ellipsis_line_fraction(col) >= 0.3).alias("mostly_ellipsis"),
+        (
+            (repeated_word_fraction(col) > 0.5)
+            | (duplicate_line_fraction(col) > 0.3)
+        ).alias("repetitive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing: regex redaction of the common machine-recognizable
 # formats. Pure regexp_replace chain (codegen, no UDF). Order matters:
