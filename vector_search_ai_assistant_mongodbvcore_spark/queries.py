@@ -736,6 +736,26 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+_GOPHER_SQL = """
+           (CASE WHEN len(w) < 50 THEN 1 ELSE 0 END)
+         + (CASE WHEN len(w) > 100000 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                      NOT BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) < 0.8
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN len(lines) > 0 AND
+                      CAST(len(list_filter(lines, x -> regexp_matches(x, '^(-|\\*|•|[0-9]+[.)])\\s'))) AS DOUBLE) / len(lines) >= 0.9
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN len(lines) > 0 AND
+                      CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) >= 0.3
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) > 0.5
+                   OR (len(lines) > 1 AND
+                       CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) > 0.3)
+                 THEN 1 ELSE 0 END)
+"""
+
+
 @register(
     "text_stats",
     f"""
@@ -748,19 +768,35 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((least(len(w) / 100.0, 1.0)
                   + (1.0 - least(5.0 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 1.0))
                   + (1.0 - least(abs(CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) - 0.4) * 2.5, 1.0))
-                 ) / 3.0, 6) AS quality
-    FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl FROM documents)
+                 ) / 3.0, 6) AS quality,
+           CAST({_GOPHER_SQL} AS INT) AS gopher_violations
+    FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl,
+                 list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+          FROM documents)
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass profile incl. the composite quality score: one word split
     feeds every metric (the per-metric composable functions re-derive it;
     see TX.text_profile). Stats + quality share one scan/oracle — they are
-    columns of the same profile, not separate queries."""
+    columns of the same profile, not separate queries. Round 6 adds
+    `gopher_violations` — the Rae et al. rule battery
+    (TX.gopher_quality_flags) as a violation count, each rule reproduced
+    in the DuckDB twin (bullet char written literally: RE2 lacks Java's
+    \\uXXXX escapes)."""
     t = _tables(spark, sf_dir)
-    return TX.text_profile(t["documents"]).select(
+    flags = TX.gopher_quality_flags("text")
+    names = (
+        "too_few_words", "too_many_words", "bad_mean_word_len",
+        "low_alpha_words", "mostly_bullets", "mostly_ellipsis", "repetitive",
+    )
+    violations = None
+    for nm in names:
+        c = flags.getField(nm).cast("int")
+        violations = c if violations is None else violations + c
+    return TX.text_profile(t["documents"].withColumn("_gv", violations), keep=("doc_id", "_gv")).select(
         "doc_id", "word_count", "char_count", "avg_word_len", "punct_ratio",
-        "stopword_ratio", "quality",
+        "stopword_ratio", "quality", F.col("_gv").cast("int").alias("gopher_violations"),
     )
 
 
