@@ -258,3 +258,57 @@ def test_ivf_quantized_build_search_and_rerank(spark, tables, tmp_path):
     for vid in set(exact) & set(rer):
         assert rer[vid] == pytest.approx(exact[vid], abs=1e-9)
     assert len(set(exact) & set(rer)) >= 9
+
+
+def test_ivf_incremental_add_remove_roundtrip(spark, tables, tmp_path):
+    """remove-then-re-add against frozen centroids reproduces the original
+    index exactly: same per-id centroid assignment, same search results."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from pyspark.sql import functions as F
+    import os
+
+    emb = tables["embeddings"]
+    idx = IvfIndex(spark, str(tmp_path / "ivf_incr")).build(
+        emb, vector_col="embedding", num_lists=4, seed=42
+    )
+    data_dir = os.path.join(str(tmp_path / "ivf_incr"), "data")
+    before = {
+        r.vec_id: r.centroid_id
+        for r in spark.read.parquet(data_dir).select("vec_id", "centroid_id").collect()
+    }
+    half = [i for i in before if i % 2 == 0]
+    idx.remove_documents(half, id_col="vec_id")
+    assert spark.read.parquet(data_dir).count() == len(before) - len(half)
+    idx.add_documents(emb.filter(F.col("vec_id").isin(half)), id_col="vec_id")
+    after = {
+        r.vec_id: r.centroid_id
+        for r in spark.read.parquet(data_dir).select("vec_id", "centroid_id").collect()
+    }
+    assert after == before  # frozen-centroid assignment is reproducible
+    q = [0.1] * 64
+    got = [(r.vec_id, r.score) for r in
+           idx.search(q, k=10, n_probe=4, id_col="vec_id", round_scores=6).collect()]
+    fresh = IvfIndex(spark, str(tmp_path / "ivf_incr_f")).build(
+        emb, vector_col="embedding", num_lists=4, seed=42
+    )
+    exp = [(r.vec_id, r.score) for r in
+           fresh.search(q, k=10, n_probe=4, id_col="vec_id", round_scores=6).collect()]
+    assert got == exp
+
+
+def test_ivf_incremental_duplicate_guard_and_unknown_remove(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    idx = IvfIndex(spark, str(tmp_path / "ivf_dup")).build(
+        emb.filter(F.col("vec_id") < 30), vector_col="embedding", num_lists=2, seed=42
+    )
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add_documents(emb.filter(F.col("vec_id") < 10), id_col="vec_id")
+    idx.add_documents(emb.filter(F.col("vec_id") < 35), id_col="vec_id", on_duplicate="skip")
+    import os
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_dup"), "data"))
+    assert stored.count() == 35 and stored.select("vec_id").distinct().count() == 35
+    idx.remove_documents([999_999], id_col="vec_id")  # unknown id: no-op
+    assert stored.count() == 35

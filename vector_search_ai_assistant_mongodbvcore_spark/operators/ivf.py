@@ -33,8 +33,10 @@ from __future__ import annotations
 
 import json
 import os
+from typing import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,6 +184,113 @@ class IvfIndex:
                 },
                 f,
             )
+        return self
+
+    # ---- incremental maintenance ----------------------------------------
+    def _assign_col(self, vector_col: str):
+        """centroid_id column for new vectors: nearest FROZEN centroid in
+        the normalized space the KMeans fit ran in — argmin ||v̂ - c_k||²
+        computed as argmax(v̂·c_k - ||c_k||²/2), one Arrow-batched pass
+        with the (num_lists × dims) centroid matrix closed over (a few KB;
+        ships with the task like any broadcast literal)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        c = self._centroids()  # (k, d), in normalized-vector space
+        half_sq = 0.5 * (c * c).sum(axis=1)  # (k,)
+
+        @pandas_udf(IntegerType())
+        def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in batches:
+                m = np.stack(s.to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                norms[norms == 0.0] = 1.0
+                mn = m / norms[:, None]
+                yield pd.Series(np.argmax(mn @ c.T - half_sq, axis=1).astype("int32"))
+
+        return assign(F.col(vector_col))
+
+    def add_documents(
+        self, df: DataFrame, id_col: str, on_duplicate: str = "error"
+    ) -> "IvfIndex":
+        """Absorb new vectors near-real-time: each is assigned to its
+        nearest EXISTING centroid (the centroids stay frozen — the standard
+        IVF maintenance contract; re-fit by rebuilding when drift warrants)
+        and APPENDed into that centroid's partition. After add_documents,
+        search() == a fresh build that reuses the same centroids (asserted
+        in tests). Duplicate-id guard identical to LshIndex/Bm25Index:
+        error | skip | trust."""
+        if on_duplicate not in ("error", "skip", "trust"):
+            raise ValueError(f"on_duplicate must be error|skip|trust, got {on_duplicate!r}")
+        m = self.meta()
+        vector_col = m["vector_col"]
+        data_dir = os.path.join(self.path, "data")
+        if on_duplicate != "trust":
+            existing = self.spark.read.parquet(data_dir).select(id_col)
+            dups = df.select(id_col).distinct().join(existing, id_col, "left_semi")
+            if on_duplicate == "error":
+                offenders = [r[id_col] for r in dups.limit(10).collect()]
+                if offenders:
+                    raise ValueError(
+                        f"ids already indexed: {offenders!r}; "
+                        f"use on_duplicate='skip' to add only new ids"
+                    )
+            else:
+                df = df.join(dups, id_col, "left_anti")
+        assigned = df.withColumn("centroid_id", self._assign_col(vector_col))
+        if m.get("quantized"):
+            from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+                quantize_int8,
+            )
+
+            assigned = assigned.withColumn("_q8", quantize_int8(F.col(vector_col))).drop(
+                vector_col
+            )
+        assigned.repartition(F.col("centroid_id")).write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(data_dir)
+        self.spark.catalog.refreshByPath(data_dir)
+        return self
+
+    def remove_documents(self, ids, id_col: str) -> "IvfIndex":
+        """Delete vectors near-real-time: copy-on-write of exactly the
+        centroid partitions holding the doomed ids (dynamic partition
+        overwrite; an emptied partition is dropped). Unknown ids are
+        ignored; search() afterwards == a fresh build over the survivors
+        with the same centroids."""
+        import shutil
+
+        ids = list(ids)
+        if not ids:
+            return self
+        data_dir = os.path.join(self.path, "data")
+        scan = self.spark.read.parquet(data_dir)
+        doomed = scan.filter(F.col(id_col).isin(ids))
+        touched = [r["centroid_id"] for r in doomed.select("centroid_id").distinct().collect()]
+        if not touched:
+            return self
+        survivors = scan.filter(
+            F.col("centroid_id").isin(touched) & ~F.col(id_col).isin(ids)
+        ).localCheckpoint(eager=True)
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            survivors.repartition(F.col("centroid_id")).write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(data_dir)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+        alive = {r["centroid_id"] for r in survivors.select("centroid_id").distinct().collect()}
+        for c in touched:
+            if c not in alive:
+                shutil.rmtree(
+                    os.path.join(data_dir, f"centroid_id={c}"), ignore_errors=True
+                )
+        self.spark.catalog.refreshByPath(data_dir)
         return self
 
     # ---- search ----------------------------------------------------------

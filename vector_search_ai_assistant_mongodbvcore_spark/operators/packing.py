@@ -170,7 +170,8 @@ def pack_sequences_greedy(
             }
         )
 
-    out_schema = f"bin_id long, {id_col} long, n_toks long, overflow boolean"
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"bin_id long, {id_col} {id_t}, n_toks long, overflow boolean"
     return d.groupBy("_g").applyInPandas(pack, schema=out_schema)
 
 
