@@ -189,3 +189,36 @@ def test_socks_e2e_served_from_streaming_maintained_lsh_index(spark, tmp_path):
     after = names()
     assert "Cosmic Socks, M" not in after
     assert after == before
+
+
+def test_socks_keyword_index_maintained_by_changes(spark, tmp_path):
+    """Keyword twin of the index-maintenance loop: the BM25 index absorbs
+    the Cosmic upsert (searchable next batch) and its removal."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+        apply_keyword_index_changes,
+    )
+
+    df = spark.createDataFrame(
+        SOCKS, "id string, categoryName string, name string, description string"
+    )
+    docs = df.select("id", F.concat_ws(" ", "name", "description").alias("text"))
+    idx = Bm25Index(spark, str(tmp_path / "bm_sock")).build(
+        docs, text_col="text", id_col="id", n_buckets=8
+    )
+
+    def hit_ids(terms, k=6):
+        return {r.id for r in idx.search(terms, k=k).collect()}
+
+    assert "sock-9" not in hit_ids(["cosmic", "socks"])
+    rec = dict(zip(("id", "categoryName", "name", "description"), COSMIC))
+    up = spark.createDataFrame([{**rec, "_op": "upsert"}])
+    apply_keyword_index_changes(idx, up, "id", text_cols=("name", "description"))
+    assert "sock-9" in hit_ids(["cosmic", "socks"])
+    # an upsert of the SAME id replaces, never double-counts
+    apply_keyword_index_changes(idx, up, "id", text_cols=("name", "description"))
+    assert idx.meta()["n_docs"] == 6
+    dl = spark.createDataFrame([{**rec, "_op": "delete"}])
+    apply_keyword_index_changes(idx, dl, "id", text_cols=("name", "description"))
+    assert "sock-9" not in hit_ids(["cosmic", "socks"])
+    assert idx.meta()["n_docs"] == 5

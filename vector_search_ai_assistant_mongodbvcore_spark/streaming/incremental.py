@@ -147,3 +147,38 @@ def start_index_change_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_keyword_index_changes(
+    index,
+    batch_df: DataFrame,
+    id_col: str = "id",
+    text_cols: tuple[str, ...] | None = None,
+    op_col: str = "_op",
+) -> None:
+    """foreachBatch body maintaining a Bm25Index: upserts re-serialize the
+    document text and replace the id's postings (remove-then-add keeps
+    df/dl/N exact — the add can 'trust' because the remove just cleared
+    those ids); deletes remove. The keyword twin of apply_index_changes,
+    so a change stream can keep BOTH retrieval legs of hybrid serving
+    fresh from the same records."""
+    m = index.meta()
+    stored_id = m["id_col"]
+    upserts = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
+    deletes = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
+    if upserts.isEmpty() is False:
+        exclude = (op_col,) if text_cols is None else ()
+        text = (
+            serialize_document(upserts, exclude=exclude)
+            if text_cols is None
+            else F.concat_ws(" ", *[F.col(c) for c in text_cols])
+        )
+        rows = upserts.select(
+            F.col(id_col).alias(stored_id), text.alias("text")
+        )
+        ids = [r[stored_id] for r in rows.select(stored_id).distinct().collect()]
+        index.remove_documents(ids)
+        index.add_documents(rows, text_col="text", id_col=stored_id, on_duplicate="trust")
+    if deletes.isEmpty() is False:
+        ids = [r[id_col] for r in deletes.select(id_col).distinct().collect()]
+        index.remove_documents(ids)
