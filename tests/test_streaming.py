@@ -222,3 +222,38 @@ def test_socks_keyword_index_maintained_by_changes(spark, tmp_path):
     apply_keyword_index_changes(idx, dl, "id", text_cols=("name", "description"))
     assert "sock-9" not in hit_ids(["cosmic", "socks"])
     assert idx.meta()["n_docs"] == 5
+
+
+def test_socks_e2e_served_from_streaming_maintained_ivf_index(spark, tmp_path):
+    """Same change-stream loop, IVF serving index: duck-typed maintenance
+    keeps the centroid partitions fresh (frozen centroids, exact upsert)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+        apply_index_changes,
+    )
+
+    df = spark.createDataFrame(
+        SOCKS, "id string, categoryName string, name string, description string"
+    )
+    corpus = ingest_and_vectorize(df, embedder=EMB)
+    idx = IvfIndex(spark, str(tmp_path / "ivf_sock")).build(
+        corpus, vector_col="vector", num_lists=2, seed=42
+    )
+    q = [float(x) for x in EMB.embed_numpy(["What kind of socks do you have?"])[0]]
+
+    def ids(k=6):
+        return {r.id for r in idx.search(q, k=k, n_probe=2, id_col="id").collect()}
+
+    assert "sock-9" not in ids()
+    rec = dict(zip(("id", "categoryName", "name", "description"), COSMIC))
+    up = spark.createDataFrame([{**rec, "_op": "upsert"}])
+    apply_index_changes(idx, up, "id", embedder=EMB)
+    assert "sock-9" in ids()
+    # re-upsert replaces, never duplicates
+    apply_index_changes(idx, up, "id", embedder=EMB)
+    import os
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_sock"), "data"))
+    assert stored.filter(stored.id == "sock-9").count() == 1
+    dl = spark.createDataFrame([{**rec, "_op": "delete"}])
+    apply_index_changes(idx, dl, "id", embedder=EMB)
+    assert "sock-9" not in ids()

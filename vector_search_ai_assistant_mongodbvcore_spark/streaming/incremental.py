@@ -104,26 +104,33 @@ def apply_index_changes(
     remove is a COW of the touched partitions, the add an append. Safe
     under streaming retries: remove-then-add is idempotent for the same
     batch content."""
+    import inspect
+
     embedder = embedder or HashNgramEmbedder()
     m = index.meta()
     vector_col = m["vector_col"]
+    # LshIndex records its id column in meta and keys remove/add off it;
+    # IvfIndex takes id_col per call (duck-typed off the method signature,
+    # so the same foreachBatch body maintains either ANN index)
+    stored_id = m.get("id_col", id_col)
+    takes_id = "id_col" in inspect.signature(index.remove_documents).parameters
+    id_kw = {"id_col": stored_id} if takes_id else {}
     upserts = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
     deletes = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
-    up_rows = None
     if upserts.isEmpty() is False:
         doc_text = serialize_document(
             upserts, exclude=(vector_col, op_col, *text_exclude)
         )
         up_rows = upserts.select(
-            F.col(id_col).alias(m["id_col"]),
+            F.col(id_col).alias(stored_id),
             embedder.udf()(doc_text).cast("array<float>").alias(vector_col),
         )
-        ids = [r[m["id_col"]] for r in up_rows.select(m["id_col"]).distinct().collect()]
-        index.remove_documents(ids)
-        index.add_documents(up_rows, on_duplicate="trust")
+        ids = [r[stored_id] for r in up_rows.select(stored_id).distinct().collect()]
+        index.remove_documents(ids, **id_kw)
+        index.add_documents(up_rows, on_duplicate="trust", **id_kw)
     if deletes.isEmpty() is False:
         ids = [r[id_col] for r in deletes.select(id_col).distinct().collect()]
-        index.remove_documents(ids)
+        index.remove_documents(ids, **id_kw)
 
 
 def start_index_change_stream(
