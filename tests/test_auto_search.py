@@ -45,3 +45,20 @@ def test_full_probe_route_equals_exact(spark, tables, tmp_path):
     )
     exact = vector_search(tables["embeddings"], q, k=10, vector_col="embedding", id_col="vec_id")
     assert [r.vec_id for r in routed.collect()] == [r.vec_id for r in exact.collect()]
+
+
+def test_routes_to_lsh_index_when_present(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    LshIndex(spark, str(tmp_path)).build(
+        tables["embeddings"], dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id",
+    )
+    q = list(map(float, np.random.RandomState(5).randn(64)))
+    out = auto_search(
+        spark, tables["embeddings"], q, k=5,
+        index_path=str(tmp_path), vector_col="embedding", id_col="vec_id",
+    )
+    rep = plan_report(out)
+    assert "PartitionFilters" in rep.raw and "bucket" in rep.raw
+    assert out.count() == 5

@@ -202,13 +202,19 @@ def auto_search(
 ) -> DataFrame:
     """SURVEY §4's access-path choice, made explicit in the engine API (the
     reference picks HNSW/IVF by config, MongoDbService.cs:82): when an
-    IvfIndex exists at `index_path`, the `ORDER BY cosine(...) DESC LIMIT k`
-    is rewritten onto the centroid-pruned index scan; otherwise exact
-    top-k over `df`. A SparkSessionExtensions-injected Catalyst rule is the
-    v2 polish; this is the documented v1 rewrite point."""
+    index exists at `index_path` the `ORDER BY cosine(...) DESC LIMIT k`
+    is rewritten onto its pruned scan — an IvfIndex routes to the
+    centroid-pruned read, an LshIndex (recognized by its meta shape) to
+    the bucket-pruned read — otherwise exact top-k over `df`. A
+    SparkSessionExtensions-injected Catalyst rule is the v2 polish; this
+    is the documented v1 rewrite point."""
     if index_path is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
+        lsh = LshIndex(spark, index_path)
+        if lsh.exists() and "bits" in lsh.meta():
+            return lsh.search(list(query_vector), k=k)
         idx = IvfIndex(spark, index_path)
         if idx.exists():
             return idx.search(list(query_vector), k=k, n_probe=n_probe, id_col=id_col)
