@@ -174,3 +174,30 @@ def test_perplexity_ceiling_stage(spark, tables):
     scores = {r.doc_id: r.perplexity for r in ppl.collect()}
     for d in kept:
         assert d not in scores or scores[d] <= med
+
+
+def test_gopher_rules_quality_stage(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    out = prepare_training_corpus(docs, use_gopher_rules=True)
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    # every surviving doc violates no rule; every clean doc that survives
+    # dedup is present
+    flags = {
+        r.doc_id: r.f.asDict()
+        for r in docs.select("doc_id", gopher_quality_flags("text").alias("f")).collect()
+    }
+    for d in kept:
+        assert not any(flags[d].values()), (d, flags[d])
+    # the battery actually gates: some docs survive, some are dropped
+    # (~284 of 500 pass the rules at sf0.001 — median doc is 56 words, so
+    # the 50-word floor is live)
+    assert kept
+    assert len(kept) < docs.count()

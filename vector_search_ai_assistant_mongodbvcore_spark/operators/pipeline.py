@@ -67,6 +67,7 @@ def prepare_training_corpus(
     min_classifier_prob: float = 0.5,
     lm_model=None,
     max_perplexity: float | None = None,
+    use_gopher_rules: bool = False,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
@@ -97,11 +98,26 @@ def prepare_training_corpus(
             id_col=id_col,
         )
 
-    quality = deduped.filter(
-        (TX.quality_score(F.col(text_col)) >= min_quality)
-        & (TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac)
-        & (TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac)
-    )
+    if use_gopher_rules:
+        # the full Rae et al. battery replaces the heuristic trio: keep a
+        # doc iff NO rule fires (gopher_quality_flags is one zero-shuffle
+        # struct projection; same codegen cost class as the trio)
+        flags = TX.gopher_quality_flags(F.col(text_col))
+        names = (
+            "too_few_words", "too_many_words", "bad_mean_word_len",
+            "low_alpha_words", "mostly_bullets", "mostly_ellipsis", "repetitive",
+        )
+        violated = None
+        for nm in names:
+            f = flags.getField(nm)
+            violated = f if violated is None else (violated | f)
+        quality = deduped.filter(~violated)
+    else:
+        quality = deduped.filter(
+            (TX.quality_score(F.col(text_col)) >= min_quality)
+            & (TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac)
+            & (TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac)
+        )
 
     if quality_model is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.quality_classifier import (
