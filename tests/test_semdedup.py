@@ -108,3 +108,37 @@ def test_empty_and_invalid(spark):
     assert SD.semantic_duplicates(empty, k=1).count() == 0
     with pytest.raises(ValueError):
         SD.semantic_duplicates(_vec_df(spark, np.eye(3)), keep="random")
+
+
+def test_dup_of_provenance_and_pairs(spark):
+    base = np.random.RandomState(1).randn(8)
+    other = np.random.RandomState(2).randn(8)
+    vecs = [base, base + 1e-4, other, base + 2e-4]
+    out = {r.vec_id: r for r in SD.semantic_duplicates(
+        _vec_df(spark, vecs), eps=0.99, k=1, fit_fraction=None
+    ).collect()}
+    assert out[0].keep and out[0].dup_of is None
+    assert not out[1].keep and out[1].dup_of == 0
+    assert not out[3].keep and out[3].dup_of == 0
+    assert out[2].keep and out[2].dup_of is None
+    pairs = sorted(
+        (r.id_a, r.id_b) for r in SD.semantic_duplicate_pairs(
+            _vec_df(spark, vecs), eps=0.99, k=1, fit_fraction=None
+        ).collect()
+    )
+    assert pairs == [(0, 1), (0, 3)]
+
+
+def test_semantic_pairs_feed_leakage_safe_split(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        assign_split_leakage_safe,
+    )
+
+    emb = tables["embeddings"]
+    pairs = SD.semantic_duplicate_pairs(emb, eps=0.99, k=4, fit_fraction=None)
+    out = assign_split_leakage_safe(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    lab = {r.vec_id: r.split for r in out.collect()}
+    for r in pairs.collect():
+        assert lab[r.id_a] == lab[r.id_b]

@@ -50,10 +50,12 @@ def semantic_duplicates(
     max_cluster: int = 100_000,
     sub_bits: int = 4,
 ) -> DataFrame:
-    """(id_col, cluster_id, keep) for every row.
+    """(id_col, cluster_id, keep, dup_of) for every row.
 
     keep=False rows are semantic duplicates of a kept cluster peer at
-    cosine >= eps. 'min_id' scans ids ascending; 'far' scans by
+    cosine >= eps; `dup_of` names the most-similar kept peer that
+    suppressed the row (NULL for kept rows) — dedup provenance for audit
+    reports and the leakage-safe split edge list. 'min_id' scans ids ascending; 'far' scans by
     centroid-cosine ascending (farthest first), so cluster cores drain
     before boundary points — the paper's retention policy. Deterministic
     under a fixed seed either way (ties in 'far' break by id).
@@ -63,7 +65,7 @@ def semantic_duplicates(
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import lsh_bucket_ids
 
     id_t = df.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_t}, cluster_id int, keep boolean"
+    out_schema = f"{id_col} {id_t}, cluster_id int, keep boolean, dup_of {id_t}"
     probe = df.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
     if probe is None:
         return df.sparkSession.createDataFrame([], out_schema)
@@ -104,14 +106,27 @@ def semantic_duplicates(
         else:
             order = np.argsort(ids, kind="mergesort")
         keep_flags = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), None, dtype=object)
         kept: list[int] = []
         for row in order:
-            if kept and (mn[kept] @ mn[row] >= eps_f).any():
-                continue
+            if kept:
+                sims = mn[kept] @ mn[row]
+                hits = np.nonzero(sims >= eps_f)[0]
+                if hits.size:
+                    # provenance: the kept member that suppressed this row
+                    # (the most similar one — the audit trail a dedup
+                    # report or leakage-safe split wants)
+                    dup_of[row] = ids[kept[hits[np.argmax(sims[hits])]]]
+                    continue
             keep_flags[row] = True
             kept.append(row)
         return pd.DataFrame(
-            {id_col: ids, "cluster_id": pdf["cluster_id"].to_numpy(), "keep": keep_flags}
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "keep": keep_flags,
+                "dup_of": dup_of,
+            }
         )
 
     return sized.groupBy("cluster_id", "_sub").applyInPandas(dedup, schema=out_schema)
@@ -134,3 +149,28 @@ def drop_semantic_duplicates(
     )
     keep_ids = verdicts.filter(F.col("keep")).select(id_col)
     return df.join(keep_ids, id_col, "left_semi")
+
+
+def semantic_duplicate_pairs(
+    df: DataFrame,
+    eps: float = 0.95,
+    k: int = 8,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "min_id",
+    seed: int = 42,
+    fit_fraction: float | None = 0.5,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """(id_a, id_b) pairs: each dropped row with the kept row that
+    suppressed it — the provenance edge list. Shaped for
+    splits.assign_split_leakage_safe, so semantic near-duplicates can be
+    held to one split exactly like the n-gram/embedding pair detectors
+    (every dropped row connects to its kept suppressor; transitive chains
+    share the suppressor's component)."""
+    verdicts = semantic_duplicates(
+        df, eps, k, vector_col, id_col, keep, seed, fit_fraction, max_cluster
+    )
+    return verdicts.filter(~F.col("keep")).select(
+        F.col("dup_of").alias("id_a"), F.col(id_col).alias("id_b")
+    )
