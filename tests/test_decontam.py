@@ -102,3 +102,55 @@ def test_benchmark_side_is_broadcast(spark, tables):
     rep = plan_report(DC.contamination_report(docs, bench, n=5))
     assert rep.broadcast_joins >= 1
     assert rep.python_evals == 0  # pure column exprs end to end
+
+
+def test_contamination_sources_attribution(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta unrelated tail words here"),
+            (2, "omega psi chi phi upsilon tau more words"),
+            (3, "nothing shared with any benchmark document at all"),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"), (200, "omega psi chi phi other")],
+        ["bench_id", "text"],
+    )
+    edges = {
+        (r.doc_id, r.bench_id): r.shared_ngrams
+        for r in DC.contamination_sources(
+            docs, bench, n=3, bench_id_col="bench_id"
+        ).collect()
+    }
+    # doc1 shares alpha-beta-gamma + beta-gamma-delta with bench 100 only
+    assert edges == {(1, 100): 2, (2, 200): 2}
+
+
+def test_sources_explain_report_hits(spark, tables):
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(80)
+    bench = tables["documents"].filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    rep = {r.doc_id: r.hits for r in DC.contamination_report(
+        corpus, bench, n=5, bench_id_col="bench_id"
+    ).collect()}
+    edges = DC.contamination_sources(corpus, bench, n=5, bench_id_col="bench_id")
+    # per-doc union of edge n-grams == report hits; since hits counts
+    # DISTINCT overlapping n-grams, each doc's max single-edge count is a
+    # lower bound and the sum an upper bound
+    agg = {
+        r.doc_id: (r.mx, r.sm)
+        for r in edges.groupBy("doc_id").agg(
+            F.max("shared_ngrams").alias("mx"), F.sum("shared_ngrams").alias("sm")
+        ).collect()
+    }
+    for d, (mx, sm) in agg.items():
+        assert mx <= rep[d] <= sm, d
+    # docs with no edges report zero hits
+    for d, h in rep.items():
+        if d not in agg:
+            assert h == 0

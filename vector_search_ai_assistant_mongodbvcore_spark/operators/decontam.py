@@ -117,3 +117,39 @@ def decontaminate(
     )
     keep = report.filter(~F.col("contaminated")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def contamination_sources(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(id_col, bench_id, shared_ngrams): WHICH benchmark document each
+    corpus doc overlaps, and by how many distinct n-grams — the provenance
+    edge list behind contamination_report's counts (report hits may exceed
+    a single edge's shared_ngrams when several benchmark docs contribute
+    different n-grams).
+
+    Same plan shape as the report: the benchmark (id, ngram) pairs are
+    broadcast — eval sets are small even with per-doc attribution — and
+    the corpus side pays one keyed aggregation on (corpus id, bench id).
+    Audit trail first: this is what a contamination review actually reads
+    (which eval set member leaked, to decide scrub vs drop)."""
+    src_id = bench.columns[0] if bench_id_col not in bench.columns else bench_id_col
+    bng = exploded_shingles(
+        bench.withColumnRenamed(src_id, "_bid") if src_id != "_bid" else bench,
+        bench_text_col or text_col,
+        "_bid",
+        n,
+    ).dropDuplicates(["_bid", "ng"])
+    doc_ngs = exploded_shingles(docs, text_col, id_col, n).dropDuplicates([id_col, "ng"])
+    return (
+        doc_ngs.join(F.broadcast(bng), "ng")
+        .groupBy(id_col, "_bid")
+        .agg(F.countDistinct("ng").alias("shared_ngrams"))
+        .select(F.col(id_col), F.col("_bid").alias("bench_id"), "shared_ngrams")
+    )
