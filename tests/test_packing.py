@@ -186,3 +186,34 @@ def test_pack_corpus_chunks_guards_chunk_id_overflow(spark):
     )
     with pytest.raises(Exception, match="chunk_id|ASSERT"):
         pack_corpus_chunks(bad, seq_len=8, chunk_bits=2).collect()
+
+
+def test_pack_corpus_chunks_groups_span_documents_not_chunks(spark, monkeypatch):
+    """Regression: the surrogate id doc_id*2^chunk_bits+chunk_id lives in a
+    space where consecutive documents are 2^chunk_bits apart, so the
+    grouping passed to pack_sequences must be scaled by 2^chunk_bits —
+    otherwise every id-range group holds chunks of ~one document and the
+    per-group totals frame (single-partition window + broadcast) becomes
+    corpus-sized."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import packing as P
+
+    seen = []
+    real = P.pack_sequences
+
+    def spy(*a, **kw):
+        seen.append(kw.get("group_size"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(P, "pack_sequences", spy)
+    chunks = spark.createDataFrame(
+        [("train", d, c, 7) for d in range(6) for c in range(3)],
+        ["split", "doc_id", "chunk_id", "n_tokens"],
+    )
+    out = P.pack_corpus_chunks(chunks, seq_len=16, chunk_bits=20, group_size=4096)
+    assert seen == [4096 << 20]
+    # and the layout is still exact: every chunk fully laid out
+    laid = {
+        (r.doc_id, r.chunk_id): r.t
+        for r in out.groupBy("doc_id", "chunk_id").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    assert laid == {(d, c): 7 for d in range(6) for c in range(3)}

@@ -142,3 +142,21 @@ def test_semantic_pairs_feed_leakage_safe_split(spark, tables):
     lab = {r.vec_id: r.split for r in out.collect()}
     for r in pairs.collect():
         assert lab[r.id_a] == lab[r.id_b]
+
+
+def test_null_embeddings_are_skipped_not_fatal(spark):
+    """NULL-embedding rows have no position in embedding space: they are
+    absent from the verdict frame (exploded_shingles' NULL-text contract),
+    and their presence must not crash the KMeans fit or the kernel's
+    np.stack."""
+    base = np.random.RandomState(3).randn(8)
+    good = _vec_df(spark, [base, base + 1e-4, -base])
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "vec_id long, embedding array<float>"
+    )
+    out = SD.semantic_duplicates(
+        good.unionByName(nulls), eps=0.99, k=1, fit_fraction=None
+    ).collect()
+    assert sorted(r.vec_id for r in out) == [0, 1, 2]  # nulls absent
+    clean = SD.semantic_duplicates(good, eps=0.99, k=1, fit_fraction=None).collect()
+    assert {(r.vec_id, r.keep) for r in out} == {(r.vec_id, r.keep) for r in clean}

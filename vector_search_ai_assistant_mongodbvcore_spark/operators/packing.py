@@ -222,8 +222,17 @@ def pack_corpus_chunks(
             sid.alias("_sid"),
             F.col(n_tokens_col),
         )
+        # group_size is in DOCUMENT units, but _sid lives in the surrogate
+        # space doc_id * 2^chunk_bits + chunk_id: consecutive documents sit
+        # 2^chunk_bits apart, so grouping raw _sid on group_size would put
+        # ~1 document per group (2^chunk_bits divides any power-of-two
+        # group_size) and the per-group totals frame would be CORPUS-sized,
+        # defeating the two-level scan. Scale the grouping to the surrogate
+        # space so a group again spans ~group_size documents and the totals
+        # frame stays ~n_docs/group_size rows.
         packed = pack_sequences(
-            sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid", group_size=group_size
+            sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid",
+            group_size=group_size * lim,
         )
         part = packed.select(
             F.lit(s).alias(split_col),

@@ -50,7 +50,7 @@ def semantic_duplicates(
     max_cluster: int = 100_000,
     sub_bits: int = 4,
 ) -> DataFrame:
-    """(id_col, cluster_id, keep, dup_of) for every row.
+    """(id_col, cluster_id, keep, dup_of) for every non-NULL-embedding row.
 
     keep=False rows are semantic duplicates of a kept cluster peer at
     cosine >= eps; `dup_of` names the most-similar kept peer that
@@ -70,6 +70,13 @@ def semantic_duplicates(
     if probe is None:
         return df.sparkSession.createDataFrame([], out_schema)
     dims = len(probe[0])
+
+    # NULL-embedding rows are ABSENT from the verdict frame (mirroring
+    # exploded_shingles' NULL-text contract): they have no position in
+    # embedding space, so neither a keep nor a drop verdict is meaningful.
+    # Without this filter the KMeans array_to_vector conversion (and the
+    # kernel's np.stack) would crash on the first NULL.
+    df = df.filter(F.col(vector_col).isNotNull())
 
     assign = cluster_topics(
         df, k=k, vector_col=vector_col, id_col=id_col, seed=seed, fit_fraction=fit_fraction

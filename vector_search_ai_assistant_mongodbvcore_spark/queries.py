@@ -53,8 +53,14 @@ def _vec_sql(v: list[float]) -> str:
 
 
 def _w_sql(lower: bool = False) -> str:
+    # DuckDB regexp_split_to_array('', ...) yields [''] (one empty token)
+    # where Spark's words() yields [] — mirror the empty-word-list
+    # semantics explicitly so whitespace-only/empty texts agree.
     inner = "lower(text)" if lower else "text"
-    return f"regexp_split_to_array(trim({inner}), '\\s+')"
+    return (
+        f"CASE WHEN trim({inner}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim({inner}), '\\s+') END"
+    )
 
 
 def _shingle_sql(n: int) -> str:
@@ -736,12 +742,18 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+# Each rule guards its empty-denominator edge to match the Spark column
+# functions exactly: empty word list -> avg_word_len 0.0 (so bad_mean
+# FIRES), alpha fraction 0.0 (low_alpha FIRES), max-run fraction 0.0
+# (repetitive does NOT fire) — mirroring TX's when(size==0) guards.
 _GOPHER_SQL = """
            (CASE WHEN len(w) < 50 THEN 1 ELSE 0 END)
          + (CASE WHEN len(w) > 100000 THEN 1 ELSE 0 END)
-         + (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         + (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END)
                       NOT BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
-         + (CASE WHEN CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) < 0.8
+         + (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) END) < 0.8
                  THEN 1 ELSE 0 END)
          + (CASE WHEN len(lines) > 0 AND
                       CAST(len(list_filter(lines, x -> regexp_matches(x, '^(-|\\*|•|[0-9]+[.)])\\s'))) AS DOUBLE) / len(lines) >= 0.9
@@ -749,7 +761,8 @@ _GOPHER_SQL = """
          + (CASE WHEN len(lines) > 0 AND
                       CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) >= 0.3
                  THEN 1 ELSE 0 END)
-         + (CASE WHEN CAST(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) > 0.5
+         + (CASE WHEN (len(w) > 0 AND
+                       CAST(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) > 0.5)
                    OR (len(lines) > 1 AND
                        CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) > 0.3)
                  THEN 1 ELSE 0 END)
@@ -760,19 +773,25 @@ _GOPHER_SQL = """
     "text_stats",
     f"""
     SELECT doc_id,
-           len(w) AS word_count,
-           length(text) AS char_count,
-           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_word_len,
-           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-           CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) AS stopword_ratio,
-           round((least(len(w) / 100.0, 1.0)
-                  + (1.0 - least(5.0 * length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 1.0))
-                  + (1.0 - least(abs(CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) - 0.4) * 2.5, 1.0))
+           word_count, char_count, avg_word_len, punct_ratio, stopword_ratio,
+           round((least(word_count / 100.0, 1.0)
+                  + (1.0 - least(5.0 * punct_ratio, 1.0))
+                  + (1.0 - least(abs(stopword_ratio - 0.4) * 2.5, 1.0))
                  ) / 3.0, 6) AS quality,
-           CAST({_GOPHER_SQL} AS INT) AS gopher_violations
-    FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl,
-                 list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
-          FROM documents)
+           gopher_violations
+    FROM (SELECT doc_id,
+                 len(w) AS word_count,
+                 length(text) AS char_count,
+                 CASE WHEN len(w) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) END AS avg_word_len,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+                 CASE WHEN len(wl) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(wl, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE) / len(wl) END AS stopword_ratio,
+                 CAST({_GOPHER_SQL} AS INT) AS gopher_violations
+          FROM (SELECT doc_id, text, {_w_sql()} AS w, {_w_sql(lower=True)} AS wl,
+                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+                FROM documents))
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
