@@ -29,7 +29,6 @@ BENCH_QUERIES = [
     "conversation_window_events",
     "latest_events_per_user",
     "sessionization",
-    "events_hourly_rollup",
     "payload_concat_by_source",
     "text_stats",
     "dedup_corpus_exact",
@@ -47,6 +46,7 @@ BENCH_QUERIES = [
     "ivf_search_all_probes",
     "decontamination_report",
     "packed_sequences",
+    "training_shards",
     "summarize_labels",
     "rolling_fingerprints",
     "build_prompts_trim",

@@ -1,0 +1,187 @@
+"""Training-shard export (operators/export.py): id-level materialization
+parity, split-pure round trip off the written files, epoch shuffle order,
+shard size bounds, conservation vs DuckDB over the written parquet."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _encode_py
+from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+    export_training_shards,
+    materialize_sequences,
+    read_training_shards,
+    shard_manifest,
+)
+
+SEQ_LEN = 16
+
+CHUNKS = [
+    # (split, doc_id, chunk_id, chunk_text)
+    ("train", 1, 0, "alpha beta gamma delta"),
+    ("train", 1, 1, "epsilon zeta"),
+    ("train", 2, 0, "the quick brown fox jumps over the lazy dog again and again"),
+    ("train", 3, 0, "short"),
+    ("train", 4, 0, "numbers 123 and punctuation!? mixed-in, yes."),
+    ("val", 10, 0, "validation text one"),
+    ("val", 11, 0, "validation text two, slightly longer than one."),
+    ("test", 20, 0, ""),  # empty: tokenizes to [] and must vanish
+    ("test", 21, 0, "held out sample"),
+]
+
+
+def _expected_stream(split):
+    """Python oracle: per-split token stream in (doc, chunk) order."""
+    out = []
+    for s, d, c, t in sorted(CHUNKS):
+        if s == split:
+            out.extend(_encode_py(t))
+    return out
+
+
+@pytest.fixture(scope="module")
+def chunks_df(spark):
+    return spark.createDataFrame(
+        CHUNKS, "split string, doc_id long, chunk_id long, chunk_text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def sequences(chunks_df):
+    return materialize_sequences(chunks_df, seq_len=SEQ_LEN, group_size=2).cache()
+
+
+def test_sequences_match_python_oracle(sequences):
+    """Every split's sequences, concatenated in seq_id order, replay the
+    split's token stream exactly — and each sequence is exactly SEQ_LEN
+    ids except the tail."""
+    rows = sequences.collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+    assert set(by_split) == {"train", "val", "test"}
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        stream = [t for r in rs for t in r.input_ids]
+        assert stream == _expected_stream(split), split
+        for r in rs[:-1]:
+            assert len(r.input_ids) == SEQ_LEN
+        assert 0 < len(rs[-1].input_ids) <= SEQ_LEN
+        for r in rs:
+            assert r.n_toks == len(r.input_ids)
+
+
+def test_doc_provenance_in_order(sequences):
+    """doc_ids lists the contributing documents in stream order."""
+    row = {r.seq_id: r for r in sequences.filter("split = 'train'").collect()}
+    # first train sequence starts with doc 1 (both chunks) then doc 2
+    assert row[0].doc_ids[0] == 1
+    docs_seen = [d for r in sorted(row.values(), key=lambda r: r.seq_id) for d in r.doc_ids]
+    # de-duplicate consecutive repeats -> document visit order
+    visit = [d for i, d in enumerate(docs_seen) if i == 0 or d != docs_seen[i - 1]]
+    assert visit == sorted(set(visit)), visit  # ascending doc order, no returns
+
+
+def test_export_round_trip_off_written_files(spark, sequences, tmp_path):
+    out = str(tmp_path / "shards")
+    export_training_shards(sequences, out, epochs=1, seed=7, max_rows_per_shard=2)
+    back = read_training_shards(spark, out, epoch=0)
+    for split in ("train", "val", "test"):
+        rs = sorted(
+            back.filter(F.col("split") == split).collect(), key=lambda r: r.seq_id
+        )
+        stream = [t for r in rs for t in r.input_ids]
+        assert stream == _expected_stream(split), split
+
+
+def test_epoch_orders_deterministic_and_independent(spark, sequences, tmp_path):
+    out = str(tmp_path / "shards_e")
+    export_training_shards(sequences, out, epochs=2, seed=0, max_rows_per_shard=100)
+    e0 = read_training_shards(spark, out, split="train", epoch=0)
+    e1 = read_training_shards(spark, out, split="train", epoch=1)
+    ids0 = [r.seq_id for r in e0.collect()]
+    ids1 = [r.seq_id for r in e1.collect()]
+    assert sorted(ids0) == sorted(ids1)  # same data each epoch
+    # re-export epoch 0 elsewhere: identical order (determinism)
+    out2 = str(tmp_path / "shards_e2")
+    export_training_shards(sequences, out2, epochs=1, seed=0, max_rows_per_shard=100)
+    assert [r.seq_id for r in read_training_shards(spark, out2, split="train", epoch=0).collect()] == ids0
+
+
+def test_shard_files_bounded_and_partition_layout(spark, sequences, tmp_path):
+    out = str(tmp_path / "shards_b")
+    export_training_shards(sequences, out, epochs=1, max_rows_per_shard=2)
+    files = glob.glob(os.path.join(out, "split=*", "epoch=0", "*.parquet"))
+    assert files, "no shard files written"
+    con = duckdb.connect()
+    for f in files:
+        n = con.execute(f"SELECT count(*) FROM '{f}'").fetchone()[0]
+        assert n <= 2, (f, n)
+    assert {p.split(os.sep)[-3] for p in files} == {
+        "split=train", "split=val", "split=test"
+    }
+
+
+def test_conservation_duckdb_twin_over_written_parquet(spark, sequences, tmp_path):
+    """sum of shard token counts == corpus token totals, verified by DuckDB
+    reading the written tree directly."""
+    out = str(tmp_path / "shards_c")
+    export_training_shards(sequences, out, epochs=1, max_rows_per_shard=3)
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            f"""SELECT split, SUM(len(input_ids))
+                FROM read_parquet('{out}/*/*/*.parquet', hive_partitioning=1)
+                GROUP BY split"""
+        ).fetchall()
+    )
+    want = {
+        s: len(_expected_stream(s)) for s in ("train", "val", "test")
+    }
+    assert got == want
+    # and the manifest agrees with the files
+    man = {r.split: r for r in shard_manifest(spark, out).collect()}
+    for s in want:
+        assert man[s].total_tokens == want[s]
+        assert man[s].n_sequences == -(-want[s] // SEQ_LEN)  # ceil
+
+
+def test_carry_cols_ride_pack_sequences(spark):
+    """The payload-passthrough contract export relies on: carried columns
+    survive pack_sequences with per-piece duplication only."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 5, "a"), (2, 10, "b")], "doc_id long, n_tokens long, tag string"
+    )
+    out = pack_sequences(docs, seq_len=8, carry_cols=("tag",)).collect()
+    tags = {(r.doc_id, r.seq_id): r.tag for r in out}
+    assert tags[(1, 0)] == "a"
+    # doc 2 straddles seq 0 (3 toks) and seq 1 (7 toks): tag on both pieces
+    assert tags[(2, 0)] == "b" and tags[(2, 1)] == "b"
+
+
+def test_staged_plan_tokenizes_once(spark, chunks_df, tmp_path):
+    """With stage_dir, the packing/assembly plan contains ZERO Python
+    nodes — the tokenizer ran exactly once, during the staging write; every
+    downstream branch re-scans parquet instead of re-running Arrow UDFs."""
+    import re
+
+    seqs = materialize_sequences(
+        chunks_df, seq_len=SEQ_LEN, group_size=2, stage_dir=str(tmp_path / "stage")
+    )
+    plan = seqs._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"ArrowEvalPython|BatchEvalPython", plan)
+    # staged result identical to the unstaged one
+    a = sorted((r.split, r.seq_id, tuple(r.input_ids)) for r in seqs.collect())
+    b = sorted(
+        (r.split, r.seq_id, tuple(r.input_ids))
+        for r in materialize_sequences(chunks_df, seq_len=SEQ_LEN, group_size=2).collect()
+    )
+    assert a == b

@@ -1,0 +1,205 @@
+"""Training-shard export: the corpus -> trainer hand-off.
+
+Everything upstream (dedup, decontamination, quality, splits, chunking,
+packing) produces LAYOUTS — frames that say which tokens go where. A
+trainer reads none of that: it reads shard files of token-id sequences in
+a shuffled order. This module materializes the hand-off:
+
+  materialize_sequences   chunk text -> token ids -> fixed-length
+                          `input_ids` arrays (one row per training
+                          sequence, with doc provenance), by composing the
+                          engine tokenizer (F6) with pack_corpus_chunks.
+  export_training_shards  write sequences as size-bounded parquet shards,
+                          one directory per (split, epoch), each epoch in
+                          an independent deterministic shuffle order
+                          (splits.shuffle_key(seed=epoch)).
+  read_training_shards    the loader-side view of the written tree.
+
+Not in the reference (it serves retrieval; its payload assembly at
+Search/Services/MongoDbService.cs:227-229 is the serving-side cousin of
+sequence assembly) — this is the terminal operator of the extended
+LLM-training-pipeline surface.
+
+Scale design:
+  * ONE tokenizer pass (with stage_dir set). The token-id array rides
+    through the packing explode as a carry column (pack_sequences
+    carry_cols) — there is no corpus-sized rejoin of layout to text; the
+    staging barrier stops Spark re-running the tokenizer per lazy plan
+    branch. A doc straddling a block boundary duplicates its array once
+    per touched block (~1-2 blocks).
+  * Assembly is one keyed shuffle on (split, seq_id) with group size
+    bounded by seq_len tokens — collect_list can never see more than
+    seq_len tokens per group.
+  * Epoch order is imposed by repartitionByRange on the portable
+    shuffle_key: a single range shuffle gives a global shuffled order
+    across shard files (files are range-ordered, rows sorted within), so
+    a sequential reader of shard-00000.. sees a uniform shuffle without
+    any full sort.
+  * Shard size is bounded by parquet's maxRecordsPerFile, so one shard
+    never exceeds what a data-loader worker maps in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import tokenize
+from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_corpus_chunks
+from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import shuffle_key
+
+
+def materialize_sequences(
+    chunks: DataFrame,
+    seq_len: int,
+    text_col: str = "chunk_text",
+    split_col: str = "split",
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    chunk_bits: int = 20,
+    group_size: int = 4096,
+    tokenizer=None,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """(split, seq_id, input_ids, n_toks, doc_ids): actual token-id
+    training sequences from a chunked corpus.
+
+    Each chunk's text is tokenized with the Arrow-batched engine tokenizer
+    (pass `tokenizer` to swap in a real BPE column function with the same
+    text -> array<int> contract); the id arrays ride through the packing
+    explode as a carry column and are sliced JVM-side per piece, then one
+    bounded groupBy((split, seq_id)) assembles pieces in (doc, chunk)
+    order into `input_ids` of exactly seq_len ids (per-split tail may be
+    short). `doc_ids` is the in-order document provenance of the pieces —
+    what a loader needs to mask cross-document attention.
+
+    `stage_dir`: packing's two-level prefix scan reads the tokenized frame
+    on several plan branches (local-window path, per-group totals, one
+    branch per split), and Spark recomputes lazy branches — so without
+    staging, the tokenizer (the expensive step) runs once PER BRANCH. Pass
+    a directory to materialize the tokenized chunks once as parquet and
+    read them back (the staging-table barrier every production pipeline
+    puts between tokenize and pack); every downstream branch then
+    re-scans cheap columnar files instead of re-running Python. Leave None
+    only at test scale.
+    """
+    tok = tokenizer if tokenizer is not None else tokenize
+    toks = chunks.select(
+        split_col, doc_col, chunk_col, tok(F.col(text_col)).alias("_toks")
+    ).withColumn("n_tokens", F.size("_toks"))
+    if stage_dir is not None:
+        toks.write.mode("overwrite").parquet(stage_dir)
+        toks = chunks.sparkSession.read.parquet(stage_dir)
+    layout = pack_corpus_chunks(
+        toks,
+        seq_len,
+        split_col=split_col,
+        doc_col=doc_col,
+        chunk_col=chunk_col,
+        n_tokens_col="n_tokens",
+        chunk_bits=chunk_bits,
+        group_size=group_size,
+        carry_cols=("_toks",),
+    )
+    piece = F.slice(F.col("_toks"), (F.col("begin") + 1).cast("int"), F.col("n_toks").cast("int"))
+    sliced = layout.select(
+        split_col,
+        "seq_id",
+        F.struct(
+            F.col(doc_col).alias("d"), F.col(chunk_col).alias("c"), piece.alias("p")
+        ).alias("_piece"),
+    )
+    # array_sort on (d, c, p) structs orders pieces by (doc, chunk) —
+    # p never breaks a tie because (doc, chunk) is unique per sequence
+    assembled = (
+        sliced.groupBy(split_col, "seq_id")
+        .agg(F.array_sort(F.collect_list("_piece")).alias("_ps"))
+        .select(
+            split_col,
+            "seq_id",
+            F.flatten(F.transform("_ps", lambda x: x["p"])).alias("input_ids"),
+            F.transform("_ps", lambda x: x["d"]).alias("doc_ids"),
+        )
+        .withColumn("n_toks", F.size("input_ids").cast("long"))
+    )
+    return assembled
+
+
+def export_training_shards(
+    sequences: DataFrame,
+    out_dir: str,
+    epochs: int = 1,
+    seed: int = 0,
+    max_rows_per_shard: int = 100_000,
+    n_partitions: int | None = None,
+    split_col: str = "split",
+) -> None:
+    """Write sequences as `out_dir/split=<s>/epoch=<e>/part-*.parquet`.
+
+    Every epoch is a full copy of the data in an INDEPENDENT deterministic
+    shuffle order — shuffle_key(split:seq_id, seed=seed+epoch) — imposed
+    by ONE range shuffle: repartitionByRange puts key ranges into ordered
+    shard files and sortWithinPartitions orders rows inside each, so
+    reading part-00000.. sequentially replays a uniform global shuffle.
+    maxRecordsPerFile bounds shard size regardless of partition count.
+
+    Re-running is idempotent per epoch directory (dynamic partition
+    overwrite replaces exactly the (split, epoch) partitions written).
+    """
+    if epochs <= 0:
+        raise ValueError(f"epochs must be positive, got {epochs}")
+    spark = sequences.sparkSession
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for epoch in range(epochs):
+            key = shuffle_key(
+                F.concat_ws(":", F.col(split_col), F.col("seq_id")), seed=seed + epoch
+            )
+            df = sequences.withColumn("_order", key).withColumn(
+                "epoch", F.lit(epoch)
+            )
+            parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+            (
+                df.repartitionByRange(parts, split_col, "_order")
+                .sortWithinPartitions(split_col, "_order")
+                .drop("_order")
+                .write.mode("overwrite")
+                .partitionBy(split_col, "epoch")
+                .option("maxRecordsPerFile", max_rows_per_shard)
+                .parquet(out_dir)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+
+def read_training_shards(
+    spark: SparkSession, out_dir: str, split: str | None = None, epoch: int | None = None
+) -> DataFrame:
+    """Loader-side view of an exported shard tree. Partition pruning on
+    split/epoch comes from the directory layout — a (split, epoch) read
+    touches only that directory's files."""
+    df = spark.read.parquet(out_dir)
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    if epoch is not None:
+        df = df.filter(F.col("epoch") == epoch)
+    return df
+
+
+def shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(split, epoch) shard accounting straight off the written files:
+    shard count, sequence count, token total — the numbers a training job
+    sanity-checks before it starts burning accelerator time."""
+    df = spark.read.parquet(out_dir)
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("split", "epoch")
+        .agg(
+            F.countDistinct("_file").alias("n_shards"),
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )

@@ -80,8 +80,9 @@ def pack_sequences(
     n_tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     group_size: int = 4096,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
-    """(seq_id, id_col, begin, n_toks): concat-and-chop packing.
+    """(seq_id, id_col, begin, n_toks, *carry_cols): concat-and-chop packing.
 
     Every output sequence 0..ceil(total_tokens/seq_len)-1 is exactly
     seq_len tokens (the last may be short). `begin` is the 0-based offset
@@ -90,14 +91,21 @@ def pack_sequences(
     lengths and `sum(n_toks) GROUP BY seq` is seq_len everywhere but the
     tail (both asserted in tests). Zero-token docs are excluded.
 
+    `carry_cols` are per-document payload columns (e.g. the token-id array
+    the export step slices) passed through to every piece a document emits
+    — the same narrow-passthrough trick as chunking's carry_cols, avoiding
+    a corpus-sized rejoin downstream. A straddling doc duplicates its
+    payload once per touched block (almost always 1-2 blocks).
+
     The explode emits one row per (doc, touched block): row count is
     n_docs + total_tokens/seq_len in the worst case — linear, never
     quadratic."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    d = docs.select(id_col, F.col(n_tokens_col).cast("long").alias("_n")).filter(
-        F.col("_n") > 0
-    )
+    carry = [c for c in carry_cols if c != id_col]
+    d = docs.select(
+        id_col, F.col(n_tokens_col).cast("long").alias("_n"), *carry
+    ).filter(F.col("_n") > 0)
     d = _global_starts(d, id_col, "_n", group_size)
     first = F.floor(F.col("_start") / seq_len)
     last = F.floor((F.col("_start") + F.col("_n") - 1) / seq_len)
@@ -105,6 +113,7 @@ def pack_sequences(
         id_col,
         "_n",
         "_start",
+        *carry,
         F.explode(F.sequence(first, last)).alias("seq_id"),
     )
     block_lo = F.col("seq_id") * seq_len
@@ -116,6 +125,7 @@ def pack_sequences(
         F.col(id_col),
         (lo - F.col("_start")).cast("long").alias("begin"),
         (hi - lo).cast("long").alias("n_toks"),
+        *carry,
     )
 
 
@@ -184,9 +194,11 @@ def pack_corpus_chunks(
     n_tokens_col: str = "n_tokens",
     chunk_bits: int = 20,
     group_size: int = 4096,
+    carry_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Pack prepare_training_corpus output into training sequences, PER
-    SPLIT: (split, seq_id, doc_id, chunk_id, begin, n_toks). Sequences
+    SPLIT: (split, seq_id, doc_id, chunk_id, begin, n_toks, *carry_cols).
+    Sequences
     never mix splits — a train sequence containing a test chunk would be
     leakage at the token level, after all the document-level care.
 
@@ -216,11 +228,13 @@ def pack_corpus_chunks(
         ).otherwise(
             F.raise_error(F.lit(f"chunk_id >= 2^{chunk_bits}; raise chunk_bits"))
         )
+        carry = [c for c in carry_cols if c not in (doc_col, chunk_col, split_col)]
         sub = chunks.filter(F.col(split_col) == s).select(
             F.col(doc_col),
             F.col(chunk_col),
             sid.alias("_sid"),
             F.col(n_tokens_col),
+            *carry,
         )
         # group_size is in DOCUMENT units, but _sid lives in the surrogate
         # space doc_id * 2^chunk_bits + chunk_id: consecutive documents sit
@@ -232,7 +246,7 @@ def pack_corpus_chunks(
         # frame stays ~n_docs/group_size rows.
         packed = pack_sequences(
             sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid",
-            group_size=group_size * lim,
+            group_size=group_size * lim, carry_cols=carry,
         )
         part = packed.select(
             F.lit(s).alias(split_col),
@@ -241,6 +255,7 @@ def pack_corpus_chunks(
             (F.col("_sid") % lim).cast("long").alias(chunk_col),
             "begin",
             "n_toks",
+            *carry,
         )
         out = part if out is None else out.unionByName(part)
     return out

@@ -17,6 +17,7 @@ Float determinism strategy (so value-hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -631,16 +632,15 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_hourly_rollup",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-)
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window rollup (batch twin of the streaming window agg)."""
+    """Tumbling-window rollup (batch twin of the streaming window agg).
+
+    Retired from the 50-slot registry in round 7 (slot went to
+    `training_shards`): its oracle was IDENTICAL SQL to the still-green
+    `windowed_event_counts` (same groupBy date_trunc/event_type, same
+    aggregates — only the hour column's alias differed), so the shape
+    remains hash-gated there; this batch form stays exercised by
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return (
         t["events"]
@@ -1158,6 +1158,68 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", word_count("text").cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, seq_len=128, group_size=64)
+
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _ENC as _TIKTOKEN
+
+# The engine tokenizer's BPE-ish splitter, verbatim (functions/tokenizer.py
+# _TOKEN_RE) — RE2-compatible, so DuckDB's regexp_extract_all counts the
+# exact tokens the Arrow UDF emits (when tiktoken is absent; with tiktoken
+# the counts are cl100k's and the oracle is withheld, as build_prompts_trim
+# does).
+_TOKEN_RE_SQL = r"\s?[A-Za-z]+|\s?\d+|\s?[^\sA-Za-z\d]+|\s+"
+
+_TRAINING_SHARDS_ORACLE = f"""
+    WITH toks AS (
+      SELECT CASE {_SPLIT_CASE} ELSE 'test' END AS split,
+             len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n
+      FROM documents
+    ),
+    tot AS (SELECT split, SUM(n) AS total FROM toks WHERE n > 0 GROUP BY split)
+    SELECT split,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(least(total - seq_id * 256, 256) AS BIGINT) AS n_toks
+    FROM (SELECT split, total, unnest(range(CAST((total + 255) // 256 AS BIGINT))) AS seq_id FROM tot)
+    """
+
+
+@register(
+    "training_shards",
+    None if _TIKTOKEN is not None else _TRAINING_SHARDS_ORACLE,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal training-pipeline operator (operators/export.py): documents
+    are split-assigned, tokenized with the engine tokenizer (F6),
+    materialized into 256-token `input_ids` sequences, written as
+    size-bounded parquet shards under split=<s>/epoch=<e>/, and the frame
+    returned is read back FROM THE WRITTEN FILES: (split, seq_id, n_toks).
+
+    The DuckDB twin recomputes, from the documents view alone, the split
+    assignment (inlined md5 boundaries), the per-doc token counts (the
+    tokenizer's regex via regexp_extract_all), and the concat-and-chop
+    arithmetic — so a hash match proves end-to-end conservation through
+    the actual on-disk shards: every sequence present exactly once per
+    split, every one exactly 256 tokens except each split's tail. The
+    id-level round trip (shards replay the corpus token stream in (doc,
+    chunk) order) is pinned in tests/test_export.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_training_shards,
+        materialize_sequences,
+        read_training_shards,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
+
+    t = _tables(spark, sf_dir)
+    chunks = assign_split(t["documents"], "doc_id").select(
+        "split", "doc_id", F.lit(0).alias("chunk_id"), F.col("text")
+    )
+    out = _cache_dir(sf_dir, "training_shards")
+    seqs = materialize_sequences(
+        chunks, seq_len=256, text_col="text", group_size=64,
+        stage_dir=os.path.join(out, "_stage"),
+    )
+    export_training_shards(seqs, out, epochs=1, seed=0, max_rows_per_shard=200)
+    return read_training_shards(spark, out, epoch=0).select("split", "seq_id", "n_toks")
 
 
 # ===========================================================================
@@ -1875,7 +1937,7 @@ _ORDER = [
     "conversation_window_events", "key_lookup", "latest_order_lookup",
     "conversation_text_by_user", "latest_events_per_user",
     "running_value_per_user", "first_exchange_trigger",
-    "sessionization", "events_hourly_rollup", "payload_concat_by_source",
+    "sessionization", "payload_concat_by_source",
     "doc_serialize_json", "scalar_function_suite",
     # text analysis
     "text_stats", "language_id_confusion", "token_counts_by_source",
@@ -1883,7 +1945,7 @@ _ORDER = [
     # dedup family + training-corpus hygiene
     "dedup_corpus_exact", "simhash_fingerprints",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
-    "decontamination_report", "packed_sequences",
+    "decontamination_report", "packed_sequences", "training_shards",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "lsh_ann_topk",
