@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "payload_concat_by_source",
     "text_stats",
     "dedup_corpus_exact",
-    "simhash_fingerprints",
+    "duplicated_ngram_stats",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
     "ann_topk",

@@ -46,9 +46,13 @@ def test_star_join_broadcasts_dimensions(spark, reg):
 
 
 def test_text_pipeline_stays_jvm_side(spark, reg):
-    for name in ("text_stats", "simhash_fingerprints", "dedup_corpus_exact"):
+    for name in ("text_stats", "dedup_corpus_exact"):
         rep = _report(spark, reg, name)
         assert rep.python_evals == 0, f"{name} fell out of codegen into Python"
+    # simhash retired from the registry in r7; the codegen property is
+    # asserted on the function directly
+    rep = plan_report(Q.simhash_fingerprints(spark, SF_DIR))
+    assert rep.python_evals == 0, "simhash fell out of codegen into Python"
 
 
 def test_ivf_scan_partition_pruned(spark, reg):
@@ -112,3 +116,22 @@ def test_document_chunks_narrow_plan(spark, reg):
     rep = _report(spark, reg, "document_chunks")
     assert rep.exchanges == 0
     assert rep.python_evals == 0
+
+
+def test_duplicated_ngram_stats_linear_shuffles_no_python(spark, reg):
+    """Three linear keyed shuffles (shingle window, per-ngram agg, per-doc
+    rollup) plus aggregation fan-in — and never a Python node or a
+    cartesian/broadcast-nested-loop expansion."""
+    rep = _report(spark, reg, "duplicated_ngram_stats")
+    assert rep.python_evals == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "BroadcastNestedLoopJoin" not in rep.raw
+
+
+def test_contamination_sources_broadcasts_benchmark_side(spark, reg):
+    """The benchmark (id, ngram) pairs are the broadcast side; the corpus
+    side must NOT be broadcast and no global sort appears."""
+    rep = _report(spark, reg, "contamination_sources")
+    assert rep.broadcast_joins >= 1
+    assert rep.python_evals == 0
+    assert rep.global_sorts == 0

@@ -37,3 +37,28 @@ def test_events_hourly_rollup_matches_duckdb(spark):
         )
     }
     assert got == want
+
+
+def test_key_lookup_matches_duckdb_and_pushes_filter(spark):
+    """Retired r7 (slot -> contamination_sources); equality-pushed-filter
+    shape subsumed by events_conjunctive_filter + latest_order_lookup."""
+    df = Q.key_lookup(spark, SF)
+    got = [tuple(r) for r in df.collect()]
+    want = [
+        (eid, ts, u, et, v)
+        for eid, ts, u, et, v in _duck(
+            "SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id = 4242"
+        )
+    ]
+    assert [(g[0], g[2], g[3]) for g in got] == [(w[0], w[2], w[3]) for w in want]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_id), EqualTo(event_id,4242)]" in plan
+
+
+def test_simhash_fingerprints_match_duckdb(spark):
+    """Retired r7 (slot -> duplicated_ngram_stats); fingerprint shape still
+    gated by rolling_fingerprints, bit recurrence pinned here against the
+    former registry oracle SQL."""
+    got = {r.doc_id: r.simhash for r in Q.simhash_fingerprints(spark, SF).collect()}
+    want = dict(_duck(Q.SIMHASH_SQL))
+    assert got == want

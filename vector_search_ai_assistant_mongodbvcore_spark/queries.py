@@ -454,17 +454,17 @@ def conversation_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id")
 
 
-@register(
-    "key_lookup",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM events WHERE event_id = 4242
-    """,
-)
 def key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: point lookup by key (the reference's FindIndex-by-SessionId
     shape, ChatService.cs:56 etc.) — the equality predicate must reach the
-    scan as a pushed filter."""
+    scan as a pushed filter.
+
+    Retired from the 50-slot registry in round 7 (slot went to
+    `contamination_sources`): the single-equality-pushed-filter shape is
+    subsumed by the still-green `events_conjunctive_filter` (same scan +
+    pushed predicates) and `latest_order_lookup` (single-row result);
+    exercised directly in tests/test_retired_queries.py including the
+    pushed-filter plan property."""
     t = _tables(spark, sf_dir)
     return t["events"].filter(F.col("event_id") == 4242).select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -897,9 +897,10 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
 
 
-@register(
-    "simhash_fingerprints",
-    """
+# The simhash DuckDB twin, kept for the retired-query parity test (it was
+# the registry oracle through round 6; the fingerprint shape stays gated by
+# rolling_fingerprints).
+SIMHASH_SQL = """
     SELECT doc_id,
            CASE WHEN len(w) = 0 THEN 0
                 ELSE CAST(list_sum(list_transform(range(0, 16), b ->
@@ -907,9 +908,15 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
            END AS simhash
     FROM (SELECT doc_id, {w} AS w FROM documents)
-    """.format(w=_w_sql(lower=True)),
-)
+    """.format(w=_w_sql(lower=True))
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired from the 50-slot registry in round 7 (slot went to
+    `duplicated_ngram_stats`): the per-doc fingerprint shape is covered by
+    the still-green `rolling_fingerprints`, and the simhash bit recurrence
+    keeps its full DuckDB twin (SIMHASH_SQL) in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return DD.simhash(t["documents"], "text", "doc_id", bits=16)
 
@@ -1118,6 +1125,80 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = t["documents"].filter(F.col("doc_id") % 17 == 0)
     corpus = t["documents"].filter(F.col("doc_id") % 17 != 0)
     return contamination_report(corpus, bench, n=_DECON_N, min_hits=1)
+
+
+@register(
+    "contamination_sources",
+    f"""
+    WITH bw AS (
+      SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents
+      WHERE doc_id % 17 = 0 AND text IS NOT NULL
+    ),
+    bng AS (
+      SELECT DISTINCT bench_id, ng FROM (
+        SELECT doc_id AS bench_id, unnest(s) AS ng
+        FROM (SELECT doc_id, {_shingle_sql(_DECON_N)} AS s FROM bw))
+    ),
+    cw AS (
+      SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents
+      WHERE doc_id % 17 <> 0 AND text IS NOT NULL
+    ),
+    cng AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id, unnest(s) AS ng
+        FROM (SELECT doc_id, {_shingle_sql(_DECON_N)} AS s FROM cw))
+    )
+    SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM cng c JOIN bng b USING (ng)
+    GROUP BY 1, 2
+    """,
+)
+def contamination_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ATTRIBUTION (operators/decontam.py
+    contamination_sources): the per-(corpus doc, benchmark doc) edge list
+    behind decontamination_report's counts — which eval-set member leaked
+    into which training doc, and by how many distinct shared 5-grams. The
+    benchmark (id, ngram) pairs are broadcast (the tiny side even with
+    per-doc attribution); the corpus pays one keyed aggregation."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        contamination_sources,
+    )
+
+    t = _tables(spark, sf_dir)
+    bench = t["documents"].filter(F.col("doc_id") % 17 == 0)
+    corpus = t["documents"].filter(F.col("doc_id") % 17 != 0)
+    return contamination_sources(corpus, bench, n=_DECON_N)
+
+
+@register(
+    "duplicated_ngram_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, unnest(s) AS ng
+      FROM (SELECT doc_id, {_shingle_sql(8)} AS s FROM t)
+    ),
+    x AS (SELECT ng, min(doc_id) <> max(doc_id) AS c FROM tok GROUP BY ng)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+    FROM tok JOIN x USING (ng)
+    GROUP BY tok.doc_id
+    """,
+)
+def duplicated_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring signal (operators/dedup.py
+    duplicated_ngram_stats — the distributed stand-in for Lee et al. 2021
+    suffix-array dedup): per document, the fraction of word 8-gram
+    positions whose 8-gram also occurs in another document. Cross-doc
+    presence is min(id) != max(id) per n-gram — fully map-side-combinable,
+    no count-distinct expansion, no posting lists; three linear keyed
+    shuffles."""
+    t = _tables(spark, sf_dir)
+    return DD.duplicated_ngram_stats(t["documents"], "text", "doc_id", n=8)
 
 
 @register(
@@ -1934,7 +2015,7 @@ _ORDER = [
     "purchase_ranks_per_user", "customers_without_big_orders",
     # reference operator surface (filters/projections/windows/aggregates)
     "events_conjunctive_filter", "embeddings_projection",
-    "conversation_window_events", "key_lookup", "latest_order_lookup",
+    "conversation_window_events", "latest_order_lookup",
     "conversation_text_by_user", "latest_events_per_user",
     "running_value_per_user", "first_exchange_trigger",
     "sessionization", "payload_concat_by_source",
@@ -1943,9 +2024,10 @@ _ORDER = [
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints",
     # dedup family + training-corpus hygiene
-    "dedup_corpus_exact", "simhash_fingerprints",
+    "dedup_corpus_exact", "duplicated_ngram_stats",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
-    "decontamination_report", "packed_sequences", "training_shards",
+    "decontamination_report", "contamination_sources",
+    "packed_sequences", "training_shards",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "lsh_ann_topk",
