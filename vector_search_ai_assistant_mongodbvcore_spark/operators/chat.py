@@ -65,10 +65,15 @@ def chat_turn(
 
     The retrieval stage is retrieve → rerank → payload: cosine recall of
     `rerank_candidates`, then a rerank pass (deterministic lexical scorer by
-    default; inject a cross-encoder via `rerank_scorer_factory`) orders the
-    k survivors into the payload. `rerank_candidates=None` disables the
-    rerank stage and serves the raw reference shape — payload straight from
-    top-k, exactly MongoDbService.cs:227-229."""
+    default; inject a cross-encoder via `rerank_scorer_factory`) whose order
+    is RRF-FUSED with the cosine order before the k survivors become the
+    payload (vector_search_payload_reranked fuse=True) — EVAL.md measures
+    this fused configuration above every single retrieval leg on MRR/nDCG,
+    whereas letting the default scorer REPLACE the cosine order scored
+    below its own input (the round-6 finding this default fixes).
+    `rerank_candidates=None` disables the rerank stage and serves the raw
+    reference shape — payload straight from top-k, exactly
+    MongoDbService.cs:227-229."""
     # 1. embed the prompt; usage tokens become promptMessage.Tokens
     #    (ChatService.cs:128-130)
     vectors, counts = embedder.embed_with_usage_numpy([user_prompt])

@@ -66,21 +66,55 @@ def rerank(
     id_col: str = "doc_id",
     scorer_factory: Callable[[str], Callable[[pd.Series], pd.Series]] = lexical_overlap_scorer,
     keep_cols: Sequence[str] = (),
+    rank_col: str | None = None,
+    rrf_k: int = 60,
 ) -> DataFrame:
     """Score every candidate against `query` with ONE Arrow-batched pandas
-    UDF and keep the top-k by (rerank_score desc, id asc). Candidates
-    should already be a top-n frame (tens of rows) from the retrieval
-    legs; the rerank cost is per-candidate, never per-corpus-row."""
+    UDF and keep the top-k. Candidates should already be a top-n frame
+    (tens of rows) from the retrieval legs; the rerank cost is
+    per-candidate, never per-corpus-row.
+
+    Ordering policy:
+      * rank_col=None — REPLACE: order purely by (rerank_score desc, id
+        asc). Correct when the scorer is strictly stronger than the
+        retriever (a real cross-encoder).
+      * rank_col='<retrieval rank>' — FUSE: the scorer's rank order is
+        RRF-fused with the retrieval order (1/(rrf_k+r_ret) +
+        1/(rrf_k+r_scr), the same constant as hybrid fusion). A weak or
+        merely-different scorer then refines the retrieval order instead
+        of overwriting it — the engine's own EVAL.md showed the replace
+        policy with the lexical fallback scorer serving a WORSE order
+        than its retrieval input, which fusion prevents by construction
+        (both parents vote). Output adds `fused` (the fusion score).
+    """
     scorer = scorer_factory(query)
 
     @F.pandas_udf("double")
     def _score(texts: pd.Series) -> pd.Series:
         return scorer(texts).astype("float64")
 
-    out_cols = [id_col, *keep_cols, "rerank_score"]
+    scored = candidates.withColumn("rerank_score", _score(F.col(text_col)))
+    if rank_col is None:
+        out_cols = [id_col, *keep_cols, "rerank_score"]
+        return (
+            scored.select(*out_cols)
+            .orderBy(F.col("rerank_score").desc(), F.col(id_col))
+            .limit(k)
+        )
+    # scorer rank within the candidate set: bounded window — the frame is
+    # top-n by contract, so the single partition holds tens of rows
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rerank_score").desc(), F.col(id_col))
+    fused = (
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col))
+        + F.lit(1.0) / (F.lit(rrf_k) + F.col("_scr_rank"))
+    )
+    out_cols = [id_col, *keep_cols, "rerank_score", "fused"]
     return (
-        candidates.withColumn("rerank_score", _score(F.col(text_col)))
+        scored.withColumn("_scr_rank", F.row_number().over(w))
+        .withColumn("fused", fused)
         .select(*out_cols)
-        .orderBy(F.col("rerank_score").desc(), F.col(id_col))
+        .orderBy(F.col("fused").desc(), F.col(id_col))
         .limit(k)
     )

@@ -120,13 +120,20 @@ def vector_search_payload_reranked(
     vector_col: str = "vector",
     id_cols: tuple[str, ...] = ("_id",),
     scorer_factory=None,
+    fuse: bool = True,
 ) -> DataFrame:
     """Retrieve → rerank → payload: the production serving chain the raw
     reference path (vector_search_payload) lacks. Cosine top-`n_candidates`
     recall stage, then one Arrow-batched rerank pass (operators/rerank.py)
     scores each serialized candidate against `query_text`, and the payload
-    is space-joined in RERANK order (rerank_score desc, id asc — the same
-    tiebreak rerank() itself applies).
+    is space-joined in the reranked order.
+
+    `fuse=True` (default) RRF-fuses the scorer's order with the cosine
+    retrieval order (rerank(rank_col=...)): the scorer refines rather than
+    overwrites retrieval, so a scorer no better than cosine cannot drag
+    the payload below the plain vector path — the EVAL.md-measured failure
+    of the old replace-by-default policy. Set fuse=False only for a scorer
+    known to dominate the retriever (a real cross-encoder).
 
     Scale shape: the corpus-sized work is still the TakeOrdered recall scan;
     rerank touches only n_candidates rows, so payload cost stays independent
@@ -142,8 +149,14 @@ def vector_search_payload_reranked(
     topk = vector_search(df, query_vector, k=n_candidates, vector_col=vector_col)
     doc_cols = [c for c in topk.columns if c not in id_cols and c != "score"]
     id_col = next((c for c in id_cols if c in topk.columns), None) or doc_cols[0]
-    docs = topk.select(
+    # retrieval rank over the top-n frame: bounded window (<= n_candidates
+    # rows post-LIMIT), same benign shape as ranked_topk
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    docs = topk.withColumn("_ret_rank", F.row_number().over(rw)).select(
         F.col(id_col).alias("_cand_id"),
+        F.col("_ret_rank"),
         F.to_json(F.struct(*[F.col(c) for c in doc_cols])).alias("doc"),
     )
     ranked = rerank(
@@ -154,7 +167,9 @@ def vector_search_payload_reranked(
         id_col="_cand_id",
         scorer_factory=scorer_factory,
         keep_cols=("doc",),
+        rank_col="_ret_rank" if fuse else None,
     )
+    order_col = "fused" if fuse else "rerank_score"
     # struct(-score, id, doc) sorted ascending = score desc, id asc — the
     # exact rerank order, reproduced inside the aggregate so the payload is
     # deterministic regardless of partitioning
@@ -164,7 +179,7 @@ def vector_search_payload_reranked(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            (-F.col("rerank_score")).alias("neg"),
+                            (-F.col(order_col)).alias("neg"),
                             F.col("_cand_id").alias("i"),
                             F.col("doc").alias("doc"),
                         )
