@@ -22,16 +22,29 @@ Two halves:
                           dict score_quality consumes — nothing of MLlib
                           survives into the serving plan.
 
+Hashed n-gram features (r7): the six aggregate features see SHAPE, not
+VOCABULARY — "xqzrv bpfkw" profiles like "table chair". fastText's answer
+is a bag of character n-grams; the engine's is the same bag hashed into a
+fixed D buckets with the PORTABLE md5 (splits.split_bucket's decode), so
+fit and serve agree bit-for-bit across engines and the weight vector is a
+plain D-float array. Serving exploits linearity: with L1-normalized
+counts, w . x = (1/total) * sum over n-gram OCCURRENCES of w[bucket(ng)]
+— one aggregate() fold over the n-gram array looking up an inlined
+literal weight array; the count vector never materializes, nothing
+leaves the JVM. Only the FIT builds per-row sparse vectors (an
+Arrow-batched UDF over the fit_fraction-bounded sample).
+
 Standardization: features are z-scored with means/stds captured at fit
 time and inlined as literals too, so serve-time distributions can drift
-without silently rescaling the model.
+without silently rescaling the model. Hashed dims are already
+L1-normalized and are not z-scored.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
@@ -45,11 +58,79 @@ FEATURES = (
     "rep_word_frac",
 )
 
+NGRAM_RANGE = (3, 5)  # char n-gram widths, fastText's subword default band
 
-def featurize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id_col, *FEATURES): the quality feature vector as plain columns."""
+
+def char_ngrams(col: Column | str, n_lo: int = NGRAM_RANGE[0], n_hi: int = NGRAM_RANGE[1]) -> Column:
+    """array<string> of character n-grams (widths n_lo..n_hi) over the
+    whitespace-normalized lowercase text — pure codegen (sequence +
+    transform + substring), no UDF."""
+    # collapse THEN trim: trim() strips only spaces, so leading tabs or
+    # newlines must first become spaces or they would survive trimming
+    # (the Python fit twin is " ".join(t.split()) — identical result)
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
+    # NB: the lambda must take exactly ONE parameter — F.transform passes
+    # (element, index) to two-parameter lambdas, so a `n=n` default arg
+    # would silently receive the array index; bind n via a factory instead
+    def slicer(n: int):
+        return lambda i: F.substring(t, i, n)
+
+    parts = []
+    for n in range(n_lo, n_hi + 1):
+        parts.append(
+            F.when(F.length(t) < n, F.array().cast("array<string>")).otherwise(
+                F.transform(F.sequence(F.lit(1), F.length(t) - n + 1), slicer(n))
+            )
+        )
+    return F.concat(*parts)
+
+
+def _bucket(ng: Column, dims: int) -> Column:
+    """Portable md5 bucket 0..dims-1 — the split_bucket decode applied to
+    the n-gram string; _py_bucket is its exact Python twin."""
+    return F.conv(F.substring(F.md5(ng), 1, 8), 16, 10).cast("long") % dims
+
+
+def _py_bucket(ng: str, dims: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(ng.encode("utf-8")).hexdigest()[:8], 16) % dims
+
+
+def hashed_ngram_dot(
+    col: Column | str,
+    weights: list[float],
+    n_lo: int = NGRAM_RANGE[0],
+    n_hi: int = NGRAM_RANGE[1],
+) -> Column:
+    """w . x for the L1-normalized hashed n-gram bag, WITHOUT materializing
+    x: one aggregate() fold over the n-gram array summing inlined literal
+    weight lookups, divided by the occurrence total. Zero rows for empty
+    text."""
+    dims = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    ngs = char_ngrams(col, n_lo, n_hi)
+    total = F.size(ngs)
+    acc = F.aggregate(
+        ngs,
+        F.lit(0.0),
+        lambda a, ng: a + F.element_at(warr, (_bucket(ng, dims) + 1).cast("int")),
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(acc / total)
+
+
+def featurize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, *keep_cols, *FEATURES): the quality feature vector as plain
+    columns."""
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         TX.word_count(text_col).cast("double").alias("n_words"),
         TX.avg_word_length(text_col).alias("avg_word_len"),
         TX.punct_ratio(text_col).alias("punct_ratio"),
@@ -68,8 +149,11 @@ def score_quality(
     """(id_col, quality_prob): P(high quality) per doc.
 
     `model` = {"weights": {feature: w}, "bias": b,
-               "means": {feature: m}, "stds": {feature: s}}
-    (means/stds optional — identity standardization when absent).
+               "means": {feature: m}, "stds": {feature: s},
+               "ngram_weights": [w_0..w_D-1], "ngram_range": [lo, hi]}
+    (means/stds optional — identity standardization when absent;
+    ngram_weights optional — the hashed char n-gram term is added via
+    hashed_ngram_dot when present, still pure codegen).
     The whole scorer is one codegen expression; nothing leaves the JVM."""
     weights = model["weights"]
     bias = float(model.get("bias", 0.0))
@@ -78,12 +162,17 @@ def score_quality(
     unknown = set(weights) - set(FEATURES)
     if unknown:
         raise ValueError(f"unknown features {sorted(unknown)}; valid: {FEATURES}")
-    feats = featurize(df, text_col, id_col)
+    ngw = model.get("ngram_weights")
+    keep = (text_col,) if ngw else ()
+    feats = featurize(df, text_col, id_col, keep_cols=keep)
     z = F.lit(bias)
     for name, w in weights.items():
         m = float(means.get(name, 0.0))
         s = float(stds.get(name, 1.0)) or 1.0
         z = z + F.lit(float(w)) * ((F.col(name) - F.lit(m)) / F.lit(s))
+    if ngw:
+        lo, hi = model.get("ngram_range", NGRAM_RANGE)
+        z = z + hashed_ngram_dot(text_col, list(ngw), int(lo), int(hi))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(F.col(id_col), prob.alias("quality_prob"))
 
@@ -97,15 +186,25 @@ def fit_quality_classifier(
     seed: int = 42,
     reg_param: float = 0.0,
     max_iter: int = 50,
+    ngram_dims: int | None = None,
+    ngram_range: tuple[int, int] = NGRAM_RANGE,
 ) -> dict:
     """Fit the linear model on (text, 0/1 label) rows; returns the plain
     model dict for score_quality. The fit collects nothing but the final
-    coefficients (driver-side: len(FEATURES) floats + 2 stat rows); at
-    100 TB fit_fraction bounds the iterative MLlib input."""
+    coefficients (driver-side: len(FEATURES) + ngram_dims floats + 2 stat
+    rows); at 100 TB fit_fraction bounds the iterative MLlib input.
+
+    `ngram_dims`: when set, the feature vector is extended with the
+    L1-normalized hashed char n-gram bag (D = ngram_dims buckets, the
+    portable md5 bucketing — _py_bucket here is the exact Python twin of
+    the serving expression's _bucket, parity-tested). The per-row sparse
+    vector is built by an Arrow-batched UDF — Python is confined to the
+    bounded FIT path; serving stays pure codegen via hashed_ngram_dot."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    feats = featurize(labeled, text_col, id_col).join(
+    keep = (text_col,) if ngram_dims else ()
+    feats = featurize(labeled, text_col, id_col, keep_cols=keep).join(
         labeled.select(id_col, F.col(label_col).cast("double").alias("_y")), id_col
     )
     if fit_fraction is not None and fit_fraction < 1.0:
@@ -119,19 +218,59 @@ def fit_quality_classifier(
     std_cols = [
         ((F.col(c) - F.lit(means[c])) / F.lit(stds[c])).alias(c) for c in FEATURES
     ]
-    prepped = feats.select(*std_cols, "_y")
-    asm = VectorAssembler(inputCols=list(FEATURES), outputCol="_x")
+    input_cols = list(FEATURES)
+    if ngram_dims:
+        lo, hi = ngram_range
+        dims = int(ngram_dims)
+
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.sql.functions import pandas_udf
+
+        # Arrow-batched dense bag (pandas_udf cannot emit VectorUDT); the
+        # density is a FIT-only cost on the fit_fraction-bounded sample —
+        # serving never builds the vector at all (hashed_ngram_dot fold)
+        @pandas_udf("array<double>")
+        def ngram_bag(texts):
+            import numpy as np
+
+            def one(t):
+                t = " ".join((t or "").lower().split())
+                v = np.zeros(dims)
+                total = 0
+                for n in range(lo, hi + 1):
+                    for i in range(len(t) - n + 1):
+                        v[_py_bucket(t[i : i + n], dims)] += 1.0
+                        total += 1
+                if total:
+                    v /= total
+                return v.tolist()
+
+            return texts.map(one)
+
+        prepped = feats.select(
+            *std_cols,
+            array_to_vector(ngram_bag(F.col(text_col))).alias("_ng"),
+            "_y",
+        )
+        input_cols = input_cols + ["_ng"]
+    else:
+        prepped = feats.select(*std_cols, "_y")
+    asm = VectorAssembler(inputCols=input_cols, outputCol="_x")
     lr = LogisticRegression(
         featuresCol="_x", labelCol="_y", regParam=reg_param, maxIter=max_iter
     )
     fitted = lr.fit(asm.transform(prepped))
     coef = fitted.coefficients.toArray()
-    return {
-        "weights": {c: float(w) for c, w in zip(FEATURES, coef)},
+    model = {
+        "weights": {c: float(w) for c, w in zip(FEATURES, coef[: len(FEATURES)])},
         "bias": float(fitted.intercept),
         "means": means,
         "stds": stds,
     }
+    if ngram_dims:
+        model["ngram_weights"] = [float(w) for w in coef[len(FEATURES):]]
+        model["ngram_range"] = [int(ngram_range[0]), int(ngram_range[1])]
+    return model
 
 
 def sigmoid(x: float) -> float:
