@@ -256,3 +256,96 @@ def test_duplicated_ngram_stats_within_doc_repeat_not_cross(spark):
     )
     out = {r.doc_id: r for r in DD.duplicated_ngram_stats(docs, n=3).collect()}
     assert out[1].dup_positions == 0
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (r7): the APPLY form of duplicated_ngram_stats
+# ---------------------------------------------------------------------------
+
+
+def _py_remove_spans(docs, n):
+    """Python oracle: first corpus occurrence of each word n-gram (by
+    (id, pos)) survives; every other occurrence blanks its n-word span."""
+    occs = {}
+    shingled = {}
+    for d, t in sorted(docs):
+        ws = t.lower().split()
+        k = len(ws)
+        if k <= n:
+            poss = [0] if t.strip() or True else []
+            grams = {0: " ".join(ws)}
+        else:
+            grams = {p: " ".join(ws[p : p + n]) for p in range(k - n + 1)}
+        shingled[d] = grams
+        for p in sorted(grams):
+            occs.setdefault(grams[p], []).append((d, p))
+    out = {}
+    for d, t in docs:
+        ws = t.split()
+        cov = set()
+        for p, g in shingled[d].items():
+            if occs[g][0] != (d, p):
+                cov |= set(range(p, p + n))
+        kept = [w for i, w in enumerate(ws) if i not in cov]
+        out[d] = (" ".join(kept), len(ws), len(cov & set(range(len(ws)))))
+    return out
+
+
+def test_remove_duplicated_spans_hand_computed(spark):
+    docs = [
+        (1, "Alpha beta gamma delta epsilon"),   # first occurrence of the run
+        (2, "zeta alpha beta gamma delta tail"), # shares the 3-gram run
+        (3, "totally unrelated words here now"),
+        (4, "alpha beta gamma delta epsilon"),   # exact lowered dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_words, r.n_removed)
+        for r in DD.remove_duplicated_spans(df, n=3).collect()
+    }
+    want = _py_remove_spans(docs, 3)
+    assert got == want
+    # the first occurrence survives untouched; the exact dup is emptied
+    assert got[1][0] == "Alpha beta gamma delta epsilon"
+    assert got[4][0] == ""
+    # doc 2 keeps its unique prefix/suffix, loses the shared middle
+    assert got[2][0] == "zeta tail"
+
+
+def test_remove_duplicated_spans_conservation_and_nulls(spark, tables):
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    out = DD.remove_duplicated_spans(docs, n=8).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.n_removed == r.n_words, r.doc_id
+    # NULL text passes through
+    nul = spark.createDataFrame([(99, None)], "doc_id long, text string")
+    r = DD.remove_duplicated_spans(nul, n=3).collect()[0]
+    assert r.clean_text is None and r.n_words == 0 and r.n_removed == 0
+
+
+def test_remove_duplicated_spans_every_ngram_keeps_one_copy(spark):
+    """Global property: after removal, for every n-gram that was duplicated,
+    its first occurrence's words are still present somewhere (unless a
+    different duplicated n-gram covered them)."""
+    docs = [
+        (1, "one two three four five"),
+        (2, "one two three four five"),
+        (3, "one two three four five"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text for r in DD.remove_duplicated_spans(df, n=3).collect()}
+    assert got[1] == "one two three four five"
+    assert got[2] == "" and got[3] == ""
+
+
+def test_remove_duplicated_spans_plan_linear(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+    rep = plan_report(
+        DD.remove_duplicated_spans(tables["documents"].select("doc_id", "text"), n=8)
+    )
+    assert rep.python_evals == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "BroadcastNestedLoopJoin" not in rep.raw

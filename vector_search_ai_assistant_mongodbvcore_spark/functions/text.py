@@ -221,7 +221,7 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     )
 
 
-def exploded_shingles(df, text_col: str, id_col: str, n: int = 5):
+def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool = False):
     """(id_col, ng) rows of word n-gram shingles — semantically identical to
     `explode(shingles(text_col, n))` but ~4x faster at corpus scale: the
     words are posexploded ONCE and each shingle is assembled from n-1
@@ -244,7 +244,7 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5):
     ordered = Window.partitionBy(id_col).orderBy("_pos")
     whole = Window.partitionBy(id_col)
     parts = [F.col("_w")] + [F.lead("_w", i).over(ordered) for i in range(1, n)]
-    return (
+    out = (
         pw.select(
             F.col(id_col),
             F.col("_pos"),
@@ -255,8 +255,10 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5):
             (F.col("_pos") <= F.col("_k") - n)
             | ((F.col("_k") <= n) & (F.col("_pos") == 0))
         )
-        .select(id_col, "ng")
     )
+    if with_pos:
+        return out.select(id_col, "_pos", "ng")
+    return out.select(id_col, "ng")
 
 
 # ---------------------------------------------------------------------------

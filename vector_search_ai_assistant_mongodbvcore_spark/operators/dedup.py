@@ -482,3 +482,71 @@ def duplicated_ngram_stats(
             (F.col("dup_positions") / F.col("n_positions")).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(id_col, text_col, clean_text, n_words, n_removed): the APPLY form of
+    duplicated_ngram_stats — Lee et al. 2021 (arXiv:2107.06499) REMOVES the
+    duplicated spans rather than just scoring them. Every word n-gram keeps
+    exactly its FIRST corpus occurrence (min (id, position) in the total
+    order); every other occurrence's word span is blanked, and clean_text
+    is the document with covered words dropped (original casing preserved —
+    word positions are identical under lowering, so the posting walk on
+    lowered shingles indexes straight into the original word array).
+
+    A word survives iff NO duplicated n-gram occurrence covers it; the
+    first occurrence's own words are untouched unless a DIFFERENT
+    duplicated n-gram overlaps them — exactly the greedy left-to-right
+    keep-first semantics of the paper's suffix-array pass, at n-gram
+    granularity.
+
+    Plan: the same three linear keyed shuffles as duplicated_ngram_stats
+    (per-ngram min aggregate; join back on ng; per-doc covered-position
+    rollup) plus the id-keyed join onto the source rows — nothing
+    quadratic, no posting list ever materializes beyond the per-ngram
+    2-field min struct. Docs with NULL text pass through with clean_text
+    NULL and zero counts (no shingle rows, left join)."""
+    toks = exploded_shingles(df, text_col, id_col, n, with_pos=True)
+    first = toks.groupBy("ng").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias("_first")
+    )
+    dup_pos = (
+        toks.join(first, "ng")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first.i"))
+                & (F.col("_pos") == F.col("_first.p"))
+            )
+        )
+        .select(id_col, F.sequence(F.col("_pos"), F.col("_pos") + n - 1).alias("_span"))
+    )
+    covered = dup_pos.groupBy(id_col).agg(
+        F.array_distinct(F.flatten(F.collect_list("_span"))).alias("_cov")
+    )
+    w = words(F.col(text_col))
+    kept = F.filter(
+        F.transform(w, lambda wd, i: F.when(~F.array_contains(F.col("_cov"), i), wd)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        df.join(covered, id_col, "left")
+        .withColumn("_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+            F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(
+                F.size(F.filter(F.col("_cov"), lambda p: p < F.size(w))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
