@@ -1,0 +1,141 @@
+"""Vocabulary induction over a document corpus — the distributed counting
+that dominates tokenizer training (BPE/WordPiece) and corpus auditing.
+
+Three stages, each a bounded-output aggregate over an unbounded corpus:
+
+  * `term_stats` — per-term collection frequency (cf: total occurrences)
+    and document frequency (df: docs containing the term). The heavy-
+    hitter table every vocab build starts from.
+  * `top_vocab` — the K most frequent terms with cumulative token
+    coverage ("the top 1k terms cover 93.4% of all token occurrences"),
+    the statistic that picks a vocab size.
+  * `bpe_merge_candidates` — adjacent character-pair counts weighted by
+    term frequency, over the TERM table rather than the corpus: exactly
+    the count a BPE trainer computes each merge iteration, but the input
+    is the bounded distinct-term table (weighted by cf) instead of the
+    100 TB corpus — the standard trick that makes distributed BPE
+    tractable (each iteration re-counts pairs over the vocab table only).
+
+Scale shape: term_stats is two hash aggregates (distinct (term, doc)
+then per-term counts — both map-side combinable; the distinct's shuffle
+is the unavoidable one for exact df). top_vocab's global sort is
+TakeOrderedAndProject (per-partition heaps, no total sort), and the
+cumulative-coverage window runs over the K selected rows only — it is
+given an explicit constant partition key so the plan shows a real (if
+single-partition-by-construction) partition spec over a K-row frame.
+The corpus-wide token total is a one-row aggregate joined in by
+broadcast.
+
+Reference has no analog (its tokenizer is an external service,
+SharedLib/Services/TokenizerService.cs); determinism: counts are exact
+integers, coverage is a single IEEE division of two longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions.text import words
+
+__all__ = ["term_stats", "top_vocab", "bpe_merge_candidates"]
+
+
+def term_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(term, cf, df) — exact collection and document frequency per term."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(words(F.coalesce(t, F.lit("")))).alias("term")
+    )
+    cf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    dfreq = (
+        exploded.select("term", "_doc")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return cf.join(dfreq, "term")
+
+
+def top_vocab(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k terms by cf (term tiebreak) with rank and cumulative coverage.
+
+    coverage = (running sum of cf over the selected rows) / (total token
+    occurrences in the WHOLE corpus) — so a truncated vocab's last row
+    reads off exactly how much of the token stream it explains.
+    """
+    stats = term_stats(df, id_col, text_col, lowercase)
+    top = stats.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(k)
+    total = stats.agg(F.sum("cf").alias("_total_cf"))
+    # constant partition key: the window frame is the K selected rows by
+    # construction; the explicit key keeps the partition spec non-empty.
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("_cum_cf", F.sum("cf").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cf",
+            "df",
+            "rank",
+            (F.col("_cum_cf").cast("double") / F.col("_total_cf").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def bpe_merge_candidates(
+    terms: DataFrame,
+    top_m: int = 100,
+    term_col: str = "term",
+    weight_col: str = "cf",
+) -> DataFrame:
+    """Rank adjacent character pairs by corpus frequency — one BPE merge
+    iteration's counting step, run over the bounded term table.
+
+    Input is `term_stats` output (or any (term, weight) frame); each term
+    contributes every adjacent char pair, weighted by the term's corpus
+    frequency. Output: (pair, weight, rank), top_m rows. A full BPE
+    trainer loops: take rank-1 pair, rewrite the term table's symbol
+    sequences, re-count — each iteration stays on the vocab table.
+    """
+    t = F.col(term_col)
+    pairs = terms.select(
+        F.explode(
+            F.when(
+                F.length(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substr(t, i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col(weight_col).alias("w"),
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("w").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(top_m)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("weight").desc(), F.col("pair").asc())
+    return ranked.withColumn("rank", F.row_number().over(w))

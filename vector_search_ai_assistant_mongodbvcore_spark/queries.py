@@ -1303,6 +1303,150 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_training_shards(spark, out, epoch=0).select("split", "seq_id", "n_toks")
 
 
+_DSIR_BUCKETS = 10_000
+_DSIR_TARGET_SQL = "('src0','src1','src2')"
+
+_DSIR_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest(w) AS g FROM w
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM grams
+    ),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM b WHERE source IN {_DSIR_TARGET_SQL} GROUP BY 1),
+    lam AS (
+      SELECT COALESCE(raw.bucket, tgt.bucket) AS bucket,
+             CAST(round(round(
+                 ln((COALESCE(c_tgt, 0) + 1.0) / ((SELECT COALESCE(sum(c_tgt),0) FROM tgt) + 1.0 * {_DSIR_BUCKETS}))
+               - ln((COALESCE(c_raw, 0) + 1.0) / ((SELECT COALESCE(sum(c_raw),0) FROM raw) + 1.0 * {_DSIR_BUCKETS})),
+               6) * 1000000, 0) AS BIGINT) AS lam_micro
+      FROM raw FULL OUTER JOIN tgt USING (bucket)
+    ),
+    doc_sums AS (
+      SELECT b.doc_id, SUM(lam_micro) AS micro FROM b JOIN lam USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(CAST(micro AS DOUBLE) / 1000000, 0.0) AS logw
+    FROM documents d LEFT JOIN doc_sums ON d.doc_id = doc_sums.doc_id
+    """
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py, arXiv:2302.03169): every
+    document scored with the log importance weight of a hashed-uni+bigram
+    target LM (docs from src0-src2, the "domain we want more of") against
+    the raw-corpus LM, Laplace alpha=1, 10k buckets.
+
+    The Spark side serves from the fitted lambda table inlined as a
+    literal map — a map-only zero-shuffle plan (fit is two bounded
+    hash-aggregates). The DuckDB twin recomputes the full fit+serve from
+    the documents view; lambda is carried in exact 1e-6 integer units in
+    both engines so the per-doc sums are order-independent and the hash
+    matches bit-for-bit. Gumbel-top-k resampling on these weights is
+    pinned against a numpy oracle in tests/test_dsir.py."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import dsir as DS
+
+    t = _tables(spark, sf_dir)
+    docs = t["documents"]
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2")).select("text")
+    w = DS.importance_weights(
+        docs, target, num_buckets=_DSIR_BUCKETS, alpha=1.0, serve="inline"
+    )
+    return w.select("doc_id", "logw")
+
+
+_VOCAB_K = 200
+
+_VOCAB_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    terms AS (SELECT doc_id, unnest(w) AS term FROM w),
+    cf AS (SELECT term, count(*) AS cf FROM terms GROUP BY 1),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    top AS (
+      SELECT cf.term, cf, df,
+             row_number() OVER (ORDER BY cf DESC, cf.term) AS rank
+      FROM cf JOIN dfq USING (term)
+      ORDER BY cf DESC, cf.term LIMIT {_VOCAB_K}
+    )
+    SELECT term, cf, df, rank,
+           CAST(SUM(cf) OVER (ORDER BY rank) AS DOUBLE)
+             / (SELECT CAST(sum(cf) AS DOUBLE) FROM cf) AS coverage
+    FROM top
+    """
+
+
+@register("vocab_top_terms", _VOCAB_ORACLE)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (operators/vocab.py): exact heavy-hitter term
+    table — top-200 terms by collection frequency with document frequency
+    and cumulative token coverage (the statistic that picks a tokenizer's
+    vocab size). Exact-integer counts; coverage is one IEEE division of
+    longs, deterministic in both engines. The global top-k executes as
+    TakeOrderedAndProject; the coverage window runs over the 200 selected
+    rows only."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import top_vocab
+
+    t = _tables(spark, sf_dir)
+    return top_vocab(t["documents"], k=_VOCAB_K)
+
+
+_BPE_ORACLE = f"""
+    WITH w AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+      FROM documents
+    ),
+    terms AS (SELECT unnest(w) AS term FROM w),
+    cf AS (SELECT term, count(*) AS cf FROM terms GROUP BY 1),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(term)), i -> substr(term, i, 2))) AS pair,
+             cf
+      FROM cf
+    ),
+    ranked AS (
+      SELECT pair, SUM(cf) AS weight
+      FROM pairs GROUP BY 1
+      ORDER BY weight DESC, pair LIMIT 50
+    )
+    SELECT pair, weight, row_number() OVER (ORDER BY weight DESC, pair) AS rank
+    FROM ranked
+    """
+
+
+@register("bpe_merge_ranking", _BPE_ORACLE)
+def bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration's counting step (operators/vocab.py
+    bpe_merge_candidates): adjacent char-pair counts weighted by term
+    frequency, computed over the BOUNDED distinct-term table (the trick
+    that keeps distributed BPE off the raw corpus) — top-50 pairs. The
+    rank-1 row is the pair a BPE trainer would merge next."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import (
+        bpe_merge_candidates,
+        term_stats,
+    )
+
+    t = _tables(spark, sf_dir)
+    return bpe_merge_candidates(term_stats(t["documents"]), top_m=50)
+
+
 # ===========================================================================
 # Vector similarity (V1/V2 + extended ANN surface)
 # ===========================================================================
@@ -2020,14 +2164,14 @@ _ORDER = [
     "running_value_per_user", "first_exchange_trigger",
     "sessionization", "payload_concat_by_source",
     "doc_serialize_json", "scalar_function_suite",
-    # text analysis
+    # text analysis + vocabulary induction
     "text_stats", "language_id_confusion", "token_counts_by_source",
-    "rolling_fingerprints",
+    "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
     # dedup family + training-corpus hygiene
     "dedup_corpus_exact", "duplicated_ngram_stats",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
     "decontamination_report", "contamination_sources",
-    "packed_sequences", "training_shards",
+    "packed_sequences", "training_shards", "dsir_importance_weights",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "lsh_ann_topk",
@@ -2044,7 +2188,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 50, len(_ORDER)
+assert len(_ORDER) == 53, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
