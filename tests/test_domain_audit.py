@@ -1,0 +1,85 @@
+"""Domain audit rollup (operators/profile.py domain_audit)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from vector_search_ai_assistant_mongodbvcore_spark import queries
+from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import domain_audit
+
+DOCS = [
+    # cross-domain duplicate: doc 0 (src_a) == doc 3 (src_b) after
+    # whitespace/case normalization — both domains must count it
+    (0, "The cat sat", "en", "src_a"),
+    (1, "unique text one", "en", "src_a"),
+    (2, "texto unico dos", "es", "src_a"),
+    (3, "the  cat   SAT", "en", "src_b"),
+    (4, "more words here now", "en", "src_b"),
+    (5, None, "en", "src_b"),   # NULL text: 0 words, audits as empty
+    (6, "", "es", "src_b"),     # empty text: 0 words
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+@pytest.fixture(scope="module")
+def audit(docs):
+    return {(r["source"], r["lang"]): r.asDict() for r in domain_audit(docs).collect()}
+
+
+def test_counts_and_words(audit):
+    a = audit[("src_a", "en")]
+    assert a["n_docs"] == 2 and a["total_words"] == 6 and a["avg_words"] == 3.0
+    b = audit[("src_b", "en")]
+    assert b["n_docs"] == 3 and b["total_words"] == 7  # 3 + 4 + 0 (NULL)
+    assert audit[("src_b", "es")]["total_words"] == 0
+
+
+def test_cross_domain_duplicates_count_in_both(audit):
+    assert audit[("src_a", "en")]["dup_docs"] == 1
+    # src_b/en holds TWO corpus-wide dups: doc 3 (copy of doc 0 in src_a)
+    # and doc 5 (NULL text, fingerprints identically to doc 6's empty text)
+    assert audit[("src_b", "en")]["dup_docs"] == 2
+    assert audit[("src_a", "es")]["dup_docs"] == 0
+
+
+def test_token_share_sums_to_one(audit):
+    total = sum(r["token_share"] for r in audit.values())
+    assert total == pytest.approx(1.0, abs=1e-12)
+    words = {k: r["total_words"] for k, r in audit.items()}
+    grand = sum(words.values())
+    for k, r in audit.items():
+        assert r["token_share"] == words[k] / grand
+
+
+def test_null_and_empty_text_rows_survive(audit):
+    # doc 5 (NULL) and doc 6 ('') are both counted; they also fingerprint
+    # identically (empty normalized text) so they are corpus-wide dups of
+    # each other — one in each domain row
+    assert audit[("src_b", "en")]["n_docs"] == 3
+    assert audit[("src_b", "es")]["n_docs"] == 1
+    assert audit[("src_b", "es")]["dup_docs"] == 1
+
+
+def test_registered_twin_on_degenerate_rows(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM pdf) TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    fn, oracle = queries.REGISTRY["domain_audit"]
+    cols = sorted(fn(spark, str(d)).columns)
+    got = sorted(tuple(r[c] for c in cols) for r in fn(spark, str(d)).collect())
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ocols = [x[0] for x in con2.execute(oracle).description]
+    want = sorted(tuple(row[ocols.index(c)] for c in cols) for row in con2.execute(oracle).fetchall())
+    assert got == want

@@ -153,3 +153,70 @@ def contamination_sources(
         .agg(F.countDistinct("ng").alias("shared_ngrams"))
         .select(F.col(id_col), F.col("_bid").alias("bench_id"), "shared_ngrams")
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_scores: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus items whose vector is
+    near-identical to any benchmark item's vector — the semantic
+    complement of the n-gram recipe above (catches paraphrased benchmark
+    leakage that shares no 8-gram).
+
+    Same asymmetry, same plan shape: the benchmark embedding table is
+    tiny and BROADCASTs into a nested-loop join against the streaming
+    corpus side, scored with the codegen cosine expression (JVM-side, no
+    Python). One struct-max aggregation per corpus id picks the best
+    benchmark match (score desc, benchmark id asc on rounded-score ties)
+    — keyed, map-side-combinable, no window. Output: (id_col, best_cos,
+    bench_id, contaminated).
+
+    Scores are rounded to `round_scores` BEFORE the argmax so engines
+    whose float summation order differs agree on both value and winner.
+    NULL corpus vectors score NULL -> contaminated=false, bench_id NULL
+    (they carry no semantic evidence); NULL benchmark vectors are
+    dropped up front.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    bench = benchmark.filter(F.col(vector_col).isNotNull()).select(
+        F.col(id_col).alias("_bench_id"), F.col(vector_col).alias("_bv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vector_col).alias("_cv"))
+        .filter(F.col("_cv").isNotNull())
+        .join(F.broadcast(bench))
+    )
+    scored = scored.withColumn(
+        "_cos",
+        F.round(
+            cosine_similarity(
+                F.col("_cv").cast("array<double>"), F.col("_bv").cast("array<double>")
+            ),
+            round_scores,
+        ),
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("_cos"), (-F.col("_bench_id")).alias("_neg"))).alias("_best"))
+        .select(
+            id_col,
+            F.col("_best._cos").alias("best_cos"),
+            (-F.col("_best._neg")).alias("bench_id"),
+        )
+    )
+    # corpus rows with NULL vectors never joined/scored; restore them
+    out = corpus.select(id_col).join(best, id_col, "left")
+    return out.select(
+        id_col,
+        "best_cos",
+        "bench_id",
+        F.coalesce(F.col("best_cos") >= threshold, F.lit(False)).alias("contaminated"),
+    )

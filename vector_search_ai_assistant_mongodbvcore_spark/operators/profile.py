@@ -100,3 +100,69 @@ def column_profile(
         for c in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def domain_audit(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus audit: the rollup a data curator reads before
+    deciding caps, mixtures, and filters (one row per (source, lang)):
+
+      n_docs        documents in the domain
+      total_words   whitespace token supply (the mixture planner's unit)
+      avg_words     total_words / n_docs
+      token_share   total_words / corpus-wide total
+      dup_docs      docs whose normalized-text fingerprint occurs more
+                    than once CORPUS-WIDE (cross-domain duplicates count
+                    in every domain holding a copy — that is the number a
+                    curator needs: "how much of this domain is copies")
+      dup_ratio     dup_docs / n_docs
+
+    Shape: one fingerprint hash-aggregate over the corpus (the exact-
+    dedup aggregate), whose counts rejoin the corpus on the fingerprint
+    key (both sides hash-partitioned on _fp, AQE-planned); everything
+    then reduces in ONE map-side-combined group-by over the domain keys,
+    and the corpus-wide word total joins in as a broadcast one-row
+    aggregate. Counts are exact longs; the three ratios are single IEEE
+    divisions — deterministic in any engine.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        fingerprint_md5,
+        word_count,
+    )
+
+    gcols = list(group_cols)
+    base = df.select(
+        *gcols,
+        F.col(id_col),
+        # NULL text audits as empty text (a NULL fingerprint would fall out
+        # of the inner join on _fp and silently drop the row)
+        fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        word_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("_words"),
+    )
+    fp_counts = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fp_n"))
+    audited = base.join(fp_counts, "_fp")
+    per_domain = audited.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_words").alias("total_words"),
+        F.sum(F.when(F.col("_fp_n") > 1, 1).otherwise(0)).alias("dup_docs"),
+    )
+    total = per_domain.agg(F.sum("total_words").alias("_corpus_words"))
+    return per_domain.crossJoin(F.broadcast(total)).select(
+        *gcols,
+        "n_docs",
+        "total_words",
+        (F.col("total_words").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_words"
+        ),
+        (
+            F.col("total_words").cast("double") / F.col("_corpus_words").cast("double")
+        ).alias("token_share"),
+        "dup_docs",
+        (F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+            "dup_ratio"
+        ),
+    )

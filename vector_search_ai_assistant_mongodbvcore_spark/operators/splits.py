@@ -276,3 +276,112 @@ def plan_mixture_rates(
         expected[s] = int(round(r * have))
         shortfall[s] = int(round(want - r * have)) if r >= 1.0 and have < want else 0
     return {"rates": rates, "expected_tokens": expected, "shortfall": shortfall}
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    presample: bool = False,
+    overshoot_sigmas: float = 6.0,
+) -> DataFrame:
+    """Keep at most `n` rows per group, chosen deterministically by md5
+    rank — the "no single domain dominates the corpus" cap (RefinedWeb-
+    style source balancing). Output: input columns + `cap_rank` (1-based
+    rank within the group; every surviving row has cap_rank <= n).
+
+    Selection is md5-bucket ascending with id tiebreak, so the kept set
+    is stable across runs, engines, and partitionings, and is a uniform
+    sample of each group.
+
+    Scale: the exact path is one row_number window keyed by group — fine
+    until one hot group owns a whole partition. `presample=True` bounds
+    the window's input first: per-group counts (a bounded aggregate)
+    pick a bucket-threshold keep-rate of ~(n + overshoot sigmas) rows,
+    rows above the threshold are dropped BEFORE the window, so each
+    group's window partition holds ~n rows regardless of group size.
+    Because the prefilter keeps exactly the SMALLEST buckets, the
+    surviving top-n equals the global top-n whenever >= min(n, count)
+    rows survive — guaranteed here by a driver-side check that raises
+    (deterministically, same seed) if the overshoot margin was too thin,
+    rather than silently returning a biased sample. At
+    overshoot_sigmas=6 the failure probability per group is ~1e-9.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    bucket = split_bucket(F.col(id_col), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col).asc())
+
+    src = df
+    if presample:
+        counts = {
+            r[group_col]: r["c"]
+            for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        import math as _math
+
+        thresholds = {}
+        for g, c in counts.items():
+            if c <= n:
+                thresholds[g] = _BUCKETS  # keep everything, skip nothing
+            else:
+                want = n + overshoot_sigmas * _math.sqrt(n) + 10
+                thresholds[g] = min(_BUCKETS, int(_math.ceil(want / c * _BUCKETS)))
+        thr = F.create_map(
+            *[x for g, t in sorted(thresholds.items()) for x in (F.lit(g), F.lit(t))]
+        )
+        src = df.filter(bucket < F.element_at(thr, F.col(group_col)))
+        # bias guard: every capped group must still supply min(n, count) rows
+        survivors = {
+            r[group_col]: r["c"]
+            for r in src.groupBy(group_col).agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        short = {
+            g: (survivors.get(g, 0), min(n, c))
+            for g, c in counts.items()
+            if survivors.get(g, 0) < min(n, c)
+        }
+        if short:
+            raise ValueError(
+                f"presample undershoot for groups {short}; raise overshoot_sigmas"
+            )
+    return (
+        src.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= n)
+    )
+
+
+def plan_curriculum(
+    available: dict,
+    start_shares: dict,
+    end_shares: dict,
+    token_budget_per_epoch: int,
+    epochs: int,
+) -> list[dict]:
+    """Per-epoch mixture plans with linearly annealed target shares — the
+    curriculum schedule ("start web-heavy, end up code/reference-heavy")
+    layered on plan_mixture_rates. Epoch e uses shares
+    (1 - t) * start + t * end with t = e / (epochs - 1) (t = 0 for a
+    single epoch), then solves the same supply-capped rate system.
+    Returns one plan_mixture_rates dict per epoch, each with "epoch" and
+    "shares" recorded. Pure driver arithmetic; feed each epoch's "rates"
+    into sample_by_rates with a per-epoch seed to draw distinct samples.
+    """
+    if epochs <= 0:
+        raise ValueError(f"epochs must be positive, got {epochs}")
+    keys = set(start_shares) | set(end_shares)
+    plans = []
+    for e in range(epochs):
+        t = 0.0 if epochs == 1 else e / (epochs - 1)
+        shares = {
+            k: (1.0 - t) * start_shares.get(k, 0.0) + t * end_shares.get(k, 0.0)
+            for k in keys
+        }
+        shares = {k: v for k, v in shares.items() if v > 0}
+        plan = plan_mixture_rates(available, shares, token_budget_per_epoch)
+        plan["epoch"] = e
+        plan["shares"] = shares
+        plans.append(plan)
+    return plans

@@ -1447,6 +1447,77 @@ def bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(term_stats(t["documents"]), top_m=50)
 
 
+_AUDIT_ORACLE = """
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             md5(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS words
+      FROM documents
+    ),
+    fpc AS (SELECT fp, count(*) AS fp_n FROM base GROUP BY 1),
+    dom AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS total_words,
+             CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+      FROM base JOIN fpc USING (fp) GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_words,
+           CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_words,
+           CAST(total_words AS DOUBLE)
+             / (SELECT CAST(SUM(total_words) AS DOUBLE) FROM dom) AS token_share,
+           dup_docs,
+           CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio
+    FROM dom
+    """
+
+
+@register("domain_audit", _AUDIT_ORACLE)
+def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus audit (operators/profile.py domain_audit):
+    doc counts, token supply, token share, and corpus-wide exact-duplicate
+    incidence per domain — the rollup that drives capping and mixture
+    decisions. One fingerprint aggregate + one keyed rejoin + one domain
+    group-by; exact longs, ratios are single IEEE divisions."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import (
+        domain_audit as audit,
+    )
+
+    t = _tables(spark, sf_dir)
+    return audit(t["documents"])
+
+
+_CAP_ORACLE = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT),
+                        doc_id) AS cap_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank
+    FROM ranked WHERE cap_rank <= 10
+    """
+
+
+@register("source_capped_sample", _CAP_ORACLE)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (operators/splits.py cap_per_group): keep at
+    most 10 docs per source, selected by md5-bucket rank — RefinedWeb-
+    style domain balancing, deterministic across engines/partitionings.
+    Runs the presample scale path (per-group bucket-threshold prefilter
+    bounds each window partition to ~n rows before the rank; a driver
+    guard raises on undershoot instead of silently biasing), which must
+    equal the plain windowed rank the DuckDB twin computes."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import cap_per_group
+
+    t = _tables(spark, sf_dir)
+    return cap_per_group(
+        t["documents"], "source", n=10, id_col="doc_id", seed=42, presample=True
+    ).select("doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
+
+
 # ===========================================================================
 # Vector similarity (V1/V2 + extended ANN surface)
 # ===========================================================================
@@ -1814,6 +1885,52 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+_SEMCON_ORACLE = """
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding FROM embeddings
+      WHERE label = 0 AND embedding IS NOT NULL
+    ),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos,
+             b.bench_id
+      FROM corpus c CROSS JOIN bench b
+      WHERE c.embedding IS NOT NULL
+    ),
+    best AS (
+      SELECT vec_id, cos AS best_cos, bench_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+      FROM scored
+    )
+    SELECT c.vec_id, b.best_cos, b.bench_id,
+           COALESCE(b.best_cos >= 0.4, FALSE) AS contaminated
+    FROM corpus c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
+    """
+
+
+@register("semantic_contamination", _SEMCON_ORACLE)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/decontam.py
+    semantic_contamination): every non-benchmark vector scored against
+    the broadcast benchmark set (label = 0 stands in for the eval suite);
+    best rounded cosine + matched benchmark id + contaminated flag at
+    threshold 0.4. Catches paraphrased leakage the 8-gram recipe misses.
+    Plan: benchmark broadcast into a nested-loop join, one keyed
+    struct-max aggregation — no window, corpus-side streaming."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        semantic_contamination as semcon,
+    )
+
+    t = _tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return semcon(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.4,
+    )
+
+
 # ===========================================================================
 # Keyword (BM25) + hybrid RRF retrieval — the search surface the reference's
 # production successors pair with the vector index (keyword path + RRF
@@ -2167,11 +2284,13 @@ _ORDER = [
     # text analysis + vocabulary induction
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
+    "domain_audit",
     # dedup family + training-corpus hygiene
     "dedup_corpus_exact", "duplicated_ngram_stats",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
-    "decontamination_report", "contamination_sources",
+    "decontamination_report", "contamination_sources", "semantic_contamination",
     "packed_sequences", "training_shards", "dsir_importance_weights",
+    "source_capped_sample",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
     "ivf_search_all_probes", "lsh_ann_topk",
@@ -2188,7 +2307,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 53, len(_ORDER)
+assert len(_ORDER) == 56, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
