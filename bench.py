@@ -45,8 +45,13 @@ BENCH_QUERIES = [
     "lsh_neardup_pairs",
     "ivf_search_all_probes",
     "decontamination_report",
+    "semantic_contamination",
     "packed_sequences",
     "training_shards",
+    "dsir_importance_weights",
+    "vocab_top_terms",
+    "domain_audit",
+    "source_capped_sample",
     "summarize_labels",
     "rolling_fingerprints",
     "build_prompts_trim",

@@ -96,12 +96,31 @@ def main() -> None:
             seq_len=128,
             group_size=4096,
         ).write.format("noop").mode("overwrite").save(),
+        # target stays FIXED (docs1-derived) while the raw corpus grows Nx —
+        # DSIR's realistic shape (the target domain sample is curated, small)
+        "dsir_weights": lambda d: importance_weights(
+            d, bench_docs.select("text"), num_buckets=10_000, serve="inline"
+        ).select("doc_id", "logw").write.format("noop").mode("overwrite").save(),
+        "vocab_top": lambda d: top_vocab(d, k=200)
+        .write.format("noop").mode("overwrite").save(),
+        # replication keeps `source` values, so every domain gets Nx docs —
+        # the hot-group worst case for both the audit and the cap
+        "domain_audit": lambda d: domain_audit(d)
+        .write.format("noop").mode("overwrite").save(),
+        "cap_per_source": lambda d: cap_per_group(
+            d, "source", n=100, presample=True
+        ).write.format("noop").mode("overwrite").save(),
     }
 
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
         contamination_report,
+        semantic_contamination,
     )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import importance_weights
     from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import domain_audit
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import cap_per_group
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import top_vocab
 
     bench_docs = docs1.filter(F.col("doc_id") % 17 == 0)
 
@@ -130,7 +149,13 @@ def main() -> None:
         "semdedup": lambda e: semantic_duplicates(
             e, eps=0.97, k=8, fit_fraction=0.2, max_cluster=50_000
         ).write.format("noop").mode("overwrite").save(),
+        # benchmark embedding set FIXED (emb1-derived) while the corpus
+        # grows Nx — same asymmetry as decontam, in embedding space
+        "semantic_contam": lambda e: semantic_contamination(
+            e, bench_emb, threshold=0.9
+        ).write.format("noop").mode("overwrite").save(),
     }
+    bench_emb = emb1.filter(F.col("vec_id") % 29 == 0)
     from vector_search_ai_assistant_mongodbvcore_spark.operators.semdedup import (
         semantic_duplicates,
     )

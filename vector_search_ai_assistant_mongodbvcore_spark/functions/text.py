@@ -108,7 +108,12 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_score + punct_score + sw_score) / 3.0, 6)
 
 
-def text_profile(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)):
+def text_profile(
+    df,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+    gopher: bool = False,
+):
     """ALL text-analysis metrics from ONE word-split projection.
 
     The per-metric functions re-derive `split()` each time, and Catalyst
@@ -116,13 +121,32 @@ def text_profile(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
     function boundaries — measured 4x slower at sf0.1. This is the
     single-pass form: split once (plain + lowered), derive every metric
     from the arrays. Adds columns: word_count, char_count, avg_word_len,
-    punct_ratio, stopword_ratio, quality."""
+    punct_ratio, stopword_ratio, quality.
+
+    gopher=True additionally emits `gopher_violations` (0..7 violated-rule
+    count of gopher_quality_flags) computed from the SAME materialized
+    word array plus one line-split — fusing the rule battery into this
+    pass instead of re-splitting per rule (the re-splits tripled the
+    combined text_stats wall time at sf0.1)."""
     from pyspark.sql import functions as F
 
     t = F.col(text_col)
     pre = df.select(*keep, text_col).withColumn("_w", words(t)).withColumn(
         "_wl", words(F.lower(t))
     )
+    gv = None
+    if gopher:
+        pre = pre.withColumn("_lines", _nonempty_lines(t))
+        flags = gopher_quality_flags(
+            t, words_col=F.col("_w"), lines_col=F.col("_lines")
+        )
+        gv = None
+        for nm in (
+            "too_few_words", "too_many_words", "bad_mean_word_len",
+            "low_alpha_words", "mostly_bullets", "mostly_ellipsis", "repetitive",
+        ):
+            c = flags.getField(nm).cast("int")
+            gv = c if gv is None else gv + c
     n = F.length(t)
     wc = F.size(F.col("_w"))
     punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
@@ -146,6 +170,7 @@ def text_profile(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
         awl.alias("avg_word_len"),
         punct_r.alias("punct_ratio"),
         sw_r.alias("stopword_ratio"),
+        *([gv.alias("gopher_violations")] if gv is not None else []),
     )
     # quality derives from the metric COLUMNS (cheap arithmetic) — inlining
     # the metric expressions would re-run the regex/filter work per score
@@ -380,7 +405,19 @@ def ellipsis_line_fraction(col: Column | str) -> Column:
     )
 
 
-def gopher_quality_flags(col: Column | str) -> Column:
+def _nonempty_lines(col: Column | str) -> Column:
+    """Trimmed non-empty lines of a document (the Gopher line rules' input)."""
+    return F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    words_col: Column | None = None,
+    lines_col: Column | None = None,
+) -> Column:
     """The Gopher rule battery as ONE struct column of booleans (true =
     rule VIOLATED), composable into any filter or report:
 
@@ -395,19 +432,48 @@ def gopher_quality_flags(col: Column | str) -> Column:
     Thresholds follow Rae et al. 2021 (arXiv:2112.11446, table A1). Pure
     column expressions — zero shuffle; `~any` of the struct's fields is
     the keep predicate. The continuous signals behind each flag remain
-    individually exposed (word_count, avg_word_length, ...) for tuning."""
-    wc = word_count(col)
+    individually exposed (word_count, avg_word_length, ...) for tuning.
+
+    `words_col`/`lines_col` accept PRE-SPLIT arrays so a caller that
+    already materialized them (text_profile) doesn't re-derive the split
+    per rule — the per-metric functions sit behind when()/HOF boundaries
+    Catalyst cannot common-subexpression-eliminate across, and the
+    re-splits were the dominant cost of the combined text_stats pass.
+    All derived values are arithmetically identical either way (the mean
+    word length here is the exact integer-sum form, equal to the HOF
+    accumulation because word lengths are exact in double)."""
+    ws = words_col if words_col is not None else words(col)
+    lines = lines_col if lines_col is not None else _nonempty_lines(col)
+    wc = F.size(ws)
+    awl = F.when(wc == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", ws)).cast("double") / wc
+    )
+    alpha = F.when(wc <= 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / wc.cast("double")
+    )
+    ln = F.size(lines)
+    bullet_fr = F.when(ln <= 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^(-|\*|•|\d+[.)])\s"))).cast(
+            "double"
+        )
+        / ln.cast("double")
+    )
+    ell_fr = F.when(ln <= 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$"))).cast("double")
+        / ln.cast("double")
+    )
+    dup_fr = F.when(ln <= 1, F.lit(0.0)).otherwise(
+        (ln - F.size(F.array_distinct(lines))).cast("double") / ln.cast("double")
+    )
     return F.struct(
         (wc < 50).alias("too_few_words"),
         (wc > 100_000).alias("too_many_words"),
-        (~avg_word_length(col).between(3.0, 10.0)).alias("bad_mean_word_len"),
-        (alpha_word_fraction(col) < 0.8).alias("low_alpha_words"),
-        (bullet_line_fraction(col) >= 0.9).alias("mostly_bullets"),
-        (ellipsis_line_fraction(col) >= 0.3).alias("mostly_ellipsis"),
-        (
-            (repeated_word_fraction(col) > 0.5)
-            | (duplicate_line_fraction(col) > 0.3)
-        ).alias("repetitive"),
+        (~awl.between(3.0, 10.0)).alias("bad_mean_word_len"),
+        (alpha < 0.8).alias("low_alpha_words"),
+        (bullet_fr >= 0.9).alias("mostly_bullets"),
+        (ell_fr >= 0.3).alias("mostly_ellipsis"),
+        ((_max_run_fraction(ws) > 0.5) | (dup_fr > 0.3)).alias("repetitive"),
     )
 
 

@@ -616,7 +616,7 @@ def ranked_topk(
     top = scored.select(F.col(id_col), r.alias("_s")).orderBy(
         F.col("_s").desc(), F.col(id_col)
     ).limit(k)
-    w = Window.orderBy(F.col("_s").desc(), F.col(id_col))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("_s").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
 
 

@@ -61,9 +61,9 @@ def _global_starts(
     )
     d = d.withColumn("_local", F.coalesce(F.sum(n_col).over(local), F.lit(0)))
     totals = d.groupBy("_g").agg(F.sum(n_col).alias("_tot"))
-    # prefix over the tiny per-group totals frame: single partition is FINE
-    # here (n_groups rows), and is the only unpartitioned window in the op
-    off = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    # prefix over the tiny per-group totals frame: one partition holds only
+    # n_groups rows (the constant key keeps the partition spec explicit)
+    off = Window.partitionBy(F.lit(0)).orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_g", F.coalesce(F.sum("_tot").over(off), F.lit(0)).alias("_off")
     )

@@ -105,7 +105,7 @@ def rerank(
     # top-n by contract, so the single partition holds tens of rows
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("rerank_score").desc(), F.col(id_col))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("rerank_score").desc(), F.col(id_col))
     fused = (
         F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col))
         + F.lit(1.0) / (F.lit(rrf_k) + F.col("_scr_rank"))

@@ -804,18 +804,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the DuckDB twin (bullet char written literally: RE2 lacks Java's
     \\uXXXX escapes)."""
     t = _tables(spark, sf_dir)
-    flags = TX.gopher_quality_flags("text")
-    names = (
-        "too_few_words", "too_many_words", "bad_mean_word_len",
-        "low_alpha_words", "mostly_bullets", "mostly_ellipsis", "repetitive",
-    )
-    violations = None
-    for nm in names:
-        c = flags.getField(nm).cast("int")
-        violations = c if violations is None else violations + c
-    return TX.text_profile(t["documents"].withColumn("_gv", violations), keep=("doc_id", "_gv")).select(
+    return TX.text_profile(t["documents"], keep=("doc_id",), gopher=True).select(
         "doc_id", "word_count", "char_count", "avg_word_len", "punct_ratio",
-        "stopword_ratio", "quality", F.col("_gv").cast("int").alias("gopher_violations"),
+        "stopword_ratio", "quality", F.col("gopher_violations").cast("int").alias("gopher_violations"),
     )
 
 
