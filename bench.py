@@ -23,8 +23,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # excluded — lsh_neardup_pairs is the scale path.
 BENCH_QUERIES = [
     "pricing_summary",
-    "regional_revenue",
-    "top_orders_by_price",
     "events_conjunctive_filter",
     "conversation_window_events",
     "latest_events_per_user",

@@ -41,7 +41,9 @@ def test_topk_is_take_ordered_not_global_sort(spark, reg):
 
 
 def test_star_join_broadcasts_dimensions(spark, reg):
-    rep = _report(spark, reg, "regional_revenue")
+    # regional_revenue retired from the registry in r7; the broadcast
+    # property is asserted on the function directly
+    rep = plan_report(Q.regional_revenue(spark, SF_DIR))
     assert rep.broadcast_joins >= 3  # supplier, nation, region at minimum
 
 

@@ -62,3 +62,112 @@ def test_simhash_fingerprints_match_duckdb(spark):
     got = {r.doc_id: r.simhash for r in Q.simhash_fingerprints(spark, SF).collect()}
     want = dict(_duck(Q.SIMHASH_SQL))
     assert got == want
+
+
+def _duck_orders(sql: str):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "nation", "region", "supplier", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_top_orders_by_price_matches_duckdb(spark):
+    """Retired r7 (slot -> vocab_top_terms); top-k-under-total-order stays
+    hash-gated by ann_topk/bm25_topk/vocab_top_terms."""
+    got = [tuple(r) for r in Q.top_orders_by_price(spark, SF).collect()]
+    want = _duck_orders(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+    assert got == want
+
+
+def test_customer_order_stats_matches_duckdb(spark):
+    """Retired r7 (slot -> domain_audit); join+agg+countDistinct stays
+    hash-gated by domain_audit and vocab_top_terms."""
+    got = {r[0]: tuple(r[1:]) for r in Q.customer_order_stats(spark, SF).collect()}
+    want = {
+        seg: (n, nc, tp)
+        for seg, n, nc, tp in _duck_orders(
+            """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                      COUNT(DISTINCT o_custkey) AS n_customers,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+               FROM customer JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_mktsegment"""
+        )
+    }
+    assert got == want
+
+
+def test_order_priority_rollup_matches_duckdb(spark):
+    """Retired r7 (slot -> dsir_importance_weights); rollup grouping sets."""
+    got = sorted(
+        (tuple(r) for r in Q.order_priority_rollup(spark, SF).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    want = sorted(
+        (
+            tuple(row)
+            for row in _duck_orders(
+                """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+                   FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+            )
+        ),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got == want
+
+
+def test_purchase_ranks_per_user_matches_duckdb(spark):
+    """Retired r7 (slot -> source_capped_sample, itself a partitioned
+    row_number rank window)."""
+    got = sorted(tuple(r) for r in Q.purchase_ranks_per_user(spark, SF).collect())
+    want = sorted(
+        tuple(row)
+        for row in _duck_orders(
+            """SELECT user_id, event_id, rnk, tile FROM (
+                 SELECT user_id, event_id,
+                        dense_rank() OVER w AS rnk, ntile(4) OVER w AS tile
+                 FROM events WHERE event_type = 'purchase'
+                 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+               ) WHERE rnk <= 5"""
+        )
+    )
+    assert got == want
+
+
+def test_customers_without_big_orders_matches_duckdb(spark):
+    """Retired r7 (slot -> semantic_contamination); NOT EXISTS anti-join."""
+    got = sorted(tuple(r) for r in Q.customers_without_big_orders(spark, SF).collect())
+    want = sorted(
+        tuple(row)
+        for row in _duck_orders(
+            """SELECT c_custkey, c_mktsegment FROM customer
+               WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey AND o_totalprice > 400000)"""
+        )
+    )
+    assert got == want
+
+
+def test_regional_revenue_matches_duckdb(spark):
+    """Retired r7 (slot -> bpe_merge_ranking); TPC-H Q5 broadcast star join."""
+    got = {r[0]: r[1] for r in Q.regional_revenue(spark, SF).collect()}
+    want = {
+        n: rev
+        for n, rev in _duck_orders(
+            """SELECT n_name,
+                      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+               FROM customer
+               JOIN orders ON c_custkey = o_custkey
+               JOIN lineitem ON l_orderkey = o_orderkey
+               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY n_name"""
+        )
+    }
+    assert got == want

