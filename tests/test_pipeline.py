@@ -201,3 +201,41 @@ def test_gopher_rules_quality_stage(spark, tables):
     # the 50-word floor is live)
     assert kept
     assert len(kept) < docs.count()
+
+
+def test_dsir_selection_stage(spark, tables):
+    """DSIR stage keeps exactly dsir_top_k docs, biased toward the target
+    domain, and composes with the rest of the pipeline."""
+    docs = tables["documents"]
+    target = docs.filter(F.col("source").isin("src0", "src1")).select("text")
+    out = prepare_training_corpus(
+        docs, min_quality=0.0, chunk_size=1000, chunk_overlap=0,
+        dsir_target=target, dsir_top_k=50, dsir_num_buckets=2000,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert len(ids) == 50
+    # deterministic
+    ids2 = {
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            docs, min_quality=0.0, chunk_size=1000, chunk_overlap=0,
+            dsir_target=target, dsir_top_k=50, dsir_num_buckets=2000,
+        ).select("doc_id").distinct().collect()
+    }
+    assert ids == ids2
+
+
+def test_per_source_cap_stage(spark, tables):
+    docs = tables["documents"]
+    out = prepare_training_corpus(
+        docs, min_quality=0.0, chunk_size=1000, chunk_overlap=0,
+        max_docs_per_source=5,
+    )
+    per_src = (
+        out.select("doc_id").distinct()
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").count().collect()
+    )
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    # cap_rank is internal — it must not leak into the chunk schema
+    assert "cap_rank" not in out.columns

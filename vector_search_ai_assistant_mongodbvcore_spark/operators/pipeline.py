@@ -11,8 +11,12 @@ a 100 TB pipeline actually runs them.
                                P(high quality) >= threshold)
       -> perplexity ceiling   (operators/lm_quality, optional: CCNet-style
                                reference-LM surprise cap)
+      -> DSIR selection       (operators/dsir, optional: Gumbel-top-k
+                               importance resample toward a target domain)
       -> PII scrub            (functions/text.scrub_pii)
       -> mixture sampling     (operators/splits.sample_by_rates, optional)
+      -> per-source cap       (operators/splits.cap_per_group, optional:
+                               no domain exceeds max_docs_per_source)
       -> split assignment     (operators/splits.assign_split)
       -> chunking             (operators/chunking.chunk_documents)
 
@@ -68,6 +72,11 @@ def prepare_training_corpus(
     lm_model=None,
     max_perplexity: float | None = None,
     use_gopher_rules: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_top_k: int | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_num_buckets: int = 10_000,
+    max_docs_per_source: int | None = None,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
@@ -142,6 +151,26 @@ def prepare_training_corpus(
         )
         quality = quality.join(bad.select(id_col), id_col, "left_anti")
 
+    if dsir_target is not None and dsir_top_k is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import (
+            gumbel_resample,
+            importance_weights,
+        )
+
+        # importance-resample toward the target domain AFTER the quality
+        # gates (weights fit on the cleaned pool, not on junk the gates
+        # already reject) and BEFORE mixture/caps (which balance whatever
+        # survives selection)
+        weighted = importance_weights(
+            quality, dsir_target, id_col=id_col, text_col=text_col,
+            num_buckets=dsir_num_buckets,
+        )
+        kept = gumbel_resample(
+            weighted, dsir_top_k, id_col=id_col, seed=seed,
+            temperature=dsir_temperature,
+        )
+        quality = quality.join(kept.select(id_col), id_col, "left_semi")
+
     scrubbed = quality.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
 
     if source_rates is not None:
@@ -149,6 +178,13 @@ def prepare_training_corpus(
             scrubbed, source_col, source_rates, id_col=id_col, seed=seed,
             default_rate=1.0,
         )
+
+    if max_docs_per_source is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import cap_per_group
+
+        scrubbed = cap_per_group(
+            scrubbed, source_col, n=max_docs_per_source, id_col=id_col, seed=seed
+        ).drop("cap_rank")
 
     labeled = assign_split(scrubbed, id_col=id_col, splits=splits, seed=seed)
 
