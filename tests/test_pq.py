@@ -1,0 +1,110 @@
+"""Product quantization (operators/pq.py): encode parity with numpy, ADC
+score exactness vs the LUT definition, recall floor against exact cosine,
+determinism, and compression accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators import pq
+
+DIMS, M, BITS = 16, 4, 4
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(DIMS)]) for i in range(300)]
+    rows.append((300, None))  # NULL vector: dropped by encode
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def model(vectors):
+    return pq.fit_pq(vectors, m=M, bits=BITS, seed=7, iters=10)
+
+
+@pytest.fixture(scope="module")
+def encoded(vectors, model):
+    return pq.encode_pq(vectors, model).cache()
+
+
+def test_model_shape_and_size(model):
+    assert model["dims"] == DIMS and model["m"] == M
+    cbs = np.array(model["codebooks"])
+    assert cbs.shape == (M, 1 << BITS, DIMS // M)
+    assert pq.pq_model_bytes(model) == M * (1 << BITS) * (DIMS // M) * 4
+
+
+def test_encode_matches_numpy(encoded, vectors, model):
+    got = {r["vec_id"]: list(r["codes"]) for r in encoded.collect()}
+    raw = {r["vec_id"]: r["embedding"] for r in vectors.collect() if r["embedding"]}
+    assert set(got) == set(raw)  # NULL row dropped
+    cbs = [np.array(cb) for cb in model["codebooks"]]
+    dsub = DIMS // M
+    for vid, vec in raw.items():
+        x = np.array(vec)
+        x = x / np.linalg.norm(x)
+        want = [
+            int(((cbs[j] - x[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1).argmin())
+            for j in range(M)
+        ]
+        assert got[vid] == want, vid
+
+
+def test_adc_equals_lut_sum(encoded, model):
+    q = [0.3] * DIMS
+    top = pq.adc_topk(encoded, model, q, k=5).collect()
+    qn = np.array(q) / np.linalg.norm(q)
+    lut = [
+        np.array(model["codebooks"][j]) @ qn[j * (DIMS // M) : (j + 1) * (DIMS // M)]
+        for j in range(M)
+    ]
+    codes = {r["vec_id"]: r["codes"] for r in encoded.collect()}
+    scores = {
+        vid: round(sum(float(lut[j][c[j]]) for j in range(M)), 6)
+        for vid, c in codes.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["vec_id"], r["score"]) for r in top] == want
+
+
+def test_recall_floor_vs_exact_cosine(encoded, vectors, model):
+    """PQ is for candidate generation: recall@10 of the exact top-10 must
+    clear a floor on this easy fixture (random gaussians, 16 dims)."""
+    rng = np.random.RandomState(11)
+    raw = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect() if r["embedding"]}
+    hits = total = 0
+    for _ in range(5):
+        q = rng.randn(DIMS)
+        cos = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in raw.items()
+        }
+        exact = {v for v, _ in sorted(cos.items(), key=lambda kv: -kv[1])[:10]}
+        got = {r["vec_id"] for r in pq.adc_topk(encoded, model, list(q), k=10).collect()}
+        hits += len(exact & got)
+        total += 10
+    assert hits / total >= 0.5, hits / total
+
+
+def test_encode_deterministic_across_partitionings(vectors, model):
+    a = {r["vec_id"]: list(r["codes"]) for r in pq.encode_pq(vectors, model).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.encode_pq(vectors.repartition(7), model).collect()
+    }
+    assert a == b
+
+
+def test_fit_is_deterministic(vectors):
+    m1 = pq.fit_pq(vectors, m=M, bits=BITS, seed=7, iters=5)
+    m2 = pq.fit_pq(vectors.repartition(5), m=M, bits=BITS, seed=7, iters=5)
+    assert m1 == m2
+
+
+def test_bad_dims_raise(vectors):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.fit_pq(vectors, m=5, bits=2)
