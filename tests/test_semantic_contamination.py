@@ -79,8 +79,37 @@ def test_all_corpus_rows_survive(frames):
     assert semantic_contamination(c, b).count() == len(CORPUS)
 
 
-def test_plan_is_broadcast_no_window(frames):
+def test_plan_shapes(frames):
     c, b = frames
+    # default pandas path: one Arrow pass, no join of the benchmark, no window
     plan = semantic_contamination(c, b)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
+    # JVM path: benchmark broadcast-joined, still no window
+    plan_j = (
+        semantic_contamination(c, b, use_pandas=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan_j
+    assert "Broadcast" in plan_j
+
+
+def test_pandas_and_jvm_paths_agree(frames):
+    c, b = frames
+    a = sorted(
+        tuple(r) for r in semantic_contamination(c, b, threshold=0.9, use_pandas=True).collect()
+    )
+    j = sorted(
+        tuple(r) for r in semantic_contamination(c, b, threshold=0.9, use_pandas=False).collect()
+    )
+    assert a == j
+
+
+def test_empty_benchmark_flags_nothing(spark, frames):
+    c, _ = frames
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    rows = semantic_contamination(c, empty).collect()
+    assert len(rows) == len(CORPUS)
+    assert all(r["contaminated"] is False and r["bench_id"] is None for r in rows)

@@ -162,25 +162,32 @@ def semantic_contamination(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     round_scores: int = 4,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Embedding-space decontamination: flag corpus items whose vector is
     near-identical to any benchmark item's vector — the semantic
     complement of the n-gram recipe above (catches paraphrased benchmark
     leakage that shares no 8-gram).
 
-    Same asymmetry, same plan shape: the benchmark embedding table is
-    tiny and BROADCASTs into a nested-loop join against the streaming
-    corpus side, scored with the codegen cosine expression (JVM-side, no
-    Python). One struct-max aggregation per corpus id picks the best
-    benchmark match (score desc, benchmark id asc on rounded-score ties)
-    — keyed, map-side-combinable, no window. Output: (id_col, best_cos,
-    bench_id, contaminated).
+    Same asymmetry as the n-gram screen: the benchmark embedding table
+    is tiny and rides along with the probe; the corpus streams through
+    once. Output: (id_col, best_cos, bench_id, contaminated).
+
+    use_pandas=True (default): the benchmark matrix is collected into
+    the closure (bounded — eval suites are small by contract) and each
+    Arrow batch scores corpus x benchmark in ONE BLAS matmul inside
+    mapInPandas — a narrow plan with no join and no aggregate, the same
+    per-bucket-matmul discipline as similarity.py. use_pandas=False
+    keeps the pure-JVM form (broadcast nested-loop join + codegen cosine
+    + struct-max aggregate); it is join-shaped and Python-free but the
+    HOF cosine evaluates interpreted per pair — measured ~5x slower at
+    sf0.1, kept for Python-less deployments.
 
     Scores are rounded to `round_scores` BEFORE the argmax so engines
-    whose float summation order differs agree on both value and winner.
-    NULL corpus vectors score NULL -> contaminated=false, bench_id NULL
-    (they carry no semantic evidence); NULL benchmark vectors are
-    dropped up front.
+    whose float summation order differs agree on both value and winner
+    (ties break to the smallest benchmark id). NULL corpus vectors score
+    NULL -> contaminated=false, bench_id NULL (they carry no semantic
+    evidence); NULL benchmark vectors are dropped up front.
     """
     from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
         cosine_similarity,
@@ -189,30 +196,87 @@ def semantic_contamination(
     bench = benchmark.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col).alias("_bench_id"), F.col(vector_col).alias("_bv")
     )
-    scored = (
-        corpus.select(F.col(id_col), F.col(vector_col).alias("_cv"))
-        .filter(F.col("_cv").isNotNull())
-        .join(F.broadcast(bench))
-    )
-    scored = scored.withColumn(
-        "_cos",
-        F.round(
-            cosine_similarity(
-                F.col("_cv").cast("array<double>"), F.col("_bv").cast("array<double>")
-            ),
-            round_scores,
-        ),
-    )
-    best = (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("_cos"), (-F.col("_bench_id")).alias("_neg"))).alias("_best"))
-        .select(
-            id_col,
-            F.col("_best._cos").alias("best_cos"),
-            (-F.col("_best._neg")).alias("bench_id"),
+
+    if use_pandas:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+            stack_vectors,
         )
-    )
-    # corpus rows with NULL vectors never joined/scored; restore them
+
+        rows = bench.collect()
+        if not rows:
+            # empty benchmark: nothing can be contaminated
+            return corpus.select(
+                F.col(id_col),
+                F.lit(None).cast("double").alias("best_cos"),
+                F.lit(None).cast("long").alias("bench_id"),
+                F.lit(False).alias("contaminated"),
+            )
+        # sorted by id so numpy argmax's first-occurrence rule IS the
+        # smallest-bench-id tiebreak
+        rows.sort(key=lambda r: r["_bench_id"])
+        bids = np.array([r["_bench_id"] for r in rows], dtype=np.int64)
+        bmat = np.array([list(r["_bv"]) for r in rows], dtype=np.float64)
+        bnorm = np.linalg.norm(bmat, axis=1)
+        bnorm[bnorm == 0] = 1.0
+        bmat = bmat / bnorm[:, None]
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("best_cos", T.DoubleType()),
+                T.StructField("bench_id", T.LongType()),
+            ]
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cmat = stack_vectors(pdf["_cv"], dims=bmat.shape[1])
+                cnorm = np.linalg.norm(cmat, axis=1)
+                cnorm[cnorm == 0] = 1.0
+                scores = np.round((cmat / cnorm[:, None]) @ bmat.T, round_scores)
+                j = scores.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["_id"].values,
+                        "best_cos": scores[np.arange(len(pdf)), j],
+                        "bench_id": bids[j],
+                    }
+                )
+
+        clean = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vector_col).alias("_cv")
+        ).filter(F.col("_cv").isNotNull())
+        best = clean.mapInPandas(score, schema).withColumnRenamed("id", id_col)
+    else:
+        scored = (
+            corpus.select(F.col(id_col), F.col(vector_col).alias("_cv"))
+            .filter(F.col("_cv").isNotNull())
+            .join(F.broadcast(bench))
+        )
+        scored = scored.withColumn(
+            "_cos",
+            F.round(
+                cosine_similarity(
+                    F.col("_cv").cast("array<double>"), F.col("_bv").cast("array<double>")
+                ),
+                round_scores,
+            ),
+        )
+        best = (
+            scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("_cos"), (-F.col("_bench_id")).alias("_neg"))).alias("_best"))
+            .select(
+                id_col,
+                F.col("_best._cos").alias("best_cos"),
+                (-F.col("_best._neg")).alias("bench_id"),
+            )
+        )
+    # corpus rows with NULL vectors never scored; restore them
     out = corpus.select(id_col).join(best, id_col, "left")
     return out.select(
         id_col,
