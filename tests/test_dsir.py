@@ -170,3 +170,31 @@ def test_registered_twin_on_degenerate_rows(spark, tmp_path):
     con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     want = {r[0]: r[1] for r in con2.execute(oracle).fetchall()}
     assert got == want
+
+
+def test_flagged_fit_equals_two_frame_fit(spark, frames):
+    """In-corpus target via target_flag (one corpus pass) must reproduce
+    the two-frame fit exactly when the target is the flagged subset."""
+    raw, _ = frames
+    flagged = raw.withColumn("is_t", F.col("doc_id").isin(0, 2, 6))
+    a = {
+        r["doc_id"]: r["logw"]
+        for r in dsir.importance_weights(
+            flagged, target_flag=F.col("is_t"), num_buckets=B
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["logw"]
+        for r in dsir.importance_weights(
+            flagged, flagged.filter(F.col("is_t")).select("text"), num_buckets=B
+        ).collect()
+    }
+    assert a == b
+
+
+def test_target_and_flag_are_exclusive(frames):
+    raw, tgt = frames
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.importance_weights(raw, tgt, target_flag=F.lit(True))
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.importance_weights(raw)

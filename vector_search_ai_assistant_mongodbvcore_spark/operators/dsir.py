@@ -160,21 +160,68 @@ def fit_lambda(
     return out
 
 
+def fit_lambda_flagged(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> dict[int, int]:
+    """fit_lambda for the in-corpus-target case (target = the rows where
+    `is_target` is true) in ONE corpus pass instead of two: each gram row
+    carries the flag, and a single bounded aggregate yields both the raw
+    count (all rows) and the target count (flagged rows) per bucket.
+    Identical lambda to fit_lambda(df, df.filter(is_target)) —
+    parity-tested."""
+    src = df.select(is_target.cast("int").alias("_t"), text_col)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)  # same local fan-out as fit_lambda._spread
+    staged = src.select(
+        "_t", _doc_words(text_col).alias("_w")
+    ).select(
+        "_t", F.explode(gram_array(F.col("_w"), num_buckets)).alias("bucket")
+    )
+    rows = (
+        staged.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_raw"), F.sum("_t").alias("c_tgt"))
+        .collect()
+    )
+    t_raw = sum(r["c_raw"] for r in rows)
+    t_tgt = sum(r["c_tgt"] for r in rows)
+    denom_raw = float(t_raw) + alpha * num_buckets
+    denom_tgt = float(t_tgt) + alpha * num_buckets
+
+    import math
+
+    out: dict[int, int] = {}
+    for r in rows:
+        lam = math.log((r["c_tgt"] + alpha) / denom_tgt) - math.log(
+            (r["c_raw"] + alpha) / denom_raw
+        )
+        out[int(r["bucket"])] = int(round(round(lam, _LAM_DECIMALS) * _MICRO))
+    return out
+
+
 def importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 10_000,
     alpha: float = 1.0,
     serve: str = "join",
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """Attach the DSIR log importance weight to every row of `df`.
 
     `target` is the (usually much smaller) target-domain sample; only its
-    `text_col` is read. Output: df columns + `logw` (double). Docs with
-    no grams (empty/NULL text) get logw = 0.0 — an empty product, i.e.
-    "no evidence either way".
+    `text_col` is read. When the target is a SUBSET OF THE CORPUS, pass
+    `target_flag` (a boolean Column over df) instead: the fit then makes
+    ONE corpus pass (fit_lambda_flagged) rather than two, with identical
+    lambda. Output: df columns + `logw` (double). Docs with no grams
+    (empty/NULL text) get logw = 0.0 — an empty product, i.e. "no
+    evidence either way".
 
     Two serving plans, identical results (parity-tested):
 
@@ -194,7 +241,12 @@ def importance_weights(
     would add a GetMapValue LINEAR scan per gram — measured 8x worse
     again; the dense-array O(1) lookup is load-bearing.)
     """
-    lam = fit_lambda(df, target, text_col, num_buckets, alpha)
+    if (target is None) == (target_flag is None):
+        raise ValueError("pass exactly one of target / target_flag")
+    if target_flag is not None:
+        lam = fit_lambda_flagged(df, target_flag, text_col, num_buckets, alpha)
+    else:
+        lam = fit_lambda(df, target, text_col, num_buckets, alpha)
 
     if serve == "inline":
         staged = df.withColumn("_dsir_w", _doc_words(text_col))
@@ -223,8 +275,14 @@ def importance_weights(
     lam_df = spark.createDataFrame(
         [(b, m) for b, m in sorted(lam.items())], "bucket long, lam_micro long"
     )
+    # same under-partitioned guard as the fit: the gram explode + md5 is
+    # CPU-bound, and a single-row-group parquet file arrives as ONE task
+    probe = df.select(id_col, text_col)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < p:
+        probe = probe.repartition(p)
     doc_sums = (
-        hashed_gram_buckets(df, id_col, text_col, num_buckets)
+        hashed_gram_buckets(probe, id_col, text_col, num_buckets)
         .join(F.broadcast(lam_df), "bucket")
         .groupBy(id_col)
         .agg(F.sum("lam_micro").alias("_micro"))

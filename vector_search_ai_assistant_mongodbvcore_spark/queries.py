@@ -1314,9 +1314,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _tables(spark, sf_dir)
     docs = t["documents"]
-    target = docs.filter(F.col("source").isin("src0", "src1", "src2")).select("text")
+    # target is an in-corpus subset -> flagged fit: ONE corpus pass fits
+    # both bucket LMs (fit_lambda_flagged), identical lambda
     w = DS.importance_weights(
-        docs, target, num_buckets=_DSIR_BUCKETS, alpha=1.0, serve="join"
+        docs, num_buckets=_DSIR_BUCKETS, alpha=1.0, serve="join",
+        target_flag=F.col("source").isin("src0", "src1", "src2"),
     )
     return w.select("doc_id", "logw")
 
