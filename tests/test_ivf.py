@@ -312,3 +312,53 @@ def test_ivf_incremental_duplicate_guard_and_unknown_remove(spark, tables, tmp_p
     assert stored.count() == 35 and stored.select("vec_id").distinct().count() == 35
     idx.remove_documents([999_999], id_col="vec_id")  # unknown id: no-op
     assert stored.count() == 35
+
+
+def test_pq_index_build_and_search(spark, tables, tmp_path):
+    """IVF-PQ (quantize='pq'): codes stored instead of vectors, ADC
+    candidate search over codes only, exact rerank recovers the full-
+    precision top-k, incremental add encodes with the frozen codebooks."""
+    import os
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+
+    emb = tables["embeddings"]
+    q = [0.1] * 64
+    pq_idx = IvfIndex(spark, str(tmp_path / "ivf_pq")).build(
+        emb, vector_col="embedding", num_lists=4, seed=42,
+        quantize="pq", pq_m=16, pq_bits=6,
+    )
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_pq"), "data"))
+    assert "_pq" in stored.columns and "embedding" not in stored.columns
+    assert pq_idx.meta()["pq_model"]["m"] == 16
+
+    exact = _exact_ids(emb, q, k=10)
+    # candidate quality: full-probe ADC shortlist overlaps the exact top-10
+    cand = [
+        r.vec_id
+        for r in pq_idx.search(q, k=10, n_probe=4, id_col="vec_id").collect()
+    ]
+    assert len(set(cand) & set(exact)) >= 5
+    # exact rerank over the expanded shortlist recovers the exact top-k
+    rer = [
+        r.vec_id
+        for r in pq_idx.search(
+            q, k=10, n_probe=4, id_col="vec_id", exact_source=emb, expand=8
+        ).collect()
+    ]
+    assert len(set(rer) & set(exact)) >= 9
+
+    # incremental add with frozen codebooks: a brand-new exact-match vector
+    # must surface at rank 1 after the add
+    import numpy as np
+
+    target = np.array(q, dtype=float)
+    new = spark.createDataFrame(
+        [(99999, [float(x) for x in target])], "vec_id long, embedding array<double>"
+    )
+    pq_idx.add_documents(new, id_col="vec_id")
+    got = [
+        r.vec_id
+        for r in pq_idx.search(q, k=3, n_probe=4, id_col="vec_id").collect()
+    ]
+    assert got[0] == 99999

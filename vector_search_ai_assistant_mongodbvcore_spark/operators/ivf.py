@@ -128,7 +128,10 @@ class IvfIndex:
         seed: int = 42,
         max_iter: int = 20,
         fit_fraction: float | None = None,
-        quantize: bool = False,
+        quantize: bool | str = False,
+        pq_m: int = 8,
+        pq_bits: int = 8,
+        id_col: str = "vec_id",
     ) -> "IvfIndex":
         """Fit KMeans (on a `fit_fraction` sample when given — at 100 TB the
         centroids only need a representative sample, not the full table),
@@ -137,7 +140,14 @@ class IvfIndex:
         quantize=True stores vectors int8 (functions/vector.quantize_int8)
         — the same 4x serving-IO cut as LshIndex(quantize=True); search()
         dequantizes in the scan projection and accepts `exact_source` for
-        full-precision re-ranking."""
+        full-precision re-ranking.
+
+        quantize="pq" stores product-quantization codes instead of the
+        vectors (operators/pq.py — the FAISS IVF-PQ layout): pq_m one-byte
+        codes per vector (16-64x IO cut vs float32), codebooks fit on the
+        same bounded-sample discipline and frozen into meta.json, ADC
+        scoring at search() with mandatory-in-practice exact rerank via
+        `exact_source`."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -155,7 +165,21 @@ class IvfIndex:
         km = KMeans(k=num_lists, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="centroid_id")
         model = km.fit(fit_input)
         assigned = model.transform(normed).drop("_features", "_nv")
-        if quantize:
+        pq_model = None
+        if quantize == "pq":
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.pq import (
+                fit_pq,
+                pq_encode_col,
+            )
+
+            pq_model = fit_pq(
+                df, vector_col=vector_col, id_col=id_col, m=pq_m, bits=pq_bits,
+                seed=seed,
+            )
+            assigned = assigned.withColumn(
+                "_pq", pq_encode_col(pq_model, vector_col)
+            ).drop(vector_col)
+        elif quantize:
             from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
                 quantize_int8,
             )
@@ -174,16 +198,16 @@ class IvfIndex:
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         np.save(os.path.join(self.path, "centroids.npy"), centroids)
         with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "num_lists": num_lists,
-                    "vector_col": vector_col,
-                    "seed": seed,
-                    "quantized": quantize,
-                    "fingerprint": data_fingerprint(df),
-                },
-                f,
-            )
+            meta = {
+                "num_lists": num_lists,
+                "vector_col": vector_col,
+                "seed": seed,
+                "quantized": quantize,
+                "fingerprint": data_fingerprint(df),
+            }
+            if pq_model is not None:
+                meta["pq_model"] = pq_model
+            json.dump(meta, f)
         return self
 
     # ---- incremental maintenance ----------------------------------------
@@ -238,7 +262,16 @@ class IvfIndex:
             else:
                 df = df.join(dups, id_col, "left_anti")
         assigned = df.withColumn("centroid_id", self._assign_col(vector_col))
-        if m.get("quantized"):
+        if m.get("quantized") == "pq":
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.pq import (
+                pq_encode_col,
+            )
+
+            # frozen codebooks, same as the frozen centroids above
+            assigned = assigned.withColumn(
+                "_pq", pq_encode_col(m["pq_model"], vector_col)
+            ).drop(vector_col)
+        elif m.get("quantized"):
             from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
                 quantize_int8,
             )
@@ -325,32 +358,55 @@ class IvfIndex:
         it). The IN-filter on the partition column prunes at file-listing
         time (check explain(): PartitionFilters).
 
-        On a quantized index, scores come from the dequantized int8 codes;
-        with `exact_source` the shortlist of k*expand ids is rescored at
-        full precision against the source table (broadcast semi join —
-        keep the source bucketed by id at warehouse scale)."""
+        On a quantized index, scores come from the dequantized int8 codes
+        (quantize=True) or from PQ ADC lookups over the stored codes with
+        the float vectors never read (quantize="pq"); with `exact_source`
+        the shortlist of k*expand ids is rescored at full precision
+        against the source table (broadcast semi join — keep the source
+        bucketed by id at warehouse scale). PQ scores are coarse by
+        design: treat no-rerank PQ results as candidate sets."""
         meta = self.meta()
         probes = self.nearest_centroids(query, n_probe)
         scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
             F.col("centroid_id").isin(probes)
         )
         quantized = meta.get("quantized", False)
-        if quantized:
-            from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
-                dequantize_int8,
+        shortlist_k = k * expand if (quantized and exact_source is not None) else k
+        if quantized == "pq":
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.pq import (
+                adc_score_col,
             )
 
-            scan = scan.withColumn(meta["vector_col"], dequantize_int8("_q8")).drop("_q8")
-        shortlist_k = k * expand if (quantized and exact_source is not None) else k
-        approx = vector_search(
-            scan,
-            query,
-            k=shortlist_k,
-            vector_col=meta["vector_col"],
-            use_pandas=use_pandas,
-            id_col=id_col,
-            round_scores=round_scores,
-        ).drop("centroid_id")
+            # ADC over the probed partitions' CODES — the float vectors are
+            # never read; TakeOrderedAndProject picks the shortlist
+            key = id_col if id_col is not None else "vec_id"
+            approx = (
+                scan.select(
+                    key,
+                    F.round(
+                        adc_score_col(meta["pq_model"], query, "_pq"),
+                        round_scores if round_scores is not None else 6,
+                    ).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), F.col(key).asc())
+                .limit(shortlist_k)
+            )
+        else:
+            if quantized:
+                from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+                    dequantize_int8,
+                )
+
+                scan = scan.withColumn(meta["vector_col"], dequantize_int8("_q8")).drop("_q8")
+            approx = vector_search(
+                scan,
+                query,
+                k=shortlist_k,
+                vector_col=meta["vector_col"],
+                use_pandas=use_pandas,
+                id_col=id_col,
+                round_scores=round_scores,
+            ).drop("centroid_id")
         if not (quantized and exact_source is not None):
             return approx
         key = id_col if id_col is not None else approx.columns[0]

@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import stack_vectors
 
-__all__ = ["fit_pq", "encode_pq", "adc_topk", "pq_model_bytes"]
+__all__ = ["fit_pq", "encode_pq", "adc_topk", "pq_model_bytes", "pq_encode_col", "adc_score_col"]
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -221,3 +221,60 @@ def adc_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_encode_col(model: dict, vector_col) -> "F.Column":
+    """Column form of encode_pq for embedding PQ codes inside another
+    operator's projection (IvfIndex build/add): array<int> codes from the
+    broadcast codebooks, one Arrow batch at a time. NULL vectors -> NULL
+    codes (callers decide their policy)."""
+    cbs = [np.array(cb, dtype=np.float64) for cb in model["codebooks"]]
+    m, dims = model["m"], model["dims"]
+    dsub = dims // m
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(v: pd.Series) -> pd.Series:
+        mask = v.notna().values
+        vals: list = [None] * len(v)
+        if mask.any():
+            mat = _normalize_rows(stack_vectors(v[mask], dims=dims))
+            codes = np.empty((mask.sum(), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * sub @ cbs[j].T + (cbs[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d.argmin(axis=1)
+            it = iter(codes)
+            for i, ok in enumerate(mask):
+                if ok:
+                    vals[i] = [int(x) for x in next(it)]
+        return pd.Series(vals, dtype=object)
+
+    c = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    return enc(c)
+
+
+def adc_score_col(model: dict, query: Sequence[float], codes_col) -> "F.Column":
+    """Column form of the ADC score: the query's LUT closes over the UDF
+    and each batch is one numpy gather+sum. Compose with the caller's own
+    ordering/limit."""
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    m, dims = model["m"], model["dims"]
+    dsub = dims // m
+    lut = np.stack(
+        [
+            np.array(model["codebooks"][j], dtype=np.float64)
+            @ q[j * dsub : (j + 1) * dsub]
+            for j in range(m)
+        ]
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def sc(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.values).astype(np.int64)
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return sc(c)
