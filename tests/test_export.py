@@ -185,3 +185,50 @@ def test_staged_plan_tokenizes_once(spark, chunks_df, tmp_path):
         for r in materialize_sequences(chunks_df, seq_len=SEQ_LEN, group_size=2).collect()
     )
     assert a == b
+
+
+def test_curriculum_export_varies_mixture_per_epoch(spark, tmp_path):
+    """export_curriculum_shards: each epoch's shards draw that epoch's
+    source mixture (here an extreme anneal: epoch 0 = only src_a,
+    epoch 1 = only src_b), with one tokenize pass staged up front."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_curriculum_shards,
+    )
+
+    rows = [
+        ("train", 1, 0, "alpha beta gamma delta epsilon", "src_a"),
+        ("train", 2, 0, "one two three four five six", "src_a"),
+        ("train", 3, 0, "red green blue yellow purple", "src_b"),
+        ("train", 4, 0, "cat dog bird fish mouse", "src_b"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "split string, doc_id long, chunk_id long, chunk_text string, source string"
+    )
+    plans = [
+        {"rates": {"src_a": 1.0, "src_b": 0.0}},
+        {"rates": {"src_a": 0.0, "src_b": 1.0}},
+    ]
+    out = str(tmp_path / "shards")
+    manifest = export_curriculum_shards(
+        chunks, plans, out, seq_len=8, stage_dir=str(tmp_path / "stage"),
+        group_size=64,
+    )
+    assert set(manifest) == {0, 1}
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        read_training_shards,
+    )
+
+    e0 = read_training_shards(spark, out, epoch=0).collect()
+    e1 = read_training_shards(spark, out, epoch=1).collect()
+    docs0 = {d for r in e0 for d in r["doc_ids"]}
+    docs1 = {d for r in e1 for d in r["doc_ids"]}
+    assert docs0 == {1, 2}   # src_a only
+    assert docs1 == {3, 4}   # src_b only
+    # conservation: each epoch's total tokens == its sampled docs' tokens
+    assert sum(r["n_toks"] for r in e0) == sum(
+        len(_encode_py(t)) for _, _, _, t, s in rows if s == "src_a"
+    )
+    assert sum(r["n_toks"] for r in e1) == sum(
+        len(_encode_py(t)) for _, _, _, t, s in rows if s == "src_b"
+    )

@@ -62,6 +62,7 @@ def materialize_sequences(
     group_size: int = 4096,
     tokenizer=None,
     stage_dir: str | None = None,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """(split, seq_id, input_ids, n_toks, doc_ids): actual token-id
     training sequences from a chunked corpus.
@@ -85,13 +86,18 @@ def materialize_sequences(
     re-scans cheap columnar files instead of re-running Python. Leave None
     only at test scale.
     """
-    tok = tokenizer if tokenizer is not None else tokenize
-    toks = chunks.select(
-        split_col, doc_col, chunk_col, tok(F.col(text_col)).alias("_toks")
-    ).withColumn("n_tokens", F.size("_toks"))
-    if stage_dir is not None:
-        toks.write.mode("overwrite").parquet(stage_dir)
-        toks = chunks.sparkSession.read.parquet(stage_dir)
+    if pretokenized:
+        # caller already staged (split, doc, chunk, _toks, n_tokens) —
+        # the curriculum exporter's tokenize-once path
+        toks = chunks.select(split_col, doc_col, chunk_col, "_toks", "n_tokens")
+    else:
+        tok = tokenizer if tokenizer is not None else tokenize
+        toks = chunks.select(
+            split_col, doc_col, chunk_col, tok(F.col(text_col)).alias("_toks")
+        ).withColumn("n_tokens", F.size("_toks"))
+        if stage_dir is not None:
+            toks.write.mode("overwrite").parquet(stage_dir)
+            toks = chunks.sparkSession.read.parquet(stage_dir)
     layout = pack_corpus_chunks(
         toks,
         seq_len,
@@ -135,6 +141,7 @@ def export_training_shards(
     max_rows_per_shard: int = 100_000,
     n_partitions: int | None = None,
     split_col: str = "split",
+    first_epoch: int = 0,
 ) -> None:
     """Write sequences as `out_dir/split=<s>/epoch=<e>/part-*.parquet`.
 
@@ -147,6 +154,9 @@ def export_training_shards(
 
     Re-running is idempotent per epoch directory (dynamic partition
     overwrite replaces exactly the (split, epoch) partitions written).
+    `first_epoch` offsets the epoch labels (and their shuffle seeds) so a
+    caller exporting epoch-varying data — the curriculum exporter — can
+    write one epoch at a time into the same tree.
     """
     if epochs <= 0:
         raise ValueError(f"epochs must be positive, got {epochs}")
@@ -154,7 +164,7 @@ def export_training_shards(
     before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        for epoch in range(epochs):
+        for epoch in range(first_epoch, first_epoch + epochs):
             key = shuffle_key(
                 F.concat_ws(":", F.col(split_col), F.col("seq_id")), seed=seed + epoch
             )
@@ -203,3 +213,79 @@ def shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
         )
     )
+
+
+def export_curriculum_shards(
+    chunks: DataFrame,
+    plans: list[dict],
+    out_dir: str,
+    seq_len: int,
+    stage_dir: str,
+    source_col: str = "source",
+    text_col: str = "chunk_text",
+    split_col: str = "split",
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    seed: int = 0,
+    max_rows_per_shard: int = 100_000,
+    tokenizer=None,
+    **pack_kwargs,
+) -> dict:
+    """Curriculum training export: one shard tree where EACH EPOCH draws a
+    different source mixture — the terminal consumer of
+    splits.plan_curriculum ("start web-heavy, end reference-heavy").
+
+    `chunks` is prepare_training_corpus output that still carries
+    `source_col`; `plans` is plan_curriculum's list (one dict per epoch
+    with "rates"). Per epoch e: the staged tokenized corpus is sampled by
+    that epoch's rates (md5-deterministic, per-epoch seed, keyed on
+    doc_col so a document's chunks stay together), packed into seq_len
+    sequences, and exported into split=<s>/epoch=<e>/ with that epoch's
+    shuffle order.
+
+    Tokenization — the expensive pass — runs ONCE over the full chunk
+    set into `stage_dir` (mandatory here: every epoch re-reads the staged
+    parquet instead of re-running the tokenizer). Packing cost repeats
+    per epoch on the sampled subset, which is the irreducible part: each
+    epoch's token stream is a different corpus.
+
+    Returns {epoch: {"rates", "expected_tokens", "shortfall", "shares"}}
+    — the manifest a training config records next to the data path.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import tokenize
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        sample_by_rates,
+    )
+
+    tok = tokenizer if tokenizer is not None else tokenize
+    staged = chunks.select(
+        split_col, doc_col, chunk_col, source_col, tok(F.col(text_col)).alias("_toks")
+    ).withColumn("n_tokens", F.size("_toks"))
+    staged.write.mode("overwrite").parquet(stage_dir)
+    staged = chunks.sparkSession.read.parquet(stage_dir)
+
+    manifest: dict = {}
+    for e, plan in enumerate(plans):
+        sampled = sample_by_rates(
+            staged, source_col, plan["rates"], id_col=doc_col, seed=seed + e
+        ).drop(source_col)
+        seqs = materialize_sequences(
+            sampled,
+            seq_len,
+            split_col=split_col,
+            doc_col=doc_col,
+            chunk_col=chunk_col,
+            pretokenized=True,
+            **pack_kwargs,
+        )
+        export_training_shards(
+            seqs,
+            out_dir,
+            epochs=1,
+            seed=seed,
+            max_rows_per_shard=max_rows_per_shard,
+            split_col=split_col,
+            first_epoch=e,
+        )
+        manifest[e] = {k: plan[k] for k in ("rates", "expected_tokens", "shortfall", "shares") if k in plan}
+    return manifest
