@@ -51,6 +51,12 @@ def main() -> None:
 
     bm25 = KW.Bm25Index(spark, "/tmp/eval_bm25").build(docs)
 
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import pq as PQ
+
+    pq_model = PQ.fit_pq(corpus, vector_col="embedding", id_col="doc_id", m=16, bits=6, seed=7)
+    encoded = PQ.encode_pq(corpus, pq_model, vector_col="embedding", id_col="doc_id").cache()
+    encoded.count()
+
     queries = [
         (int(r.doc_id), " ".join((r.text or "").split()[10:18]))
         for r in docs.collect()
@@ -58,7 +64,8 @@ def main() -> None:
     ]
     print(f"{len(queries)} known-item queries from {SF_DIR}", file=sys.stderr)
 
-    res = {"bm25": [], "vector": [], "hybrid": [], "rerank": [], "rerank_fused": []}
+    res = {"bm25": [], "vector": [], "hybrid": [], "rerank": [], "rerank_fused": [],
+           "pq_adc": [], "pq_rerank": []}
     K = 10
     for qid, qtext in queries:
         qv = [float(x) for x in emb.embed_numpy([qtext])[0]]
@@ -94,9 +101,17 @@ def main() -> None:
             key=lambda r: (-r.fused, r.doc_id),
         )
         rf_rows = {r.doc_id: i + 1 for i, r in enumerate(rf)}
+        # PQ serving tier: ADC over codes (float vectors never read),
+        # then the engine's standard exact-rerank of the ADC shortlist
+        pq_top = PQ.adc_topk(encoded, pq_model, qv, k=20, id_col="doc_id").collect()
+        pq_rows = {r.doc_id: i + 1 for i, r in enumerate(pq_top)}
+        cand_pq = corpus.filter(F.col("doc_id").isin(list(pq_rows)))
+        pr = vector_search(cand_pq, qv, k=K, vector_col="embedding", id_col="doc_id").collect()
+        pr_rows = {r.doc_id: i + 1 for i, r in enumerate(pr)}
         for name, rows in (("bm25", kw_rows), ("vector", vs_rows),
                            ("hybrid", hy_rows), ("rerank", rr_rows),
-                           ("rerank_fused", rf_rows)):
+                           ("rerank_fused", rf_rows), ("pq_adc", pq_rows),
+                           ("pq_rerank", pr_rows)):
             res[name] += [(qid, d, rk) for d, rk in rows.items()]
 
     qrels = spark.createDataFrame(
@@ -112,7 +127,7 @@ def main() -> None:
         "| system | recall@10 | MRR | nDCG@10 |",
         "|---|---|---|---|",
     ]
-    for name in ("bm25", "vector", "hybrid", "rerank", "rerank_fused"):
+    for name in ("bm25", "vector", "hybrid", "rerank", "rerank_fused", "pq_adc", "pq_rerank"):
         rdf = spark.createDataFrame(res[name], "query_id long, doc_id long, rank int")
         row = evaluate_retrieval(rdf, qrels, k=K).collect()[0]
         lines.append(
@@ -141,6 +156,14 @@ def main() -> None:
         "than overwrites. chat_turn serves rerank_fused; the",
         "fused >= max(single legs) inequality is pinned in",
         "tests/test_eval.py.",
+        "",
+        "`pq_adc` is the compressed serving tier (operators/pq.py): top-20",
+        "by asymmetric-distance lookups over 16x1-byte codes — the float",
+        "vectors are never read. `pq_rerank` exact-rescores that shortlist",
+        "(the IVF-PQ serving recipe); its gap to `vector` is the recall",
+        "cost of 16-subspace/64-centroid compression on this corpus, and",
+        "the gap between pq_adc and pq_rerank is what the exact rerank",
+        "recovers.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EVAL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
