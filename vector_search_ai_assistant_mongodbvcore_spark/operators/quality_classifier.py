@@ -177,6 +177,37 @@ def score_quality(
     return feats.select(F.col(id_col), prob.alias("quality_prob"))
 
 
+def quality_prob_col(model: dict, text_col: str | Column = "text") -> Column:
+    """score_quality's sigmoid as a SINGLE Column expression — for
+    withColumn callers and streaming gates (streaming/quality.py), where
+    an intermediate featurize select would drop the caller's columns.
+    Same inlined-literal codegen scorer, same result (parity-tested)."""
+    feature_exprs = {
+        "n_words": TX.word_count(text_col).cast("double"),
+        "avg_word_len": TX.avg_word_length(text_col),
+        "punct_ratio": TX.punct_ratio(text_col),
+        "stopword_ratio": TX.stopword_ratio(text_col),
+        "dup_line_frac": TX.duplicate_line_fraction(text_col),
+        "rep_word_frac": TX.repeated_word_fraction(text_col),
+    }
+    weights = model["weights"]
+    unknown = set(weights) - set(FEATURES)
+    if unknown:
+        raise ValueError(f"unknown features {sorted(unknown)}; valid: {FEATURES}")
+    means = model.get("means", {})
+    stds = model.get("stds", {})
+    z = F.lit(float(model.get("bias", 0.0)))
+    for name, w in weights.items():
+        m = float(means.get(name, 0.0))
+        s = float(stds.get(name, 1.0)) or 1.0
+        z = z + F.lit(float(w)) * ((feature_exprs[name] - F.lit(m)) / F.lit(s))
+    ngw = model.get("ngram_weights")
+    if ngw:
+        lo, hi = model.get("ngram_range", NGRAM_RANGE)
+        z = z + hashed_ngram_dot(text_col, list(ngw), int(lo), int(hi))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def fit_quality_classifier(
     labeled: DataFrame,
     label_col: str = "label",
