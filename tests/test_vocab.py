@@ -83,3 +83,86 @@ def test_bpe_candidates_match_corpus_counting(docs):
 def test_topk_plan_avoids_global_sort(docs):
     plan = vocab.top_vocab(docs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _py_learn_bpe(word_freqs, num_merges):
+    """Reference BPE trainer (independent re-implementation for parity)."""
+    words_ = {tuple(w) + ("</w>",): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, cnt in words_.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(list(best))
+        nw = {}
+        for syms, cnt in words_.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + cnt
+        words_ = nw
+    return merges
+
+
+BPE_DOCS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest newest newest newest newest"),
+    (2, "widest widest widest new new"),
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_docs(spark):
+    return spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+
+
+def test_learn_bpe_matches_reference(bpe_docs):
+    freqs = Counter()
+    for _, t in BPE_DOCS:
+        freqs.update(t.split())
+    model = vocab.learn_bpe(bpe_docs, num_merges=8)
+    assert model["merges"] == _py_learn_bpe(dict(freqs), 8)
+    # every merged symbol is in the vocab
+    for a, b in model["merges"]:
+        assert a + b in model["vocab"]
+
+
+def test_bpe_encode_round_trip(bpe_docs):
+    model = vocab.learn_bpe(bpe_docs, num_merges=10)
+    for w in ("low", "lower", "newest", "widest", "new", "unseen"):
+        toks = vocab.bpe_encode(w, model)
+        assert "".join(toks) == w + "</w>"
+
+
+def test_bpe_tokenize_col_matches_python(bpe_docs):
+    model = vocab.learn_bpe(bpe_docs, num_merges=6)
+    rows = bpe_docs.select(
+        "doc_id", vocab.bpe_tokenize_col(model, "text").alias("toks")
+    ).collect()
+    got = {r["doc_id"]: list(r["toks"]) for r in rows}
+    for did, text in BPE_DOCS:
+        want = [t for w in text.lower().split() for t in vocab.bpe_encode(w, model)]
+        assert got[did] == want, did
+    # empty/NULL text -> []
+    from pyspark.sql import functions as F
+    extra = bpe_docs.sparkSession.createDataFrame(
+        [(9, ""), (10, None)], "doc_id long, text string"
+    )
+    er = {
+        r["doc_id"]: list(r["toks"])
+        for r in extra.select("doc_id", vocab.bpe_tokenize_col(model, "text").alias("toks")).collect()
+    }
+    assert er == {9: [], 10: []}
+
+
+def test_learn_bpe_deterministic_across_partitionings(bpe_docs):
+    a = vocab.learn_bpe(bpe_docs, num_merges=5)
+    b = vocab.learn_bpe(bpe_docs.repartition(7), num_merges=5)
+    assert a == b

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.text import words
 
-__all__ = ["term_stats", "top_vocab", "bpe_merge_candidates"]
+__all__ = ["term_stats", "top_vocab", "bpe_merge_candidates", "learn_bpe", "bpe_encode", "bpe_tokenize_col"]
 
 
 def term_stats(
@@ -139,3 +139,120 @@ def bpe_merge_candidates(
     )
     w = Window.partitionBy(F.lit(0)).orderBy(F.col("weight").desc(), F.col("pair").asc())
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def learn_bpe(
+    df: DataFrame,
+    num_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_terms: int = 200_000,
+    end_of_word: str = "</w>",
+) -> dict:
+    """Train a BPE tokenizer from the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909 — the word-count formulation every BPE trainer
+    uses).
+
+    Division of labor at 100 TB: Spark computes the (term, cf) table —
+    the only corpus-sized work, one heavy-hitter aggregate; the merge
+    loop then runs driver-side on the COLLECTED table (bounded by
+    `max_terms` most-frequent terms; natural-language vocabularies are
+    millions of terms at web scale, a few MB — the same bounded-collect
+    discipline as the IVF/PQ codebook fits). Each merge takes the
+    most-frequent adjacent symbol pair (lexicographic tiebreak, so
+    training is deterministic) and rewrites the term table in place.
+
+    Returns {"merges": [[a, b], ...], "vocab": sorted symbol list,
+    "end_of_word": marker} — feed to bpe_encode / bpe_tokenize_col.
+    """
+    if num_merges <= 0:
+        raise ValueError(f"num_merges must be positive, got {num_merges}")
+    stats = (
+        term_stats(df, id_col, text_col, lowercase)
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .collect()
+    )
+    # word -> symbol tuple (chars + end-of-word marker) with its count
+    words: dict[tuple[str, ...], int] = {}
+    for r in stats:
+        words[tuple(r["term"]) + (end_of_word,)] = r["cf"]
+
+    merges: list[list[str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append([best[0], best[1]])
+        merged = best[0] + best[1]
+        new_words: dict[tuple[str, ...], int] = {}
+        for syms, cnt in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + cnt
+        words = new_words
+
+    vocab = sorted({s for syms in words for s in syms} | {m[0] + m[1] for m in merges})
+    return {"merges": merges, "vocab": vocab, "end_of_word": end_of_word}
+
+
+def bpe_encode(word: str, model: dict) -> list[str]:
+    """Apply the learned merges to ONE word (greedy lowest-rank-first —
+    the standard BPE inference): chars + end-of-word marker, then merge
+    the present pair with the smallest training rank until none apply."""
+    eow = model["end_of_word"]
+    ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
+    syms = list(word) + [eow]
+    while len(syms) > 1:
+        cand = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        _, i = min(cand)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def bpe_tokenize_col(model: dict, text_col) -> Column:
+    """array<string> BPE tokens for a text column — an Arrow-batched UDF
+    applying the learned merges per word (the model dict rides the
+    closure; KBs). For corpus-scale encoding prefer encoding the DISTINCT
+    term table once and joining back — same trick as training."""
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as T
+
+    @_F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(texts):  # no annotations: local 'pd' names don't resolve
+        # under `from __future__ import annotations`
+        cache: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None or not t.strip():
+                return []
+            out: list[str] = []
+            for w in t.strip().lower().split():
+                if w not in cache:
+                    cache[w] = bpe_encode(w, model)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(one)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return enc(c)
