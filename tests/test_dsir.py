@@ -198,3 +198,20 @@ def test_target_and_flag_are_exclusive(frames):
         dsir.importance_weights(raw, tgt, target_flag=F.lit(True))
     with pytest.raises(ValueError, match="exactly one"):
         dsir.importance_weights(raw)
+
+
+def test_resample_k_exceeding_corpus_returns_all(frames):
+    raw, tgt = frames
+    w = dsir.importance_weights(raw, tgt, num_buckets=B)
+    assert dsir.gumbel_resample(w, k=10_000).count() == len(RAW)
+
+
+def test_weights_with_empty_target(spark, frames):
+    """An empty target is legal (alpha smoothing keeps the LM proper):
+    every bucket gets lambda = ln(alpha/(alpha*B)) - ln(p_raw) and the
+    operator must not crash or emit NULLs."""
+    raw, _ = frames
+    empty = spark.createDataFrame([], "text string")
+    got = {r["doc_id"]: r["logw"] for r in dsir.importance_weights(raw, empty, num_buckets=B).collect()}
+    assert set(got) == {i for i, _ in RAW}
+    assert all(v is not None for v in got.values())

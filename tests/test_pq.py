@@ -108,3 +108,21 @@ def test_fit_is_deterministic(vectors):
 def test_bad_dims_raise(vectors):
     with pytest.raises(ValueError, match="not divisible"):
         pq.fit_pq(vectors, m=5, bits=2)
+
+
+def test_adc_topk_edge_cases(encoded, model):
+    # k > table size: returns all rows, no error
+    assert pq.adc_topk(encoded, model, [0.2] * DIMS, k=10_000).count() == 300
+    # zero query vector: all scores 0.0, order falls back to id tiebreak
+    rows = pq.adc_topk(encoded, model, [0.0] * DIMS, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2]
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_fit_pq_rejects_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq.fit_pq(empty, m=2, bits=2)
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq.fit_pq(nulls, m=2, bits=2)
