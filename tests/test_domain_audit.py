@@ -83,3 +83,31 @@ def test_registered_twin_on_degenerate_rows(spark, tmp_path):
     ocols = [x[0] for x in con2.execute(oracle).description]
     want = sorted(tuple(row[ocols.index(c)] for c in cols) for row in con2.execute(oracle).fetchall())
     assert got == want
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.functions import tokenizer as TK
+
+    if TK._ENC is not None:
+        pytest.skip("tiktoken present: python twin below is the fallback encoder")
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _encode_py
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "internationalization considerations", "en"),
+        (2, "", "zz"),          # empty group: fertility NULL
+        (3, None, "zz"),        # NULL text counts as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r.asDict() for r in tokenizer_fertility(df).collect()}
+
+    en_words = sum(len((t or "").split()) for _, t, lang in rows if lang == "en")
+    en_toks = sum(len(_encode_py(t or "")) for _, t, lang in rows if lang == "en")
+    assert got["en"]["n_docs"] == 2
+    assert got["en"]["total_words"] == en_words
+    assert got["en"]["total_tokens"] == en_toks
+    assert got["en"]["fertility"] == en_toks / en_words
+    assert got["zz"]["total_words"] == 0 and got["zz"]["fertility"] is None

@@ -166,3 +166,40 @@ def domain_audit(
             "dup_ratio"
         ),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokens-per-word by group — the tokenizer-bias diagnostic a
+    multilingual corpus audit publishes (a tokenizer trained on English
+    commonly spends 2-3x the tokens per word on other scripts, which
+    silently skews any token-budgeted mixture toward English content).
+
+    One map-side-combined aggregate: per group, n_docs, whitespace word
+    supply, engine-tokenizer token supply (F6 — tiktoken when importable,
+    the BPE-ish regex fallback otherwise), and
+    fertility = total_tokens / total_words (NULL when a group has no
+    words). Exact long sums; the ratio is a single IEEE division.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import word_count
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
+        approx_token_count,
+    )
+
+    gcols = list(group_cols)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(word_count(t).cast("long")).alias("total_words"),
+        F.sum(approx_token_count(t).cast("long")).alias("total_tokens"),
+    )
+    return agg.withColumn(
+        "fertility",
+        F.when(
+            F.col("total_words") > 0,
+            F.col("total_tokens").cast("double") / F.col("total_words").cast("double"),
+        ),
+    )
