@@ -154,8 +154,21 @@ def main() -> None:
         "semantic_contam": lambda e: semantic_contamination(
             e, bench_emb, threshold=0.9
         ).write.format("noop").mode("overwrite").save(),
+        # codebooks fit ONCE on the 1x table (frozen, like IVF centroids);
+        # encode is a narrow Arrow pass, ADC is codes-scan + TakeOrdered
+        "pq_encode": lambda e: encode_pq(e, pq_model)
+        .write.format("noop").mode("overwrite").save(),
+        "pq_adc_topk": lambda e: adc_topk(encode_pq(e, pq_model), pq_model, [0.1] * 64, k=10)
+        .write.format("noop").mode("overwrite").save(),
     }
     bench_emb = emb1.filter(F.col("vec_id") % 29 == 0)
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        fit_pq,
+    )
+
+    pq_model = fit_pq(emb1, m=8, bits=6, seed=42, iters=10)
     from vector_search_ai_assistant_mongodbvcore_spark.operators.semdedup import (
         semantic_duplicates,
     )
