@@ -122,3 +122,37 @@ def test_gopher_keep_matches_flag_struct(spark):
     ).collect()
     for r in rows:
         assert r["keep"] == (not any(r["f"][n] for n in r["f"].asDict()))
+
+
+def test_gate_then_dedup_chain(spark, tmp_path):
+    """The full hygiene chain on one stream: quality gate (stateless)
+    feeding streaming exact dedup (stateful) — junk never reaches the
+    dedup state store, and cross-batch duplicates of surviving docs are
+    dropped."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "chain"
+    src.mkdir()
+    good = " ".join(f"token{i % 19} ordinary prose continues here" for i in range(12))
+    _write(src, "b1.json", [
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": "spam spam spam spam spam spam"},  # gated out
+    ])
+    _write(src, "b2.json", [
+        {"doc_id": 2, "text": good.upper()},  # survives gate, dup of 0 (normalized)
+        {"doc_id": 3, "text": " ".join(f"fresh{i} words arrive in the second batch" for i in range(10))},
+    ])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        dedup_stream(gate_stream(stream))
+        .writeStream.format("memory")
+        .queryName("chain_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM chain_out").collect())
+    assert ids == [0, 3]
