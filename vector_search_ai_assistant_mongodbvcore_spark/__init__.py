@@ -11,7 +11,9 @@ The reference (see /root/reference, SURVEY.md) computes:
   * session/message CRUD + transactions (SharedLib/Services/MongoDbService.cs:442-613)
 
 This package expresses those semantics — plus the LLM-data-pipeline surface
-(dedup, similarity join, text analysis, multimodal plumbing) — as DataFrame
+(dedup, decontamination, DSIR selection, quality scoring, vocab/BPE
+training, similarity join, packing + shard export, mixture/curriculum
+planning, audits, text analysis, multimodal plumbing) — as DataFrame
 operators planned by Catalyst, not as a port of the C# service code.
 
 Layout:
