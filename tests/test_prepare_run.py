@@ -1,0 +1,34 @@
+"""E2E smoke of the one-command training-data run (tools/prepare_run.py):
+subprocess at sf0.001 -> shard tree + manifest exist and account for the
+same sequences the loader view reads back."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_prepare_run_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "run")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "prepare_run.py"),
+         "/root/testdata/sf0.001", out],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["epochs"] == 2 and summary["sequences"] > 0
+
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert {"epochs", "domain_audit", "tokenizer_fertility", "shards"} <= set(manifest)
+    assert all("rates" in e for e in manifest["epochs"].values())
+
+    # the loader view agrees with the manifest's accounting
+    df = spark.read.parquet(os.path.join(out, "shards"))
+    assert df.count() == summary["sequences"]
+    assert {"input_ids", "n_toks", "split", "epoch"} <= set(df.columns)
+    assert {r["epoch"] for r in df.select("epoch").distinct().collect()} == {0, 1}

@@ -1,0 +1,120 @@
+"""One-command training-data run: raw documents -> gated, deduplicated,
+decontaminated, split, packed, epoch-sharded token sequences + a run
+manifest — every stage an engine operator, composed the way SURVEY §8's
+second table describes them.
+
+    python tools/prepare_run.py [sf_dir] [out_dir]
+
+Stages (all deterministic; re-running reproduces byte-identical shards):
+  1. prepare_training_corpus  exact dedup -> n-gram decontamination
+                              (benchmark = every 17th doc, standing in
+                              for an eval suite) -> Gopher rule battery
+                              -> PII scrub -> splits -> chunking
+  2. plan_curriculum          2-epoch anneal: uniform sources -> the
+                              top-half sources by token supply
+  3. export_curriculum_shards tokenize once, per-epoch mixture sample,
+                              pack to 256-token sequences, shard tree
+  4. manifest.json            corpus-level audit (domain_audit),
+                              tokenizer fertility, per-epoch mixture
+                              plans, shard counts — what a training run
+                              records next to its data path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vsai_training_run"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark import get_spark, load_tables
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_curriculum_shards,
+        shard_manifest,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import (
+        domain_audit,
+        tokenizer_fertility,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        plan_curriculum,
+        source_token_stats,
+    )
+
+    spark = get_spark(app_name="prepare-run", cpus=16)
+    docs = load_tables(spark, SF_DIR)["documents"]
+
+    # 1. corpus prep: the benchmark stand-in must NOT also be train data
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    chunks = prepare_training_corpus(
+        corpus,
+        use_gopher_rules=True,
+        benchmark=bench,
+        chunk_size=64,
+        chunk_overlap=0,
+    )
+    # carry source back for the curriculum sampler (chunking emits
+    # (doc_id, split, chunk_id, n_tokens, chunk_text))
+    chunks = chunks.join(docs.select("doc_id", "source"), "doc_id")
+
+    # 2. curriculum: uniform start -> token-rich half at the end
+    avail = source_token_stats(corpus)
+    ranked = sorted(avail, key=lambda s: -avail[s])
+    rich = set(ranked[: max(1, len(ranked) // 2)])
+    start = {s: 1.0 / len(avail) for s in avail}
+    end = {s: (1.0 / len(rich) if s in rich else 0.0) for s in avail}
+    budget = max(1, sum(avail.values()) // 4)
+    plans = plan_curriculum(avail, start, end, token_budget_per_epoch=budget, epochs=2)
+
+    # 3. shards
+    shards_dir = os.path.join(OUT, "shards")
+    manifest_epochs = export_curriculum_shards(
+        chunks,
+        plans,
+        shards_dir,
+        seq_len=256,
+        stage_dir=os.path.join(OUT, "_stage"),
+        group_size=64,
+    )
+
+    # 4. manifest
+    shards = [r.asDict() for r in shard_manifest(spark, shards_dir).collect()]
+    manifest = {
+        "source_dir": SF_DIR,
+        "shards_dir": shards_dir,
+        "seq_len": 256,
+        "epochs": manifest_epochs,
+        "domain_audit": [r.asDict() for r in domain_audit(corpus).collect()],
+        "tokenizer_fertility": [
+            r.asDict() for r in tokenizer_fertility(corpus).collect()
+        ],
+        "shards": shards,
+    }
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, "manifest.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    n_seqs = sum(s.get("n_sequences", 0) for s in shards)
+    print(
+        json.dumps(
+            {"out": OUT, "shard_files": len(shards), "sequences": n_seqs,
+             "epochs": len(plans)}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
