@@ -616,7 +616,9 @@ def ranked_topk(
     top = scored.select(F.col(id_col), r.alias("_s")).orderBy(
         F.col("_s").desc(), F.col(id_col)
     ).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("_s").desc(), F.col(id_col))
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
+    w = Window.partitionBy(bounded_window_key(id_col)).orderBy(F.col("_s").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
 
 

@@ -63,7 +63,9 @@ def _global_starts(
     totals = d.groupBy("_g").agg(F.sum(n_col).alias("_tot"))
     # prefix over the tiny per-group totals frame: one partition holds only
     # n_groups rows (the constant key keeps the partition spec explicit)
-    off = Window.partitionBy(F.lit(0)).orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
+    off = Window.partitionBy(bounded_window_key("_g")).orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_g", F.coalesce(F.sum("_tot").over(off), F.lit(0)).alias("_off")
     )

@@ -105,7 +105,9 @@ def rerank(
     # top-n by contract, so the single partition holds tens of rows
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("rerank_score").desc(), F.col(id_col))
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
+    w = Window.partitionBy(bounded_window_key(id_col)).orderBy(F.col("rerank_score").desc(), F.col(id_col))
     fused = (
         F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col))
         + F.lit(1.0) / (F.lit(rrf_k) + F.col("_scr_rank"))

@@ -153,7 +153,9 @@ def vector_search_payload_reranked(
     # rows post-LIMIT), same benign shape as ranked_topk
     from pyspark.sql import Window
 
-    rw = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col(id_col))
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
+    rw = Window.partitionBy(bounded_window_key(id_col)).orderBy(F.col("score").desc(), F.col(id_col))
     docs = topk.withColumn("_ret_rank", F.row_number().over(rw)).select(
         F.col(id_col).alias("_cand_id"),
         F.col("_ret_rank"),

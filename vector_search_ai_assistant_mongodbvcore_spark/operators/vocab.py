@@ -80,10 +80,12 @@ def top_vocab(
     stats = term_stats(df, id_col, text_col, lowercase)
     top = stats.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(k)
     total = stats.agg(F.sum("cf").alias("_total_cf"))
-    # constant partition key: the window frame is the K selected rows by
-    # construction; the explicit key keeps the partition spec non-empty.
+    # constant partition key over the bounded K-row frame (survives the
+    # optimizer; see plans.inspect.bounded_window_key)
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(bounded_window_key("term"))
         .orderBy(F.col("cf").desc(), F.col("term").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -137,7 +139,9 @@ def bpe_merge_candidates(
         .orderBy(F.col("weight").desc(), F.col("pair").asc())
         .limit(top_m)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("weight").desc(), F.col("pair").asc())
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
+
+    w = Window.partitionBy(bounded_window_key("pair")).orderBy(F.col("weight").desc(), F.col("pair").asc())
     return ranked.withColumn("rank", F.row_number().over(w))
 
 

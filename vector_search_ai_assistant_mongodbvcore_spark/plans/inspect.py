@@ -67,3 +67,26 @@ def plan_report(df: DataFrame) -> PlanReport:
     for m in re.finditer(r"PushedFilters: \[(.*?)\]", txt):
         rep.scans.append({"pushed_filters": m.group(1)})
     return rep
+
+
+def bounded_window_key(anchor) -> "Column":
+    """A constant-zero partition key for windows over PROVABLY BOUNDED
+    frames (post-LIMIT top-k ranks, per-group totals) that must evaluate
+    in one partition by construction.
+
+    Why not Window.orderBy(...) alone: Spark logs a scary (and there,
+    unwarranted) "No Partition Defined ... serious performance
+    degradation" warning per execution. Why not partitionBy(lit(0)) or
+    (column * 0): Catalyst folds both out of the window spec (constant
+    folding + multiply-by-zero simplification), re-arming the warning.
+    least(length(cast(anchor as string)), 0) is always 0 (length >= 0,
+    least skips the NULL of a NULL anchor) but the optimizer cannot
+    prove it, so the partition spec survives to the physical plan
+    (verified against Spark 4.1); every row still lands in the single
+    partition the bounded frame needs, at the cost of one length() per
+    row.
+    """
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(anchor) if isinstance(anchor, str) else anchor
+    return F.least(F.length(c.cast("string")), F.lit(0))
