@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark import queries
 from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import domain_audit
@@ -111,3 +112,41 @@ def test_tokenizer_fertility_matches_python(spark):
     assert got["en"]["total_tokens"] == en_toks
     assert got["en"]["fertility"] == en_toks / en_words
     assert got["zz"]["total_words"] == 0 and got["zz"]["fertility"] is None
+
+
+def test_pii_report_matches_python(spark):
+    import re
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import pii_report
+
+    rows = [
+        (0, "mail a@b.com and b@c.org today", "src_a"),
+        (1, "call 555-123-4567 now", "src_a"),
+        (2, "clean prose with no identifiers", "src_b"),
+        (3, None, "src_b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in pii_report(df).collect()}
+    assert got["src_a"]["n_docs"] == 2 and got["src_a"]["docs_with_pii"] == 2
+    assert got["src_a"]["email_hits"] == 2
+    assert got["src_a"]["phone_hits"] == 1
+    assert got["src_a"]["pii_doc_rate"] == 1.0
+    assert got["src_b"]["docs_with_pii"] == 0 and got["src_b"]["pii_doc_rate"] == 0.0
+
+
+def test_pii_report_counts_agree_with_scrub(spark):
+    """docs_with_pii is exactly the set of docs scrub_pii would change."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import pii_report
+
+    rows = [
+        (0, "ip 10.0.0.1 and ssn 123-45-6789", "s"),
+        (1, "totally clean", "s"),
+        (2, "card 4111 1111 1111 1111 inside", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    changed = df.withColumn("_s", TX.scrub_pii("text")).filter(
+        F.col("_s") != F.col("text")
+    ).count()
+    rep = pii_report(df).first()
+    assert rep["docs_with_pii"] == changed == 2

@@ -203,3 +203,44 @@ def tokenizer_fertility(
             F.col("total_tokens").cast("double") / F.col("total_words").cast("double"),
         ),
     )
+
+
+def pii_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain PII incidence — the audit a curator reads before deciding
+    where scrub_pii is load-bearing versus where a domain should be dropped
+    outright (a source that is 40% phone numbers is a directory dump, not
+    prose).
+
+    One map-side-combined aggregate per group: n_docs, docs_with_pii (any
+    category hit), and the per-category hit totals of
+    functions/text.pii_hit_counts — counts agree with what scrub_pii
+    would redact, category precedence included. NULL text counts as
+    clean. Exact longs; one ratio division.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        _PII_PATTERNS,
+        pii_hit_counts,
+    )
+
+    gcols = list(group_cols)
+    counts = pii_hit_counts(F.coalesce(F.col(text_col), F.lit("")))
+    names = [name for name, _, _ in _PII_PATTERNS]
+    staged = df.select(*gcols, counts.alias("_pii"))
+    total = None
+    for n in names:
+        c = F.col("_pii").getField(n)
+        total = c if total is None else total + c
+    staged = staged.withColumn("_total", total)
+    agg = staged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_total") > 0, 1).otherwise(0)).alias("docs_with_pii"),
+        *[F.sum(F.col("_pii").getField(n).cast("long")).alias(f"{n}_hits") for n in names],
+    )
+    return agg.withColumn(
+        "pii_doc_rate",
+        F.col("docs_with_pii").cast("double") / F.col("n_docs").cast("double"),
+    )
