@@ -257,3 +257,43 @@ def test_socks_e2e_served_from_streaming_maintained_ivf_index(spark, tmp_path):
     dl = spark.createDataFrame([{**rec, "_op": "delete"}])
     apply_index_changes(idx, dl, "id", embedder=EMB)
     assert "sock-9" not in ids()
+
+
+def test_socks_e2e_streaming_maintained_ivf_pq_index(spark, tmp_path):
+    """The same change-stream loop against the PQ-compressed IVF index:
+    adds encode with the FROZEN codebooks, deletes COW only touched
+    partitions, and the ADC-served results reflect every change — the
+    float vectors never enter the index at all."""
+    import os
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+        apply_index_changes,
+    )
+
+    df = spark.createDataFrame(
+        SOCKS, "id string, categoryName string, name string, description string"
+    )
+    corpus = ingest_and_vectorize(df, embedder=EMB)
+    idx = IvfIndex(spark, str(tmp_path / "ivf_pq_sock")).build(
+        corpus, vector_col="vector", num_lists=2, seed=42,
+        quantize="pq", pq_m=16, pq_bits=6, id_col="id",
+    )
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_pq_sock"), "data"))
+    assert "_pq" in stored.columns and "vector" not in stored.columns
+    q = [float(x) for x in EMB.embed_numpy(["What kind of socks do you have?"])[0]]
+
+    def ids(k=6):
+        return {r.id for r in idx.search(q, k=k, n_probe=2, id_col="id").collect()}
+
+    assert "sock-9" not in ids()
+    rec = dict(zip(("id", "categoryName", "name", "description"), COSMIC))
+    up = spark.createDataFrame([{**rec, "_op": "upsert"}])
+    apply_index_changes(idx, up, "id", embedder=EMB)
+    assert "sock-9" in ids()
+    apply_index_changes(idx, up, "id", embedder=EMB)  # replace, not duplicate
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "ivf_pq_sock"), "data"))
+    assert stored.filter(stored.id == "sock-9").count() == 1
+    dl = spark.createDataFrame([{**rec, "_op": "delete"}])
+    apply_index_changes(idx, dl, "id", embedder=EMB)
+    assert "sock-9" not in ids()
