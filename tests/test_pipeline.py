@@ -239,3 +239,25 @@ def test_per_source_cap_stage(spark, tables):
     assert per_src and all(r["count"] <= 5 for r in per_src)
     # cap_rank is internal — it must not leak into the chunk schema
     assert "cap_rank" not in out.columns
+
+
+def test_language_screen_stage(spark, tables):
+    docs = tables["documents"]
+    # metadata-column screen: only labeled-en docs survive
+    out = prepare_training_corpus(
+        docs, min_quality=0.0, chunk_size=1000, chunk_overlap=0,
+        keep_languages=("en",), lang_col="lang",
+    )
+    kept = out.select("doc_id").distinct().join(docs, "doc_id")
+    assert kept.filter(F.col("lang") != "en").count() == 0
+    assert kept.count() > 0
+    # detected-language screen runs the engine's own language_id
+    out2 = prepare_training_corpus(
+        docs, min_quality=0.0, chunk_size=1000, chunk_overlap=0,
+        keep_languages=("en", "de"),
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+
+    kept2 = out2.select("doc_id").distinct().join(docs, "doc_id")
+    bad = kept2.filter(~TX.language_id(F.col("text")).isin("en", "de")).count()
+    assert bad == 0 and kept2.count() > 0

@@ -11,6 +11,8 @@ a 100 TB pipeline actually runs them.
                                P(high quality) >= threshold)
       -> perplexity ceiling   (operators/lm_quality, optional: CCNet-style
                                reference-LM surprise cap)
+      -> language screen      (functions/text.language_id or a metadata
+                               column, optional: keep_languages)
       -> DSIR selection       (operators/dsir, optional: Gumbel-top-k
                                importance resample toward a target domain)
       -> PII scrub            (functions/text.scrub_pii)
@@ -72,6 +74,8 @@ def prepare_training_corpus(
     lm_model=None,
     max_perplexity: float | None = None,
     use_gopher_rules: bool = False,
+    keep_languages: "tuple[str, ...] | None" = None,
+    lang_col: str | None = None,
     dsir_target: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_temperature: float = 1.0,
@@ -150,6 +154,17 @@ def prepare_training_corpus(
             F.col("perplexity") > max_perplexity
         )
         quality = quality.join(bad.select(id_col), id_col, "left_anti")
+
+    if keep_languages is not None:
+        # language screen (the CCNet-style per-language pipeline split):
+        # trust the metadata column when the caller names one, otherwise
+        # the engine's own stopword-argmax language ID — stateless column
+        # expression either way, applied after the quality gates (quality
+        # first: lang-ID on junk is noise)
+        lang = (
+            F.col(lang_col) if lang_col is not None else TX.language_id(F.col(text_col))
+        )
+        quality = quality.filter(lang.isin(*keep_languages))
 
     if dsir_target is not None and dsir_top_k is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import (
