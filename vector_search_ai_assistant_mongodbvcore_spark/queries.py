@@ -1377,7 +1377,7 @@ _BPE_ORACLE = f"""
       FROM cf
     ),
     ranked AS (
-      SELECT pair, SUM(cf) AS weight
+      SELECT pair, CAST(SUM(cf) AS BIGINT) AS weight
       FROM pairs GROUP BY 1
       ORDER BY weight DESC, pair LIMIT 50
     )
