@@ -11,7 +11,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.operators import splits
 
 
 def _bucket(seed: int, i) -> int:
-    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+    return int(hashlib.md5(f"cap:{seed}:{i}".encode()).hexdigest()[:8], 16)
 
 
 @pytest.fixture(scope="module")

@@ -126,7 +126,7 @@ def test_gumbel_resample_matches_python_oracle(frames):
     keys = {}
     for i in logw:
         h = int(
-            hashlib.md5(f"7:{i}".encode()).hexdigest()[:8], 16
+            hashlib.md5(f"dsir:7:{i}".encode()).hexdigest()[:8], 16
         )
         u = (h + 0.5) / float(1 << 32)
         keys[i] = logw[i] + (-math.log(-math.log(u)))

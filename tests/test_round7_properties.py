@@ -16,7 +16,8 @@ group_sizes = st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_s
 
 
 def _bucket(seed: int, i) -> int:
-    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+    # cap_per_group's stage-namespaced selection hash (see split_bucket)
+    return int(hashlib.md5(f"cap:{seed}:{i}".encode()).hexdigest()[:8], 16)
 
 
 @settings(max_examples=10, deadline=None)

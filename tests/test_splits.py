@@ -240,7 +240,7 @@ def test_mixture_planning_end_to_end(spark, tables):
 
     exp_toks = {}
     for r in docs.select("doc_id", "source", "text").collect():
-        bucket = int(hashlib.md5(f"42:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        bucket = int(hashlib.md5(f"mix:42:{r.doc_id}".encode()).hexdigest()[:8], 16)
         if bucket < int(plan["rates"][r.source] * (1 << 32)):
             exp_toks[r.source] = exp_toks.get(r.source, 0) + len(r.text.strip().split())
     for s in avail:

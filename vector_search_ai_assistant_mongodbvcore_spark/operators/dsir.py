@@ -311,10 +311,17 @@ def gumbel_resample(
     deterministic md5-derived uniform in (0,1) — reproducible across runs,
     engines and partitionings (no RNG state). Top-k executes as
     TakeOrderedAndProject: per-partition heaps, no global sort.
+
+    The Gumbel draw is namespaced with stage="dsir" so it is independent
+    of assign_split's hash: with a shared hash, flat-weight resampling
+    keeps exactly the highest-bucket docs, which assign_split then places
+    entirely in the LAST split (see split_bucket).
     """
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import split_bucket
 
-    u = (split_bucket(F.col(id_col), seed=seed) + F.lit(0.5)) / F.lit(float(1 << 32))
+    u = (split_bucket(F.col(id_col), seed=seed, stage="dsir") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
     g = -F.log(-F.log(u))
     key = F.col(logw_col) / F.lit(float(temperature)) + g
     return (

@@ -45,11 +45,23 @@ def _validate(splits: dict[str, float]) -> list[tuple[str, float]]:
     return items
 
 
-def split_bucket(id_col: Column, seed: int = 42) -> Column:
+def split_bucket(id_col: Column, seed: int = 42, stage: str | None = None) -> Column:
     """Uniform 32-bit bucket from md5("<seed>:<id>") — the first 8 hex chars
     decoded to a long. Engine-portable: DuckDB reproduces it with
-    CAST('0x' || substr(md5(...), 1, 8) AS UBIGINT)."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string")))
+    CAST('0x' || substr(md5(...), 1, 8) AS UBIGINT).
+
+    `stage` namespaces the hash as md5("<stage>:<seed>:<id>"). Selection
+    stages that draw from the same pool (split assignment, per-source
+    caps, mixture sampling, DSIR resampling) MUST use distinct stages:
+    with a shared hash their selections correlate perfectly — e.g. a
+    binding per-source cap keeps exactly the lowest-bucket rows, which an
+    un-namespaced assign_split then places entirely in 'train', silently
+    destroying the split proportions."""
+    parts = ([F.lit(stage)] if stage is not None else []) + [
+        F.lit(str(seed)),
+        id_col.cast("string"),
+    ]
+    h = F.md5(F.concat_ws(":", *parts))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
@@ -134,11 +146,13 @@ def sample_by_rates(
     the source-mixing step of a training-data pipeline.
 
     Unlike df.sampleBy this is DETERMINISTIC and reproducible across runs,
-    engines and partitionings: keep iff md5-bucket(seed, id) < rate, the
-    same portable hash as assign_split, so the kept set is a pure function
-    of (id, seed) — re-running the pipeline (or re-partitioning the input)
-    yields the identical mixture, and nested rates compose (a row kept at
-    0.25 is also kept at 0.5: buckets are uniform, thresholds nest).
+    engines and partitionings: keep iff md5-bucket("mix", seed, id) < rate,
+    so the kept set is a pure function of (id, seed) — re-running the
+    pipeline (or re-partitioning the input) yields the identical mixture,
+    and nested rates compose (a row kept at 0.25 is also kept at 0.5:
+    buckets are uniform, thresholds nest). The "mix" stage tag decorrelates
+    the draw from assign_split's hash — without it, a 10% sample of a
+    source lands entirely inside 'train' (see split_bucket).
 
     Narrow plan: one when-chain filter, no shuffle. Groups absent from
     `rates` use default_rate (0.0 = drop, the safe default for an explicit
@@ -148,7 +162,7 @@ def sample_by_rates(
             raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
-    bucket = split_bucket(F.col(id_col), seed)
+    bucket = split_bucket(F.col(id_col), seed, stage="mix")
     thresh = None
     for g, r in rates.items():
         cond = F.col(rate_col) == g
@@ -311,7 +325,7 @@ def cap_per_group(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    bucket = split_bucket(F.col(id_col), seed=seed)
+    bucket = split_bucket(F.col(id_col), seed=seed, stage="cap")
     w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col).asc())
 
     src = df
@@ -329,10 +343,26 @@ def cap_per_group(
             else:
                 want = n + overshoot_sigmas * _math.sqrt(n) + 10
                 thresholds[g] = min(_BUCKETS, int(_math.ceil(want / c * _BUCKETS)))
-        thr = F.create_map(
-            *[x for g, t in sorted(thresholds.items()) for x in (F.lit(g), F.lit(t))]
-        )
-        src = df.filter(bucket < F.element_at(thr, F.col(group_col)))
+        # NULL group values survive groupBy and appear in `counts`, but
+        # Spark rejects NULL map keys — serve the NULL group's threshold
+        # from a separate when-branch instead of the map
+        null_thr = thresholds.pop(None, None)
+        if thresholds:
+            thr = F.create_map(
+                *[
+                    x
+                    for g, t in sorted(thresholds.items())
+                    for x in (F.lit(g), F.lit(t))
+                ]
+            )
+            thr_col = F.element_at(thr, F.col(group_col))
+        else:
+            thr_col = F.lit(None).cast("long")
+        if null_thr is not None:
+            thr_col = F.when(F.col(group_col).isNull(), F.lit(null_thr)).otherwise(
+                thr_col
+            )
+        src = df.filter(bucket < thr_col)
         # bias guard: every capped group must still supply min(n, count) rows
         survivors = {
             r[group_col]: r["c"]

@@ -1447,7 +1447,7 @@ _CAP_ORACLE = """
       SELECT doc_id, source,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT),
+               ORDER BY CAST('0x' || substr(md5('cap:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT),
                         doc_id) AS cap_rank
       FROM documents
     )
