@@ -58,7 +58,13 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
 
 def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     """Deterministic Lloyd KMeans (numpy): seeded sample init, empty
-    clusters re-seeded from the farthest points. x: (n, d) -> (k, d)."""
+    clusters re-seeded from the farthest points. x: (n, d) -> (k, d).
+
+    Distances use the |x|^2 - 2 x@c.T + |c|^2 matmul form (same as
+    encode_pq): O(n*k) memory per iteration. The 3-D broadcast form
+    allocates n*k*dsub float64 temporaries — ~1.6 GB per temporary at
+    the documented defaults (n=100k, k=256, dsub=8), a driver OOM at
+    exactly the scale this module claims to support."""
     rng = np.random.RandomState(seed)
     n = x.shape[0]
     if n == 0:
@@ -68,8 +74,10 @@ def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     if cents.shape[0] < k:  # fewer points than centroids: pad with jitter
         pad = cents[rng.choice(cents.shape[0], k - cents.shape[0])]
         cents = np.vstack([cents, pad + rng.normal(0, 1e-6, pad.shape)])
+    x2 = (x * x).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        c2 = (cents * cents).sum(axis=1)[None, :]
+        d2 = x2 - 2.0 * (x @ cents.T) + c2
         assign = d2.argmin(axis=1)
         for j in range(k):
             members = x[assign == j]
@@ -95,9 +103,13 @@ def fit_pq(
     Returns {"m", "bits", "dims", "codebooks"} with codebooks an
     m x 2^bits x (dims/m) nested list (JSON-serializable; KBs). Vectors
     are L2-normalized before fitting so ADC scores approximate cosine.
-    The sample is the md5-bucket prefix of ids — stable across runs and
+    The sample is the smallest-bucket prefix under the stage-namespaced
+    md5 hash (id tiebreak) — a uniform draw, stable across runs and
     partitionings, never a full collect: the only driver transfer is
-    <= max_sample vectors.
+    <= max_sample vectors. A keep-rate prefilter bounds the sort input;
+    if the over-draw randomly undershoots min(n, max_sample) survivors
+    the fit raises (deterministically) instead of silently training
+    codebooks on a thinner sample.
     """
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import split_bucket
 
@@ -105,16 +117,23 @@ def fit_pq(
     n = clean.count()
     if n == 0:
         raise ValueError("cannot fit PQ on an empty vector table")
+    bucket = split_bucket(F.col(id_col), seed=seed, stage="pq")
     if n > max_sample:
-        # keep-rate prefilter on the portable bucket; slight over-draw
-        # then exact truncation keeps the sample deterministic
+        # keep-rate prefilter on the portable bucket; over-draw then
+        # exact bucket-order truncation keeps the sample deterministic
+        # AND equal to the global smallest-bucket prefix whenever enough
+        # rows survive (checked below)
         rate = min(1.0, (max_sample * 1.2) / n)
-        clean = clean.filter(
-            split_bucket(F.col(id_col), seed=seed) < int(rate * (1 << 32))
-        )
+        clean = clean.filter(bucket < int(rate * (1 << 32)))
+        survivors = clean.count()
+        if survivors < min(n, max_sample):
+            raise ValueError(
+                f"pq sample prefilter undershoot ({survivors} < "
+                f"{min(n, max_sample)}); raise the over-draw margin"
+            )
     rows = (
         clean.select(id_col, vector_col)
-        .orderBy(F.col(id_col))
+        .orderBy(bucket.asc(), F.col(id_col).asc())
         .limit(max_sample)
         .collect()
     )
