@@ -1,0 +1,190 @@
+"""File-level min-max data skipping (sources/managed_table.py).
+
+The engine's analog of Delta stats-based skipping: footer min/max
+aggregated per file at commit, consulted by read(filters=...), exact
+predicate applied on top. Every test asserts BOTH halves of the
+contract: fewer files touched AND identical rows to a full scan+filter.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    BucketedTable,
+    ManagedTable,
+    _file_may_match,
+)
+
+
+def _ids(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+@pytest.fixture()
+def managed(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "mt"))
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("cat"),
+        F.concat(F.lit("u"), F.lpad((F.col("id") % 50).cast("string"), 3, "0")).alias(
+            "user"
+        ),
+        (F.col("id").cast("double") * 1.5).alias("price"),
+    )
+    # range-partition + sort on k -> disjoint per-file ranges, the layout
+    # that makes skipping effective (the docstring's guidance)
+    t.overwrite(df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    return t
+
+
+def test_managed_point_lookup_prunes(managed):
+    kept, total = managed.pruned_files([("k", "=", 700)])
+    assert total == 8 and kept == 1
+    got = managed.read(filters=[("k", "=", 700)])
+    want = managed.read().filter(F.col("k") == 700)
+    assert _ids(got) == _ids(want) == [700]
+
+
+def test_managed_range_prunes_and_matches(managed):
+    filt = [("k", ">=", 600), ("k", "<", 650)]
+    kept, total = managed.pruned_files(filt)
+    assert kept < total
+    got = managed.read(filters=filt)
+    want = managed.read().filter((F.col("k") >= 600) & (F.col("k") < 650))
+    assert _ids(got) == _ids(want)
+    assert len(_ids(got)) == 50
+
+
+def test_managed_string_and_in_filters(managed):
+    # string min/max: user is correlated with k%50, so no pruning
+    # guarantee — parity is the contract
+    filt = [("user", "=", "u007")]
+    got = managed.read(filters=filt)
+    want = managed.read().filter(F.col("user") == "u007")
+    assert _ids(got) == _ids(want)
+    filt = [("k", "in", (5, 790))]
+    kept, total = managed.pruned_files(filt)
+    assert kept == 2  # the two end files
+    assert _ids(managed.read(filters=filt)) == [5, 790]
+
+
+def test_managed_empty_result_keeps_schema(managed):
+    got = managed.read(filters=[("k", "=", 10_000)])
+    kept, _ = managed.pruned_files([("k", "=", 10_000)])
+    assert kept == 0
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "cat", "user", "price"}
+
+
+def test_float_columns_are_never_indexed(managed):
+    # NaN-vs-footer-stats soundness: floats carry no stats, so a float
+    # predicate prunes nothing but still filters exactly
+    kept, total = managed.pruned_files([("price", ">", 1e12)])
+    assert kept == total
+    assert managed.read(filters=[("price", ">", 1e12)]).count() == 0
+
+
+def test_skipping_survives_merge_commits(spark, managed):
+    src = spark.createDataFrame(
+        [(700, 99, "u999", 0.0)], "k long, cat long, user string, price double"
+    )
+    managed.merge(src, keys=["k"])
+    got = managed.read(filters=[("cat", "=", 99)])
+    assert [(r["k"], r["cat"]) for r in got.collect()] == [(700, 99)]
+    # parity with the unfiltered read after the rewrite
+    assert _ids(managed.read(filters=[("k", "<", 10)])) == list(range(10))
+
+
+def test_all_null_file_pruned_for_value_match(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "nulls"))
+    df = spark.createDataFrame(
+        [(i, None if i < 50 else f"s{i}") for i in range(100)], "k long, s string"
+    )
+    # partition 0 all-null s, partition 1 all non-null
+    t.overwrite(df.repartitionByRange(2, "k").sortWithinPartitions("k"))
+    kept, total = t.pruned_files([("s", "=", "s99")])
+    assert total == 2 and kept == 1
+    assert sorted(r["k"] for r in t.read(filters=[("s", "=", "s99")]).collect()) == [99]
+    # is_null keeps only files that actually hold nulls
+    kept, total = t.pruned_files([("s", "is_null", None)])
+    assert kept == 1
+    assert t.read(filters=[("s", "is_null", None)]).count() == 50
+
+
+def test_bad_filter_spec_raises(managed):
+    with pytest.raises(ValueError, match="filter must be"):
+        managed.read(filters=[("k", "!=", 1)])
+
+
+def test_file_may_match_type_mismatch_never_prunes():
+    stats = {"rows": 10, "cols": {"k": {"min": 0, "max": 5, "nulls": 0}}}
+    assert _file_may_match(stats, "k", "=", "not-an-int")  # incomparable: keep
+
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "bt"), bucket_by=["user"], n_buckets=8)
+    for batch in range(4):
+        lo = batch * 250
+        df = spark.range(lo, lo + 250).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 40).cast("string")).alias("user"),
+            (F.col("id") % 5).alias("cat"),
+        )
+        if batch == 0:
+            t.overwrite(df)
+        else:
+            t.append(df)
+    return t
+
+
+def test_bucketed_nonkey_range_prunes_across_appends(bucketed):
+    # k ranges are disjoint per append batch: a k-range predicate keeps
+    # roughly one batch's files out of four
+    filt = [("k", ">=", 500), ("k", "<", 750)]
+    kept, total = bucketed.pruned_files(filt)
+    assert kept < total
+    got = bucketed.read(filters=filt)
+    want = bucketed.read().filter((F.col("k") >= 500) & (F.col("k") < 750))
+    assert _ids(got) == _ids(want)
+    assert len(_ids(got)) == 250
+
+
+def test_bucketed_key_equality_hits_one_bucket(bucketed):
+    kept, total = bucketed.pruned_files([("user", "=", "u7")])
+    # full-key equality resolves to ONE of 8 buckets before any footer
+    # is consulted
+    assert kept <= total / bucketed.n_buckets + 1, (kept, total)
+    got = bucketed.read(filters=[("user", "=", "u7")])
+    want = bucketed.read().filter(F.col("user") == "u7")
+    assert _ids(got) == _ids(want)
+    assert got.count() == 25
+
+
+def test_bucketed_compound_filter_prunes_both_ways(bucketed):
+    filt = [("user", "=", "u7"), ("k", ">=", 750)]
+    kept_key, total = bucketed.pruned_files([("user", "=", "u7")])
+    kept_both, _ = bucketed.pruned_files(filt)
+    assert kept_both < kept_key  # min-max stacks on top of bucket pruning
+    got = bucketed.read(filters=filt)
+    want = bucketed.read().filter((F.col("user") == "u7") & (F.col("k") >= 750))
+    assert _ids(got) == _ids(want)
+
+
+def test_bucketed_skipping_survives_merge_and_compact(spark, bucketed):
+    src = spark.createDataFrame([(42, "u2", 77)], "k long, user string, cat long")
+    bucketed.merge(src, keys=["user", "k"])
+    got = bucketed.read(filters=[("cat", "=", 77)])
+    assert [(r["k"], r["cat"]) for r in got.collect()] == [(42, 77)]
+    bucketed.compact(min_dirs=2)
+    kept, total = bucketed.pruned_files([("user", "=", "u7")])
+    assert kept < total
+    assert bucketed.read(filters=[("user", "=", "u7")]).count() == 25
+
+
+def test_bucketed_empty_prune_returns_schema(bucketed):
+    got = bucketed.read(filters=[("k", ">", 10_000)])
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "user", "cat"}

@@ -33,13 +33,158 @@ concurrency from Delta. Atomicity of the pointer swap relies on POSIX rename.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
 import time
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# ---- file-level min-max data skipping -------------------------------------
+#
+# The engine's analog of Delta stats-based skipping (SURVEY §1.4 maps the
+# reference's compound-key point reads, MongoDbService.cs:254-258, onto
+# Delta data skipping). At commit time the parquet FOOTERS of the files
+# just written — which already carry per-row-group min/max/null-count —
+# are aggregated to one {file: {col: {min,max,nulls}}} doc per version; a
+# `read(filters=...)` consults the doc and opens only files whose range
+# can satisfy the conjunction, then applies the exact predicate on top
+# (so the result is identical to a full scan + filter; skipping is purely
+# an IO optimization, exactly like Delta). Footer reads are O(files
+# written) per commit, the same cost point Delta pays when the writing
+# executors report stats.
+#
+# Floating-point columns are deliberately NOT indexed: Spark orders NaN
+# greater than any value, while parquet writers omit NaN from footer
+# min/max, so a file holding [1.0, NaN] has max=1.0 yet matches
+# `col > 100` under Spark semantics — float pruning on footer stats is
+# unsound. Integer/string/boolean/date-int columns cover the engine's
+# key, timestamp-as-long and category predicates.
+
+_FILTER_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null")
+
+
+def _collect_parquet_stats(files: list[str]) -> dict[str, dict]:
+    """Aggregate footer row-group stats to per-file per-column min/max."""
+    import pyarrow.parquet as pa_pq
+
+    out: dict[str, dict] = {}
+    for path in files:
+        md = pa_pq.ParquetFile(path).metadata
+        cols: dict[str, dict] = {}
+        unusable: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                cm = rgm.column(ci)
+                name = cm.path_in_schema
+                if "." in name or name in unusable:
+                    continue  # nested (array/struct) leaves: no pruning
+                if cm.physical_type in ("FLOAT", "DOUBLE"):
+                    unusable.add(name)  # NaN makes footer min/max unsound
+                    continue
+                st = cm.statistics
+                if st is None or st.null_count is None:
+                    unusable.add(name)
+                    continue
+                entry = cols.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                entry["nulls"] += st.null_count
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                        except UnicodeDecodeError:
+                            unusable.add(name)
+                            continue
+                    if not isinstance(mn, (bool, int, str)):
+                        # decimals, timestamps-as-datetime, etc: not
+                        # JSON-round-trippable as-is — don't index
+                        unusable.add(name)
+                        continue
+                    entry["min"] = mn if entry["min"] is None else min(entry["min"], mn)
+                    entry["max"] = mx if entry["max"] is None else max(entry["max"], mx)
+                # has_min_max False with null_count == rg rows is the
+                # all-null case: min/max stay None, still prunable
+        out[path] = {
+            "rows": md.num_rows,
+            "cols": {k: v for k, v in cols.items() if k not in unusable},
+        }
+    return out
+
+
+def _validate_filters(filters) -> list[tuple]:
+    checked = []
+    for f in filters:
+        if len(f) != 3 or f[1] not in _FILTER_OPS:
+            raise ValueError(
+                f"filter must be (col, op, value) with op in {_FILTER_OPS}: {f!r}"
+            )
+        checked.append(tuple(f))
+    return checked
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
+    """False only when the footer range PROVES no row can match."""
+    if stats is None:
+        return True
+    cs = stats["cols"].get(col)
+    if cs is None:
+        return True
+    if op == "is_null":
+        return cs["nulls"] > 0
+    if cs["min"] is None or cs["max"] is None:
+        # no min/max recorded; all-null files can't match a value predicate
+        return cs["nulls"] < stats["rows"]
+    mn, mx = cs["min"], cs["max"]
+    try:
+        if op in ("=", "=="):
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "in":
+            return any(mn <= v <= mx for v in val)
+    except TypeError:
+        return True  # incomparable literal type: never prune on a guess
+    return True
+
+
+def _filters_to_column(filters: list[tuple]) -> Column:
+    exprs = []
+    for col, op, val in filters:
+        c = F.col(col)
+        if op in ("=", "=="):
+            exprs.append(c == val)
+        elif op == "<":
+            exprs.append(c < val)
+        elif op == "<=":
+            exprs.append(c <= val)
+        elif op == ">":
+            exprs.append(c > val)
+        elif op == ">=":
+            exprs.append(c >= val)
+        elif op == "in":
+            exprs.append(c.isin(list(val)))
+        elif op == "is_null":
+            exprs.append(c.isNull())
+    return reduce(lambda a, b: a & b, exprs)
+
+
+def _prune_files(files: list[str], stats: dict, filters: list[tuple]) -> list[str]:
+    return [
+        f
+        for f in files
+        if all(_file_may_match(stats.get(f), c, o, v) for c, o, v in filters)
+    ]
 
 
 class ManagedTable:
@@ -71,12 +216,29 @@ class ManagedTable:
         new_v = self.current_version() + 1
         target = self._data_dir(new_v)
         df.write.mode("overwrite").parquet(target)
+        stats = _collect_parquet_stats(self._version_files(target))
+        with open(self._stats_file(new_v), "w") as f:
+            json.dump(stats, f)
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": new_v, "ts": time.time(), "op": mode_note}, f)
         os.replace(tmp, self._version_file())  # atomic pointer swap
         self._vacuum(keep=2)
         return new_v
+
+    def _stats_file(self, version: int) -> str:
+        return os.path.join(self.path, f"filestats_{version}.json")
+
+    @staticmethod
+    def _version_files(data_dir: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+
+    def _filestats(self, version: int) -> dict[str, dict]:
+        try:
+            with open(self._stats_file(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}  # pre-stats version: no pruning, full correctness
 
     def _vacuum(self, keep: int = 2) -> None:
         cur = self.current_version()
@@ -85,16 +247,29 @@ class ManagedTable:
                 v = int(name[2:])
                 if v <= cur - keep:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            elif name.startswith("filestats_"):
+                v = int(name[len("filestats_") : -len(".json")])
+                if v <= cur - keep:
+                    os.remove(os.path.join(self.path, name))
 
     # ---- reads ----------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, filters=None) -> DataFrame:
         """Read the current committed version, or TIME-TRAVEL to an older
         one (`version=N`): every commit is a complete immutable snapshot
         dir, so any version the vacuum horizon still retains (`_vacuum`
         keeps the last `keep`) reads exactly as it was committed — the
         Delta `versionAsOf` analog, free with the snapshot-COW layout.
         Useful for reproducing a training run against the corpus snapshot
-        it actually saw, and for auditing a bad write."""
+        it actually saw, and for auditing a bad write.
+
+        `filters=[(col, op, value), ...]` (AND of conjuncts, op in
+        _FILTER_OPS) enables min-max data skipping: only files whose
+        footer range can satisfy the conjunction are opened, and the
+        exact predicate is applied on top — identical rows to
+        read().filter(...), fewer files touched. Write sorted/range-
+        partitioned data (repartitionByRange + sortWithinPartitions on
+        the predicate column) to make the ranges disjoint and the
+        skipping effective."""
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"table {self.path} has no committed version")
@@ -107,7 +282,23 @@ class ManagedTable:
                 f"version {v} was vacuumed (oldest retained snapshot wins); "
                 f"current={cur}"
             )
-        return self.spark.read.parquet(d)
+        if not filters:
+            return self.spark.read.parquet(d)
+        checked = _validate_filters(filters)
+        keep = _prune_files(self._version_files(d), self._filestats(v), checked)
+        residual = _filters_to_column(checked)
+        if not keep:
+            schema = self.spark.read.parquet(d).schema  # metadata-only
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*keep).filter(residual)
+
+    def pruned_files(self, filters, version: int | None = None) -> tuple[int, int]:
+        """(files kept, files total) a filtered read of `version` would
+        touch — the observability hook the skipping tests assert on."""
+        v = self.current_version() if version is None else version
+        files = self._version_files(self._data_dir(v))
+        keep = _prune_files(files, self._filestats(v), _validate_filters(filters))
+        return len(keep), len(files)
 
     # ---- writes ---------------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
@@ -218,6 +409,23 @@ class BucketedTable:
     ) -> int:
         if schema_json is None and version > 0:
             schema_json = self._manifest_doc(version - 1).get("schema")
+        # min-max skipping doc: footer-read ONLY the files new at this
+        # version; stats for carried-over dirs copy from the previous doc
+        # (immutable files, immutable stats) — commit cost stays O(files
+        # written), same as the data itself
+        prev = self._filestats(version - 1) if version > 0 else {}
+        stats: dict[str, dict] = {}
+        fresh: list[str] = []
+        for dirs in buckets.values():
+            for d in dirs:
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                    if f in prev:
+                        stats[f] = prev[f]
+                    else:
+                        fresh.append(f)
+        stats.update(_collect_parquet_stats(fresh))
+        with open(self._stats_file(version), "w") as f:
+            json.dump(stats, f)
         with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
             json.dump(
                 {"buckets": buckets, "op": op, "ts": time.time(), "schema": schema_json}, f
@@ -228,6 +436,16 @@ class BucketedTable:
         os.replace(tmp, self._version_file())
         self._vacuum(keep=2)
         return version
+
+    def _stats_file(self, version: int) -> str:
+        return os.path.join(self.path, f"filestats_{version}.json")
+
+    def _filestats(self, version: int) -> dict[str, dict]:
+        try:
+            with open(self._stats_file(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}  # pre-stats version: no pruning, full correctness
 
     def _vacuum(self, keep: int = 2) -> None:
         """Drop version dirs no manifest in the keep-window references."""
@@ -246,14 +464,24 @@ class BucketedTable:
                 shutil.rmtree(full, ignore_errors=True)
             if name.startswith("manifest_") and int(name[9:-5]) <= cur - keep:
                 os.remove(full)
+            if name.startswith("filestats_") and int(name[10:-5]) <= cur - keep:
+                os.remove(full)
 
     # ---- reads ----------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, filters=None) -> DataFrame:
         """Read the current committed version, or time-travel to any older
         version whose manifest survives the vacuum window (`_vacuum` keeps
         the last `keep` manifests and every file they reference) — the
         manifest IS the snapshot, so file-level COW gives versionAsOf for
-        free, same contract as ManagedTable.read(version=)."""
+        free, same contract as ManagedTable.read(version=).
+
+        `filters=[(col, op, value), ...]` prunes twice before scanning:
+        (1) equality on the FULL bucket key resolves to one hash bucket —
+        the reference's compound-key point read (MongoDbService.cs:
+        254-258) touches 1/n_buckets of the table before a byte of data
+        is read; (2) per-file footer min-max skipping on any column
+        (see module header). The exact predicate is applied on top, so
+        rows are identical to read().filter(...)."""
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"table {self.path} has no committed version")
@@ -266,14 +494,63 @@ class BucketedTable:
             raise FileNotFoundError(
                 f"version {v} was vacuumed (manifest gone); current={cur}"
             ) from None
-        paths = [d for dirs in doc["buckets"].values() for d in dirs]
-        if not paths:  # fully-deleted table: empty frame with the last schema
-            from pyspark.sql.types import StructType
+        if not filters:
+            paths = [d for dirs in doc["buckets"].values() for d in dirs]
+            if not paths:  # fully-deleted table: empty frame, last schema
+                return self._empty_frame(doc)
+            return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+        checked = _validate_filters(filters)
+        keep = self._pruned_file_list(doc, v, checked)
+        residual = _filters_to_column(checked)
+        if not keep:
+            return self._empty_frame(doc)
+        return self.spark.read.parquet(*keep).drop(self.BUCKET_COL).filter(residual)
 
-            schema = StructType.fromJson(json.loads(doc["schema"]))
-            empty = self.spark.createDataFrame([], schema)
-            return empty.drop(self.BUCKET_COL) if self.BUCKET_COL in empty.columns else empty
-        return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+    def _empty_frame(self, doc: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        empty = self.spark.createDataFrame([], schema)
+        return empty.drop(self.BUCKET_COL) if self.BUCKET_COL in empty.columns else empty
+
+    def _bucket_for_values(self, doc: dict, values: dict) -> int:
+        """murmur3 bucket of a concrete key tuple, computed with the SAME
+        Spark hash expression — and the committed column TYPES, from the
+        manifest schema — the writer used to stamp rows (hash(int) !=
+        hash(long) in Spark, so literal types must match exactly)."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        lits = [F.lit(values[c]).cast(types[c]) for c in self.bucket_by]
+        row = (
+            self.spark.range(1)
+            .select(F.pmod(F.hash(*lits), F.lit(self.n_buckets)).alias("b"))
+            .collect()
+        )
+        return int(row[0]["b"])
+
+    def _pruned_file_list(self, doc: dict, version: int, checked: list[tuple]) -> list[str]:
+        buckets = doc["buckets"]
+        eq = {c: val for c, op, val in checked if op in ("=", "==")}
+        if doc.get("schema") and all(c in eq for c in self.bucket_by):
+            dirs = list(buckets.get(str(self._bucket_for_values(doc, eq)), []))
+        else:
+            dirs = [d for ds in buckets.values() for d in ds]
+        files = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+        return _prune_files(files, self._filestats(version), checked)
+
+    def pruned_files(self, filters, version: int | None = None) -> tuple[int, int]:
+        """(files kept, files total) a filtered read would touch."""
+        v = self.current_version() if version is None else version
+        doc = self._manifest_doc(v)
+        total = sum(
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for dirs in doc["buckets"].values()
+            for d in dirs
+        )
+        keep = self._pruned_file_list(doc, v, _validate_filters(filters))
+        return len(keep), total
 
     def _read_buckets(self, manifest: dict[str, list[str]], buckets: list[int]) -> DataFrame | None:
         paths = [d for b in buckets for d in manifest.get(str(b), [])]
