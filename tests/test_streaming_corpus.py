@@ -1,0 +1,175 @@
+"""Streaming corpus pipeline (streaming/corpus.py): the gate -> decontam
+-> dedup -> scrub -> split -> chunk chain on micro-batches must equal
+batch prepare_training_corpus on the union of the batches (ingest order
+= id order, the documented representative-choice caveat)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+    contamination_report,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+    prepare_training_corpus,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+    collect_benchmark_ngrams,
+    decontam_keep,
+    prepare_stream,
+)
+
+SCHEMA = "doc_id LONG, text STRING"
+
+def _prose(tag: str, n: int = 70) -> str:
+    """n distinct-ish words of ordinary prose: long enough for the Gopher
+    word-count floor, varied enough to dodge the repetition rules."""
+    return " ".join(
+        f"{tag}{i} carries ordinary narrative prose forward" for i in range(n // 6 + 1)
+    )
+
+
+BENCH_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+# b1 < b2 < b3 by id; the duplicate pair straddles b1/b3 with min id first
+B1 = [
+    {"doc_id": 0, "text": _prose("north")},
+    {"doc_id": 1, "text": "spam spam spam spam spam spam spam spam spam spam"},  # junk
+    {"doc_id": 2, "text": _prose("dup")},
+]
+B2 = [
+    {"doc_id": 3, "text": _prose("mail") + " contact someone@example.com for details"},
+    {"doc_id": 4, "text": _prose("leak") + " " + BENCH_TEXT},  # contaminated
+]
+B3 = [
+    {"doc_id": 5, "text": _prose("dup")},  # dup of 2
+    {"doc_id": 6, "text": _prose("south")},
+]
+ALL = B1 + B2 + B3
+
+
+@pytest.fixture(scope="module")
+def src(tmp_path_factory):
+    import os
+    import time
+
+    d = tmp_path_factory.mktemp("stream_corpus")
+    base = time.time()
+    # the file source orders micro-batches by modification time; same-
+    # second writes tie unpredictably, so stamp strictly increasing
+    # mtimes to pin ingest order = id order (the equivalence premise)
+    for i, (name, rows) in enumerate(
+        (("b1.json", B1), ("b2.json", B2), ("b3.json", B3))
+    ):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(d / name, (base + 10 * i, base + 10 * i))
+    return d
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+
+
+def _run_stream(spark, src, **kwargs):
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        prepare_stream(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("corpus_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("SELECT * FROM corpus_out")
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["split"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in df.collect()
+    )
+
+
+def test_stream_chain_equals_batch_pipeline(spark, src, bench):
+    got = _run_stream(
+        spark,
+        src,
+        benchmark_ngrams=collect_benchmark_ngrams(bench, n=8),
+        use_gopher_rules=True,
+    )
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ALL], SCHEMA
+    )
+    want = prepare_training_corpus(
+        batch_docs, benchmark=bench, decontam_n=8, use_gopher_rules=True
+    )
+    assert _rows(got) == _rows(want)
+    ids = {r[0] for r in _rows(got)}
+    assert 1 not in ids  # junk gated
+    assert 4 not in ids  # contaminated screened
+    assert 5 not in ids and 2 in ids  # cross-micro-batch dedup, first kept
+    assert {0, 3, 6} <= ids
+
+
+def test_stream_output_is_scrubbed_and_split(spark, src, bench):
+    got = _run_stream(
+        spark, src, benchmark_ngrams=collect_benchmark_ngrams(bench, n=8)
+    )
+    texts = " ".join(r["chunk_text"] for r in got.collect())
+    assert "@example.com" not in texts and "<EMAIL>" in texts
+    assert set(got.select("split").distinct().toPandas()["split"]) <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_decontam_keep_matches_batch_report(spark, bench):
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ALL] + [(99, None)], SCHEMA
+    )
+    ngrams = collect_benchmark_ngrams(bench, n=8)
+    for min_hits in (1, 2):
+        got = {
+            r["doc_id"]
+            for r in docs.filter(
+                decontam_keep(ngrams, "text", n=8, min_hits=min_hits)
+            ).collect()
+        }
+        report = contamination_report(docs, bench, n=8, min_hits=min_hits)
+        want = {
+            r["doc_id"] for r in report.filter(~F.col("contaminated")).collect()
+        }
+        # NULL-text doc yields no report row in batch but must be KEPT by
+        # the screen (0 hits), matching the batch decontaminate() verdict
+        want |= {99}
+        assert got == want, min_hits
+
+
+def test_empty_benchmark_set_keeps_everything(spark):
+    docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in ALL], SCHEMA)
+    assert docs.filter(decontam_keep([], "text")).count() == len(ALL)
+
+
+def test_oversized_benchmark_raises(spark, bench):
+    with pytest.raises(ValueError, match="max_ngrams"):
+        collect_benchmark_ngrams(bench, n=2, max_ngrams=3)
+
+
+def test_pre_dedup_stages_are_stateless(spark, src, bench):
+    """Everything ahead of (and after) the dedup operator must be a pure
+    projection/filter: exactly ONE stateful operator in the whole chain."""
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    plan = prepare_stream(
+        stream, benchmark_ngrams=collect_benchmark_ngrams(bench, n=8)
+    )._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Deduplicate") == 1

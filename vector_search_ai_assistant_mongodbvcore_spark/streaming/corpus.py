@@ -1,0 +1,170 @@
+"""The full corpus-prep chain on an unbounded document stream.
+
+Completes the streaming tier: batch `prepare_training_corpus`
+(operators/pipeline.py) produces trainer-ready chunk rows from a corpus
+at rest; this module produces the SAME rows from a continuous ingest
+stream. Stage-for-stage mapping:
+
+  batch stage                  streaming form                     state
+  exact_dedup (min-id keep)    dedup_stream (first-arrival keep)  keyed
+  decontaminate (bcast join)   decontam_keep column screen        none
+  quality gates                gate_stream (streaming/quality)    none
+  scrub_pii                    same column expression             none
+  assign_split                 same column expression             none
+  chunk_documents              same narrow explode                none
+
+Everything except dedup is a stateless projection/filter, so the chain
+is append-mode-safe with exactly ONE stateful operator (the dedup state
+store), and stages ahead of it shrink its input.
+
+The decontamination screen replaces the batch broadcast-join + keyed
+aggregation (not streamable in append mode — the per-doc hit count is
+an aggregation over an exploded stream) with a PER-ROW set intersection
+against the collected benchmark n-gram set: eval suites are MBs, so the
+distinct n-gram list is driver-collected once (same boundedness argument
+as the batch broadcast) and inlined as an array literal. Semantics are
+identical to contamination_report's verdict: distinct shared n-grams
+>= min_hits => dropped; NULL/empty-shingle docs are kept (0 hits).
+
+Ordering caveats vs batch (documented, pinned in tests):
+  * batch exact dedup keeps the MIN id per fingerprint; the stream keeps
+    the FIRST ARRIVAL. Equal when ingest order is id order (the common
+    append-log case); otherwise the kept representative differs but the
+    kept CONTENT set is identical.
+  * the quality gate runs BEFORE the dedup state store on the stream
+    (junk never enters state); both gates and the screen depend only on
+    text, so filter-then-dedup equals dedup-then-filter up to that same
+    representative choice.
+  * PII scrubbing runs AFTER dedup (as in batch): the dedup key is the
+    RAW text fingerprint, so docs differing only in scrubbed spans stay
+    distinct, exactly as exact_dedup sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.dedup import (
+    dedup_stream,
+    dedup_stream_watermarked,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.quality import gate_stream
+
+__all__ = ["collect_benchmark_ngrams", "decontam_keep", "prepare_stream"]
+
+
+def collect_benchmark_ngrams(
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_ngrams: int = 2_000_000,
+) -> list[str]:
+    """Driver-collect the benchmark's distinct n-gram set (the stream-side
+    analog of the batch broadcast). Raises if the set exceeds
+    `max_ngrams` — the boundedness assumption is part of the contract,
+    not a silent truncation."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        benchmark_ngrams,
+    )
+
+    rows = benchmark_ngrams(bench, text_col, id_col, n).limit(max_ngrams + 1).collect()
+    if len(rows) > max_ngrams:
+        raise ValueError(
+            f"benchmark n-gram set exceeds max_ngrams={max_ngrams}; "
+            "decontaminate in batch instead"
+        )
+    return [r["ng"] for r in rows]
+
+
+def decontam_keep(
+    bench_ngrams: list[str],
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> Column:
+    """Keep predicate: the doc shares fewer than `min_hits` distinct word
+    n-grams with the benchmark set. Pure column expression (array
+    intersection against a literal array) — append-mode-safe on a stream.
+    min_hits=1 uses arrays_overlap (early-exit membership probe); NULL
+    text has no shingles and is kept, matching contamination_report's
+    0-hit verdict."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    doc_ngs = F.array_distinct(TX.shingles(c, n))
+    bench_lit = F.array(*[F.lit(g) for g in bench_ngrams])
+    if not bench_ngrams:
+        return F.lit(True)
+    if min_hits == 1:
+        hit = F.arrays_overlap(doc_ngs, bench_lit)
+        return F.coalesce(~hit, F.lit(True))
+    hits = F.size(F.array_intersect(doc_ngs, bench_lit))
+    return F.coalesce(hits < F.lit(min_hits), F.lit(True))
+
+
+def prepare_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_gopher_rules: bool = True,
+    min_quality: float | None = None,
+    quality_model: dict | None = None,
+    min_classifier_prob: float = 0.5,
+    benchmark_ngrams: list[str] | None = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+    scrub: bool = True,
+    chunk_size: int = 32,
+    chunk_overlap: int = 8,
+    watermark_col: str | None = None,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Trainer-ready (id, split, chunk_id, n_tokens, chunk_text) rows from
+    a streaming (or batch — the plan is mode-agnostic) document frame.
+
+    Pass `benchmark_ngrams` from collect_benchmark_ngrams() to enable the
+    decontamination screen. `watermark_col` switches the dedup state store
+    to the watermark-bounded form (dedup_stream_watermarked) for infinite
+    streams; without it, state is one fingerprint per distinct doc."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        assign_split,
+    )
+
+    gated = gate_stream(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        use_gopher_rules=use_gopher_rules,
+        min_quality=min_quality,
+        quality_model=quality_model,
+        min_classifier_prob=min_classifier_prob,
+        scrub=False,  # scrub AFTER dedup: the dedup key is the raw text
+    )
+    if benchmark_ngrams is not None:
+        gated = gated.filter(
+            decontam_keep(benchmark_ngrams, text_col, decontam_n, decontam_min_hits)
+        )
+    if watermark_col is not None:
+        deduped = dedup_stream_watermarked(
+            gated, watermark_col, watermark_delay, text_col=text_col
+        )
+    else:
+        deduped = dedup_stream(gated, text_col=text_col)
+    if scrub:
+        deduped = deduped.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
+    labeled = assign_split(deduped, id_col=id_col, splits=splits, seed=seed)
+    chunks = chunk_documents(
+        labeled.select(id_col, text_col, "split"),
+        size=chunk_size,
+        overlap=chunk_overlap,
+        text_col=text_col,
+        id_col=id_col,
+        carry_cols=("split",),
+    )
+    return chunks.select(id_col, "split", "chunk_id", "n_tokens", "chunk_text")
