@@ -32,3 +32,14 @@ def test_prepare_run_end_to_end(spark, tmp_path):
     assert df.count() == summary["sequences"]
     assert {"input_ids", "n_toks", "split", "epoch"} <= set(df.columns)
     assert {r["epoch"] for r in df.select("epoch").distinct().collect()} == {0, 1}
+
+    # the run trains its own BPE tokenizer and the shard ids stay inside
+    # its vocab (unk id == vocab_size)
+    tok = manifest["tokenizer"]
+    assert tok["kind"] == "bpe" and os.path.exists(os.path.join(out, "tokenizer.json"))
+    model = json.load(open(os.path.join(out, "tokenizer.json")))
+    assert tok["vocab_size"] == len(model["vocab"])
+    from pyspark.sql import functions as F
+
+    mx = df.select(F.max(F.array_max("input_ids"))).collect()[0][0]
+    assert mx <= len(model["vocab"])

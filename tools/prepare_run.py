@@ -10,14 +10,24 @@ Stages (all deterministic; re-running reproduces byte-identical shards):
                               (benchmark = every 17th doc, standing in
                               for an eval suite) -> Gopher rule battery
                               -> PII scrub -> splits -> chunking
-  2. plan_curriculum          2-epoch anneal: uniform sources -> the
+  2. learn_bpe                train a BPE tokenizer ON the cleaned
+                              corpus (SPARK_GRAFT_BPE_MERGES merges,
+                              default 200; 0 disables and falls back to
+                              the engine splitter), then encode every
+                              chunk via bpe_encode_corpus — the
+                              distinct-term broadcast-join path, so the
+                              Python merge loop runs once per DISTINCT
+                              term, not per occurrence
+  3. plan_curriculum          2-epoch anneal: uniform sources -> the
                               top-half sources by token supply
-  3. export_curriculum_shards tokenize once, per-epoch mixture sample,
-                              pack to 256-token sequences, shard tree
-  4. manifest.json            corpus-level audit (domain_audit),
-                              tokenizer fertility, per-epoch mixture
-                              plans, shard counts — what a training run
-                              records next to its data path.
+  4. export_curriculum_shards pretokenized ids -> per-epoch mixture
+                              sample -> pack to 256-token sequences ->
+                              shard tree
+  5. manifest.json +          corpus-level audit (domain_audit),
+     tokenizer.json           tokenizer fertility, per-epoch mixture
+                              plans, shard counts, and the trained BPE
+                              model itself — the trainer needs the
+                              tokenizer that produced the ids.
 """
 
 from __future__ import annotations
@@ -69,7 +79,28 @@ def main() -> None:
     # (doc_id, split, chunk_id, n_tokens, chunk_text))
     chunks = chunks.join(docs.select("doc_id", "source"), "doc_id")
 
-    # 2. curriculum: uniform start -> token-rich half at the end
+    # 2. tokenizer: train BPE on the cleaned corpus, encode the chunks
+    # via the distinct-term broadcast join (bpe_encode_corpus)
+    bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "200"))
+    bpe_model = None
+    if bpe_merges > 0:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import (
+            bpe_encode_corpus,
+            learn_bpe,
+        )
+
+        bpe_model = learn_bpe(
+            corpus, num_merges=bpe_merges, max_terms=20_000
+        )
+        chunks = bpe_encode_corpus(
+            chunks,
+            bpe_model,
+            text_col="chunk_text",
+            key_cols=("doc_id", "chunk_id"),
+            out_col="_toks",
+        )
+
+    # 3. curriculum: uniform start -> token-rich half at the end
     avail = source_token_stats(corpus)
     ranked = sorted(avail, key=lambda s: -avail[s])
     rich = set(ranked[: max(1, len(ranked) // 2)])
@@ -78,7 +109,7 @@ def main() -> None:
     budget = max(1, sum(avail.values()) // 4)
     plans = plan_curriculum(avail, start, end, token_budget_per_epoch=budget, epochs=2)
 
-    # 3. shards
+    # 4. shards
     shards_dir = os.path.join(OUT, "shards")
     manifest_epochs = export_curriculum_shards(
         chunks,
@@ -87,14 +118,29 @@ def main() -> None:
         seq_len=256,
         stage_dir=os.path.join(OUT, "_stage"),
         group_size=64,
+        pretokenized=bpe_model is not None,
     )
 
-    # 4. manifest
+    # 5. manifest + tokenizer
+    os.makedirs(OUT, exist_ok=True)
+    tokenizer_info = {"kind": "engine-splitter"}
+    if bpe_model is not None:
+        tok_path = os.path.join(OUT, "tokenizer.json")
+        with open(tok_path, "w") as f:
+            json.dump(bpe_model, f)
+        tokenizer_info = {
+            "kind": "bpe",
+            "path": tok_path,
+            "num_merges": len(bpe_model["merges"]),
+            "vocab_size": len(bpe_model["vocab"]),
+            "unk_id": len(bpe_model["vocab"]),
+        }
     shards = [r.asDict() for r in shard_manifest(spark, shards_dir).collect()]
     manifest = {
         "source_dir": SF_DIR,
         "shards_dir": shards_dir,
         "seq_len": 256,
+        "tokenizer": tokenizer_info,
         "epochs": manifest_epochs,
         "domain_audit": [r.asDict() for r in domain_audit(corpus).collect()],
         "tokenizer_fertility": [
@@ -102,7 +148,6 @@ def main() -> None:
         ],
         "shards": shards,
     }
-    os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, "manifest.json")
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)

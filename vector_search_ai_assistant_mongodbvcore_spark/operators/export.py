@@ -229,6 +229,7 @@ def export_curriculum_shards(
     seed: int = 0,
     max_rows_per_shard: int = 100_000,
     tokenizer=None,
+    pretokenized: bool = False,
     **pack_kwargs,
 ) -> dict:
     """Curriculum training export: one shard tree where EACH EPOCH draws a
@@ -257,10 +258,17 @@ def export_curriculum_shards(
         sample_by_rates,
     )
 
-    tok = tokenizer if tokenizer is not None else tokenize
-    staged = chunks.select(
-        split_col, doc_col, chunk_col, source_col, tok(F.col(text_col)).alias("_toks")
-    ).withColumn("n_tokens", F.size("_toks"))
+    if pretokenized:
+        # chunks already carry `_toks` (e.g. vocab.bpe_encode_corpus's
+        # distinct-term broadcast-join encoding) — stage as-is
+        staged = chunks.select(
+            split_col, doc_col, chunk_col, source_col, "_toks"
+        ).withColumn("n_tokens", F.size("_toks"))
+    else:
+        tok = tokenizer if tokenizer is not None else tokenize
+        staged = chunks.select(
+            split_col, doc_col, chunk_col, source_col, tok(F.col(text_col)).alias("_toks")
+        ).withColumn("n_tokens", F.size("_toks"))
     staged.write.mode("overwrite").parquet(stage_dir)
     staged = chunks.sparkSession.read.parquet(stage_dir)
 

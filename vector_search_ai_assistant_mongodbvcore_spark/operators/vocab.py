@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions.text import words
 
-__all__ = ["term_stats", "top_vocab", "bpe_merge_candidates", "learn_bpe", "bpe_encode", "bpe_tokenize_col"]
+__all__ = [
+    "term_stats", "top_vocab", "bpe_merge_candidates", "learn_bpe",
+    "bpe_encode", "bpe_tokenize_col", "bpe_ids_col", "bpe_encode_corpus",
+    "bpe_vocab_ids", "bpe_unk_id", "bpe_decode_ids",
+]
 
 
 def term_stats(
@@ -260,3 +264,112 @@ def bpe_tokenize_col(model: dict, text_col) -> Column:
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return enc(c)
+
+
+def bpe_vocab_ids(model: dict) -> dict[str, int]:
+    """Stable symbol -> id mapping: the sorted training vocab indexed in
+    order, with id len(vocab) reserved for symbols assembled from
+    characters never seen in training (<unk>)."""
+    return {s: i for i, s in enumerate(model["vocab"])}
+
+
+def bpe_unk_id(model: dict) -> int:
+    return len(model["vocab"])
+
+
+def bpe_ids_col(model: dict, text_col) -> Column:
+    """array<int> BPE token ids for a text column — bpe_tokenize_col
+    composed with the vocab id map inside one Arrow batch (per-word memo,
+    model rides the closure). The per-row form: right for chunk-level
+    tokenizing behind a staging barrier (materialize_sequences runs it
+    ONCE per chunk); for whole-corpus encoding prefer bpe_encode_corpus,
+    which pays the merge loop only once per DISTINCT term."""
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as T
+
+    ids = bpe_vocab_ids(model)
+    unk = bpe_unk_id(model)
+
+    @_F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(texts):
+        cache: dict[str, list[int]] = {}
+
+        def one(t):
+            if t is None or not t.strip():
+                return []
+            out: list[int] = []
+            for w in t.strip().lower().split():
+                if w not in cache:
+                    cache[w] = [ids.get(s, unk) for s in bpe_encode(w, model)]
+                out.extend(cache[w])
+            return out
+
+        return texts.map(one)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return enc(c)
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    key_cols: "tuple[str, ...] | list[str]" = ("doc_id",),
+    out_col: str = "input_ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-scale BPE encoding: df's columns + `out_col` (array<int>).
+
+    The trick vocab training already uses, applied to inference (promised
+    at bpe_tokenize_col): the greedy merge loop is O(word_len * merges)
+    PYTHON work per word, so never pay it per occurrence — encode the
+    DISTINCT term table once (bounded: natural-language vocabularies are
+    millions of terms at web scale, MBs), then BROADCAST-join the encoded
+    terms back onto the position-exploded corpus and reassemble each
+    document's ids in word order.
+
+    Plan: one narrow posexplode -> distinct-term aggregate (the bounded
+    frame the Python UDF runs over) -> broadcast hash join (corpus side
+    streams map-side, no shuffle for the probe) -> one keyed aggregation
+    on `key_cols` (group size bounded by document word count). Rows whose
+    text has no words (NULL/empty) keep an empty id array — parity with
+    bpe_ids_col, pinned in tests.
+    """
+    keys = list(key_cols)
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    wp = df.select(
+        *keys, F.posexplode(words(F.coalesce(t, F.lit("")))).alias("_pos", "_term")
+    )
+    terms = wp.select(F.col("_term")).distinct()
+    enc = terms.withColumn("_ids", bpe_ids_col(model, F.col("_term")))
+    joined = wp.join(F.broadcast(enc), "_term")
+    docs = (
+        joined.groupBy(*keys)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_ids").alias("i")))
+                    ),
+                    lambda x: x["i"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return df.join(docs, keys, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    )
+
+
+def bpe_decode_ids(ids: "list[int]", model: dict) -> str:
+    """Round-trip helper: token ids -> whitespace-joined words. Inverse of
+    bpe_ids_col/bpe_encode_corpus on text whose characters the training
+    corpus covers (unk ids decode to the empty string and break the
+    round trip, by design)."""
+    vocab = model["vocab"]
+    eow = model["end_of_word"]
+    syms = [vocab[i] if 0 <= i < len(vocab) else "" for i in ids]
+    text = "".join(syms).replace(eow, " ")
+    return " ".join(text.split())
