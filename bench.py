@@ -30,7 +30,7 @@ BENCH_QUERIES = [
     "payload_concat_by_source",
     "text_stats",
     "dedup_corpus_exact",
-    "duplicated_ngram_stats",
+    "remove_duplicated_spans",
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
     "ann_topk",

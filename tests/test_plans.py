@@ -120,11 +120,12 @@ def test_document_chunks_narrow_plan(spark, reg):
     assert rep.python_evals == 0
 
 
-def test_duplicated_ngram_stats_linear_shuffles_no_python(spark, reg):
-    """Three linear keyed shuffles (shingle window, per-ngram agg, per-doc
-    rollup) plus aggregation fan-in — and never a Python node or a
-    cartesian/broadcast-nested-loop expansion."""
-    rep = _report(spark, reg, "duplicated_ngram_stats")
+def test_remove_duplicated_spans_linear_shuffles_no_python(spark, reg):
+    """Three linear keyed shuffles (shingle window, per-ngram min agg,
+    per-doc covered rollup) plus the id-keyed join back — and never a
+    Python node or a cartesian/broadcast-nested-loop expansion. (Shape
+    inherited from the retired duplicated_ngram_stats scoring form.)"""
+    rep = _report(spark, reg, "remove_duplicated_spans")
     assert rep.python_evals == 0
     assert "CartesianProduct" not in rep.raw
     assert "BroadcastNestedLoopJoin" not in rep.raw

@@ -171,3 +171,18 @@ def test_regional_revenue_matches_duckdb(spark):
         )
     }
     assert got == want
+
+
+def test_duplicated_ngram_stats_matches_duckdb(spark):
+    """Retired r8 (slot -> remove_duplicated_spans, its APPLY form with
+    the same three-linear-shuffle shape); the scoring form's full oracle
+    SQL stays pinned here."""
+    got = {
+        r.doc_id: (r.n_positions, r.dup_positions, round(r.dup_fraction, 9))
+        for r in Q.duplicated_ngram_stats_q(spark, SF).collect()
+    }
+    want = {
+        d: (np, dp, round(fr, 9))
+        for d, np, dp, fr in _duck(Q.DUPLICATED_NGRAM_STATS_SQL)
+    }
+    assert got == want

@@ -1120,9 +1120,19 @@ def contamination_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_sources(corpus, bench, n=_DECON_N)
 
 
-@register(
-    "duplicated_ngram_stats",
-    f"""
+def duplicated_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired r8 (slot -> remove_duplicated_spans, the APPLY form that
+    shares this query's three-linear-shuffle shape and strictly extends
+    it). Duplicated-substring signal (operators/dedup.py
+    duplicated_ngram_stats — the distributed stand-in for Lee et al. 2021
+    suffix-array dedup): per document, the fraction of word 8-gram
+    positions whose 8-gram also occurs in another document. DuckDB parity
+    stays pinned in tests/test_retired_queries.py."""
+    t = _tables(spark, sf_dir)
+    return DD.duplicated_ngram_stats(t["documents"], "text", "doc_id", n=8)
+
+
+DUPLICATED_NGRAM_STATS_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_w_sql(lower=True)} AS w FROM documents WHERE text IS NOT NULL
     ),
@@ -1137,18 +1147,74 @@ def contamination_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
     FROM tok JOIN x USING (ng)
     GROUP BY tok.doc_id
-    """,
-)
-def duplicated_ngram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated-substring signal (operators/dedup.py
-    duplicated_ngram_stats — the distributed stand-in for Lee et al. 2021
-    suffix-array dedup): per document, the fraction of word 8-gram
-    positions whose 8-gram also occurs in another document. Cross-doc
-    presence is min(id) != max(id) per n-gram — fully map-side-combinable,
-    no count-distinct expansion, no posting lists; three linear keyed
-    shuffles."""
+    """
+
+
+# positional variant of _shingle_sql: (pos, ng) with 0-based positions,
+# mirroring functions.text.exploded_shingles(with_pos=True) — short docs
+# (<= n words, incl. the empty-word-list padding) yield their full text
+# as ONE shingle at pos 0
+_SPAN_N = 8
+_SPAN_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_w_sql()} AS wo, {_w_sql(lower=True)} AS w
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(u.p AS INT) AS pos,
+             CASE WHEN len(w) <= {_SPAN_N} THEN array_to_string(w, ' ')
+                  ELSE array_to_string(w[u.p+1:u.p+{_SPAN_N}], ' ') END AS ng
+      FROM t, UNNEST(CASE WHEN len(w) <= {_SPAN_N} THEN [CAST(0 AS BIGINT)]
+                          ELSE range(0, len(w)-{_SPAN_N}+1) END) AS u(p)
+      WHERE text IS NOT NULL
+    ),
+    f1 AS (SELECT ng, min(doc_id) AS fi FROM tok GROUP BY ng),
+    f2 AS (
+      SELECT tok.ng, min(pos) AS fp
+      FROM tok JOIN f1 ON tok.ng = f1.ng AND tok.doc_id = f1.fi
+      GROUP BY tok.ng
+    ),
+    firsts AS (SELECT f1.ng, fi, fp FROM f1 JOIN f2 ON f1.ng = f2.ng),
+    dup AS (
+      SELECT tok.doc_id, range(pos, pos + {_SPAN_N}) AS span
+      FROM tok JOIN firsts USING (ng)
+      WHERE NOT (tok.doc_id = firsts.fi AND tok.pos = firsts.fp)
+    ),
+    cov AS (
+      SELECT doc_id, list_distinct(flatten(list(span))) AS cov
+      FROM dup GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.text,
+           CASE WHEN t.text IS NULL THEN NULL
+                -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                -- array_join([]) is '' (fully-removed and empty docs)
+                ELSE coalesce(array_to_string(
+                  list_transform(
+                    list_filter(range(0, len(wo)),
+                                j -> NOT list_contains(coalesce(cov, CAST([] AS BIGINT[])), j)),
+                    j -> wo[j+1]), ' '), '')
+           END AS clean_text,
+           CAST(coalesce(len(wo), 0) AS BIGINT) AS n_words,
+           CAST(len(list_filter(coalesce(cov, CAST([] AS BIGINT[])),
+                                p -> p < coalesce(len(wo), 0))) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cov USING (doc_id)
+    """
+
+
+@register("remove_duplicated_spans", _SPAN_ORACLE)
+def remove_duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.py remove_duplicated_spans
+    — the APPLY form of Lee et al. 2021, arXiv:2107.06499): every word
+    8-gram keeps exactly its first corpus occurrence (min (doc, pos));
+    every other occurrence's span is blanked and clean_text is the doc
+    with covered words dropped (original casing — word positions are
+    casing-invariant). Same three linear keyed shuffles as the retired
+    scoring form plus the id-keyed join back; nothing quadratic, no
+    posting list beyond the per-ngram 2-field min struct. The DuckDB twin
+    reproduces the positional shingles, the lexicographic (doc, pos)
+    argmin via a two-step min, and the covered-position word filter."""
     t = _tables(spark, sf_dir)
-    return DD.duplicated_ngram_stats(t["documents"], "text", "doc_id", n=8)
+    return DD.remove_duplicated_spans(t["documents"], "text", "doc_id", n=_SPAN_N)
 
 
 @register(
@@ -2239,8 +2305,10 @@ _ORDER = [
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
     "domain_audit",
-    # dedup family + training-corpus hygiene
-    "dedup_corpus_exact", "duplicated_ngram_stats",
+    # dedup family + training-corpus hygiene (duplicated_ngram_stats
+    # retired r8 -> slot for its APPLY form remove_duplicated_spans;
+    # DuckDB parity stays in tests/test_retired_queries.py)
+    "dedup_corpus_exact", "remove_duplicated_spans",
     "minhash_band_pairs", "ngram_jaccard_pairs", "dedup_corpus_neardup",
     "decontamination_report", "contamination_sources", "semantic_contamination",
     "packed_sequences", "training_shards", "dsir_importance_weights",
