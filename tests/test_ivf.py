@@ -362,3 +362,55 @@ def test_pq_index_build_and_search(spark, tables, tmp_path):
         for r in pq_idx.search(q, k=3, n_probe=4, id_col="vec_id").collect()
     ]
     assert got[0] == 99999
+
+
+def test_ivf_pq_multiprobe_recall_curve_on_clusters(spark, tmp_path):
+    """The round-7 gap: PQ recall was pinned only on near-uniform data.
+    Same orthogonal-cluster adversarial fixture as the plain-IVF curve
+    (bisector queries — the structural worst case for single-probe), but
+    the index stores PQ CODES and serves ADC with exact rerank: recall@10
+    must be monotone in n_probe, >= 0.9 at n_probe=2 of 4 with rerank,
+    and the no-rerank ADC candidates must still reach >= 0.7 at full
+    probe (coarse-by-design, per the search() contract)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.eval import (
+        evaluate_retrieval,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = np.zeros((4, 16))
+    for i in range(4):
+        centers[i, i] = 5.0
+    rows = []
+    for i in range(600):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.randn(16) * 0.3).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IvfIndex(spark, str(tmp_path)).build(
+        df, vector_col="embedding", num_lists=4, seed=2,
+        quantize="pq", pq_m=8, pq_bits=8, id_col="vec_id",
+    )
+    queries = []
+    for qi in range(8):
+        a, b = centers[qi % 4], centers[(qi + 1) % 4]
+        queries.append((qi, (a + b + rng.randn(16) * 0.05).tolist()))
+    qrels = spark.createDataFrame(
+        [(qi, doc, 1) for qi, q in queries for doc in _exact_ids(df, q, k=10)],
+        "query_id long, doc_id long, rel int",
+    )
+
+    def run(n_probe, rerank):
+        res = []
+        for qi, q in queries:
+            hits = idx.search(
+                q, k=10, n_probe=n_probe, id_col="vec_id",
+                exact_source=df if rerank else None,
+            ).collect()
+            res += [(qi, r["vec_id"], rank + 1) for rank, r in enumerate(hits)]
+        frame = spark.createDataFrame(res, "query_id long, doc_id long, rank int")
+        return evaluate_retrieval(frame, qrels, k=10).collect()[0]["recall_at_10"]
+
+    r1, r2, r4 = run(1, True), run(2, True), run(4, True)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r2 >= 0.9, (r1, r2, r4)
+    assert r1 < 0.9  # the straddle still stresses single-probe through PQ
+    assert run(4, False) >= 0.7  # raw ADC candidates: coarse but usable
