@@ -43,3 +43,17 @@ def test_prepare_run_end_to_end(spark, tmp_path):
 
     mx = df.select(F.max(F.array_max("input_ids"))).collect()[0][0]
     assert mx <= len(model["vocab"])
+
+    # the output dir carries a self-describing dataset card whose run
+    # sections agree with the manifest
+    card = open(os.path.join(out, "DATACARD.md")).read()
+    for section in (
+        "## Domain audit", "## PII incidence", "## Tokenizer fertility",
+        "## Training run", "### Per-epoch mixture",
+    ):
+        assert section in card, section
+    assert f"{summary['sequences']} sequences" in card
+    assert f"{tok['num_merges']} merges" in card
+    for e, plan in manifest["epochs"].items():
+        for src, rate in plan["rates"].items():
+            assert f"| {e} | {src} | {rate:.4f}" in card, (e, src)

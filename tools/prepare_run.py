@@ -37,6 +37,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # dataset_card
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vsai_training_run"
@@ -152,6 +153,41 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
     n_seqs = sum(s.get("n_sequences", 0) for s in shards)
+
+    # 6. dataset card next to the shard tree: the corpus profile (every
+    # number from an engine operator) + this run's manifest sections, so
+    # the artifact a trainer receives is self-describing
+    from dataset_card import build_card
+
+    card = build_card(spark, corpus, f"{SF_DIR}/documents.parquet")
+    card += [
+        "",
+        "## Training run (this shard tree)",
+        "",
+        f"* shards: `{shards_dir}` — {len(shards)} files, {n_seqs} sequences"
+        f" of seq_len {manifest['seq_len']}",
+        f"* tokenizer: {tokenizer_info['kind']}"
+        + (
+            f" ({tokenizer_info['num_merges']} merges, vocab"
+            f" {tokenizer_info['vocab_size']}, unk {tokenizer_info['unk_id']})"
+            if tokenizer_info["kind"] == "bpe"
+            else ""
+        ),
+        "",
+        "### Per-epoch mixture (plan_curriculum)",
+        "",
+        "| epoch | source | rate | expected tokens | shortfall |",
+        "|---|---|---|---|---|",
+    ]
+    for e, plan in sorted(manifest_epochs.items()):
+        for src in sorted(plan["rates"]):
+            card.append(
+                f"| {e} | {src} | {plan['rates'][src]:.4f}"
+                f" | {plan['expected_tokens'].get(src, 0)}"
+                f" | {plan['shortfall'].get(src, 0)} |"
+            )
+    with open(os.path.join(OUT, "DATACARD.md"), "w") as f:
+        f.write("\n".join(card) + "\n")
     print(
         json.dumps(
             {"out": OUT, "shard_files": len(shards), "sequences": n_seqs,
