@@ -188,3 +188,48 @@ def test_bucketed_empty_prune_returns_schema(bucketed):
     got = bucketed.read(filters=[("k", ">", 10_000)])
     assert got.count() == 0
     assert set(got.columns) == {"k", "user", "cat"}
+
+
+def test_bucketed_delete_where_rewrites_only_matching_buckets(spark, bucketed):
+    # append a batch confined to ONE bucket (single user) with a k range
+    # far above everything else: the only files admitting k >= 5000 live
+    # in u7's bucket, so stats-based pruning must rewrite exactly that
+    # bucket and carry every other bucket's dir list forward verbatim
+    extra = spark.range(5000, 5100).select(
+        F.col("id").alias("k"), F.lit("u7").alias("user"), F.lit(0).alias("cat")
+    )
+    bucketed.append(extra)
+    before = bucketed._manifest()
+    n_before = bucketed.read().count()
+    v = bucketed.delete_where([("k", ">=", 5000)])
+    after = bucketed._manifest(v)
+    # parity with a full-scan predicate delete
+    assert bucketed.read().count() == n_before - 100
+    assert bucketed.read().filter(F.col("k") >= 5000).count() == 0
+    rewritten = [b for b in before if before[b] != after[b]]
+    untouched = [b for b in before if before[b] == after[b]]
+    assert len(rewritten) == 1, (rewritten, untouched)
+    assert len(untouched) == bucketed.n_buckets - 1
+    # and the untouched rows are byte-for-byte still there
+    assert bucketed.read().filter(F.col("k") < 1000).count() == 1000
+
+
+def test_bucketed_delete_where_no_match_is_zero_io(spark, bucketed):
+    cur = bucketed.current_version()
+    v = bucketed.delete_where([("k", ">", 10_000)])
+    assert v == cur  # no version bump, nothing rewritten
+    assert bucketed.read().count() == 1000
+
+
+def test_delete_where_null_semantics_match_delete(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "btnull"), ["k"], n_buckets=4)
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else i * 10) for i in range(30)],
+        "k long, v long",
+    )
+    t.overwrite(df)
+    t.delete_where([("v", ">=", 100)])
+    kept = sorted(r["k"] for r in t.read().collect())
+    # NULL v rows are KEPT (predicate evaluates NULL), matching delete()
+    want = sorted(i for i in range(30) if i % 3 == 0 or i * 10 < 100)
+    assert kept == want

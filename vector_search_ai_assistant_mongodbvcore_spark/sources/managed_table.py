@@ -644,15 +644,53 @@ class BucketedTable:
         return self._commit(manifest, v, "compact")
 
     def delete(self, predicate) -> int:
-        """S6: arbitrary-predicate delete — no key to prune on, so this one
-        IS a full rewrite (Delta without stats pays the same; predicate
-        deletes on huge tables want a partition/zorder column instead)."""
+        """S6: arbitrary-predicate delete with an opaque Column — no way to
+        consult stats, so this form IS a full rewrite. Express the
+        predicate as a (col, op, value) filter list and call delete_where
+        to pay only for the buckets that can contain matches."""
         target = self.read()
         v = self.current_version() + 1
         written = self._write_version(
             self._with_bucket(target.filter(~predicate | predicate.isNull())), v
         )
         return self._commit({str(b): [d] for b, d in written.items()}, v, "delete")
+
+    def delete_where(self, filters) -> int:
+        """S6 at scale: predicate delete that rewrites ONLY the buckets
+        whose footer stats admit a match (min-max skipping applied to the
+        WRITE side — the Delta "DELETE touches only matching files"
+        behavior the plain delete() docstring used to concede was
+        missing). `filters` is the same (col, op, value) conjunction
+        read() takes; buckets where every file's range excludes the
+        predicate carry their dir lists forward untouched. Semantics are
+        identical to delete(_filters_to_column(filters)): rows matching
+        the FULL conjunction are removed, NULL-evaluating rows are kept."""
+        if not self.exists():
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        checked = _validate_filters(filters)
+        cur = self.current_version()
+        manifest = {k: list(v) for k, v in self._manifest().items()}
+        stats = self._filestats(cur)
+        affected = []
+        for b, dirs in manifest.items():
+            files = [
+                f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+            ]
+            if any(
+                all(_file_may_match(stats.get(f), c, o, val) for c, o, val in checked)
+                for f in files
+            ):
+                affected.append(int(b))
+        if not affected:
+            return cur  # nothing can match: zero IO, version unchanged
+        predicate = _filters_to_column(checked)
+        old = self._read_buckets(manifest, sorted(affected))
+        remaining = old.filter(~predicate | predicate.isNull())
+        v = cur + 1
+        written = self._write_version(self._with_bucket(remaining), v)
+        for b in affected:
+            manifest[str(b)] = [written[b]] if b in written else []
+        return self._commit(manifest, v, "delete-where")
 
 
 class TransactionalWriter:
