@@ -233,3 +233,40 @@ def test_delete_where_null_semantics_match_delete(spark, tmp_path):
     # NULL v rows are KEPT (predicate evaluates NULL), matching delete()
     want = sorted(i for i in range(30) if i % 3 == 0 or i * 10 < 100)
     assert kept == want
+
+
+def test_cluster_by_makes_skipping_effective(spark, tmp_path):
+    """Unsorted appends leave every file spanning the full k range (no
+    pruning); cluster_by rewrites each bucket into range-contiguous
+    files, after which the same query touches a fraction of them —
+    identical rows before and after (the OPTIMIZE ZORDER contract)."""
+    t = BucketedTable(spark, str(tmp_path / "cb"), ["user"], n_buckets=4)
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(2000))
+    rng.shuffle(ks)
+    for batch in range(4):
+        chunk = ks[batch * 500 : (batch + 1) * 500]
+        df = spark.createDataFrame(
+            [(k, f"u{k % 10}", k % 3) for k in chunk], "k long, user string, cat long"
+        )
+        (t.overwrite if batch == 0 else t.append)(df)
+
+    filt = [("k", ">=", 100), ("k", "<", 200)]
+    kept_before, total_before = t.pruned_files(filt)
+    want = _ids(t.read().filter((F.col("k") >= 100) & (F.col("k") < 200)))
+    assert kept_before == total_before  # shuffled appends: nothing prunes
+
+    t.cluster_by(["k"], files_per_bucket=4)
+    kept_after, total_after = t.pruned_files(filt)
+    assert total_after >= 8  # buckets actually split into multiple files
+    assert kept_after < total_after / 2, (kept_after, total_after)
+    assert _ids(t.read(filters=filt)) == want  # rows identical
+    assert t.read().count() == 2000  # nothing lost
+
+    # clustering composes with delete_where: the range delete now
+    # rewrites only the buckets holding matching files
+    v = t.delete_where([("k", ">=", 1900)])
+    assert t.read().count() == 1900
+    assert t.read().filter(F.col("k") >= 1900).count() == 0

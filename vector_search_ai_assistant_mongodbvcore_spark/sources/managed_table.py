@@ -643,6 +643,56 @@ class BucketedTable:
             manifest[str(b)] = [written[b]] if b in written else []
         return self._commit(manifest, v, "compact")
 
+    def cluster_by(self, cols: list[str], files_per_bucket: int = 4) -> int:
+        """Maintenance (the OPTIMIZE ZORDER analog, linear form): rewrite
+        every bucket range-ordered on `cols`, split into ~files_per_bucket
+        range-contiguous files — each file then holds a tight disjoint
+        min-max range, so read(filters=...)/delete_where prune on those
+        columns even after arbitrary unsorted appends (whose per-file
+        ranges all overlap and prune nothing). Also subsumes compact():
+        each bucket collapses to a fresh dir list. Semantics-preserving,
+        committed as a normal version.
+
+        Every bucket is rewritten (clustering is a layout change, not an
+        edit), but each bucket rewrites independently — at warehouse
+        scale this is the periodic job that follows append bursts, same
+        cadence as compact(). Single-column clustering covers the
+        engine's predicate shapes; true multi-column Z-curves need an
+        interleaved-bits key, which `cols` ordering approximates
+        lexicographically."""
+        if not self.exists():
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        if files_per_bucket <= 0:
+            raise ValueError(f"files_per_bucket must be positive, got {files_per_bucket}")
+        manifest = {k: list(v) for k, v in self._manifest().items()}
+        todo = sorted(int(b) for b, dirs in manifest.items() if dirs)
+        if not todo:
+            return self.current_version()
+        old = self._read_buckets(manifest, todo)
+        rows = old.count()
+        per_file = max(1, rows // (self.n_buckets * files_per_bucket))
+        v = self.current_version() + 1
+        stamped = self._with_bucket(old)
+        target = os.path.join(self.path, f"v_{v}")
+        (
+            # sorted within each bucket partition + maxRecordsPerFile:
+            # the writer chops the SORTED stream into consecutive chunks,
+            # so every emitted file is a contiguous range of `cols`
+            stamped.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+            .sortWithinPartitions(self.BUCKET_COL, *cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", per_file)
+            .partitionBy(self.BUCKET_COL)
+            .parquet(target)
+        )
+        written = {}
+        for name in os.listdir(target):
+            if name.startswith(f"{self.BUCKET_COL}="):
+                written[int(name.split("=", 1)[1])] = os.path.join(target, name)
+        for b in todo:
+            manifest[str(b)] = [written[b]] if b in written else []
+        return self._commit(manifest, v, f"cluster-by:{','.join(cols)}")
+
     def delete(self, predicate) -> int:
         """S6: arbitrary-predicate delete with an opaque Column — no way to
         consult stats, so this form IS a full rewrite. Express the
