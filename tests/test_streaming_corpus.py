@@ -173,3 +173,46 @@ def test_pre_dedup_stages_are_stateless(spark, src, bench):
         stream, benchmark_ngrams=collect_benchmark_ngrams(bench, n=8)
     )._jdf.queryExecution().analyzed().toString()
     assert plan.count("Deduplicate") == 1
+
+
+def test_watermarked_chain_bounds_state_and_dedups(spark, tmp_path):
+    """prepare_stream(watermark_col=...) routes dedup through the
+    watermark-bounded state store: a duplicate arriving within the delay
+    is dropped and the chain still emits trainer-ready chunk rows."""
+    import os
+    import time
+
+    d = tmp_path / "wm_docs"
+    d.mkdir()
+    base_ts = "2026-01-01T10:{m:02d}:00.000Z"
+    batches = [
+        [{"doc_id": 0, "text": _prose("alpha"), "ts": base_ts.format(m=0)}],
+        [{"doc_id": 1, "text": _prose("alpha"), "ts": base_ts.format(m=5)}],  # dup, inside delay
+        [{"doc_id": 2, "text": _prose("beta"), "ts": base_ts.format(m=9)}],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        prepare_stream(stream, watermark_col="ts", watermark_delay="30 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_corpus_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM wm_corpus_out")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {0, 2}  # dup of 0 dropped within the watermark horizon
+    assert {"doc_id", "split", "chunk_id", "n_tokens", "chunk_text"} == set(got.columns)
