@@ -270,3 +270,38 @@ def test_cluster_by_makes_skipping_effective(spark, tmp_path):
     v = t.delete_where([("k", ">=", 1900)])
     assert t.read().count() == 1900
     assert t.read().filter(F.col("k") >= 1900).count() == 0
+
+
+def test_oversized_strings_disable_column_stats(spark, tmp_path):
+    """Parquet writers drop min/max for oversized string values. A file
+    mixing a stats-bearing row group with a stats-dropped one must NOT
+    prune on that column (the dropped group's values could match), while
+    still pruning on healthy columns."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _collect_parquet_stats,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "bigstr"))
+    big = "z" * 10_000
+    df = spark.createDataFrame(
+        [(i, ("s%03d" % i) if i < 50 else big + str(i)) for i in range(100)],
+        "k long, s string",
+    )
+    # one file: first half short strings (stats written), second half
+    # oversized (stats dropped) — row-group layout depends on the writer,
+    # so assert the SAFETY property rather than the layout: either the
+    # column has no stats entry at all, or pruning still keeps the file
+    t.overwrite(df.coalesce(1).sortWithinPartitions("k"))
+    stats = _collect_parquet_stats(t._version_files(t._data_dir(0)))
+    for fstat in stats.values():
+        scol = fstat["cols"].get("s")
+        if scol is not None:
+            # if stats survived, they must cover the oversized values
+            # (i.e. the writer kept min/max for them) — then pruning on
+            # a big-suffix probe must keep the file
+            assert scol["min"] <= big + "50"
+    probe = big + "73"
+    got = t.read(filters=[("s", "=", probe)])
+    assert [r["k"] for r in got.collect()] == [73]
+    # healthy integer column still prunes normally
+    assert t.read(filters=[("k", "=", 7)]).count() == 1

@@ -110,6 +110,18 @@ def main() -> None:
         "cap_per_source": lambda d: cap_per_group(
             d, "source", n=100, presample=True
         ).write.format("noop").mode("overwrite").save(),
+        # replication multiplies every n-gram's occurrence count Nx — the
+        # worst case for the per-ngram min aggregate AND the per-doc
+        # covered-position rollup (every copy's spans are duplicated)
+        "remove_spans": lambda d: DD.remove_duplicated_spans(d, "text", "doc_id", n=5)
+        .write.format("noop").mode("overwrite").save(),
+        # model trained ONCE on the 1x corpus (frozen, like PQ codebooks);
+        # encoding pays the distinct-term UDF + broadcast join + per-doc
+        # reassembly — replication grows occurrences Nx but distinct terms
+        # stay ~flat, the asymmetry the join-back trick exists for
+        "bpe_encode": lambda d: bpe_encode_corpus(d, bpe_model)
+        .select("doc_id", F.size("input_ids").alias("n"))
+        .write.format("noop").mode("overwrite").save(),
     }
 
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
@@ -122,7 +134,13 @@ def main() -> None:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import cap_per_group
     from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import top_vocab
 
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import (
+        bpe_encode_corpus,
+        learn_bpe,
+    )
+
     bench_docs = docs1.filter(F.col("doc_id") % 17 == 0)
+    bpe_model = learn_bpe(docs1, num_merges=100, max_terms=10_000)
 
     def _decontam(d):
         return contamination_report(d, bench_docs, n=5)

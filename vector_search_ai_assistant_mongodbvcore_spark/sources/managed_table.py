@@ -107,8 +107,13 @@ def _collect_parquet_stats(files: list[str]) -> dict[str, dict]:
                         continue
                     entry["min"] = mn if entry["min"] is None else min(entry["min"], mn)
                     entry["max"] = mx if entry["max"] is None else max(entry["max"], mx)
-                # has_min_max False with null_count == rg rows is the
-                # all-null case: min/max stay None, still prunable
+                elif st.null_count < rgm.num_rows:
+                    # NON-NULL values with no min/max (writers drop stats
+                    # for oversized strings): treating the OTHER row
+                    # groups' range as file-wide would prune files that
+                    # hold matches — the column is unindexable here
+                    unusable.add(name)
+                # else: all-null row group — min/max stay None, prunable
         out[path] = {
             "rows": md.num_rows,
             "cols": {k: v for k, v in cols.items() if k not in unusable},
