@@ -120,3 +120,34 @@ def test_train_encode_pack_shard_conserves_tokens(spark, tmp_path, docs, model):
     for d, want_ids in per_doc.items():
         norm = " ".join(texts[d].strip().lower().split())
         assert vocab.bpe_decode_ids(want_ids, model) == norm
+
+
+def test_case_sensitive_model_encodes_case_sensitively(spark):
+    """lowercase=False is recorded in the model and honored by every
+    encoder: case-preserved terms encode against the case-sensitive
+    vocab (round-8 review finding: the per-term UDF used to lowercase
+    unconditionally, sending every cased word to unk)."""
+    docs = spark.createDataFrame(
+        [(0, "Hello World"), (1, "hello world"), (2, "HELLO")],
+        "doc_id long, text string",
+    )
+    model = vocab.learn_bpe(docs, num_merges=30, lowercase=False)
+    assert model["lowercase"] is False
+    got = {
+        r["doc_id"]: r["input_ids"]
+        for r in vocab.bpe_encode_corpus(docs, model).collect()
+    }
+    unk = vocab.bpe_unk_id(model)
+    for ids in got.values():
+        assert ids and unk not in ids  # every cased variant was trained on
+    assert got[0] != got[1]  # casing distinguishes encodings
+    assert vocab.bpe_decode_ids(got[0], model) == "Hello World"
+    assert vocab.bpe_decode_ids(got[2], model) == "HELLO"
+    # and the per-row UDF form agrees
+    udf = {
+        r["doc_id"]: r["ids"]
+        for r in docs.select(
+            "doc_id", vocab.bpe_ids_col(model, "text").alias("ids")
+        ).collect()
+    }
+    assert udf == got

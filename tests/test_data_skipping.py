@@ -305,3 +305,8 @@ def test_oversized_strings_disable_column_stats(spark, tmp_path):
     assert [r["k"] for r in got.collect()] == [73]
     # healthy integer column still prunes normally
     assert t.read(filters=[("k", "=", 7)]).count() == 1
+
+
+def test_delete_where_rejects_empty_filters(spark, bucketed):
+    with pytest.raises(ValueError, match="non-empty"):
+        bucketed.delete_where([])

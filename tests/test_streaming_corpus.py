@@ -216,3 +216,31 @@ def test_watermarked_chain_bounds_state_and_dedups(spark, tmp_path):
     ids = {r["doc_id"] for r in got.collect()}
     assert ids == {0, 2}  # dup of 0 dropped within the watermark horizon
     assert {"doc_id", "split", "chunk_id", "n_tokens", "chunk_text"} == set(got.columns)
+
+
+def test_broadcast_set_path_matches_literal_path(spark, bench, monkeypatch):
+    """Above _LITERAL_PROBE_MAX the screen switches from the literal-array
+    probe to a broadcast-set Arrow UDF — verdicts must be identical
+    (forced here by shrinking the threshold to 0)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming import corpus as C
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ALL] + [(99, None)], SCHEMA
+    )
+    ngrams = collect_benchmark_ngrams(bench, n=8)
+    for min_hits in (1, 2):
+        lit_ids = {
+            r["doc_id"]
+            for r in docs.filter(
+                decontam_keep(ngrams, "text", n=8, min_hits=min_hits)
+            ).collect()
+        }
+        monkeypatch.setattr(C, "_LITERAL_PROBE_MAX", 0)
+        udf_ids = {
+            r["doc_id"]
+            for r in docs.filter(
+                C.decontam_keep(ngrams, "text", n=8, min_hits=min_hits)
+            ).collect()
+        }
+        monkeypatch.undo()
+        assert lit_ids == udf_ids, min_hits

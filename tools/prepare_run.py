@@ -80,8 +80,10 @@ def main() -> None:
     # (doc_id, split, chunk_id, n_tokens, chunk_text))
     chunks = chunks.join(docs.select("doc_id", "source"), "doc_id")
 
-    # 2. tokenizer: train BPE on the cleaned corpus, encode the chunks
-    # via the distinct-term broadcast join (bpe_encode_corpus)
+    # 2. tokenizer: train BPE on the CLEANED corpus (the chunk text —
+    # post dedup/decontam/gopher/PII-scrub, so no scrubbed PII string can
+    # become a vocab entry in the shipped tokenizer.json), then encode
+    # the same chunks via the distinct-term broadcast join
     bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "200"))
     bpe_model = None
     if bpe_merges > 0:
@@ -91,7 +93,8 @@ def main() -> None:
         )
 
         bpe_model = learn_bpe(
-            corpus, num_merges=bpe_merges, max_terms=20_000
+            chunks, num_merges=bpe_merges, max_terms=20_000,
+            id_col="doc_id", text_col="chunk_text",
         )
         chunks = bpe_encode_corpus(
             chunks,
@@ -129,12 +132,20 @@ def main() -> None:
         tok_path = os.path.join(OUT, "tokenizer.json")
         with open(tok_path, "w") as f:
             json.dump(bpe_model, f)
+        # fertility of the tokenizer that ACTUALLY produced the shard ids
+        # (the per-language tokenizer_fertility section below uses the
+        # engine splitter and is labeled as such — a trainer planning
+        # token budgets must use this number, not that one)
+        fert = chunks.agg(
+            F.sum(F.size("_toks")).alias("t"), F.sum("n_tokens").alias("w")
+        ).first()
         tokenizer_info = {
             "kind": "bpe",
             "path": tok_path,
             "num_merges": len(bpe_model["merges"]),
             "vocab_size": len(bpe_model["vocab"]),
             "unk_id": len(bpe_model["vocab"]),
+            "bpe_tokens_per_word": round(fert["t"] / max(fert["w"], 1), 4),
         }
     shards = [r.asDict() for r in shard_manifest(spark, shards_dir).collect()]
     manifest = {
@@ -144,6 +155,10 @@ def main() -> None:
         "tokenizer": tokenizer_info,
         "epochs": manifest_epochs,
         "domain_audit": [r.asDict() for r in domain_audit(corpus).collect()],
+        # per-language fertility of the ENGINE SPLITTER (corpus-profile
+        # diagnostic); the BPE fertility for the shard ids is
+        # tokenizer.bpe_tokens_per_word above
+        "tokenizer_fertility_kind": "engine-splitter",
         "tokenizer_fertility": [
             r.asDict() for r in tokenizer_fertility(corpus).collect()
         ],
@@ -159,7 +174,7 @@ def main() -> None:
     # the artifact a trainer receives is self-describing
     from dataset_card import build_card
 
-    card = build_card(spark, corpus, f"{SF_DIR}/documents.parquet")
+    card = build_card(corpus, f"{SF_DIR}/documents.parquet")
     card += [
         "",
         "## Training run (this shard tree)",

@@ -93,6 +93,11 @@ def _summarize(progress: list[dict], rows: int) -> dict:
     # every action re-scans the file source, so the progress metric
     # multiple-counts input rows
     trig_ms = [p["durationMs"]["triggerExecution"] for p in progress]
+    if not trig_ms:
+        # recentProgress buffer evicted every input batch (or nothing was
+        # ingested): report the anomaly instead of dying on a division
+        return {"micro_batches": 0, "rows": rows, "rows_per_sec": None,
+                "batch_latency_ms": None}
     total_s = sum(trig_ms) / 1000.0
     return {
         "micro_batches": len(progress),

@@ -97,6 +97,7 @@ def fit_pq(
     seed: int = 42,
     max_sample: int = 100_000,
     iters: int = 20,
+    overshoot_sigmas: float = 6.0,
 ) -> dict:
     """Fit per-subspace codebooks on a bounded deterministic sample.
 
@@ -106,10 +107,13 @@ def fit_pq(
     The sample is the smallest-bucket prefix under the stage-namespaced
     md5 hash (id tiebreak) — a uniform draw, stable across runs and
     partitionings, never a full collect: the only driver transfer is
-    <= max_sample vectors. A keep-rate prefilter bounds the sort input;
-    if the over-draw randomly undershoots min(n, max_sample) survivors
-    the fit raises (deterministically) instead of silently training
-    codebooks on a thinner sample.
+    <= max_sample vectors. A keep-rate prefilter bounds the sort input
+    with an overshoot margin of `overshoot_sigmas` binomial standard
+    deviations (same guard as splits.cap_per_group; failure probability
+    ~1e-9 at the default 6); if the margin still randomly undershoots
+    min(n, max_sample) survivors the fit raises (deterministically,
+    naming the knob) instead of silently training codebooks on a
+    thinner sample.
     """
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import split_bucket
 
@@ -123,13 +127,16 @@ def fit_pq(
         # exact bucket-order truncation keeps the sample deterministic
         # AND equal to the global smallest-bucket prefix whenever enough
         # rows survive (checked below)
-        rate = min(1.0, (max_sample * 1.2) / n)
+        import math as _math
+
+        want = max_sample + overshoot_sigmas * _math.sqrt(max_sample) + 10
+        rate = min(1.0, want / n)
         clean = clean.filter(bucket < int(rate * (1 << 32)))
         survivors = clean.count()
         if survivors < min(n, max_sample):
             raise ValueError(
                 f"pq sample prefilter undershoot ({survivors} < "
-                f"{min(n, max_sample)}); raise the over-draw margin"
+                f"{min(n, max_sample)}); raise overshoot_sigmas"
             )
     rows = (
         clean.select(id_col, vector_col)

@@ -172,7 +172,10 @@ def learn_bpe(
     training is deterministic) and rewrites the term table in place.
 
     Returns {"merges": [[a, b], ...], "vocab": sorted symbol list,
-    "end_of_word": marker} — feed to bpe_encode / bpe_tokenize_col.
+    "end_of_word": marker, "lowercase": flag} — feed to bpe_encode /
+    bpe_tokenize_col / bpe_ids_col / bpe_encode_corpus (the encoders read
+    the lowercase flag from the model, so a case-sensitive vocabulary is
+    encoded case-sensitively).
     """
     if num_merges <= 0:
         raise ValueError(f"num_merges must be positive, got {num_merges}")
@@ -213,7 +216,12 @@ def learn_bpe(
         words = new_words
 
     vocab = sorted({s for syms in words for s in syms} | {m[0] + m[1] for m in merges})
-    return {"merges": merges, "vocab": vocab, "end_of_word": end_of_word}
+    return {
+        "merges": merges,
+        "vocab": vocab,
+        "end_of_word": end_of_word,
+        "lowercase": lowercase,
+    }
 
 
 def bpe_encode(word: str, model: dict) -> list[str]:
@@ -245,6 +253,8 @@ def bpe_tokenize_col(model: dict, text_col) -> Column:
     from pyspark.sql import functions as _F
     from pyspark.sql import types as T
 
+    lower = model.get("lowercase", True)
+
     @_F.pandas_udf(T.ArrayType(T.StringType()))
     def enc(texts):  # no annotations: local 'pd' names don't resolve
         # under `from __future__ import annotations`
@@ -254,7 +264,8 @@ def bpe_tokenize_col(model: dict, text_col) -> Column:
             if t is None or not t.strip():
                 return []
             out: list[str] = []
-            for w in t.strip().lower().split():
+            src = t.strip().lower() if lower else t.strip()
+            for w in src.split():
                 if w not in cache:
                     cache[w] = bpe_encode(w, model)
                 out.extend(cache[w])
@@ -289,6 +300,7 @@ def bpe_ids_col(model: dict, text_col) -> Column:
 
     ids = bpe_vocab_ids(model)
     unk = bpe_unk_id(model)
+    lower = model.get("lowercase", True)
 
     @_F.pandas_udf(T.ArrayType(T.IntegerType()))
     def enc(texts):
@@ -298,7 +310,8 @@ def bpe_ids_col(model: dict, text_col) -> Column:
             if t is None or not t.strip():
                 return []
             out: list[int] = []
-            for w in t.strip().lower().split():
+            src = t.strip().lower() if lower else t.strip()
+            for w in src.split():
                 if w not in cache:
                     cache[w] = [ids.get(s, unk) for s in bpe_encode(w, model)]
                 out.extend(cache[w])
@@ -316,7 +329,6 @@ def bpe_encode_corpus(
     text_col: str = "text",
     key_cols: "tuple[str, ...] | list[str]" = ("doc_id",),
     out_col: str = "input_ids",
-    lowercase: bool = True,
 ) -> DataFrame:
     """Corpus-scale BPE encoding: df's columns + `out_col` (array<int>).
 
@@ -337,7 +349,11 @@ def bpe_encode_corpus(
     """
     keys = list(key_cols)
     t = F.col(text_col)
-    if lowercase:
+    if model.get("lowercase", True):
+        # casing is a property of the TRAINED MODEL (learn_bpe records
+        # it): a case-sensitive vocab must see case-preserved terms, and
+        # a lowercased vocab must never receive case-variant duplicates
+        # that bloat the distinct-term table
         t = F.lower(t)
     wp = df.select(
         *keys, F.posexplode(words(F.coalesce(t, F.lit("")))).alias("_pos", "_term")

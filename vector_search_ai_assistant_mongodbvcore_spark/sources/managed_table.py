@@ -122,6 +122,12 @@ def _collect_parquet_stats(files: list[str]) -> dict[str, dict]:
 
 
 def _validate_filters(filters) -> list[tuple]:
+    if not filters:
+        # read() treats a falsy filters kwarg as "no filter" before ever
+        # calling this; an EXPLICIT empty conjunction (delete_where([]),
+        # pruned_files([])) is ambiguous — match-all would make
+        # delete_where([]) a silent truncate — so reject it
+        raise ValueError("filters must be a non-empty list of (col, op, value)")
     checked = []
     for f in filters:
         if len(f) != 3 or f[1] not in _FILTER_OPS:

@@ -79,6 +79,14 @@ def collect_benchmark_ngrams(
     return [r["ng"] for r in rows]
 
 
+# above this many benchmark n-grams, the pure-JVM literal-array probe is
+# replaced by a broadcast-set Arrow UDF: a literal array costs one py4j
+# call per element at PLAN time and embeds an N-child Catalyst expression
+# in every micro-batch plan — fine for a few thousand, pathological for a
+# 500k-ngram eval suite (minutes of driver plan construction)
+_LITERAL_PROBE_MAX = 4096
+
+
 def decontam_keep(
     bench_ngrams: list[str],
     text_col: str = "text",
@@ -86,21 +94,43 @@ def decontam_keep(
     min_hits: int = 1,
 ) -> Column:
     """Keep predicate: the doc shares fewer than `min_hits` distinct word
-    n-grams with the benchmark set. Pure column expression (array
-    intersection against a literal array) — append-mode-safe on a stream.
-    min_hits=1 uses arrays_overlap (early-exit membership probe); NULL
-    text has no shingles and is kept, matching contamination_report's
-    0-hit verdict."""
+    n-grams with the benchmark set. Stateless (append-mode-safe on a
+    stream); NULL text has no shingles and is kept, matching
+    contamination_report's 0-hit verdict.
+
+    Small sets (<= _LITERAL_PROBE_MAX) probe a literal array with
+    arrays_overlap/array_intersect — pure JVM, zero Python. Larger sets
+    switch to a Spark-broadcast frozenset probed by an Arrow-batched UDF
+    over the SAME JVM-computed shingle array (shingle semantics never
+    leave the JVM; only the set membership is Python) — identical
+    verdicts, pinned by a forced-path parity test."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     doc_ngs = F.array_distinct(TX.shingles(c, n))
-    bench_lit = F.array(*[F.lit(g) for g in bench_ngrams])
     if not bench_ngrams:
         return F.lit(True)
-    if min_hits == 1:
-        hit = F.arrays_overlap(doc_ngs, bench_lit)
-        return F.coalesce(~hit, F.lit(True))
-    hits = F.size(F.array_intersect(doc_ngs, bench_lit))
-    return F.coalesce(hits < F.lit(min_hits), F.lit(True))
+    if len(bench_ngrams) <= _LITERAL_PROBE_MAX:
+        bench_lit = F.array(*[F.lit(g) for g in bench_ngrams])
+        if min_hits == 1:
+            hit = F.arrays_overlap(doc_ngs, bench_lit)
+            return F.coalesce(~hit, F.lit(True))
+        hits = F.size(F.array_intersect(doc_ngs, bench_lit))
+        return F.coalesce(hits < F.lit(min_hits), F.lit(True))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
+
+    @_F.pandas_udf(T.IntegerType())
+    def shared(ngs):
+        bench = bc.value
+        return ngs.map(
+            lambda a: 0 if a is None else sum(1 for g in a if g in bench)
+        )
+
+    return F.coalesce(shared(doc_ngs) < F.lit(min_hits), F.lit(True))
 
 
 def prepare_stream(
