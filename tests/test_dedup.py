@@ -349,3 +349,41 @@ def test_remove_duplicated_spans_plan_linear(spark, tables):
     assert rep.python_evals == 0
     assert "CartesianProduct" not in rep.raw
     assert "BroadcastNestedLoopJoin" not in rep.raw
+
+
+def test_remove_spans_bounded_form_matches_array_form(spark):
+    """bounded=True (word-granular anti-join; nothing larger than the doc
+    itself) must produce the identical frame as the default array form,
+    including NULL/empty/whitespace docs and fully-covered docs."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    rep = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, rep + " tail one"),
+        (1, rep + " tail two"),          # shares the 6-gram with 0
+        (2, rep),                        # fully covered duplicate
+        (3, "unique words entirely here and now"),
+        (4, None),
+        (5, ""),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in remove_duplicated_spans(df, n=3).collect()
+    }
+    b = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in remove_duplicated_spans(df, n=3, bounded=True).collect()
+    }
+    assert a == b
+    assert b[2][0] == "" and b[2][2] == b[2][1]  # fully covered
+    assert b[4] == (None, 0, 0)
+
+    # and on the real fixture table
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fa = remove_duplicated_spans(docs, n=8).orderBy("doc_id").collect()
+    fb = remove_duplicated_spans(docs, n=8, bounded=True).orderBy("doc_id").collect()
+    assert [tuple(r) for r in fa] == [tuple(r) for r in fb]

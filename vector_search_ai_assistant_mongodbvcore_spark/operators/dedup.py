@@ -489,6 +489,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    bounded: bool = False,
 ) -> DataFrame:
     """(id_col, text_col, clean_text, n_words, n_removed): the APPLY form of
     duplicated_ngram_stats — Lee et al. 2021 (arXiv:2107.06499) REMOVES the
@@ -510,7 +511,17 @@ def remove_duplicated_spans(
     rollup) plus the id-keyed join onto the source rows — nothing
     quadratic, no posting list ever materializes beyond the per-ngram
     2-field min struct. Docs with NULL text pass through with clean_text
-    NULL and zero counts (no shingle rows, left join)."""
+    NULL and zero counts (no shingle rows, left join).
+
+    The per-doc covered-position array is bounded by n x (duplicated
+    positions) — fine for web documents, but a pathological GB-scale
+    single document would hand one task an array n x its own length.
+    `bounded=True` switches to the word-granular form: covered positions
+    stay ROWS (exploded + distinct), kept words are an anti-join at
+    (doc, position) granularity, and no intermediate ever exceeds the
+    document's own word count (clean_text itself is the largest thing
+    built, as it must be). Identical output (parity-tested); two more
+    keyed shuffles, so the array form stays the default."""
     toks = exploded_shingles(df, text_col, id_col, n, with_pos=True)
     first = toks.groupBy("ng").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias("_first")
@@ -525,6 +536,8 @@ def remove_duplicated_spans(
         )
         .select(id_col, F.sequence(F.col("_pos"), F.col("_pos") + n - 1).alias("_span"))
     )
+    if bounded:
+        return _remove_spans_bounded(df, dup_pos, text_col, id_col)
     covered = dup_pos.groupBy(id_col).agg(
         F.array_distinct(F.flatten(F.collect_list("_span"))).alias("_cov")
     )
@@ -548,5 +561,48 @@ def remove_duplicated_spans(
             )
             .cast("long")
             .alias("n_removed"),
+        )
+    )
+
+
+def _remove_spans_bounded(
+    df: DataFrame, dup_pos: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Word-granular span removal: covered positions as distinct ROWS, kept
+    words by (doc, position) anti-join, per-doc reassembly ordered by
+    position. Memory per row never exceeds the document's own word count."""
+    cov = dup_pos.select(id_col, F.explode("_span").alias("_p")).distinct()
+    base = df.select(
+        F.col(id_col), F.col(text_col), words(F.col(text_col)).alias("_w")
+    )
+    nw = F.coalesce(F.size("_w"), F.lit(0))
+    wp = base.select(F.col(id_col), F.posexplode("_w").alias("_p", "_word"))
+    kept = wp.join(cov, [id_col, "_p"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_word"))),
+                lambda x: x["_word"],
+            ),
+            " ",
+        ).alias("_clean")
+    )
+    removed = (
+        cov.join(base.select(F.col(id_col), nw.alias("_nw")), id_col)
+        .filter(F.col("_p") < F.col("_nw"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nrm"))
+    )
+    return (
+        base.join(clean, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+            .alias("clean_text"),
+            nw.cast("long").alias("n_words"),
+            F.coalesce(F.col("_nrm"), F.lit(0)).cast("long").alias("n_removed"),
         )
     )
