@@ -310,3 +310,45 @@ def test_oversized_strings_disable_column_stats(spark, tmp_path):
 def test_delete_where_rejects_empty_filters(spark, bucketed):
     with pytest.raises(ValueError, match="non-empty"):
         bucketed.delete_where([])
+
+
+def test_random_conjunctions_always_match_full_scan(spark, tmp_path):
+    """Property form of the skipping contract: for a battery of random
+    (col, op, value) conjunctions over a mixed-layout table (sorted,
+    shuffled and all-null files), read(filters) == read().filter —
+    pruning may differ per filter, rows never may."""
+    import itertools
+    import random
+
+    t = ManagedTable(spark, str(tmp_path / "prop"))
+    rng = random.Random(13)
+    ks = list(range(600))
+    rng.shuffle(ks)
+    rows = [
+        (k, k % 11, None if k % 13 == 0 else f"c{k % 17:02d}") for k in ks
+    ]
+    df = spark.createDataFrame(rows, "k long, cat long, tag string")
+    # half range-partitioned on k (prunable), half as-shuffled (not)
+    t.overwrite(
+        df.limit(300)
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .unionByName(df.subtract(df.limit(300)).repartition(4))
+    )
+    ops = [
+        ("k", "=", 123), ("k", "<", 50), ("k", ">=", 550), ("k", "in", (1, 599, 700)),
+        ("cat", "=", 7), ("cat", ">", 9),
+        ("tag", "=", "c03"), ("tag", "is_null", None), ("tag", "<", "c05"),
+    ]
+    for r in (1, 2):
+        for conj in itertools.combinations(ops, r):
+            filt = list(conj)
+            from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+                _filters_to_column,
+            )
+
+            want = sorted(
+                tuple(row) for row in t.read().filter(_filters_to_column(filt)).collect()
+            )
+            got = sorted(tuple(row) for row in t.read(filters=filt).collect())
+            assert got == want, filt

@@ -8,9 +8,10 @@ still overhead-dominated at this size; ratios near or above N on a
 linear-work operator mean a scale cliff (skewed key, quadratic candidate
 set, driver collect) worth investigating.
 
-Usage: python tools/scale_probe.py [N]      (default 8)
+Usage: python tools/scale_probe.py [N] [op ...]   (default 8, all ops)
 Prints one JSON line: {"factor": N, "ops": {name: {"t1": s, "tN": s,
-"ratio": r}}}.
+"ratio": r}}}. Naming ops runs only those (cheap targeted re-probes at
+high factors).
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ WORK = "/tmp/vsai_scale_probe"
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = set(sys.argv[2:])
 
     from pyspark.sql import functions as F
 
@@ -207,14 +209,20 @@ def main() -> None:
 
     report = {}
     for name, fn in ops.items():
+        if only and name not in only:
+            continue
         fn(docs1)  # warm codegen/JIT for this op so t1 isn't cold-run noise
         t1, tN = timed(lambda: fn(docs1)), timed(lambda: fn(docsN))
         report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
     for name, fn in ev_ops.items():
+        if only and name not in only:
+            continue
         fn(ev1)
         t1, tN = timed(lambda: fn(ev1)), timed(lambda: fn(evN))
         report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
     for name, fn in vec_ops.items():
+        if only and name not in only:
+            continue
         fn(emb1)
         t1, tN = timed(lambda: fn(emb1)), timed(lambda: fn(embN))
         report[name] = {"t1": t1, "tN": tN, "ratio": round(tN / max(t1, 1e-9), 2)}
