@@ -22,7 +22,9 @@ aggregation (not streamable in append mode — the per-doc hit count is
 an aggregation over an exploded stream) with a PER-ROW set intersection
 against the collected benchmark n-gram set: eval suites are MBs, so the
 distinct n-gram list is driver-collected once (same boundedness argument
-as the batch broadcast) and inlined as an array literal. Semantics are
+as the batch broadcast) and probed per row — a pure-JVM literal array
+for small sets, a broadcast frozenset via Arrow UDF above
+_LITERAL_PROBE_MAX (see decontam_keep). Semantics are
 identical to contamination_report's verdict: distinct shared n-grams
 >= min_hits => dropped; NULL/empty-shingle docs are kept (0 hits).
 
@@ -52,7 +54,12 @@ from vector_search_ai_assistant_mongodbvcore_spark.streaming.dedup import (
 )
 from vector_search_ai_assistant_mongodbvcore_spark.streaming.quality import gate_stream
 
-__all__ = ["collect_benchmark_ngrams", "decontam_keep", "prepare_stream"]
+__all__ = [
+    "collect_benchmark_ngrams",
+    "decontam_keep",
+    "prepare_stream",
+    "start_shard_export_stream",
+]
 
 
 def collect_benchmark_ngrams(
@@ -198,3 +205,59 @@ def prepare_stream(
         carry_cols=("split",),
     )
     return chunks.select(id_col, "split", "chunk_id", "n_tokens", "chunk_text")
+
+
+def start_shard_export_stream(
+    chunks: DataFrame,
+    out_dir: str,
+    seq_len: int,
+    checkpoint_dir: str,
+    tokenizer=None,
+    max_rows_per_shard: int = 100_000,
+):
+    """Terminal stage of the streaming pipeline: prepare_stream's chunk
+    rows -> trainer-ready token-sequence SHARDS, continuously.
+
+    Each micro-batch is tokenized + packed independently
+    (operators/export.materialize_sequences) and written to
+    out_dir/split=<s>/batch=<id>/ — sequence boundaries never span
+    micro-batches, so the per-(split, batch) tail sequence may be short
+    (the documented stream-vs-batch packing difference; everything else
+    is the batch operator verbatim). seq_ids are namespaced by the batch
+    id, so the tree unions into one corpus with globally unique ids.
+
+    Exactly-once under retries: the write is dynamic-partition-OVERWRITE
+    keyed on the deterministic micro-batch id — a replayed batch
+    replaces exactly its own (split, batch) partitions instead of
+    appending duplicates.
+    """
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        materialize_sequences,
+    )
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        spark = df.sparkSession
+        seqs = materialize_sequences(df, seq_len, tokenizer=tokenizer)
+        seqs = seqs.withColumn(
+            "seq_id", F.col("seq_id") + F.lit(int(epoch_id) << 33)
+        ).withColumn("batch", F.lit(int(epoch_id)))
+        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                seqs.write.mode("overwrite")
+                .partitionBy("split", "batch")
+                .option("maxRecordsPerFile", max_rows_per_shard)
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+    return (
+        chunks.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
