@@ -11,6 +11,9 @@ numbers on the Spark form: change-record micro-batches driven through
   bm25      Bm25Index remove+add maintenance (keyword leg)
   corpus    the full gate -> decontam -> dedup -> split -> chunk chain
             (streaming/corpus.prepare_stream) to a memory sink
+  shards    the same chain terminated by start_shard_export_stream —
+            micro-batch packing + partitioned parquet shard writes, the
+            complete streaming ingest -> trainer-shards loop
 
 at two micro-batch sizes. Latency comes from each StreamingQuery's
 progress log (durationMs.triggerExecution per micro-batch); throughput
@@ -235,12 +238,41 @@ def probe_corpus_chain(spark, work: str, batch: int, batches: int) -> dict:
     return _summarize(_progress(q), rid)
 
 
+def probe_shard_export(spark, work: str, batch: int, batches: int) -> dict:
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        prepare_stream,
+        start_shard_export_stream,
+    )
+
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    base = time.time() - 3600
+    rid = 0
+    for bi in range(batches):
+        path = os.path.join(src, f"docs_{bi:04d}.json")
+        with open(path, "w") as f:
+            for _ in range(batch):
+                f.write(json.dumps({"doc_id": rid, "text": _text(rid, 80)}) + "\n")
+                rid += 1
+        os.utime(path, (base + bi, base + bi))
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = start_shard_export_stream(
+        prepare_stream(stream),
+        os.path.join(work, "shards"),
+        seq_len=256,
+        checkpoint_dir=os.path.join(work, "shard_ckpt"),
+    )
+    q.awaitTermination(600)
+    return _summarize(_progress(q), rid)
+
+
 PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
     "ivf": lambda s, w, b, n: _index_probe(s, w, b, n, "ivf"),
     "bm25": lambda s, w, b, n: _index_probe(s, w, b, n, "bm25"),
     "corpus": probe_corpus_chain,
+    "shards": probe_shard_export,
 }
 
 
