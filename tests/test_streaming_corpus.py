@@ -294,6 +294,14 @@ def test_stream_shard_export_end_to_end(spark, tmp_path):
 
     run("ck1")
     disk = spark.read.parquet(out)
+    # the sequence KEY is (split, batch, seq_id) — seq_id restarts per
+    # split inside a batch, exactly like the batch exporter's
+    # (split, epoch, seq_id)
+    keys = [
+        (r["split"], r["batch"], r["seq_id"])
+        for r in disk.select("split", "batch", "seq_id").collect()
+    ]
+    assert len(keys) == len(set(keys))
     # conservation IN THE SHARD TOKEN CURRENCY (the engine tokenizer —
     # distinct from the chunks' whitespace n_tokens): every tokenized
     # chunk token landed in exactly one sequence
@@ -313,8 +321,6 @@ def test_stream_shard_export_end_to_end(spark, tmp_path):
         .collect()[0][0]
     )
     assert disk.agg(F.sum("n_toks")).collect()[0][0] == want_tokens
-    ids = [r["seq_id"] for r in disk.select("seq_id").collect()]
-    assert len(ids) == len(set(ids))  # batch-namespaced: globally unique
     n_first = disk.count()
 
     # replay from scratch (fresh checkpoint, same tree): same batches map

@@ -56,11 +56,34 @@ def main() -> None:
         return src, spark.read.parquet(path)
 
     shutil.rmtree(WORK, ignore_errors=True)
-    docs1, docsN = replicate("documents", "doc_id")
-    emb1, embN = replicate("embeddings", "vec_id")
+    # fixture groups build lazily: a targeted re-probe of one docs op
+    # must not pay the 64x embeddings/events replication
+    _DOC_OPS = {
+        "exact_dedup", "bm25_score", "bm25_index_build", "bm25_index_search",
+        "chunking", "minhash_band_pairs", "ngram_jaccard", "decontam",
+        "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
+        "cap_per_source", "remove_spans", "bpe_encode",
+    }
+    _EV_OPS = {"asof_attribution"}
+    _VEC_OPS = {
+        "ann_topk_exact", "knn_matmul", "ivf_build", "lsh_build", "lsh_search",
+        "semdedup", "semantic_contam", "pq_encode", "pq_adc_topk",
+    }
+    unknown = only - _DOC_OPS - _EV_OPS - _VEC_OPS
+    if unknown:
+        raise SystemExit(f"unknown ops: {sorted(unknown)}")
+    need_docs = not only or bool(only & _DOC_OPS)
+    need_ev = not only or bool(only & _EV_OPS)
+    need_vec = not only or bool(only & _VEC_OPS)
+    docs1 = docsN = emb1 = embN = ev1 = evN = None
+    if need_docs:
+        docs1, docsN = replicate("documents", "doc_id")
+    if need_vec:
+        emb1, embN = replicate("embeddings", "vec_id")
     # events: ids offset per copy but user_ids kept — every user gets N×
     # the history, the worst case for the per-key as-of window
-    ev1, evN = replicate("events", "event_id")
+    if need_ev:
+        ev1, evN = replicate("events", "event_id")
 
     def timed(fn) -> float:
         t0 = time.time()
@@ -141,8 +164,13 @@ def main() -> None:
         learn_bpe,
     )
 
-    bench_docs = docs1.filter(F.col("doc_id") % 17 == 0)
-    bpe_model = learn_bpe(docs1, num_merges=100, max_terms=10_000)
+    bench_docs = docs1.filter(F.col("doc_id") % 17 == 0) if docs1 is not None else None
+    needs_bpe = not only or "bpe_encode" in only
+    bpe_model = (
+        learn_bpe(docs1, num_merges=100, max_terms=10_000)
+        if docs1 is not None and needs_bpe
+        else None
+    )
 
     def _decontam(d):
         return contamination_report(d, bench_docs, n=5)
@@ -181,14 +209,19 @@ def main() -> None:
         "pq_adc_topk": lambda e: adc_topk(encode_pq(e, pq_model), pq_model, [0.1] * 64, k=10)
         .write.format("noop").mode("overwrite").save(),
     }
-    bench_emb = emb1.filter(F.col("vec_id") % 29 == 0)
+    bench_emb = emb1.filter(F.col("vec_id") % 29 == 0) if emb1 is not None else None
     from vector_search_ai_assistant_mongodbvcore_spark.operators.pq import (
         adc_topk,
         encode_pq,
         fit_pq,
     )
 
-    pq_model = fit_pq(emb1, m=8, bits=6, seed=42, iters=10)
+    needs_pq = not only or bool(only & {"pq_encode", "pq_adc_topk"})
+    pq_model = (
+        fit_pq(emb1, m=8, bits=6, seed=42, iters=10)
+        if emb1 is not None and needs_pq
+        else None
+    )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.semdedup import (
         semantic_duplicates,
     )

@@ -256,8 +256,10 @@ def probe_shard_export(spark, work: str, batch: int, batches: int) -> dict:
                 rid += 1
         os.utime(path, (base + bi, base + bi))
     stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    # SAME upstream chain as probe_corpus_chain (incl. the decontam
+    # screen), so the SCALE.md rows differ only by the shard-export stage
     q = start_shard_export_stream(
-        prepare_stream(stream),
+        prepare_stream(stream, benchmark_ngrams=["never matches anything at all"]),
         os.path.join(work, "shards"),
         seq_len=256,
         checkpoint_dir=os.path.join(work, "shard_ckpt"),

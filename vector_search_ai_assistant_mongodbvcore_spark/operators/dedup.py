@@ -587,6 +587,9 @@ def _remove_spans_bounded(
             " ",
         ).alias("_clean")
     )
+    # the < n_words filter is NOT dead code: short docs (< n words,
+    # incl. the empty-text padding) shingle at pos 0 with an n-wide span,
+    # so covered positions can exceed the actual word count
     removed = (
         cov.join(base.select(F.col(id_col), nw.alias("_nw")), id_col)
         .filter(F.col("_p") < F.col("_nw"))

@@ -160,29 +160,28 @@ def export_training_shards(
     """
     if epochs <= 0:
         raise ValueError(f"epochs must be positive, got {epochs}")
-    spark = sequences.sparkSession
-    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for epoch in range(first_epoch, first_epoch + epochs):
-            key = shuffle_key(
-                F.concat_ws(":", F.col(split_col), F.col("seq_id")), seed=seed + epoch
-            )
-            df = sequences.withColumn("_order", key).withColumn(
-                "epoch", F.lit(epoch)
-            )
-            parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-            (
-                df.repartitionByRange(parts, split_col, "_order")
-                .sortWithinPartitions(split_col, "_order")
-                .drop("_order")
-                .write.mode("overwrite")
-                .partitionBy(split_col, "epoch")
-                .option("maxRecordsPerFile", max_rows_per_shard)
-                .parquet(out_dir)
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+    for epoch in range(first_epoch, first_epoch + epochs):
+        key = shuffle_key(
+            F.concat_ws(":", F.col(split_col), F.col("seq_id")), seed=seed + epoch
+        )
+        df = sequences.withColumn("_order", key).withColumn(
+            "epoch", F.lit(epoch)
+        )
+        parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+        (
+            df.repartitionByRange(parts, split_col, "_order")
+            .sortWithinPartitions(split_col, "_order")
+            .drop("_order")
+            .write.mode("overwrite")
+            .partitionBy(split_col, "epoch")
+            # writer-level dynamic overwrite: replaces exactly the
+            # (split, epoch) partitions written, and never toggles the
+            # session conf (which races with concurrent writers — a
+            # static-mode overwrite would truncate the whole tree)
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", max_rows_per_shard)
+            .parquet(out_dir)
+        )
 
 
 def read_training_shards(

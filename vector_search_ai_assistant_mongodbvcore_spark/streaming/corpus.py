@@ -218,42 +218,59 @@ def start_shard_export_stream(
     """Terminal stage of the streaming pipeline: prepare_stream's chunk
     rows -> trainer-ready token-sequence SHARDS, continuously.
 
-    Each micro-batch is tokenized + packed independently
-    (operators/export.materialize_sequences) and written to
-    out_dir/split=<s>/batch=<id>/ — sequence boundaries never span
+    Each micro-batch is tokenized ONCE (the token frame is persisted so
+    packing's several plan branches re-read the cache, not the tokenizer
+    — the staging-barrier discipline materialize_sequences documents),
+    packed with the batch operator, and written to
+    out_dir/split=<s>/batch=<id>/. Sequence boundaries never span
     micro-batches, so the per-(split, batch) tail sequence may be short
     (the documented stream-vs-batch packing difference; everything else
-    is the batch operator verbatim). seq_ids are namespaced by the batch
-    id, so the tree unions into one corpus with globally unique ids.
+    is the batch operator verbatim). The sequence KEY is
+    (split, batch, seq_id) — seq_id restarts per split inside each batch
+    exactly as the batch exporter's key is (split, epoch, seq_id); the
+    batch-id offset keeps seq_id unique WITHIN a split across the whole
+    stream.
 
     Exactly-once under retries: the write is dynamic-partition-OVERWRITE
     keyed on the deterministic micro-batch id — a replayed batch
     replaces exactly its own (split, batch) partitions instead of
-    appending duplicates.
+    appending duplicates. Dynamic mode is set as a WRITER option, never
+    by toggling the session conf (which would race with any concurrent
+    writer on the same SparkSession and, losing the race, static-mode
+    truncate the whole tree).
     """
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
+        tokenize,
+    )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
         materialize_sequences,
     )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
-        if df.isEmpty():
-            return
-        spark = df.sparkSession
-        seqs = materialize_sequences(df, seq_len, tokenizer=tokenizer)
-        seqs = seqs.withColumn(
-            "seq_id", F.col("seq_id") + F.lit(int(epoch_id) << 33)
-        ).withColumn("batch", F.lit(int(epoch_id)))
-        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        tok = tokenizer if tokenizer is not None else tokenize
+        toks = (
+            df.select(
+                "split", "doc_id", "chunk_id", tok(F.col("chunk_text")).alias("_toks")
+            )
+            .withColumn("n_tokens", F.size("_toks"))
+            .persist()
+        )
         try:
+            if toks.count() == 0:
+                return
+            seqs = materialize_sequences(toks, seq_len, pretokenized=True)
+            seqs = seqs.withColumn(
+                "seq_id", F.col("seq_id") + F.lit(int(epoch_id) << 33)
+            ).withColumn("batch", F.lit(int(epoch_id)))
             (
                 seqs.write.mode("overwrite")
                 .partitionBy("split", "batch")
+                .option("partitionOverwriteMode", "dynamic")
                 .option("maxRecordsPerFile", max_rows_per_shard)
                 .parquet(out_dir)
             )
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+            toks.unpersist()
 
     return (
         chunks.writeStream.foreachBatch(_batch)
