@@ -56,17 +56,19 @@ class SessionStore:
         return sid
 
     def list_sessions(self) -> DataFrame:
-        return self.sessions.read().filter(F.col("type") == "Session")
+        # filters= routes through min-max data skipping: files whose
+        # footer range excludes the predicate are never opened — the
+        # reference's compound-key point read (MongoDbService.cs:254-258)
+        # served by stats pruning instead of a Mongo index
+        return self.sessions.read(filters=[("type", "=", "Session")])
 
     def get_messages(self, session_id: str) -> DataFrame:
-        return (
-            self.messages.read()
-            .filter((F.col("type") == "Message") & (F.col("session_id") == session_id))
-            .orderBy("ts")
-        )
+        return self.messages.read(
+            filters=[("type", "=", "Message"), ("session_id", "=", session_id)]
+        ).orderBy("ts")
 
     def rename_session(self, session_id: str, new_name: str) -> None:
-        cur = self.sessions.read().filter(F.col("session_id") == session_id)
+        cur = self.sessions.read(filters=[("session_id", "=", session_id)])
         self.sessions.merge(cur.withColumn("name", F.lit(new_name)), ["session_id"])
 
     def delete_session(self, session_id: str) -> None:
