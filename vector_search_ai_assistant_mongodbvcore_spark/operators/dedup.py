@@ -178,14 +178,41 @@ def drop_component_duplicates(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Cluster-exact APPLY step: keep exactly ONE representative (the min
-    id) per connected component of the near-dup graph, plus every doc that
-    appears in no pair. Unlike the greedy policy this never over-removes on
-    chains: a~b, b~c keeps a (component min) and removes b, c only."""
+    """Cluster-exact APPLY step: keep exactly ONE representative per
+    connected component of the near-dup graph, plus every doc that
+    appears in no pair. Unlike the greedy policy this never over-removes
+    on chains: a~b, b~c keeps one of {a,b,c} and removes the others.
+
+    Representative policy: min id by default (deterministic, cheapest).
+    `quality_col` names a numeric column of `df` to keep the HIGHEST-
+    quality member instead (id tiebreak) — the RefinedWeb-style policy
+    where the best copy survives, not the earliest: one extra broadcast-
+    sized join of the component map against df's (id, quality) columns
+    and a per-component max-struct aggregate, both bounded by the pair
+    graph (tiny next to the corpus)."""
     comps = neardup_components(pairs, max_iter=max_iter)
-    losers = comps.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
+    if quality_col is None:
+        losers = comps.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    from pyspark.sql import Window
+
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+        "node",
+    )
+    # rank within each component by (quality desc, id asc) — quality ties
+    # break toward the smallest id, matching the default policy's
+    # determinism; the window runs over the pair-graph-sized frame, never
+    # the corpus
+    w = Window.partitionBy("comp").orderBy(F.col("_q").desc(), F.col("node").asc())
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

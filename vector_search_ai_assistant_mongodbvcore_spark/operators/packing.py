@@ -261,3 +261,30 @@ def pack_corpus_chunks(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def packing_efficiency(
+    sequences: DataFrame,
+    seq_len: int,
+    split_col: str = "split",
+    n_toks_col: str = "n_toks",
+) -> DataFrame:
+    """(split, n_sequences, total_tokens, padded_tokens, efficiency):
+    what fraction of trainer positions carry real tokens — short tail
+    sequences pad to seq_len and waste compute, and a trainer sizes its
+    token budget off THIS number, not the raw corpus count. One
+    map-side-combined aggregate over the sequence frame."""
+    pad = F.lit(seq_len) - F.col(n_toks_col)
+    return (
+        sequences.groupBy(split_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum(n_toks_col).cast("long").alias("total_tokens"),
+            F.sum(pad).cast("long").alias("padded_tokens"),
+        )
+        .withColumn(
+            "efficiency",
+            F.col("total_tokens")
+            / (F.col("total_tokens") + F.col("padded_tokens")),
+        )
+    )

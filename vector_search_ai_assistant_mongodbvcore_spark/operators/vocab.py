@@ -41,7 +41,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.text import words
 __all__ = [
     "term_stats", "top_vocab", "bpe_merge_candidates", "learn_bpe",
     "bpe_encode", "bpe_tokenize_col", "bpe_ids_col", "bpe_encode_corpus",
-    "bpe_vocab_ids", "bpe_unk_id", "bpe_decode_ids",
+    "bpe_vocab_ids", "bpe_unk_id", "bpe_decode_ids", "bpe_unk_report",
 ]
 
 
@@ -389,3 +389,39 @@ def bpe_decode_ids(ids: "list[int]", model: dict) -> str:
     syms = [vocab[i] if 0 <= i < len(vocab) else "" for i in ids]
     text = "".join(syms).replace(eow, " ")
     return " ".join(text.split())
+
+
+def bpe_unk_report(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """(group?, n_docs, total_tokens, unk_tokens, unk_rate): how much of
+    each group's text the trained tokenizer CANNOT represent — the
+    coverage audit a trainer runs before committing to a vocab (a
+    domain/language whose characters the training corpus never saw
+    encodes to <unk> and contributes nothing to the loss).
+
+    One bpe_encode_corpus pass (distinct-term broadcast join) + one
+    map-side-combined aggregate; unk counting is a JVM array filter over
+    the id arrays, no second Python pass."""
+    unk = bpe_unk_id(model)
+    enc = bpe_encode_corpus(df, model, text_col=text_col, key_cols=(id_col,))
+    toks = F.size("input_ids")
+    unks = F.size(F.filter("input_ids", lambda i: i == F.lit(unk)))
+    keys = [group_col] if group_col is not None else []
+    return (
+        enc.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+            F.sum(unks).cast("long").alias("unk_tokens"),
+        )
+        .withColumn(
+            "unk_rate",
+            F.when(F.col("total_tokens") > 0,
+                   F.col("unk_tokens") / F.col("total_tokens")).otherwise(F.lit(0.0)),
+        )
+    )
