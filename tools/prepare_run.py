@@ -147,6 +147,21 @@ def main() -> None:
             "unk_id": len(bpe_model["vocab"]),
             "bpe_tokens_per_word": round(fert["t"] / max(fert["w"], 1), 4),
         }
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        read_training_shards,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import (
+        packing_efficiency,
+    )
+
+    # real-token fraction of trainer positions (tail padding accounted) —
+    # the number a token budget is sized from
+    pack_eff = [
+        r.asDict()
+        for r in packing_efficiency(
+            read_training_shards(spark, shards_dir), seq_len=256
+        ).collect()
+    ]
     shards = [r.asDict() for r in shard_manifest(spark, shards_dir).collect()]
     manifest = {
         "source_dir": SF_DIR,
@@ -162,6 +177,7 @@ def main() -> None:
         "tokenizer_fertility": [
             r.asDict() for r in tokenizer_fertility(corpus).collect()
         ],
+        "packing_efficiency": pack_eff,
         "shards": shards,
     }
     path = os.path.join(OUT, "manifest.json")
@@ -188,6 +204,16 @@ def main() -> None:
             if tokenizer_info["kind"] == "bpe"
             else ""
         ),
+        "",
+        "### Packing efficiency (real-token fraction of trainer positions)",
+        "",
+        "| split | sequences | tokens | padded | efficiency |",
+        "|---|---|---|---|---|",
+    ] + [
+        f"| {e['split']} | {e['n_sequences']} | {e['total_tokens']}"
+        f" | {e['padded_tokens']} | {e['efficiency']:.3f} |"
+        for e in sorted(pack_eff, key=lambda x: x["split"])
+    ] + [
         "",
         "### Per-epoch mixture (plan_curriculum)",
         "",
