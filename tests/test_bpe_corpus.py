@@ -151,3 +151,42 @@ def test_case_sensitive_model_encodes_case_sensitively(spark):
         ).collect()
     }
     assert udf == got
+
+
+def test_corpus_encode_parity_property(spark):
+    """Property form: over random small corpora (repeated words, case
+    variants, unseen chars, empties), the distinct-term join-back ids
+    equal the per-row UDF ids row-for-row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words_pool = ["lo", "low", "lower", "Low", "züge", "a", "bb", ""]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from(words_pool), min_size=0, max_size=6).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        model = vocab.learn_bpe(df, num_merges=10)
+        got = {
+            r["doc_id"]: r["input_ids"]
+            for r in vocab.bpe_encode_corpus(df, model).collect()
+        }
+        want = {
+            r["doc_id"]: r["ids"]
+            for r in df.select(
+                "doc_id", vocab.bpe_ids_col(model, "text").alias("ids")
+            ).collect()
+        }
+        assert got == want
+
+    check()
