@@ -550,8 +550,20 @@ def remove_duplicated_spans(
     built, as it must be). Identical output (parity-tested); two more
     keyed shuffles, so the array form stays the default."""
     toks = exploded_shingles(df, text_col, id_col, n, with_pos=True)
-    first = toks.groupBy("ng").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias("_first")
+    # only MULTI-occurrence n-grams can yield duplicated spans (the
+    # single occurrence IS the kept first), so the count>1 filter — free,
+    # it rides the same map-side-combined aggregate — shrinks the join's
+    # build side to the duplicated key space before any row joins
+    first = (
+        toks.groupBy("ng")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))
+            ).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .drop("_cnt")
     )
     dup_pos = (
         toks.join(first, "ng")
