@@ -261,3 +261,57 @@ def test_language_screen_stage(spark, tables):
     kept2 = out2.select("doc_id").distinct().join(docs, "doc_id")
     bad = kept2.filter(~TX.language_id(F.col("text")).isin("en", "de")).count()
     assert bad == 0 and kept2.count() > 0
+
+
+@pytest.fixture(scope="module")
+def neardup_raw(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen sleepy "
+        "ducks waddle past the old stone mill beside the river carrying "
+        "baskets of ripe golden apples toward the market square"
+    )
+    rows = [
+        (0, "src0", base),
+        # near-dup of 0, NOT exact: five extra trailing words -> higher
+        # word count -> strictly higher heuristic quality_score
+        (1, "src0", base + " just before the evening bell"),
+        (2, "src1", "a completely different document about spark query "
+                    "planning and distributed shuffle behavior with plenty "
+                    "of ordinary words to keep it well clear of the pair"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+_ND = dict(
+    min_quality=0.1, chunk_size=1000, chunk_overlap=0,
+    neardup_minhash=True, neardup_num_hashes=16, neardup_bands=8,
+    neardup_shingle_size=3,
+)
+
+
+def test_fuzzy_dedup_stage_off_keeps_both(spark, neardup_raw):
+    ids = {r["doc_id"] for r in prepare_training_corpus(
+        neardup_raw, min_quality=0.1, chunk_size=1000, chunk_overlap=0
+    ).collect()}
+    assert {0, 1, 2} <= ids  # near-dups are not exact dups
+
+
+def test_fuzzy_dedup_stage_component_and_greedy_keep_min_id(spark, neardup_raw):
+    for keep in ("component", "greedy"):
+        ids = {r["doc_id"] for r in prepare_training_corpus(
+            neardup_raw, neardup_keep=keep, **_ND
+        ).collect()}
+        assert ids == {0, 2}, f"{keep}: {ids}"
+
+
+def test_fuzzy_dedup_stage_best_quality_keeps_better_copy(spark, neardup_raw):
+    # doc 1 is the longer (higher quality_score) member of the cluster
+    ids = {r["doc_id"] for r in prepare_training_corpus(
+        neardup_raw, neardup_keep="best_quality", **_ND
+    ).collect()}
+    assert ids == {1, 2}
+
+
+def test_fuzzy_dedup_stage_rejects_unknown_policy(spark, neardup_raw):
+    with pytest.raises(ValueError, match="neardup_keep"):
+        prepare_training_corpus(neardup_raw, neardup_keep="nope", **_ND)

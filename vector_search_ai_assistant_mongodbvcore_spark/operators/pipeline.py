@@ -3,6 +3,9 @@ a 100 TB pipeline actually runs them.
 
     raw docs
       -> exact dedup          (operators/dedup.exact_dedup keep-set)
+      -> fuzzy dedup          (operators/dedup.minhash_lsh_pairs +
+                               component/greedy/best-quality keep policy,
+                               optional: neardup_minhash=True)
       -> decontamination      (operators/decontam, optional: drop docs
                                sharing n-grams with a benchmark set)
       -> quality filters      (functions/text: quality_score floor,
@@ -81,6 +84,11 @@ def prepare_training_corpus(
     dsir_temperature: float = 1.0,
     dsir_num_buckets: int = 10_000,
     max_docs_per_source: int | None = None,
+    neardup_minhash: bool = False,
+    neardup_num_hashes: int = 16,
+    neardup_bands: int = 4,
+    neardup_shingle_size: int = 5,
+    neardup_keep: str = "component",
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
@@ -98,6 +106,44 @@ def prepare_training_corpus(
         F.col("keep_id").alias(id_col)
     )
     deduped = docs.join(keep, id_col, "left_semi")
+
+    if neardup_minhash:
+        # fuzzy dedup on the exact-deduped pool (cheaper: exact removed
+        # the identical copies already). LSH candidates are accepted
+        # unverified at the configured band agreement — the
+        # MinHash-dedup trade documented at minhash_lsh_pairs; callers
+        # needing exact-Jaccard verification run ngram_jaccard_pairs +
+        # drop_component_duplicates outside the one-command path.
+        # neardup_keep picks the survivor per duplicate cluster:
+        #   "component"    — one doc per connected component, min id
+        #   "greedy"       — drop any doc pairing with a lower id
+        #                    (one-pass, can over-remove on chains)
+        #   "best_quality" — RefinedWeb-style: the highest
+        #                    heuristic-quality member survives
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+            drop_component_duplicates,
+            drop_near_duplicates,
+            minhash_lsh_pairs,
+        )
+
+        nd_pairs = minhash_lsh_pairs(
+            deduped, text_col=text_col, id_col=id_col,
+            num_hashes=neardup_num_hashes, bands=neardup_bands,
+            shingle_size=neardup_shingle_size,
+        )
+        if neardup_keep == "greedy":
+            deduped = drop_near_duplicates(deduped, nd_pairs, id_col=id_col)
+        elif neardup_keep == "best_quality":
+            scored = deduped.withColumn("_ndq", TX.quality_score(F.col(text_col)))
+            deduped = drop_component_duplicates(
+                scored, nd_pairs, id_col=id_col, quality_col="_ndq"
+            ).drop("_ndq")
+        elif neardup_keep == "component":
+            deduped = drop_component_duplicates(deduped, nd_pairs, id_col=id_col)
+        else:
+            raise ValueError(
+                f"neardup_keep must be 'component', 'greedy' or 'best_quality', got {neardup_keep!r}"
+            )
 
     if benchmark is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import decontaminate
