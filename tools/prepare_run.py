@@ -6,10 +6,13 @@ second table describes them.
     python tools/prepare_run.py [sf_dir] [out_dir]
 
 Stages (all deterministic; re-running reproduces byte-identical shards):
-  1. prepare_training_corpus  exact dedup -> n-gram decontamination
-                              (benchmark = every 17th doc, standing in
-                              for an eval suite) -> Gopher rule battery
-                              -> PII scrub -> splits -> chunking
+  1. prepare_training_corpus  exact dedup -> MinHash fuzzy dedup
+                              (best-quality survivor per cluster;
+                              SPARK_GRAFT_NEARDUP=0 disables) -> n-gram
+                              decontamination (benchmark = every 17th
+                              doc, standing in for an eval suite) ->
+                              Gopher rule battery -> PII scrub ->
+                              splits -> chunking
   2. learn_bpe                train a BPE tokenizer ON the cleaned
                               corpus (SPARK_GRAFT_BPE_MERGES merges,
                               default 200; 0 disables and falls back to
@@ -69,12 +72,18 @@ def main() -> None:
     # 1. corpus prep: the benchmark stand-in must NOT also be train data
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    # fuzzy dedup defaults ON for the one-command run (best-quality
+    # survivor): the trainer-facing path matches the RefinedWeb recipe;
+    # SPARK_GRAFT_NEARDUP=0 falls back to exact-only
+    neardup = os.environ.get("SPARK_GRAFT_NEARDUP", "1") != "0"
     chunks = prepare_training_corpus(
         corpus,
         use_gopher_rules=True,
         benchmark=bench,
         chunk_size=64,
         chunk_overlap=0,
+        neardup_minhash=neardup,
+        neardup_keep="best_quality",
     )
     # carry source back for the curriculum sampler (chunking emits
     # (doc_id, split, chunk_id, n_tokens, chunk_text))
@@ -167,6 +176,9 @@ def main() -> None:
         "source_dir": SF_DIR,
         "shards_dir": shards_dir,
         "seq_len": 256,
+        "fuzzy_dedup": (
+            {"method": "minhash-lsh", "keep": "best_quality"} if neardup else None
+        ),
         "tokenizer": tokenizer_info,
         "epochs": manifest_epochs,
         "domain_audit": [r.asDict() for r in domain_audit(corpus).collect()],
