@@ -154,3 +154,68 @@ def test_sources_explain_report_hits(spark, tables):
     for d, h in rep.items():
         if d not in agg:
             assert h == 0
+
+
+def test_remove_contaminated_spans_hand_computed(spark):
+    docs = _df(
+        spark,
+        [
+            # the full benchmark sentence embedded at word positions 3..11
+            (1, "intro words here the quick brown fox jumps over the lazy dog closing words here now"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, None),
+        ],
+    )
+    bench = _df(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    out = {
+        r.doc_id: r
+        for r in DC.remove_contaminated_spans(docs, bench, n=3).collect()
+    }
+    # every trigram of the embedded passage hits; no straddling trigram does
+    assert out[1].clean_text == "intro words here closing words here now"
+    assert out[1].n_words == 16 and out[1].n_removed == 9
+    assert out[2].clean_text == docs.filter(F.col("doc_id") == 2).first().text
+    assert out[2].n_removed == 0
+    assert out[3].clean_text is None and out[3].n_words == 0 and out[3].n_removed == 0
+
+
+def test_remove_contaminated_spans_bounded_parity(spark, tables):
+    docs = tables["documents"].limit(80)
+    bench = tables["documents"].filter(F.col("doc_id") % 11 == 0).limit(12)
+    a = sorted(
+        map(tuple, DC.remove_contaminated_spans(docs, bench, n=4).collect())
+    )
+    b = sorted(
+        map(tuple, DC.remove_contaminated_spans(docs, bench, n=4, bounded=True).collect())
+    )
+    assert a == b
+
+
+def test_remove_contaminated_spans_python_parity(spark, tables):
+    docs = tables["documents"].limit(60)
+    bench = tables["documents"].filter(F.col("doc_id") % 11 == 0).limit(10)
+    n = 4
+    bset = set()
+    for r in bench.select("text").collect():
+        bset |= _py_ngrams(r.text or "", n)
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in DC.remove_contaminated_spans(docs, bench, n=n).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        if r.text is None:
+            assert got[r.doc_id] == (None, 0)
+            continue
+        w = r.text.split()
+        lw = [x.lower() for x in w]
+        cov = set()
+        if lw:
+            if len(lw) <= n:
+                if " ".join(lw) in bset:
+                    cov = set(range(len(lw)))
+            else:
+                for i in range(len(lw) - n + 1):
+                    if " ".join(lw[i : i + n]) in bset:
+                        cov |= set(range(i, i + n))
+        exp_clean = " ".join(x for i, x in enumerate(w) if i not in cov)
+        assert got[r.doc_id] == (exp_clean, len(cov)), r.doc_id

@@ -315,3 +315,29 @@ def test_fuzzy_dedup_stage_best_quality_keeps_better_copy(spark, neardup_raw):
 def test_fuzzy_dedup_stage_rejects_unknown_policy(spark, neardup_raw):
     with pytest.raises(ValueError, match="neardup_keep"):
         prepare_training_corpus(neardup_raw, neardup_keep="nope", **_ND)
+
+
+def test_decontam_mask_mode_keeps_masked_doc(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    padding = (
+        "meanwhile a perfectly ordinary paragraph about data engineering "
+        "continues with many additional plain words that carry no overlap "
+        "whatsoever and keep the document comfortably above the floor"
+    )
+    rows = [
+        (0, "src0", padding + " " + bench_text),     # partially contaminated
+        (1, "src0", padding + " and a second clean closing sentence"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    common = dict(min_quality=0.1, chunk_size=1000, chunk_overlap=0,
+                  benchmark=bench, decontam_n=3)
+    dropped = prepare_training_corpus(raw, decontam_mode="drop", **common)
+    assert {r["doc_id"] for r in dropped.collect()} == {1}
+    masked = prepare_training_corpus(raw, decontam_mode="mask", **common)
+    out = {r["doc_id"]: r for r in masked.collect()}
+    assert set(out) == {0, 1}  # doc 0 survives with the passage excised
+    assert "quick brown" not in out[0]["chunk_text"]
+    assert "data engineering" in out[0]["chunk_text"]
+    with pytest.raises(ValueError, match="decontam_mode"):
+        prepare_training_corpus(raw, decontam_mode="nope", **common)

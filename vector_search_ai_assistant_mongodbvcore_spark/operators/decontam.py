@@ -119,6 +119,54 @@ def decontaminate(
     return docs.join(keep, id_col, "left_semi")
 
 
+def remove_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    bounded: bool = False,
+) -> DataFrame:
+    """(id_col, text_col, clean_text, n_words, n_removed): SURGICAL
+    decontamination — blank only the words covered by a benchmark-
+    overlapping n-gram, keep the rest of the document. The drop-the-doc
+    policy (`decontaminate`) throws away an entire web page because it
+    quotes one benchmark sentence; span masking keeps the uncontaminated
+    text in the training pool, the same APPLY semantics as
+    dedup.remove_duplicated_spans with the benchmark n-gram set as the
+    span source instead of the corpus' own duplicate n-grams.
+
+    A word survives iff NO benchmark-overlapping n-gram occurrence covers
+    it; an embedded benchmark passage of length >= n blanks all its words
+    (every word of the passage sits inside some overlapping n-gram). Docs
+    with NULL text pass through with clean_text NULL and zero counts.
+
+    Plan: benchmark n-gram set BROADCAST (eval suites are MBs) against the
+    position-carrying corpus shingles — the probe is map-side, no shuffle;
+    the only wide exchanges are the shingle window on id and the per-doc
+    covered-position rollup on the same key. `bounded=True` routes the
+    rollup through the word-granular form (positions stay rows) for
+    pathological GB-scale single documents, same trade as
+    remove_duplicated_spans."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+        _remove_spans_array,
+        _remove_spans_bounded,
+    )
+
+    bng = benchmark_ngrams(
+        bench, bench_text_col or text_col, bench_id_col or id_col, n
+    )
+    toks = exploded_shingles(docs, text_col, id_col, n, with_pos=True)
+    hit_pos = toks.join(F.broadcast(bng), "ng").select(
+        id_col, F.sequence(F.col("_pos"), F.col("_pos") + n - 1).alias("_span")
+    )
+    if bounded:
+        return _remove_spans_bounded(docs, hit_pos, text_col, id_col)
+    return _remove_spans_array(docs, hit_pos, text_col, id_col)
+
+
 def contamination_sources(
     docs: DataFrame,
     bench: DataFrame,

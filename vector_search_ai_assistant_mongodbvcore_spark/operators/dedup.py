@@ -577,6 +577,22 @@ def remove_duplicated_spans(
     )
     if bounded:
         return _remove_spans_bounded(df, dup_pos, text_col, id_col)
+    return _remove_spans_array(df, dup_pos, text_col, id_col)
+
+
+def _remove_spans_array(
+    df: DataFrame,
+    dup_pos: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared APPLY tail for span blanking: given (id, _span array<int>)
+    rows naming word positions to remove, emit (id, text, clean_text,
+    n_words, n_removed). The per-doc covered-position rollup is the array
+    form (bounded by n x duplicated positions); _remove_spans_bounded is
+    the word-granular alternative. Used by remove_duplicated_spans and
+    decontam.remove_contaminated_spans — the span SOURCE differs, the
+    blanking semantics must not."""
     covered = dup_pos.groupBy(id_col).agg(
         F.array_distinct(F.flatten(F.collect_list("_span"))).alias("_cov")
     )

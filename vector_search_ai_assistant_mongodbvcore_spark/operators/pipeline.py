@@ -7,7 +7,9 @@ a 100 TB pipeline actually runs them.
                                component/greedy/best-quality keep policy,
                                optional: neardup_minhash=True)
       -> decontamination      (operators/decontam, optional: drop docs
-                               sharing n-grams with a benchmark set)
+                               sharing n-grams with a benchmark set, or
+                               surgically MASK only the overlapping
+                               spans via decontam_mode="mask")
       -> quality filters      (functions/text: quality_score floor,
                                repetition ceilings — the Gopher/C4 pass)
       -> classifier floor     (operators/quality_classifier, optional:
@@ -72,6 +74,7 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
+    decontam_mode: str = "drop",
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
     lm_model=None,
@@ -146,16 +149,41 @@ def prepare_training_corpus(
             )
 
     if benchmark is not None:
-        from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import decontaminate
+        if decontam_mode == "drop":
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+                decontaminate,
+            )
 
-        deduped = decontaminate(
-            deduped,
-            benchmark,
-            n=decontam_n,
-            min_hits=decontam_min_hits,
-            text_col=text_col,
-            id_col=id_col,
-        )
+            deduped = decontaminate(
+                deduped,
+                benchmark,
+                n=decontam_n,
+                min_hits=decontam_min_hits,
+                text_col=text_col,
+                id_col=id_col,
+            )
+        elif decontam_mode == "mask":
+            # surgical decontamination: blank ONLY the words covered by a
+            # benchmark-overlapping n-gram, keep the rest of the doc in
+            # the pool (min_hits does not apply — every overlapping span
+            # is masked). Runs BEFORE the quality gates, so a doc gutted
+            # by masking falls to the quality floor on its own merits.
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+                remove_contaminated_spans,
+            )
+
+            masked = remove_contaminated_spans(
+                deduped, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+            ).select(id_col, F.col("clean_text"))
+            deduped = (
+                deduped.drop(text_col)
+                .join(masked, id_col)
+                .withColumnRenamed("clean_text", text_col)
+            )
+        else:
+            raise ValueError(
+                f"decontam_mode must be 'drop' or 'mask', got {decontam_mode!r}"
+            )
 
     if use_gopher_rules:
         # the full Rae et al. battery replaces the heuristic trio: keep a
