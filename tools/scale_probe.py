@@ -62,7 +62,7 @@ def main() -> None:
         "exact_dedup", "bm25_score", "bm25_index_build", "bm25_index_search",
         "chunking", "minhash_band_pairs", "ngram_jaccard", "decontam",
         "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
-        "cap_per_source", "remove_spans", "bpe_encode",
+        "cap_per_source", "remove_spans", "mask_contam", "bpe_encode",
     }
     _EV_OPS = {"asof_attribution"}
     _VEC_OPS = {
@@ -116,6 +116,11 @@ def main() -> None:
         # Nx — the realistic shape: eval sets don't scale with the corpus
         "decontam": lambda d: _decontam(d)
         .write.format("noop").mode("overwrite").save(),
+        # surgical decontamination: same fixed-benchmark asymmetry as
+        # decontam, plus the per-doc covered-position rollup of
+        # remove_spans — replication multiplies hit occurrences Nx
+        "mask_contam": lambda d: remove_contaminated_spans(d, bench_docs, n=5)
+        .write.format("noop").mode("overwrite").save(),
         "pack_sequences": lambda d: pack_sequences(
             d.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")),
             seq_len=128,
@@ -151,6 +156,7 @@ def main() -> None:
 
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
         contamination_report,
+        remove_contaminated_spans,
         semantic_contamination,
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import importance_weights
