@@ -369,3 +369,72 @@ def test_dedup_state_survives_stream_restart(spark, tmp_path):
         .collect()
     }
     assert docs_seen == {0, 8}  # 7 deduped across the restart
+
+
+def test_stream_mask_mode_equals_batch_mask_pipeline(spark, src, bench):
+    """decontam_mode='mask' on the stream: contaminated docs survive with
+    the benchmark passage excised, and the chain equals batch
+    prepare_training_corpus(decontam_mode='mask') row for row."""
+    got = _run_stream(
+        spark,
+        src,
+        benchmark_ngrams=collect_benchmark_ngrams(bench, n=8),
+        decontam_mode="mask",
+        use_gopher_rules=True,
+    )
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ALL], SCHEMA
+    )
+    want = prepare_training_corpus(
+        batch_docs, benchmark=bench, decontam_n=8, decontam_mode="mask",
+        use_gopher_rules=True,
+    )
+    assert _rows(got) == _rows(want)
+    ids = {r[0] for r in _rows(got)}
+    assert 4 in ids  # masked, not dropped
+    text4 = " ".join(r[4] for r in _rows(got) if r[0] == 4)
+    assert "alpha beta gamma" not in text4  # passage excised
+    assert "leak0" in text4  # surrounding prose kept
+    assert 5 not in ids and 2 in ids  # dedup still keys on RAW text
+
+
+def test_decontam_mask_matches_batch_operator(spark, tables, monkeypatch):
+    """decontam_mask (both probe paths) reproduces the batch operator's
+    clean_text exactly over the real corpus."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
+        remove_contaminated_spans,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming import corpus as C
+
+    docs = tables["documents"].limit(80)
+    bench_df = tables["documents"].filter(F.col("doc_id") % 11 == 0).limit(12)
+    ngrams = collect_benchmark_ngrams(bench_df, n=4)
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_contaminated_spans(docs, bench_df, n=4).collect()
+    }
+    lit = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", C.decontam_mask(ngrams, "text", 4).alias("m")
+        ).collect()
+    }
+    assert lit == want
+    monkeypatch.setattr(C, "_LITERAL_PROBE_MAX", 0)
+    udf = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", C.decontam_mask(ngrams, "text", 4).alias("m")
+        ).collect()
+    }
+    assert udf == want
+
+
+def test_decontam_mask_rejects_bad_mode(spark, src, bench):
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        prepare_stream,
+    )
+
+    docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in ALL], SCHEMA)
+    with pytest.raises(ValueError, match="decontam_mode"):
+        prepare_stream(docs, decontam_mode="nope")

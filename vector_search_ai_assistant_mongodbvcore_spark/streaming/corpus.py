@@ -57,6 +57,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.streaming.quality import gate
 __all__ = [
     "collect_benchmark_ngrams",
     "decontam_keep",
+    "decontam_mask",
     "prepare_stream",
     "start_shard_export_stream",
 ]
@@ -140,6 +141,86 @@ def decontam_keep(
     return F.coalesce(shared(doc_ngs) < F.lit(min_hits), F.lit(True))
 
 
+def decontam_mask(
+    bench_ngrams: list[str],
+    text_col: str = "text",
+    n: int = 8,
+) -> Column:
+    """Masked-text column: the streaming form of surgical decontamination
+    (operators/decontam.remove_contaminated_spans) — every word covered by
+    a benchmark-overlapping n-gram is blanked, the rest of the document
+    survives. Stateless (append-mode-safe); output is the whitespace-
+    normalized rejoin of the kept words, exactly batch clean_text; NULL
+    text stays NULL.
+
+    Positional parity with the batch operator: TX.shingles puts the
+    shingle starting at word i at array index i (short docs get ONE
+    whole-text shingle at index 0, covering the whole doc when it hits).
+    Small benchmark sets probe a literal array — pure JVM; above
+    _LITERAL_PROBE_MAX the whole mask runs in ONE Arrow-batched UDF over
+    the JVM-computed word + shingle arrays (a UDF output cannot feed a
+    higher-order-function lambda, so the blanking moves into the same
+    batch as the set probe), the same size split decontam_keep uses."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = TX.words(c)
+    if not bench_ngrams:
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(w, " ")
+        )
+    ngs = TX.shingles(c, n)
+    if len(bench_ngrams) <= _LITERAL_PROBE_MAX:
+        bench_lit = F.array(*[F.lit(g) for g in bench_ngrams])
+        cov = F.array_distinct(
+            F.flatten(
+                F.filter(
+                    F.transform(
+                        ngs,
+                        lambda g, i: F.when(
+                            F.array_contains(bench_lit, g),
+                            F.sequence(i, i + F.lit(n) - 1),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+        )
+    else:
+        import pandas as pd
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as _F
+        from pyspark.sql import types as T
+
+        spark = SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
+
+        @_F.pandas_udf(T.StringType())
+        def masked(word_arrays, ng_arrays):
+            bench = bc.value
+
+            def one(wa, a):
+                if wa is None:
+                    return None
+                cov: set[int] = set()
+                if a is not None:
+                    for i, g in enumerate(a):
+                        if g in bench:
+                            cov.update(range(i, i + n))
+                return " ".join(x for i, x in enumerate(wa) if i not in cov)
+
+            return pd.Series([one(wa, a) for wa, a in zip(word_arrays, ng_arrays)])
+
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            masked(w, ngs)
+        )
+    kept = F.filter(
+        F.transform(w, lambda wd, i: F.when(~F.array_contains(cov, i), wd)),
+        lambda x: x.isNotNull(),
+    )
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, " ")
+    )
+
+
 def prepare_stream(
     docs: DataFrame,
     text_col: str = "text",
@@ -151,6 +232,7 @@ def prepare_stream(
     benchmark_ngrams: list[str] | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
+    decontam_mode: str = "drop",
     splits: dict[str, float] | None = None,
     seed: int = 42,
     scrub: bool = True,
@@ -173,9 +255,27 @@ def prepare_stream(
         assign_split,
     )
 
+    mask = decontam_mode == "mask" and benchmark_ngrams is not None
+    if decontam_mode not in ("drop", "mask"):
+        raise ValueError(
+            f"decontam_mode must be 'drop' or 'mask', got {decontam_mode!r}"
+        )
+    work = docs
+    gate_col = text_col
+    if mask:
+        # surgical mode, batch-equivalent ordering without a second pass:
+        # the masked text rides as a derived COLUMN, the quality gates
+        # judge the MASKED text (as batch does — decontam precedes the
+        # gates there), while the dedup state key stays the RAW text
+        # (batch exact-dedups before masking). Predicates don't change
+        # keys, so one chain serves both orders.
+        work = docs.withColumn(
+            "_masked", decontam_mask(benchmark_ngrams, text_col, decontam_n)
+        )
+        gate_col = "_masked"
     gated = gate_stream(
-        docs,
-        text_col=text_col,
+        work,
+        text_col=gate_col,
         id_col=id_col,
         use_gopher_rules=use_gopher_rules,
         min_quality=min_quality,
@@ -183,7 +283,7 @@ def prepare_stream(
         min_classifier_prob=min_classifier_prob,
         scrub=False,  # scrub AFTER dedup: the dedup key is the raw text
     )
-    if benchmark_ngrams is not None:
+    if benchmark_ngrams is not None and not mask:
         gated = gated.filter(
             decontam_keep(benchmark_ngrams, text_col, decontam_n, decontam_min_hits)
         )
@@ -193,6 +293,8 @@ def prepare_stream(
         )
     else:
         deduped = dedup_stream(gated, text_col=text_col)
+    if mask:
+        deduped = deduped.withColumn(text_col, F.col("_masked")).drop("_masked")
     if scrub:
         deduped = deduped.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
     labeled = assign_split(deduped, id_col=id_col, splits=splits, seed=seed)
