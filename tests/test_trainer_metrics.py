@@ -96,3 +96,48 @@ def test_packing_efficiency_on_real_sequences(spark):
     assert row["padded_tokens"] < 16
     assert row["total_tokens"] == seqs.agg(F.sum("n_toks")).collect()[0][0]
     assert 0.9 <= row["efficiency"] <= 1.0
+
+
+def test_quality_keep_composes_with_embedding_neardup_pairs(spark, tables):
+    """The quality-keep policy is pair-source-agnostic: the same
+    drop_component_duplicates(quality_col=...) that serves MinHash pairs
+    runs on embedding-space near-dup pairs (semdedup/similarity emit the
+    identical (id_a, id_b) shape), keeping the highest-quality member of
+    each embedding cluster."""
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import quality_score
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+        neardup_components,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        embedding_neardup,
+    )
+
+    docs = tables["documents"]
+    emb = tables["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    pairs = embedding_neardup(emb, threshold=0.95, id_col="doc_id")
+    # column contract: similarity pair emitters produce (id_a, id_b)
+    assert {"id_a", "id_b"} <= set(pairs.columns)
+    scored = docs.withColumn("q", quality_score(F.col("text")))
+    kept = drop_component_duplicates(scored, pairs, id_col="doc_id", quality_col="q")
+    # exactly one survivor per component among docs present in the corpus
+    comps = neardup_components(pairs).collect()
+    comp_of = {r["node"]: r["comp"] for r in comps}
+    present = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    from collections import defaultdict
+
+    survivors = defaultdict(list)
+    for n in comp_of:
+        if n in present and n in kept_ids:
+            survivors[comp_of[n]].append(n)
+    qmap = {r["doc_id"]: r["q"] for r in scored.select("doc_id", "q").collect()}
+    for comp, members in survivors.items():
+        assert len(members) == 1, (comp, members)
+        # the survivor is the max-quality member (id tiebreak)
+        cand = [n for n in comp_of if comp_of[n] == comp and n in present]
+        best = min(cand, key=lambda n: (-qmap[n], n))
+        assert members[0] == best
