@@ -352,3 +352,117 @@ def test_random_conjunctions_always_match_full_scan(spark, tmp_path):
             )
             got = sorted(tuple(row) for row in t.read(filters=filt).collect())
             assert got == want, filt
+
+
+# ---- per-file Bloom filters -------------------------------------------
+
+
+def _guid(i: int) -> str:
+    import hashlib
+
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+@pytest.fixture()
+def bloomed(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "blm"), bloom_cols=("sid",))
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("sid"),  # GUID-ish key
+        (F.col("id") % 7).alias("cat"),
+    )
+    # hash-partitioned on k: every file's sid range spans the whole hex
+    # space, so min-max alone can prune NOTHING
+    t.overwrite(df.repartition(8, "k"))
+    return t
+
+
+def test_bloom_prunes_where_minmax_cannot(bloomed):
+    sid = _guid(123)
+    kept, total = bloomed.pruned_files([("sid", "=", sid)])
+    # min-max keeps all 8 (overlapping ranges); the bloom keeps the one
+    # holding file plus at most the 1% false positives
+    assert total == 8 and 1 <= kept <= 2, (kept, total)
+    got = bloomed.read(filters=[("sid", "=", sid)])
+    want = bloomed.read().filter(F.col("sid") == sid)
+    assert _ids(got) == _ids(want) == [123]
+
+
+def test_bloom_absent_key_prunes_everything(bloomed):
+    kept, total = bloomed.pruned_files([("sid", "=", "not-a-real-sid")])
+    assert kept <= 1  # 0 modulo a false positive
+    assert bloomed.read(filters=[("sid", "=", "not-a-real-sid")]).count() == 0
+
+
+def test_bloom_in_filter(bloomed):
+    present, absent = _guid(5), "nope"
+    kept, total = bloomed.pruned_files([("sid", "in", [present, absent])])
+    assert 1 <= kept <= 2
+    got = bloomed.read(filters=[("sid", "in", [present, absent])])
+    assert _ids(got) == [5]
+    kept0, _ = bloomed.pruned_files([("sid", "in", ["nope1", "nope2"])])
+    assert kept0 <= 1
+
+
+def test_bloom_declaration_is_sticky(spark, bloomed):
+    """A later writer constructed WITHOUT bloom_cols keeps indexing."""
+    t2 = ManagedTable(spark, bloomed.path)  # no declaration
+    extra = spark.range(800, 1000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("sid"),
+        (F.col("id") % 7).alias("cat"),
+    )
+    t2.append(extra.repartition(2, "cat"))
+    sid = _guid(900)
+    kept, total = t2.pruned_files([("sid", "=", sid)])
+    assert kept < total
+    assert _ids(t2.read(filters=[("sid", "=", sid)])) == [900]
+
+
+def test_bloom_type_tagged_keys_never_collide(spark, tmp_path):
+    """int 1, bool True and string '1' must not alias in the filter."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _bloom_key,
+    )
+
+    keys = {_bloom_key(1), _bloom_key(True), _bloom_key("1"), _bloom_key(0), _bloom_key(False)}
+    assert len(keys) == 5
+
+
+def test_bloom_float_columns_not_indexed(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "fb"), bloom_cols=("price",))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
+    )
+    t.overwrite(df.repartition(4))
+    stats = t._filestats(t.current_version())
+    assert all(not s.get("blooms") for s in stats.values())
+    # and reads stay correct without the index
+    got = t.read(filters=[("k", "=", 50)])
+    assert _ids(got) == [50]
+
+
+def test_bucketed_bloom_on_nonbucket_column(spark, tmp_path):
+    t = BucketedTable(
+        spark, str(tmp_path / "bb"), bucket_by=["k"], n_buckets=4,
+        bloom_cols=("sid",),
+    )
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("sid")
+    )
+    t.overwrite(df)
+    sid = _guid(37)
+    kept, total = t.pruned_files([("sid", "=", sid)])
+    assert kept < total, (kept, total)
+    got = t.read(filters=[("sid", "=", sid)])
+    assert _ids(got) == [37]
+    # sticky through a merge by a declaration-less writer
+    t2 = BucketedTable(spark, t.path, bucket_by=["k"], n_buckets=4)
+    upd = spark.range(400, 450).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("sid")
+    )
+    t2.merge(upd, ["k"])
+    sid2 = _guid(420)
+    kept2, total2 = t2.pruned_files([("sid", "=", sid2)])
+    assert kept2 < total2
+    assert _ids(t2.read(filters=[("sid", "=", sid2)])) == [420]

@@ -38,8 +38,16 @@ from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import 
 class SessionStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.sessions = ManagedTable(spark, f"{root}/sessions")
-        self.messages = ManagedTable(spark, f"{root}/messages")
+        # session_id is a GUID — interleaved across files, so min-max
+        # ranges never prune it; the Bloom declaration serves the
+        # reference's point reads (MongoDbService.cs:471-492) from the
+        # filter index instead
+        self.sessions = ManagedTable(
+            spark, f"{root}/sessions", bloom_cols=("session_id",)
+        )
+        self.messages = ManagedTable(
+            spark, f"{root}/messages", bloom_cols=("session_id",)
+        )
         self.txn = TransactionalWriter(self.sessions, self.messages)
         if not self.sessions.exists():
             self.sessions.overwrite(spark.createDataFrame([], SESSION_SCHEMA))

@@ -33,12 +33,15 @@ concurrency from Delta. Atomicity of the pointer swap relies on POSIX rename.
 
 from __future__ import annotations
 
+import base64
 import glob
+import hashlib
 import json
+import math
 import os
 import shutil
 import time
-from functools import reduce
+from functools import lru_cache, reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,9 +69,83 @@ from pyspark.sql import functions as F
 
 _FILTER_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null")
 
+# ---- per-file Bloom filters (equality pruning past overlapping ranges) ----
+#
+# Min-max prunes nothing for a high-cardinality key whose values
+# interleave across files (every file's range spans the whole key
+# space — the common case for GUID-ish session/doc ids unless the
+# writer range-clusters). The Delta/Parquet answer is an opt-in
+# per-file Bloom filter on declared columns: at commit time the
+# writer reads ONLY those columns of the files it just wrote, builds
+# an fpp=1% filter over the distinct values (capped at 8 KB per
+# file-column), and a read(filters=[(k,'=',v)]) skips every file
+# whose filter proves absence. False positives only cost an extra
+# file open — never a wrong result. Hash family: one md5 per value
+# fanned to k probes via Kirsch-Mitzenmacher double hashing (the same
+# trick minhash uses). Keys are type-tagged so int 1, bool True and
+# "1" never collide; floats and exotic types are not indexed
+# (equality on them is not a point-read pattern).
 
-def _collect_parquet_stats(files: list[str]) -> dict[str, dict]:
-    """Aggregate footer row-group stats to per-file per-column min/max."""
+_BLOOM_FPP = 0.01
+_BLOOM_MAX_BITS = 1 << 16  # 8 KB of bits per (file, column)
+
+
+def _bloom_key(val) -> "bytes | None":
+    if isinstance(val, bool):  # before int: bool is an int subclass
+        return b"b:1" if val else b"b:0"
+    if isinstance(val, int):
+        return b"i:" + str(val).encode()
+    if isinstance(val, str):
+        return b"s:" + val.encode("utf-8")
+    return None  # unsupported literal: never prune on it
+
+
+def _bloom_probes(key: bytes, k: int, m: int) -> "list[int]":
+    h = hashlib.md5(key).digest()
+    c1 = int.from_bytes(h[:8], "big")
+    c2 = int.from_bytes(h[8:], "big") | 1
+    return [(c1 + i * c2) % m for i in range(k)]
+
+
+def _bloom_build(keys: "list[bytes]") -> dict:
+    n = len(keys)
+    if n == 0:
+        # all-null column in this file: equality can never match
+        return {"m": 8, "k": 1, "bits": base64.b64encode(b"\x00").decode()}
+    m = int(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2)) + 1
+    m = min(max(m, 64), _BLOOM_MAX_BITS)
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for key in keys:
+        for pos in _bloom_probes(key, k, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+@lru_cache(maxsize=4096)
+def _b64bits(s: str) -> bytes:
+    return base64.b64decode(s)
+
+
+def _bloom_may_contain(bloom: dict, val) -> bool:
+    key = _bloom_key(val)
+    if key is None:
+        return True
+    bits = _b64bits(bloom["bits"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7))
+        for p in _bloom_probes(key, bloom["k"], bloom["m"])
+    )
+
+
+def _collect_parquet_stats(
+    files: list[str], bloom_cols: "tuple[str, ...] | list[str]" = ()
+) -> dict[str, dict]:
+    """Aggregate footer row-group stats to per-file per-column min/max;
+    `bloom_cols` additionally builds a per-file Bloom filter per named
+    column (one narrow column read per file — commit-time cost is O(data
+    of the indexed columns), the point Delta's bloom index pays too)."""
+    import pyarrow.compute as pa_pc
     import pyarrow.parquet as pa_pq
 
     out: dict[str, dict] = {}
@@ -118,6 +195,27 @@ def _collect_parquet_stats(files: list[str]) -> dict[str, dict]:
             "rows": md.num_rows,
             "cols": {k: v for k, v in cols.items() if k not in unusable},
         }
+        if bloom_cols:
+            pf = pa_pq.ParquetFile(path)
+            top_level = {f.name for f in pf.schema_arrow}
+            avail = [c for c in bloom_cols if c in top_level]
+            blooms: dict[str, dict] = {}
+            if avail:
+                tbl = pf.read(columns=avail)
+                for c in avail:
+                    keys: list[bytes] = []
+                    indexable = True
+                    for v in pa_pc.unique(tbl.column(c)).to_pylist():
+                        if v is None:
+                            continue
+                        key = _bloom_key(v)
+                        if key is None:  # float/timestamp/binary column
+                            indexable = False
+                            break
+                        keys.append(key)
+                    if indexable:
+                        blooms[c] = _bloom_build(keys)
+            out[path]["blooms"] = blooms
     return out
 
 
@@ -139,9 +237,20 @@ def _validate_filters(filters) -> list[tuple]:
 
 
 def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
-    """False only when the footer range PROVES no row can match."""
+    """False only when the footer range (or a Bloom filter) PROVES no row
+    can match."""
     if stats is None:
         return True
+    bl = (stats.get("blooms") or {}).get(col)
+    if bl is not None and op in ("=", "=="):
+        if not _bloom_may_contain(bl, val):
+            return False
+    elif bl is not None and op == "in":
+        try:
+            if all(not _bloom_may_contain(bl, v) for v in val):
+                return False
+        except TypeError:
+            pass  # non-iterable literal: leave to the range check
     cs = stats["cols"].get(col)
     if cs is None:
         return True
@@ -199,23 +308,32 @@ def _prune_files(files: list[str], stats: dict, filters: list[tuple]) -> list[st
 
 
 class ManagedTable:
-    """A named, versioned, mutable table rooted at `path`."""
+    """A named, versioned, mutable table rooted at `path`.
 
-    def __init__(self, spark: SparkSession, path: str):
+    `bloom_cols` declares equality-pruning Bloom-filter columns (see the
+    module-level Bloom section); the declaration is STICKY — persisted in
+    the version doc, so later writers constructed without it keep
+    indexing the same columns (pass a new tuple to change it)."""
+
+    def __init__(self, spark: SparkSession, path: str, bloom_cols: "tuple[str, ...]" = ()):
         self.spark = spark
         self.path = path
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(path, exist_ok=True)
 
     # ---- commit log -----------------------------------------------------
     def _version_file(self) -> str:
         return os.path.join(self.path, "_VERSION")
 
-    def current_version(self) -> int:
+    def _version_doc(self) -> dict:
         try:
             with open(self._version_file()) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
-            return -1
+            return {"version": -1}
+
+    def current_version(self) -> int:
+        return self._version_doc()["version"]
 
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v_{version}")
@@ -224,15 +342,25 @@ class ManagedTable:
         return self.current_version() >= 0
 
     def _commit(self, df: DataFrame, mode_note: str) -> int:
-        new_v = self.current_version() + 1
+        doc = self._version_doc()
+        new_v = doc["version"] + 1
+        bloom_cols = list(self.bloom_cols) or doc.get("bloom_cols", [])
         target = self._data_dir(new_v)
         df.write.mode("overwrite").parquet(target)
-        stats = _collect_parquet_stats(self._version_files(target))
+        stats = _collect_parquet_stats(self._version_files(target), bloom_cols)
         with open(self._stats_file(new_v), "w") as f:
             json.dump(stats, f)
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": new_v, "ts": time.time(), "op": mode_note}, f)
+            json.dump(
+                {
+                    "version": new_v,
+                    "ts": time.time(),
+                    "op": mode_note,
+                    "bloom_cols": bloom_cols,
+                },
+                f,
+            )
         os.replace(tmp, self._version_file())  # atomic pointer swap
         self._vacuum(keep=2)
         return new_v
@@ -280,7 +408,10 @@ class ManagedTable:
         read().filter(...), fewer files touched. Write sorted/range-
         partitioned data (repartitionByRange + sortWithinPartitions on
         the predicate column) to make the ranges disjoint and the
-        skipping effective."""
+        skipping effective. Equality/IN predicates on declared
+        `bloom_cols` additionally consult the per-file Bloom filters,
+        which prune even when every file's range spans the key space
+        (interleaved GUID-ish keys)."""
         cur = self.current_version()
         if cur < 0:
             raise FileNotFoundError(f"table {self.path} has no committed version")
@@ -364,11 +495,21 @@ class BucketedTable:
 
     BUCKET_COL = "_bucket"
 
-    def __init__(self, spark: SparkSession, path: str, bucket_by: list[str], n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_by: list[str],
+        n_buckets: int = 16,
+        bloom_cols: "tuple[str, ...]" = (),
+    ):
         self.spark = spark
         self.path = path
         self.bucket_by = list(bucket_by)
         self.n_buckets = n_buckets
+        # sticky like ManagedTable's: persisted in the manifest doc so
+        # later writers keep indexing the same columns
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(path, exist_ok=True)
 
     # ---- commit log -----------------------------------------------------
@@ -420,6 +561,9 @@ class BucketedTable:
     ) -> int:
         if schema_json is None and version > 0:
             schema_json = self._manifest_doc(version - 1).get("schema")
+        bloom_cols = list(self.bloom_cols)
+        if not bloom_cols and version > 0:
+            bloom_cols = self._manifest_doc(version - 1).get("bloom_cols", [])
         # min-max skipping doc: footer-read ONLY the files new at this
         # version; stats for carried-over dirs copy from the previous doc
         # (immutable files, immutable stats) — commit cost stays O(files
@@ -434,12 +578,19 @@ class BucketedTable:
                         stats[f] = prev[f]
                     else:
                         fresh.append(f)
-        stats.update(_collect_parquet_stats(fresh))
+        stats.update(_collect_parquet_stats(fresh, bloom_cols))
         with open(self._stats_file(version), "w") as f:
             json.dump(stats, f)
         with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
             json.dump(
-                {"buckets": buckets, "op": op, "ts": time.time(), "schema": schema_json}, f
+                {
+                    "buckets": buckets,
+                    "op": op,
+                    "ts": time.time(),
+                    "schema": schema_json,
+                    "bloom_cols": bloom_cols,
+                },
+                f,
             )
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as f:
