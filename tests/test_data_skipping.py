@@ -466,3 +466,33 @@ def test_bucketed_bloom_on_nonbucket_column(spark, tmp_path):
     kept2, total2 = t2.pruned_files([("sid", "=", sid2)])
     assert kept2 < total2
     assert _ids(t2.read(filters=[("sid", "=", sid2)])) == [420]
+
+
+def test_bloom_never_false_negative_property():
+    """A Bloom filter may keep extra files (false positive) but must NEVER
+    claim a present value is absent — that would drop rows. Property-
+    tested over random mixed-type value sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _bloom_build,
+        _bloom_key,
+        _bloom_may_contain,
+    )
+
+    values = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=40),
+        st.booleans(),
+    )
+
+    @given(st.lists(values, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        keys = sorted({_bloom_key(v) for v in vals})
+        bloom = _bloom_build(keys)
+        for v in vals:
+            assert _bloom_may_contain(bloom, v)
+
+    check()
