@@ -219,3 +219,13 @@ def test_remove_contaminated_spans_python_parity(spark, tables):
                         cov |= set(range(i, i + n))
         exp_clean = " ".join(x for i, x in enumerate(w) if i not in cov)
         assert got[r.doc_id] == (exp_clean, len(cov)), r.doc_id
+
+
+def test_mask_benchmark_side_is_broadcast(spark, tables):
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+
+    docs = tables["documents"]
+    bench = tables["documents"].filter(F.col("doc_id") % 13 == 0)
+    rep = plan_report(DC.remove_contaminated_spans(docs, bench, n=5))
+    assert rep.broadcast_joins >= 1  # benchmark n-gram set never shuffles
+    assert rep.python_evals == 0  # span blanking is pure column exprs
