@@ -156,6 +156,28 @@ def main() -> None:
             "unk_id": len(bpe_model["vocab"]),
             "bpe_tokens_per_word": round(fert["t"] / max(fert["w"], 1), 4),
         }
+        # unk audit straight off the already-encoded _toks column — the
+        # coverage bpe_unk_report measures, without a second encode pass
+        unk_id = len(bpe_model["vocab"])
+        unk_audit = [
+            r.asDict()
+            for r in chunks.groupBy("source")
+            .agg(
+                F.sum(F.size("_toks")).cast("long").alias("total_tokens"),
+                F.sum(
+                    F.size(F.filter("_toks", lambda i: i == F.lit(unk_id)))
+                ).cast("long").alias("unk_tokens"),
+            )
+            .withColumn(
+                "unk_rate",
+                F.when(
+                    F.col("total_tokens") > 0,
+                    F.col("unk_tokens") / F.col("total_tokens"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .collect()
+        ]
+        tokenizer_info["unk_audit"] = unk_audit
     from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
         read_training_shards,
     )
@@ -216,6 +238,24 @@ def main() -> None:
             if tokenizer_info["kind"] == "bpe"
             else ""
         ),
+    ] + (
+        [
+            "",
+            "### Tokenizer coverage (unk rate per source, shard ids)",
+            "",
+            "| source | tokens | unk | unk rate |",
+            "|---|---|---|---|",
+        ]
+        + [
+            f"| {e['source']} | {e['total_tokens']} | {e['unk_tokens']}"
+            f" | {e['unk_rate']:.5f} |"
+            for e in sorted(
+                tokenizer_info.get("unk_audit", []), key=lambda x: x["source"]
+            )
+        ]
+        if tokenizer_info["kind"] == "bpe"
+        else []
+    ) + [
         "",
         "### Packing efficiency (real-token fraction of trainer positions)",
         "",
