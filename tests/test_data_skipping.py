@@ -496,3 +496,29 @@ def test_bloom_never_false_negative_property():
             assert _bloom_may_contain(bloom, v)
 
     check()
+
+
+def test_bloom_prunes_delete_where(spark, tmp_path):
+    """delete_where consults the same _file_may_match path, so bloom
+    columns bound predicate-delete IO on interleaved keys too: only the
+    bucket holding the key rewrites, parity with a full-predicate
+    delete."""
+    t = BucketedTable(
+        spark, str(tmp_path / "bd"), bucket_by=["k"], n_buckets=4,
+        bloom_cols=("sid",),
+    )
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("sid")
+    )
+    t.overwrite(df)
+    before = t._manifest()
+    sid = _guid(111)
+    t.delete_where([("sid", "=", sid)])
+    after = t._manifest()
+    untouched = sum(1 for b in before if before[b] == after.get(b))
+    assert untouched >= 2, (len(before), untouched)  # most buckets carried
+    assert t.read().filter(F.col("sid") == sid).count() == 0
+    assert t.read().count() == 399
+    # absent key: zero IO, version unchanged
+    v = t.current_version()
+    assert t.delete_where([("sid", "=", "absent")]) == v
