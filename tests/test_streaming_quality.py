@@ -156,3 +156,17 @@ def test_gate_then_dedup_chain(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM chain_out").collect())
     assert ids == [0, 3]
+
+
+def test_blocklist_gate_streams(spark, src):
+    """The C4-style badwords screen is stateless: stream == batch, and
+    the screened doc is gone on both paths."""
+    terms = ["word3"]  # present in doc 0's vocabulary
+    got = _run_stream(spark, src, blocklist=terms)
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ROWS_B1 + ROWS_B2], SCHEMA
+    )
+    want = {r["doc_id"]: r["text"] for r in gate_stream(batch, blocklist=terms).collect()}
+    assert got == want
+    assert 0 not in got  # doc 0 contains word3
+    assert 3 in got

@@ -233,3 +233,81 @@ class TestGopherRules:
             tables["documents"].select(gopher_quality_flags("text").alias("f"))
         )
         assert rep.python_evals == 0 and rep.exchanges == 0
+
+
+# ---- C4-style blocklist screen ---------------------------------------
+
+
+def _bl_df(spark):
+    rows = [
+        (0, "the grass is green and tall near the path"),     # substring trap
+        (1, "this doc mentions badword once in passing"),
+        (2, "BADWORD shouted in caps and also lowercase badword"),
+        (3, "an evil phrase hides right here in this text"),
+        (4, "evil alone is fine but phrase alone is also fine"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_blocklist_word_boundary_and_phrases(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        blocklist_hits,
+    )
+
+    df = _bl_df(spark)
+    terms = ["ass", "badword", "evil phrase"]
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", blocklist_hits("text", terms).alias("h")
+        ).collect()
+    }
+    assert got[0] == 0  # "grass" must NOT match blocklisted "ass"
+    assert got[1] == 1
+    assert got[2] == 1  # distinct terms, case-insensitive: one term hit
+    assert got[3] == 1  # phrase matches as whole words
+    assert got[4] == 0  # phrase words apart: no hit
+    assert got[5] == 0 and got[6] == 0  # NULL/empty: kept upstream
+
+
+def test_blocklist_keep_threshold_and_cap(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        _BLOCKLIST_MAX_TERMS,
+        blocklist_hits,
+        blocklist_keep,
+    )
+
+    df = _bl_df(spark)
+    terms = ["badword", "caps"]
+    kept0 = {r.doc_id for r in df.filter(blocklist_keep("text", terms)).collect()}
+    assert kept0 == {0, 3, 4, 5, 6}
+    kept1 = {
+        r.doc_id
+        for r in df.filter(blocklist_keep("text", terms, max_hits=1)).collect()
+    }
+    assert kept1 == {0, 1, 3, 4, 5, 6}  # doc 2 hits both terms
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="blocklist"):
+        blocklist_hits("text", [f"t{i}" for i in range(_BLOCKLIST_MAX_TERMS + 1)])
+
+
+def test_blocklist_pipeline_stage(spark):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    pad = ("surrounded by plenty of perfectly ordinary filler words that "
+           "keep this document well above every quality floor we apply here")
+    rows = [
+        (0, "src0", f"a clean document {pad}"),
+        (1, "src0", f"a document containing badword {pad}"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = prepare_training_corpus(
+        raw, min_quality=0.1, chunk_size=1000, chunk_overlap=0,
+        blocklist=["badword"],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {0}

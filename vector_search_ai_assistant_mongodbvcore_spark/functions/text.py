@@ -543,3 +543,48 @@ def pii_hit_total(col: Column | str) -> Column:
     matters."""
     alternation = "|".join(f"(?:{pat})" for _, pat, _ in _PII_PATTERNS)
     return F.regexp_count(_c(col), F.lit(alternation))
+
+
+# C4's cleaning pass drops any page containing a term from a blocklist
+# ("List of Dirty, Naughty, Obscene..." in the paper; the list itself is
+# caller-supplied here — policy, not engine). Matching is word-boundary
+# and case-insensitive: single-word terms probe the lowered word array
+# (so "grass" never matches a blocklisted "ass"), multi-word terms match
+# as whole-word phrases against the space-normalized text. Everything is
+# one codegen projection — no Python, no shuffle — sized for real
+# blocklists (hundreds to a few thousand terms); the literal-array bound
+# guards against pathological lists degrading plan construction.
+
+_BLOCKLIST_MAX_TERMS = 4096
+
+
+def blocklist_hits(col: Column | str, terms: "list[str]") -> Column:
+    """Count of DISTINCT blocklist terms present in the document."""
+    if len(terms) > _BLOCKLIST_MAX_TERMS:
+        raise ValueError(
+            f"blocklist has {len(terms)} terms > {_BLOCKLIST_MAX_TERMS}; "
+            "pre-filter it or split the screen into passes"
+        )
+    c = _c(col)
+    w = words(F.lower(c))
+    singles = sorted({t.strip().lower() for t in terms if " " not in t.strip() and t.strip()})
+    phrases = sorted({" ".join(t.lower().split()) for t in terms if " " in t.strip()})
+    hits: Column = F.lit(0)
+    if singles:
+        hits = hits + F.size(
+            F.array_intersect(
+                F.array_distinct(w), F.array(*[F.lit(s) for s in singles])
+            )
+        )
+    if phrases:
+        padded = F.concat(F.lit(" "), F.array_join(w, " "), F.lit(" "))
+        for p in phrases:
+            hits = hits + F.when(padded.contains(f" {p} "), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(0)).otherwise(hits)
+
+
+def blocklist_keep(col: Column | str, terms: "list[str]", max_hits: int = 0) -> Column:
+    """Keep predicate: at most `max_hits` distinct blocklist terms (C4
+    drops on ANY hit — the default). NULL text has no words and is kept;
+    screens upstream decide what to do with empties."""
+    return blocklist_hits(col, terms) <= F.lit(max_hits)

@@ -11,7 +11,8 @@ a 100 TB pipeline actually runs them.
                                surgically MASK only the overlapping
                                spans via decontam_mode="mask")
       -> quality filters      (functions/text: quality_score floor,
-                               repetition ceilings — the Gopher/C4 pass)
+                               repetition ceilings — the Gopher/C4 pass;
+                               optional C4-style blocklist screen)
       -> classifier floor     (operators/quality_classifier, optional:
                                P(high quality) >= threshold)
       -> perplexity ceiling   (operators/lm_quality, optional: CCNet-style
@@ -77,6 +78,8 @@ def prepare_training_corpus(
     decontam_mode: str = "drop",
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
+    blocklist: "list[str] | None" = None,
+    blocklist_max_hits: int = 0,
     lm_model=None,
     max_perplexity: float | None = None,
     use_gopher_rules: bool = False,
@@ -204,6 +207,14 @@ def prepare_training_corpus(
             (TX.quality_score(F.col(text_col)) >= min_quality)
             & (TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac)
             & (TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac)
+        )
+
+    if blocklist is not None:
+        # C4-style badwords screen (word-boundary, case-insensitive; the
+        # list is caller policy) — rides with the quality gates: one more
+        # stateless codegen predicate, order-independent among them
+        quality = quality.filter(
+            TX.blocklist_keep(F.col(text_col), blocklist, blocklist_max_hits)
         )
 
     if quality_model is not None:

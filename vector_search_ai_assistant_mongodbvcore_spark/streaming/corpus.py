@@ -229,6 +229,8 @@ def prepare_stream(
     min_quality: float | None = None,
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
+    blocklist: "list[str] | None" = None,
+    blocklist_max_hits: int = 0,
     benchmark_ngrams: list[str] | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
@@ -281,6 +283,8 @@ def prepare_stream(
         min_quality=min_quality,
         quality_model=quality_model,
         min_classifier_prob=min_classifier_prob,
+        blocklist=blocklist,
+        blocklist_max_hits=blocklist_max_hits,
         scrub=False,  # scrub AFTER dedup: the dedup key is the raw text
     )
     if benchmark_ngrams is not None and not mask:

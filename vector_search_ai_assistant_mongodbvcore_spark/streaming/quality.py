@@ -57,17 +57,25 @@ def gate_stream(
     min_quality: float | None = None,
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
+    blocklist: "list[str] | None" = None,
+    blocklist_max_hits: int = 0,
     scrub: bool = True,
 ) -> DataFrame:
     """Gate a (streaming or batch) document frame with the stateless
     quality battery; returns the same frame filtered and (optionally)
     PII-scrubbed. Accepts a readStream frame unchanged — every predicate
-    is a projection, so the plan stays append-mode-safe."""
+    is a projection, so the plan stays append-mode-safe. `blocklist`
+    adds the C4-style badwords screen (word-boundary, case-insensitive),
+    stateless like the rest."""
     out = docs
     if use_gopher_rules:
         out = out.filter(gopher_keep(text_col))
     if min_quality is not None:
         out = out.filter(TX.quality_score(F.col(text_col)) >= min_quality)
+    if blocklist is not None:
+        out = out.filter(
+            TX.blocklist_keep(F.col(text_col), blocklist, blocklist_max_hits)
+        )
     if quality_model is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.quality_classifier import (
             quality_prob_col,
