@@ -311,3 +311,31 @@ def test_blocklist_pipeline_stage(spark):
         blocklist=["badword"],
     )
     assert {r["doc_id"] for r in out.collect()} == {0}
+
+
+def test_dedupe_lines(spark):
+    doc = "nav bar\nreal content one\nnav bar\nreal content two\nnav bar\nfooter"
+    rows = [(0, doc), (1, "only\nunique\nlines"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", TX.dedupe_lines("text").alias("t")).collect()
+    }
+    assert got[0] == "nav bar\nreal content one\nreal content two\nfooter"
+    assert got[1] == "only\nunique\nlines"
+    assert got[2] is None
+    assert got[3] == ""
+    # python-oracle parity on arbitrary real corpus text
+    import itertools
+
+    def py(t):
+        if t is None:
+            return None
+        seen, out = set(), []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                out.append(ln)
+        return "\n".join(out)
+
+    assert all(py(t) == got[i] for i, t in rows)

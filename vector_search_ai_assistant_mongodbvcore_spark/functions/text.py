@@ -588,3 +588,22 @@ def blocklist_keep(col: Column | str, terms: "list[str]", max_hits: int = 0) -> 
     drops on ANY hit — the default). NULL text has no words and is kept;
     screens upstream decide what to do with empties."""
     return blocklist_hits(col, terms) <= F.lit(max_hits)
+
+
+def dedupe_lines(col: Column | str) -> Column:
+    """Within-document line dedup (the CCNet/C4 per-doc cleaning pass):
+    keep the FIRST occurrence of each exact line, preserve order, drop
+    the rest — boilerplate nav bars and repeated footers collapse to one
+    copy instead of tripping the duplicate_line_fraction gate. NULL text
+    stays NULL; line identity is exact (no normalization — callers who
+    want case-folded identity lower the text first).
+
+    One codegen projection; the first-occurrence probe is
+    array_position per line (quadratic in the document's OWN line count
+    — bounded per row, never cross-row)."""
+    c = _c(col)
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1))
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, "\n")
+    )
