@@ -341,3 +341,22 @@ def test_decontam_mask_mode_keeps_masked_doc(spark):
     assert "data engineering" in out[0]["chunk_text"]
     with pytest.raises(ValueError, match="decontam_mode"):
         prepare_training_corpus(raw, decontam_mode="nope", **common)
+
+
+def test_dedupe_doc_lines_stage(spark):
+    pad = ("with abundant additional ordinary words keeping the document "
+           "above every heuristic quality floor in use here today")
+    body = f"real content {pad}"
+    rows = [
+        (0, "src0", f"nav bar\n{body}\nnav bar\nnav bar"),
+        (1, "src0", f"nav bar\nnav bar\n{body}\nnav bar"),  # same after line dedup
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    common = dict(min_quality=0.1, chunk_size=1000, chunk_overlap=0)
+    off = {r["doc_id"] for r in prepare_training_corpus(raw, **common).collect()}
+    assert off == {0, 1}  # raw texts differ -> both survive exact dedup
+    on = prepare_training_corpus(raw, dedupe_doc_lines=True, **common)
+    out = on.collect()
+    # cleaned texts are identical -> exact dedup collapses the pair
+    assert {r["doc_id"] for r in out} == {0}
+    assert "nav bar nav bar" not in " ".join(r["chunk_text"] for r in out)

@@ -95,6 +95,7 @@ def prepare_training_corpus(
     neardup_bands: int = 4,
     neardup_shingle_size: int = 5,
     neardup_keep: str = "component",
+    dedupe_doc_lines: bool = False,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
 
@@ -108,6 +109,11 @@ def prepare_training_corpus(
     quality_classifier.fit_quality_classifier) adds the learned-classifier
     floor on top of the heuristic quality gates — both are map-side
     (broadcast n-gram set / inlined literal weights)."""
+    if dedupe_doc_lines:
+        # CCNet order: per-doc line cleaning BEFORE corpus dedup, so two
+        # docs differing only in repeated boilerplate collapse to one
+        docs = docs.withColumn(text_col, TX.dedupe_lines(F.col(text_col)))
+
     keep = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
