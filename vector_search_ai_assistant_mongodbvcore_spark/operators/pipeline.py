@@ -2,6 +2,9 @@
 a 100 TB pipeline actually runs them.
 
     raw docs
+      -> line dedup           (functions/text.dedupe_lines per-doc pass,
+                               optional: dedupe_doc_lines=True, CCNet
+                               order — cleaning before corpus dedup)
       -> exact dedup          (operators/dedup.exact_dedup keep-set)
       -> fuzzy dedup          (operators/dedup.minhash_lsh_pairs +
                                component/greedy/best-quality keep policy,
