@@ -1,0 +1,124 @@
+"""Streaming MinHash near-dedup (streaming/neardup.py): cross-batch
+first-arrival wins, greedy parity with the batch operator, replay
+idempotence, end-to-end foreachBatch sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+    drop_near_duplicates,
+    minhash_lsh_pairs,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+    neardup_filter_batch,
+    open_neardup_store,
+    start_neardup_dedup_stream,
+)
+
+SCHEMA = "doc_id LONG, text STRING"
+MH = dict(num_hashes=16, bands=8, shingle_size=3)
+
+
+def _prose(tag: str, n: int = 40) -> str:
+    return " ".join(
+        f"{tag}{i} carries ordinary narrative prose forward" for i in range(n // 6 + 1)
+    )
+
+
+# three near-dup families (base + variants) interleaved with singletons;
+# variants differ by a short suffix so band agreement is near-certain at
+# 8 bands x 2 rows over 3-shingles
+B1 = [
+    (0, _prose("alpha")),
+    (1, _prose("solo")),
+    (2, _prose("beta")),
+]
+B2 = [
+    (3, _prose("alpha") + " tail one"),          # near-dup of 0
+    (4, _prose("gamma")),
+    (5, _prose("beta") + " extra words here"),   # near-dup of 2
+]
+B3 = [
+    (6, _prose("alpha") + " tail two"),          # near-dup of 0 (and 3)
+    (7, _prose("other")),
+]
+ALL = B1 + B2 + B3
+
+
+def _batch_greedy_ids(spark):
+    df = spark.createDataFrame(ALL, SCHEMA)
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", **{
+        "num_hashes": MH["num_hashes"], "bands": MH["bands"],
+        "shingle_size": MH["shingle_size"],
+    })
+    return {r["doc_id"] for r in drop_near_duplicates(df, pairs).collect()}
+
+
+def test_cross_batch_neardup_dropped_and_matches_batch(spark, tmp_path):
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    got: set[int] = set()
+    for bid, rows in enumerate((B1, B2, B3)):
+        df = spark.createDataFrame(rows, SCHEMA)
+        kept = neardup_filter_batch(df, store, bid, **MH)
+        got |= {r["doc_id"] for r in kept.collect()}
+    want = _batch_greedy_ids(spark)
+    assert got == want
+    # the contract the fixture encodes: family variants die, singletons live
+    assert {0, 1, 2, 4, 7} <= got
+    assert 3 not in got and 5 not in got and 6 not in got
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    b2 = spark.createDataFrame(B2, SCHEMA)
+    neardup_filter_batch(b1, store, 0, **MH)
+    first = {r["doc_id"] for r in neardup_filter_batch(b2, store, 1, **MH).collect()}
+    rows_after_first = store.read().count()
+    # replay batch 1 (e.g. sink crashed after the store merge): the probe
+    # ignores rows stamped with the current batch id, so the survivor set
+    # and the store are both unchanged
+    replay = {r["doc_id"] for r in neardup_filter_batch(b2, store, 1, **MH).collect()}
+    assert replay == first
+    assert store.read().count() == rows_after_first
+
+
+def test_dropped_doc_keys_still_poison(spark, tmp_path):
+    """Greedy semantics: doc 6 near-dups doc 3 (itself dropped against
+    doc 0) — it must still be dropped, so the store must carry keys of
+    every SEEN doc, not only survivors."""
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    neardup_filter_batch(spark.createDataFrame(B1, SCHEMA), store, 0, **MH)
+    kept2 = neardup_filter_batch(spark.createDataFrame(B2, SCHEMA), store, 1, **MH)
+    assert 3 not in {r["doc_id"] for r in kept2.collect()}
+    kept3 = neardup_filter_batch(spark.createDataFrame(B3, SCHEMA), store, 2, **MH)
+    assert 6 not in {r["doc_id"] for r in kept3.collect()}
+
+
+def test_stream_sink_end_to_end(spark, tmp_path):
+    import os
+    import time
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = time.time()
+    for i, rows in enumerate((B1, B2, B3)):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = start_neardup_dedup_stream(
+        stream, out, str(tmp_path / "store"), str(tmp_path / "ckpt"), **MH
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == _batch_greedy_ids(spark)

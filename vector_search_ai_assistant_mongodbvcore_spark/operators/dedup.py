@@ -326,6 +326,22 @@ def minhash_lsh_pairs(
     -> capped_bucket_pairs (posting lists for buckets <= max_bucket, an
     equi-join route for hotter buckets — same pair set, bounded task
     memory) -> distinct."""
+    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_size)
+    return capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, band, key) LSH band keys per document — the banding stage of
+    minhash_lsh_pairs, exposed for consumers that need the KEYS rather
+    than the pairs (the streaming near-dup store joins new docs' keys
+    against every key seen so far)."""
     rows_per_band = num_hashes // bands
     agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
     band_structs = [
@@ -341,10 +357,9 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = agg.select(
+    return agg.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
 
 
 def simhash(

@@ -1,0 +1,161 @@
+"""Streaming NEAR-duplicate filtering for continuous corpus ingest.
+
+Completes the dedup tier's batch/stream symmetry: batch has exact +
+MinHash-LSH fuzzy dedup (operators/dedup.py, wired into
+prepare_training_corpus); streaming had exact only (streaming/dedup.py).
+This module adds the fuzzy form with the GREEDY keep policy — the one
+near-dup policy that is streamable, because its verdict for a document
+depends only on documents that arrived BEFORE it (component/best-quality
+policies need the full pair graph and remain batch).
+
+Why not a pure transformation like dedup_stream: a document is a near-dup
+iff ANY of its `bands` LSH band keys was seen before, which needs a
+per-key state probe (dropDuplicates-like) FOLLOWED by a per-doc
+all-bands-new aggregation — two stateful operators chained on the keys'
+explode, which append mode cannot express. So this uses the engine's
+established incremental-index pattern (streaming/incremental.py): a
+foreachBatch sink backed by a PERSISTED band-key store.
+
+Store layout: BucketedTable bucketed on `key` holding one row per
+(band, key, doc_id, batch) — every band key of every document EVER SEEN
+(survivor or not; greedy batch semantics drop a doc colliding with a
+lower-id doc even when that doc itself was dropped, so dropped docs'
+keys still poison later arrivals — parity pinned in tests). Upserts are
+keyed on (band, key, doc_id): replaying a micro-batch merges the
+identical rows, and the probe EXCLUDES rows stamped with the current
+batch id, so a replay recomputes the identical survivor set
+(exactly-once under retries, same discipline as the shard export
+stream).
+
+Equivalence contract (pinned in tests): streaming micro-batches in id
+order through neardup_filter_batch, unioned, equals batch
+drop_near_duplicates(df, minhash_lsh_pairs(df)) — same hash family, same
+band layout (operators/dedup.minhash_band_keys), same greedy policy.
+
+Scale: the store is an index table — `bands` rows per document, the same
+growth class as the incremental BM25/LSH indexes; the per-batch probe is
+one keyed join of the batch's band keys (tiny) against the store, and
+the store merge rewrites only the buckets holding the batch's keys
+(file-level COW). At 100 TB the store rides the same bucketed layout the
+other incremental indexes use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
+    capped_bucket_pairs,
+    drop_near_duplicates,
+    minhash_band_keys,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    BucketedTable,
+)
+
+__all__ = ["open_neardup_store", "neardup_filter_batch", "start_neardup_dedup_stream"]
+
+
+def open_neardup_store(
+    spark: SparkSession, path: str, n_buckets: int = 16
+) -> BucketedTable:
+    """The persisted band-key store (see module docstring)."""
+    return BucketedTable(spark, path, bucket_by=["key"], n_buckets=n_buckets)
+
+
+def neardup_filter_batch(
+    batch: DataFrame,
+    store: BucketedTable,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """One micro-batch of greedy streaming near-dedup; returns the
+    SURVIVING rows of `batch` (all original columns) and upserts the
+    batch's band keys into the store.
+
+    Verdict for a batch doc d:
+      * drop if any of d's band keys exists in the store from an EARLIER
+        batch (first-arrival wins across batches), else
+      * drop if d shares a band key with a LOWER-id doc of this batch
+        (greedy within the batch — drop_near_duplicates on the batch's
+        own LSH candidate pairs), else keep.
+    Rows stamped with the CURRENT batch id are ignored by the probe, so
+    a foreachBatch replay recomputes the identical survivors before
+    re-merging the identical store rows (idempotent)."""
+    banded = minhash_band_keys(
+        batch, text_col, id_col, num_hashes, bands, shingle_size
+    ).persist()
+    try:
+        collided = None
+        if store.exists():
+            prior = store.read().filter(F.col("batch") != F.lit(int(batch_id)))
+            collided = (
+                banded.join(prior.select("band", "key").distinct(), ["band", "key"])
+                .select(id_col)
+                .distinct()
+            )
+        in_batch_pairs = capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
+        survivors = drop_near_duplicates(batch, in_batch_pairs, id_col=id_col)
+        if collided is not None:
+            survivors = survivors.join(collided, id_col, "left_anti")
+        # EVERY batch doc's keys enter the store (greedy semantics: a
+        # dropped doc's keys still poison later arrivals)
+        rows = banded.select(
+            id_col, "band", "key", F.lit(int(batch_id)).alias("batch")
+        )
+        if store.exists():
+            store.merge(rows, keys=["band", "key", id_col])
+        else:
+            store.overwrite(rows)
+        return survivors
+    finally:
+        banded.unpersist()
+
+
+def start_neardup_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+    store_buckets: int = 16,
+):
+    """foreachBatch sink: near-dedup filter each micro-batch against the
+    persisted store, land survivors at out_dir/batch=<id>/ (dynamic-
+    partition overwrite on the deterministic batch id — a replayed batch
+    replaces exactly its own partition, the shard-export discipline)."""
+    spark = docs.sparkSession
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        store = open_neardup_store(spark, store_path, n_buckets=store_buckets)
+        kept = neardup_filter_batch(
+            df, store, int(epoch_id), text_col, id_col,
+            num_hashes, bands, shingle_size,
+        )
+        (
+            kept.withColumn("batch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
