@@ -9,6 +9,8 @@ numbers on the Spark form: change-record micro-batches driven through
   lsh       LshIndex remove+add maintenance (apply_index_changes)
   ivf       IvfIndex remove+add maintenance (frozen centroids)
   bm25      Bm25Index remove+add maintenance (keyword leg)
+  neardup   greedy MinHash near-dedup against the persisted band-key
+            store (streaming/neardup.start_neardup_dedup_stream)
   corpus    the full gate -> decontam -> dedup -> split -> chunk chain
             (streaming/corpus.prepare_stream) to a memory sink
   shards    the same chain terminated by start_shard_export_stream —
@@ -268,6 +270,40 @@ def probe_shard_export(spark, work: str, batch: int, batches: int) -> dict:
     return _summarize(_progress(q), rid)
 
 
+def probe_neardup(spark, work: str, batch: int, batches: int) -> dict:
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        start_neardup_dedup_stream,
+    )
+
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    base = time.time() - 3600
+    rid = 0
+    for bi in range(batches):
+        path = os.path.join(src, f"docs_{bi:04d}.json")
+        with open(path, "w") as f:
+            for _ in range(batch):
+                # every 5th doc is a near-dup of an earlier one (suffix
+                # variant), so the store probe and the greedy drop both
+                # do real work
+                if rid % 5 == 4:
+                    body = _text(rid - 2, 80) + " trailing variant words"
+                else:
+                    body = _text(rid, 80)
+                f.write(json.dumps({"doc_id": rid, "text": body}) + "\n")
+                rid += 1
+        os.utime(path, (base + bi, base + bi))
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = start_neardup_dedup_stream(
+        stream,
+        os.path.join(work, "kept"),
+        os.path.join(work, "nd_store"),
+        os.path.join(work, "nd_ckpt"),
+    )
+    q.awaitTermination(600)
+    return _summarize(_progress(q), rid)
+
+
 PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
@@ -275,6 +311,7 @@ PROBES = {
     "bm25": lambda s, w, b, n: _index_probe(s, w, b, n, "bm25"),
     "corpus": probe_corpus_chain,
     "shards": probe_shard_export,
+    "neardup": probe_neardup,
 }
 
 
