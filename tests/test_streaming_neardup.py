@@ -122,3 +122,81 @@ def test_stream_sink_end_to_end(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == _batch_greedy_ids(spark)
+
+
+# ---- embedding-space form --------------------------------------------
+
+import numpy as np
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+    embedding_neardup,
+)
+from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+    embedding_neardup_filter_batch,
+    open_embedding_neardup_store,
+)
+
+DIMS = 16
+VPARAMS = dict(bits=6, tables=4, seed=42)
+
+
+def _vecs():
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=DIMS)
+    base_b = rng.normal(size=DIMS)
+    def jitter(v, eps=0.01, salt=0):
+        r = np.random.default_rng(100 + salt)
+        w = v + eps * r.normal(size=DIMS)
+        return w
+    rows = [
+        (0, base_a),
+        (1, rng.normal(size=DIMS)),          # distinct
+        (2, base_b),
+        (3, jitter(base_a, salt=1)),         # near-dup of 0
+        (4, rng.normal(size=DIMS)),          # distinct
+        (5, jitter(base_b, salt=2)),         # near-dup of 2
+        (6, jitter(base_a, salt=3)),         # near-dup of 0 (and 3)
+        (7, None),                           # NULL vector: always survives
+    ]
+    return [(i, None if v is None else [float(x) for x in v]) for i, v in rows]
+
+
+def _emb_batches():
+    rows = _vecs()
+    return rows[:3], rows[3:6], rows[6:]
+
+
+def _emb_batch_greedy_ids(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup(df, threshold=0.95, id_col="vec_id", **VPARAMS)
+    kept = {r["vec_id"] for r in drop_near_duplicates(df, pairs, id_col="vec_id").collect()}
+    return kept
+
+
+def test_embedding_stream_matches_batch_greedy(spark, tmp_path):
+    store = open_embedding_neardup_store(spark, str(tmp_path / "estore"), n_buckets=4)
+    got: set[int] = set()
+    for bid, rows in enumerate(_emb_batches()):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = embedding_neardup_filter_batch(
+            df, store, bid, DIMS, threshold=0.95, id_col="vec_id", **VPARAMS
+        )
+        got |= {r["vec_id"] for r in kept.collect()}
+    assert got == _emb_batch_greedy_ids(spark)
+    assert {0, 1, 2, 4, 7} <= got     # originals, distincts, NULL vector
+    assert 3 not in got and 5 not in got and 6 not in got
+
+
+def test_embedding_stream_replay_idempotent(spark, tmp_path):
+    store = open_embedding_neardup_store(spark, str(tmp_path / "estore"), n_buckets=4)
+    b1, b2, _ = _emb_batches()
+    d1 = spark.createDataFrame(b1, "vec_id long, embedding array<double>")
+    d2 = spark.createDataFrame(b2, "vec_id long, embedding array<double>")
+    embedding_neardup_filter_batch(d1, store, 0, DIMS, threshold=0.95, id_col="vec_id", **VPARAMS)
+    first = {r["vec_id"] for r in embedding_neardup_filter_batch(
+        d2, store, 1, DIMS, threshold=0.95, id_col="vec_id", **VPARAMS).collect()}
+    n = store.read().count()
+    replay = {r["vec_id"] for r in embedding_neardup_filter_batch(
+        d2, store, 1, DIMS, threshold=0.95, id_col="vec_id", **VPARAMS).collect()}
+    assert replay == first and store.read().count() == n

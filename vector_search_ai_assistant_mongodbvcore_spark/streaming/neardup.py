@@ -56,7 +56,14 @@ from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import 
     BucketedTable,
 )
 
-__all__ = ["open_neardup_store", "neardup_filter_batch", "start_neardup_dedup_stream"]
+__all__ = [
+    "open_neardup_store",
+    "neardup_filter_batch",
+    "start_neardup_dedup_stream",
+    "open_embedding_neardup_store",
+    "embedding_neardup_filter_batch",
+    "start_embedding_neardup_stream",
+]
 
 
 def open_neardup_store(
@@ -143,6 +150,141 @@ def start_neardup_dedup_stream(
         kept = neardup_filter_batch(
             df, store, int(epoch_id), text_col, id_col,
             num_hashes, bands, shingle_size,
+        )
+        (
+            kept.withColumn("batch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---- embedding-space form (incremental SemDeDup) --------------------------
+#
+# Same shape as the text form, with sign-LSH buckets over the embedding
+# column as the blocking key and EXACT cosine verification of candidates
+# (the text form accepts LSH candidates; vectors are cheap to verify, so
+# this form never drops on a bucket collision alone). The store holds
+# (table, bucket, vec_id, vector, batch) for every SEEN doc — the same
+# growth class as the incremental LshIndex (which also persists vectors;
+# at scale the int8 quantization the index layer offers applies here
+# identically). Cosine is the codegen expression on the probe side and
+# numpy inside the batch operator's verification — they agree to float
+# ulps, so thresholds should not sit ON a pair's exact cosine (the same
+# caveat embedding_neardup documents for its own dual kernels).
+
+
+def open_embedding_neardup_store(
+    spark: SparkSession, path: str, n_buckets: int = 16
+) -> BucketedTable:
+    return BucketedTable(spark, path, bucket_by=["bucket"], n_buckets=n_buckets)
+
+
+def embedding_neardup_filter_batch(
+    batch: DataFrame,
+    store: BucketedTable,
+    batch_id: int,
+    dims: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """One micro-batch of greedy streaming EMBEDDING near-dedup; returns
+    surviving rows (NULL-vector rows always survive — no evidence is not
+    a duplicate verdict, the semdedup NULL guard). Drop iff exact cosine
+    >= threshold against an earlier-batch doc sharing any (table, bucket)
+    OR against a lower-id doc of this batch (greedy via the batch
+    operator embedding_neardup — identical hyperplanes, same seed)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        embedding_neardup,
+        lsh_bucket_ids,
+    )
+
+    vec = batch.filter(F.col(vector_col).isNotNull())
+    coded = lsh_bucket_ids(
+        vec, dims, bits=bits, tables=tables,
+        vector_col=vector_col, id_col=id_col, seed=seed,
+    )
+    banded = coded.join(vec.select(id_col, vector_col), id_col).persist()
+    try:
+        collided = None
+        if store.exists():
+            prior = store.read().filter(F.col("batch") != F.lit(int(batch_id)))
+            cand = banded.join(
+                prior.select(
+                    "table", "bucket", F.col("vector").alias("_pv")
+                ),
+                ["table", "bucket"],
+            )
+            collided = (
+                cand.filter(
+                    cosine_similarity(F.col(vector_col), F.col("_pv"))
+                    >= F.lit(threshold)
+                )
+                .select(id_col)
+                .distinct()
+            )
+        pairs = embedding_neardup(
+            vec, threshold=threshold, bits=bits, tables=tables,
+            vector_col=vector_col, id_col=id_col, seed=seed,
+        )
+        survivors = drop_near_duplicates(batch, pairs, id_col=id_col)
+        if collided is not None:
+            survivors = survivors.join(collided, id_col, "left_anti")
+        rows = banded.select(
+            "table", "bucket", id_col,
+            F.col(vector_col).alias("vector"),
+            F.lit(int(batch_id)).alias("batch"),
+        )
+        if store.exists():
+            store.merge(rows, keys=["table", "bucket", id_col])
+        else:
+            store.overwrite(rows)
+        return survivors
+    finally:
+        banded.unpersist()
+
+
+def start_embedding_neardup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    dims: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    store_buckets: int = 16,
+):
+    """foreachBatch sink for the embedding form — same exactly-once
+    discipline as start_neardup_dedup_stream."""
+    spark = docs.sparkSession
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        store = open_embedding_neardup_store(
+            spark, store_path, n_buckets=store_buckets
+        )
+        kept = embedding_neardup_filter_batch(
+            df, store, int(epoch_id), dims, threshold,
+            bits, tables, vector_col, id_col, seed,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
