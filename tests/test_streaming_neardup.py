@@ -200,3 +200,22 @@ def test_embedding_stream_replay_idempotent(spark, tmp_path):
     replay = {r["vec_id"] for r in embedding_neardup_filter_batch(
         d2, store, 1, DIMS, threshold=0.95, id_col="vec_id", **VPARAMS).collect()}
     assert replay == first and store.read().count() == n
+
+
+def test_embedding_stream_int8_store(spark, tmp_path):
+    """int8=True quantizes the stored vectors (4x cut) — with the
+    fixture's wide cosine margins the survivor set is identical to the
+    float store's."""
+    store = open_embedding_neardup_store(spark, str(tmp_path / "q8store"), n_buckets=4)
+    got: set[int] = set()
+    for bid, rows in enumerate(_emb_batches()):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = embedding_neardup_filter_batch(
+            df, store, bid, DIMS, threshold=0.95, id_col="vec_id",
+            int8=True, **VPARAMS
+        )
+        got |= {r["vec_id"] for r in kept.collect()}
+    assert got == _emb_batch_greedy_ids(spark)
+    # the store really holds int8 codes, not floats
+    vt = dict(store.read().dtypes)["vector"]
+    assert "tinyint" in vt and "scale" in vt

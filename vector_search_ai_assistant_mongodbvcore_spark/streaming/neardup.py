@@ -175,9 +175,11 @@ def start_neardup_dedup_stream(
 # (the text form accepts LSH candidates; vectors are cheap to verify, so
 # this form never drops on a bucket collision alone). The store holds
 # (table, bucket, vec_id, vector, batch) for every SEEN doc — the same
-# growth class as the incremental LshIndex (which also persists vectors;
-# at scale the int8 quantization the index layer offers applies here
-# identically). Cosine is the codegen expression on the probe side and
+# growth class as the incremental LshIndex; int8=True stores vectors
+# quantized (functions/vector.quantize_int8, the 4x storage/IO cut) and
+# dequantizes inside the probe's scan projection, trading the documented
+# bounded quantization error on near-threshold cosines.
+# Cosine is the codegen expression on the probe side and
 # numpy inside the batch operator's verification — they agree to float
 # ulps, so thresholds should not sit ON a pair's exact cosine (the same
 # caveat embedding_neardup documents for its own dual kernels).
@@ -200,6 +202,7 @@ def embedding_neardup_filter_batch(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    int8: bool = False,
 ) -> DataFrame:
     """One micro-batch of greedy streaming EMBEDDING near-dedup; returns
     surviving rows (NULL-vector rows always survive — no evidence is not
@@ -209,6 +212,8 @@ def embedding_neardup_filter_batch(
     operator embedding_neardup — identical hyperplanes, same seed)."""
     from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
         cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
         embedding_neardup,
@@ -225,10 +230,13 @@ def embedding_neardup_filter_batch(
         collided = None
         if store.exists():
             prior = store.read().filter(F.col("batch") != F.lit(int(batch_id)))
+            pv = (
+                dequantize_int8(F.col("vector"))
+                if int8
+                else F.col("vector")
+            )
             cand = banded.join(
-                prior.select(
-                    "table", "bucket", F.col("vector").alias("_pv")
-                ),
+                prior.select("table", "bucket", pv.alias("_pv")),
                 ["table", "bucket"],
             )
             collided = (
@@ -246,9 +254,12 @@ def embedding_neardup_filter_batch(
         survivors = drop_near_duplicates(batch, pairs, id_col=id_col)
         if collided is not None:
             survivors = survivors.join(collided, id_col, "left_anti")
+        stored = (
+            quantize_int8(F.col(vector_col)) if int8 else F.col(vector_col)
+        )
         rows = banded.select(
             "table", "bucket", id_col,
-            F.col(vector_col).alias("vector"),
+            stored.alias("vector"),
             F.lit(int(batch_id)).alias("batch"),
         )
         if store.exists():
@@ -273,6 +284,7 @@ def start_embedding_neardup_stream(
     id_col: str = "vec_id",
     seed: int = 42,
     store_buckets: int = 16,
+    int8: bool = False,
 ):
     """foreachBatch sink for the embedding form — same exactly-once
     discipline as start_neardup_dedup_stream."""
@@ -284,7 +296,7 @@ def start_embedding_neardup_stream(
         )
         kept = embedding_neardup_filter_batch(
             df, store, int(epoch_id), dims, threshold,
-            bits, tables, vector_col, id_col, seed,
+            bits, tables, vector_col, id_col, seed, int8,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
