@@ -11,6 +11,7 @@ numbers on the Spark form: change-record micro-batches driven through
   bm25      Bm25Index remove+add maintenance (keyword leg)
   neardup   greedy MinHash near-dedup against the persisted band-key
             store (streaming/neardup.start_neardup_dedup_stream)
+  embneardup  the embedding form (incremental SemDeDup, int8 store)
   corpus    the full gate -> decontam -> dedup -> split -> chunk chain
             (streaming/corpus.prepare_stream) to a memory sink
   shards    the same chain terminated by start_shard_export_stream —
@@ -304,6 +305,46 @@ def probe_neardup(spark, work: str, batch: int, batches: int) -> dict:
     return _summarize(_progress(q), rid)
 
 
+def probe_embedding_neardup(spark, work: str, batch: int, batches: int) -> dict:
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        start_embedding_neardup_stream,
+    )
+
+    dims = 64
+    src = os.path.join(work, "vecs")
+    os.makedirs(src)
+    base = time.time() - 3600
+    rng = np.random.default_rng(11)
+    rid = 0
+    for bi in range(batches):
+        path = os.path.join(src, f"vecs_{bi:04d}.json")
+        with open(path, "w") as f:
+            for _ in range(batch):
+                # every 5th vector is a jittered near-dup of an earlier one
+                if rid % 5 == 4 and rid >= 2:
+                    v = np.asarray(vprev) + 0.01 * rng.normal(size=dims)
+                else:
+                    v = rng.normal(size=dims)
+                    vprev = v
+                f.write(json.dumps({"vec_id": rid, "embedding": [float(x) for x in v]}) + "\n")
+                rid += 1
+        os.utime(path, (base + bi, base + bi))
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q = start_embedding_neardup_stream(
+        stream,
+        os.path.join(work, "kept"),
+        os.path.join(work, "estore"),
+        os.path.join(work, "eckpt"),
+        dims=dims,
+        int8=True,
+    )
+    q.awaitTermination(600)
+    return _summarize(_progress(q), rid)
+
+
 PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
@@ -312,6 +353,7 @@ PROBES = {
     "corpus": probe_corpus_chain,
     "shards": probe_shard_export,
     "neardup": probe_neardup,
+    "embneardup": probe_embedding_neardup,
 }
 
 
