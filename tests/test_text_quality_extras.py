@@ -241,7 +241,7 @@ class TestGopherRules:
 def _bl_df(spark):
     rows = [
         (0, "the grass is green and tall near the path"),     # substring trap
-        (1, "this doc mentions badword once in passing"),
+        (1, "this doc mentions badword, once in passing"),  # punctuation-attached
         (2, "BADWORD shouted in caps and also lowercase badword"),
         (3, "an evil phrase hides right here in this text"),
         (4, "evil alone is fine but phrase alone is also fine"),
@@ -265,7 +265,7 @@ def test_blocklist_word_boundary_and_phrases(spark):
         ).collect()
     }
     assert got[0] == 0  # "grass" must NOT match blocklisted "ass"
-    assert got[1] == 1
+    assert got[1] == 1  # boundary punctuation stripped: "badword," hits
     assert got[2] == 1  # distinct terms, case-insensitive: one term hit
     assert got[3] == 1  # phrase matches as whole words
     assert got[4] == 0  # phrase words apart: no hit

@@ -566,7 +566,13 @@ def blocklist_hits(col: Column | str, terms: "list[str]") -> Column:
             "pre-filter it or split the screen into passes"
         )
     c = _c(col)
-    w = words(F.lower(c))
+    # strip boundary punctuation per word ("badword," must still hit)
+    # while keeping the word-boundary guarantee the substring approach
+    # lacks — inner punctuation stays, so "cl-ass" never matches "ass"
+    w = F.transform(
+        words(F.lower(c)),
+        lambda x: F.regexp_replace(x, r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$", ""),
+    )
     singles = sorted({t.strip().lower() for t in terms if " " not in t.strip() and t.strip()})
     phrases = sorted({" ".join(t.lower().split()) for t in terms if " " in t.strip()})
     hits: Column = F.lit(0)
