@@ -63,6 +63,7 @@ def main() -> None:
         "chunking", "minhash_band_pairs", "ngram_jaccard", "decontam",
         "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
         "cap_per_source", "remove_spans", "mask_contam", "bpe_encode",
+        "component_dedup",
     }
     _EV_OPS = {"asof_attribution"}
     _VEC_OPS = {
@@ -110,6 +111,13 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
         "minhash_band_pairs": lambda d: DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
         .write.format("noop").mode("overwrite").save(),
+        # the component keep policy end to end: pair generation -> the
+        # iterative min-propagation (replication makes every doc a
+        # 64-member clique at 64x — the dense-component worst case; the
+        # loop converges in O(log diameter) rounds) -> the anti-join
+        "component_dedup": lambda d: DD.drop_component_duplicates(
+            d, DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
+        ).write.format("noop").mode("overwrite").save(),
         "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
         .write.format("noop").mode("overwrite").save(),
         # benchmark side stays FIXED (docs1-derived) while the corpus grows
