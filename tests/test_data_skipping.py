@@ -522,3 +522,44 @@ def test_bloom_prunes_delete_where(spark, tmp_path):
     # absent key: zero IO, version unchanged
     v = t.current_version()
     assert t.delete_where([("sid", "=", "absent")]) == v
+
+
+def test_bloom_type_mismatched_literal_never_prunes(spark, tmp_path):
+    """A literal whose type differs from the column's stored values must
+    not be bloom-pruned: Spark's residual predicate coerces (string col
+    vs int literal) and can still match — the same TypeError guard the
+    min-max path has."""
+    t = ManagedTable(spark, str(tmp_path / "tm"), bloom_cols=("sid",))
+    df = spark.createDataFrame(
+        [(i, str(100 + i)) for i in range(40)], "k long, sid string"
+    )
+    t.overwrite(df.repartition(4, "k"))
+    # int literal against the string column: bloom must keep all files,
+    # and the coerced predicate still finds the row
+    kept, total = t.pruned_files([("sid", "=", 123)])
+    assert kept == total
+    got = t.read(filters=[("sid", "=", 123)]).collect()
+    assert [r["k"] for r in got] == [23]
+    # matching-type literal still prunes
+    kept2, total2 = t.pruned_files([("sid", "=", "123")])
+    assert kept2 < total2
+
+
+def test_bloom_declaration_can_be_cleared(spark, tmp_path):
+    """bloom_cols=() explicitly CLEARS the sticky declaration; None (the
+    default) inherits it."""
+    t = ManagedTable(spark, str(tmp_path / "tc"), bloom_cols=("sid",))
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("sid")
+    )
+    t.overwrite(df.repartition(2, "k"))
+    assert any(s.get("blooms") for s in t._filestats(t.current_version()).values())
+    # inheriting writer keeps indexing
+    t2 = ManagedTable(spark, t.path)
+    t2.append(df.withColumn("k", F.col("k") + 100).repartition(1, "k"))
+    assert any(s.get("blooms") for s in t2._filestats(t2.current_version()).values())
+    # explicit () clears: next commit builds no blooms
+    t3 = ManagedTable(spark, t.path, bloom_cols=())
+    t3.overwrite(df.repartition(2, "k"))
+    stats = t3._filestats(t3.current_version())
+    assert all(not s.get("blooms") for s in stats.values())

@@ -360,3 +360,26 @@ def test_dedupe_doc_lines_stage(spark):
     # cleaned texts are identical -> exact dedup collapses the pair
     assert {r["doc_id"] for r in out} == {0}
     assert "nav bar nav bar" not in " ".join(r["chunk_text"] for r in out)
+
+
+def test_mask_mode_preserves_line_structure_of_untouched_docs(spark):
+    """Masking must not rewrite untouched docs: their newlines survive,
+    so line-based Gopher rules (duplicate-line boilerplate) still fire
+    in mask mode exactly as in drop mode."""
+    line = "identical boilerplate navigation line with several words"
+    boiler = "\n".join([line] * 9 + ["one unique closing line here"])
+    clean = "\n".join(
+        f"unique content line {i} carrying ordinary words forward" for i in range(10)
+    )
+    rows = [(0, "src0", boiler), (1, "src0", clean)]
+    raw = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(100, "totally unrelated benchmark sentence nothing shares")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        raw, use_gopher_rules=True, benchmark=bench, decontam_mode="mask",
+        chunk_size=1000, chunk_overlap=0,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1}  # boilerplate doc still gated on its line structure

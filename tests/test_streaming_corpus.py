@@ -416,7 +416,8 @@ def test_decontam_mask_matches_batch_operator(spark, tables, monkeypatch):
     lit = {
         r["doc_id"]: r["m"]
         for r in docs.select(
-            "doc_id", C.decontam_mask(ngrams, "text", 4).alias("m")
+            "doc_id",
+            C.decontam_mask(ngrams, "text", 4, preserve_unmasked=False).alias("m"),
         ).collect()
     }
     assert lit == want
@@ -424,10 +425,31 @@ def test_decontam_mask_matches_batch_operator(spark, tables, monkeypatch):
     udf = {
         r["doc_id"]: r["m"]
         for r in docs.select(
-            "doc_id", C.decontam_mask(ngrams, "text", 4).alias("m")
+            "doc_id",
+            C.decontam_mask(ngrams, "text", 4, preserve_unmasked=False).alias("m"),
         ).collect()
     }
     assert udf == want
+    monkeypatch.undo()
+    # default mode: untouched docs pass through byte-identical, masked
+    # docs still get the batch clean_text (both probe paths)
+    removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_contaminated_spans(docs, bench_df, n=4).collect()
+    }
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for probe_max in (None, 0):
+        if probe_max is not None:
+            monkeypatch.setattr(C, "_LITERAL_PROBE_MAX", probe_max)
+        got = {
+            r["doc_id"]: r["m"]
+            for r in docs.select(
+                "doc_id", C.decontam_mask(ngrams, "text", 4).alias("m")
+            ).collect()
+        }
+        monkeypatch.undo()
+        for i, m in got.items():
+            assert m == (want[i] if removed[i] > 0 else raw[i]), i
 
 
 def test_decontam_mask_rejects_bad_mode(spark, src, bench):

@@ -219,3 +219,25 @@ def test_embedding_stream_int8_store(spark, tmp_path):
     # the store really holds int8 codes, not floats
     vt = dict(store.read().dtypes)["vector"]
     assert "tinyint" in vt and "scale" in vt
+
+
+def test_rearriving_doc_replay_stays_idempotent(spark, tmp_path):
+    """A doc re-arriving in a later batch is dropped against its own
+    history — and a REPLAY of that later batch reproduces the drop: the
+    store never re-stamps existing rows, so the replay probe still sees
+    the doc's original-batch keys."""
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    neardup_filter_batch(b1, store, 0, **MH)
+    # batch 5 re-ingests doc 0's exact text under a new id + a fresh doc
+    again = spark.createDataFrame(
+        [(100, B1[0][1]), (101, _prose("fresh"))], SCHEMA
+    )
+    first = {r["doc_id"] for r in neardup_filter_batch(again, store, 5, **MH).collect()}
+    assert first == {101}  # 100 collides with doc 0's stored keys
+    n = store.read().count()
+    replay = {r["doc_id"] for r in neardup_filter_batch(again, store, 5, **MH).collect()}
+    assert replay == {101}  # identical verdict on replay
+    assert store.read().count() == n  # no new rows, no re-stamps
+    # the original batch stamps survived
+    assert store.read().filter(F.col("batch") == 0).count() > 0

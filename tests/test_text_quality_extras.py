@@ -315,7 +315,8 @@ def test_blocklist_pipeline_stage(spark):
 
 def test_dedupe_lines(spark):
     doc = "nav bar\nreal content one\nnav bar\nreal content two\nnav bar\nfooter"
-    rows = [(0, doc), (1, "only\nunique\nlines"), (2, None), (3, "")]
+    para = "Title\n\nPara one.\n\nPara two."
+    rows = [(0, doc), (1, "only\nunique\nlines"), (2, None), (3, ""), (4, para)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r.doc_id: r.t
@@ -325,17 +326,44 @@ def test_dedupe_lines(spark):
     assert got[1] == "only\nunique\nlines"
     assert got[2] is None
     assert got[3] == ""
-    # python-oracle parity on arbitrary real corpus text
-    import itertools
+    # blank lines are separators, never deduped: paragraphs survive
+    assert got[4] == para
 
     def py(t):
         if t is None:
             return None
         seen, out = set(), []
         for ln in t.split("\n"):
-            if ln not in seen:
+            if not ln.strip() or ln not in seen:
                 seen.add(ln)
                 out.append(ln)
         return "\n".join(out)
 
     assert all(py(t) == got[i] for i, t in rows)
+
+
+def test_blocklist_punctuated_terms_match_verbatim(spark):
+    """Punctuation-bearing terms ("a$$") match their literal token and
+    NEVER their stripped husk — a doc containing the article "a" must
+    not trip a blocked "a$$"."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        blocklist_hits,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "watch a bird cross the grass"),      # has word "a": no hit
+            (1, "he wrote a$$ on the wall"),          # literal token: hit
+            (2, "he wrote a$$, with a comma after"),  # punctuated term + extra punct: miss (documented)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", blocklist_hits("text", ["a$$"]).alias("h")
+        ).collect()
+    }
+    assert got[0] == 0
+    assert got[1] == 1
+    assert got[2] == 0

@@ -566,26 +566,56 @@ def blocklist_hits(col: Column | str, terms: "list[str]") -> Column:
             "pre-filter it or split the screen into passes"
         )
     c = _c(col)
-    # strip boundary punctuation per word ("badword," must still hit)
-    # while keeping the word-boundary guarantee the substring approach
-    # lacks — inner punctuation stays, so "cl-ass" never matches "ass"
-    w = F.transform(
-        words(F.lower(c)),
+    # Two word views, two term classes:
+    #   * CLEAN terms (stripping boundary punctuation leaves them
+    #     unchanged) probe the boundary-STRIPPED word array, so
+    #     "badword," in a document still hits "badword" while inner
+    #     punctuation keeps the word-boundary guarantee ("cl-ass" never
+    #     matches a blocked "ass").
+    #   * PUNCTUATED terms ("a$$" — the punctuation is the term) probe
+    #     the RAW lowered word array verbatim: stripping them would
+    #     collapse "a$$" to "a" and block every document containing the
+    #     article. The trade: an accidentally-punctuated list entry
+    #     ("badword,") only matches its exact form — ship clean lists.
+    raw = words(F.lower(c))
+    stripped = F.transform(
+        raw,
         lambda x: F.regexp_replace(x, r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$", ""),
     )
-    singles = sorted({t.strip().lower() for t in terms if " " not in t.strip() and t.strip()})
-    phrases = sorted({" ".join(t.lower().split()) for t in terms if " " in t.strip()})
+
+    def _strip(word: str) -> str:
+        i, j = 0, len(word)
+        while i < j and not word[i].isalnum():
+            i += 1
+        while j > i and not word[j - 1].isalnum():
+            j -= 1
+        return word[i:j]
+
+    norm_singles = {t.strip().lower() for t in terms if " " not in t.strip()} - {""}
+    clean_singles = sorted(t for t in norm_singles if _strip(t) == t)
+    punct_singles = sorted(t for t in norm_singles if _strip(t) != t)
+    norm_phrases = {
+        " ".join(t.lower().split()) for t in terms if " " in t.strip()
+    } - {""}
+    clean_phrases = sorted(
+        p for p in norm_phrases if all(_strip(x) == x for x in p.split())
+    )
+    punct_phrases = sorted(
+        p for p in norm_phrases if any(_strip(x) != x for x in p.split())
+    )
     hits: Column = F.lit(0)
-    if singles:
-        hits = hits + F.size(
-            F.array_intersect(
-                F.array_distinct(w), F.array(*[F.lit(s) for s in singles])
+    for word_view, singles in ((stripped, clean_singles), (raw, punct_singles)):
+        if singles:
+            hits = hits + F.size(
+                F.array_intersect(
+                    F.array_distinct(word_view), F.array(*[F.lit(s) for s in singles])
+                )
             )
-        )
-    if phrases:
-        padded = F.concat(F.lit(" "), F.array_join(w, " "), F.lit(" "))
-        for p in phrases:
-            hits = hits + F.when(padded.contains(f" {p} "), 1).otherwise(0)
+    for word_view, phrases in ((stripped, clean_phrases), (raw, punct_phrases)):
+        if phrases:
+            padded = F.concat(F.lit(" "), F.array_join(word_view, " "), F.lit(" "))
+            for p in phrases:
+                hits = hits + F.when(padded.contains(f" {p} "), 1).otherwise(0)
     return F.when(c.isNull(), F.lit(0)).otherwise(hits)
 
 
@@ -604,12 +634,20 @@ def dedupe_lines(col: Column | str) -> Column:
     stays NULL; line identity is exact (no normalization — callers who
     want case-folded identity lower the text first).
 
+    Blank lines are NEVER deduplicated — they are paragraph separators,
+    not content, and collapsing them would merge every document's
+    paragraphs (the CCNet pass this mirrors dedups non-empty lines only).
+
     One codegen projection; the first-occurrence probe is
     array_position per line (quadratic in the document's OWN line count
     — bounded per row, never cross-row)."""
     c = _c(col)
     lines = F.split(c, "\n")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1))
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(lines, x) == i + F.lit(1)),
+    )
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
         F.array_join(kept, "\n")
     )

@@ -180,17 +180,27 @@ def prepare_training_corpus(
             # the pool (min_hits does not apply — every overlapping span
             # is masked). Runs BEFORE the quality gates, so a doc gutted
             # by masking falls to the quality floor on its own merits.
+            # Untouched docs (n_removed = 0) keep their ORIGINAL text
+            # byte-identical — clean_text's word rejoin is inherent to
+            # span removal, but applying it corpus-wide would collapse
+            # every doc to one line and blind the line-based Gopher
+            # rules for documents masking never touched.
             from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
                 remove_contaminated_spans,
             )
 
             masked = remove_contaminated_spans(
                 deduped, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
-            ).select(id_col, F.col("clean_text"))
+            ).select(
+                id_col,
+                F.when(F.col("n_removed") > 0, F.col("clean_text"))
+                .otherwise(F.col(text_col))
+                .alias("_mask_out"),
+            )
             deduped = (
                 deduped.drop(text_col)
                 .join(masked, id_col)
-                .withColumnRenamed("clean_text", text_col)
+                .withColumnRenamed("_mask_out", text_col)
             )
         else:
             raise ValueError(

@@ -109,9 +109,16 @@ def _bloom_probes(key: bytes, k: int, m: int) -> "list[int]":
 
 def _bloom_build(keys: "list[bytes]") -> dict:
     n = len(keys)
+    # the type tags present in this file's column: a probe whose literal
+    # carries a DIFFERENT tag must not consult the filter — Spark's
+    # residual predicate may still match via implicit casts (string "123"
+    # vs int literal 123), and pruning on the raw tag mismatch would
+    # silently drop those rows (the min-max path's TypeError guard, made
+    # explicit here because tagged hashing hides the mismatch)
+    tags = sorted({k.split(b":", 1)[0].decode() for k in keys})
     if n == 0:
         # all-null column in this file: equality can never match
-        return {"m": 8, "k": 1, "bits": base64.b64encode(b"\x00").decode()}
+        return {"m": 8, "k": 1, "tags": [], "bits": base64.b64encode(b"\x00").decode()}
     m = int(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2)) + 1
     m = min(max(m, 64), _BLOOM_MAX_BITS)
     k = max(1, round(m / n * math.log(2)))
@@ -119,7 +126,7 @@ def _bloom_build(keys: "list[bytes]") -> dict:
     for key in keys:
         for pos in _bloom_probes(key, k, m):
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+    return {"m": m, "k": k, "tags": tags, "bits": base64.b64encode(bytes(bits)).decode()}
 
 
 @lru_cache(maxsize=4096)
@@ -130,6 +137,14 @@ def _b64bits(s: str) -> bytes:
 def _bloom_may_contain(bloom: dict, val) -> bool:
     key = _bloom_key(val)
     if key is None:
+        return True
+    tag = key.split(b":", 1)[0].decode()
+    tags = bloom.get("tags")
+    if tags and tag not in tags:
+        # literal type differs from every stored value's type: the
+        # residual predicate may still match via implicit casts, so the
+        # filter cannot prove absence — never prune (empty tags = the
+        # all-null file, where equality truly cannot match)
         return True
     bits = _b64bits(bloom["bits"])
     return all(
@@ -312,13 +327,17 @@ class ManagedTable:
 
     `bloom_cols` declares equality-pruning Bloom-filter columns (see the
     module-level Bloom section); the declaration is STICKY — persisted in
-    the version doc, so later writers constructed without it keep
-    indexing the same columns (pass a new tuple to change it)."""
+    the version doc, so later writers constructed with the default
+    (None = inherit) keep indexing the same columns. Pass a new tuple to
+    change it, or an explicit empty tuple () to CLEAR it (stop paying
+    the per-commit column read)."""
 
-    def __init__(self, spark: SparkSession, path: str, bloom_cols: "tuple[str, ...]" = ()):
+    def __init__(
+        self, spark: SparkSession, path: str, bloom_cols: "tuple[str, ...] | None" = None
+    ):
         self.spark = spark
         self.path = path
-        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_cols = None if bloom_cols is None else tuple(bloom_cols)
         os.makedirs(path, exist_ok=True)
 
     # ---- commit log -----------------------------------------------------
@@ -344,7 +363,11 @@ class ManagedTable:
     def _commit(self, df: DataFrame, mode_note: str) -> int:
         doc = self._version_doc()
         new_v = doc["version"] + 1
-        bloom_cols = list(self.bloom_cols) or doc.get("bloom_cols", [])
+        bloom_cols = (
+            doc.get("bloom_cols", [])
+            if self.bloom_cols is None
+            else list(self.bloom_cols)
+        )
         target = self._data_dir(new_v)
         df.write.mode("overwrite").parquet(target)
         stats = _collect_parquet_stats(self._version_files(target), bloom_cols)
@@ -501,15 +524,16 @@ class BucketedTable:
         path: str,
         bucket_by: list[str],
         n_buckets: int = 16,
-        bloom_cols: "tuple[str, ...]" = (),
+        bloom_cols: "tuple[str, ...] | None" = None,
     ):
         self.spark = spark
         self.path = path
         self.bucket_by = list(bucket_by)
         self.n_buckets = n_buckets
         # sticky like ManagedTable's: persisted in the manifest doc so
-        # later writers keep indexing the same columns
-        self.bloom_cols = tuple(bloom_cols)
+        # later writers (None = inherit) keep indexing the same columns;
+        # an explicit () clears the declaration
+        self.bloom_cols = None if bloom_cols is None else tuple(bloom_cols)
         os.makedirs(path, exist_ok=True)
 
     # ---- commit log -----------------------------------------------------
@@ -561,9 +585,12 @@ class BucketedTable:
     ) -> int:
         if schema_json is None and version > 0:
             schema_json = self._manifest_doc(version - 1).get("schema")
-        bloom_cols = list(self.bloom_cols)
-        if not bloom_cols and version > 0:
+        if self.bloom_cols is not None:
+            bloom_cols = list(self.bloom_cols)
+        elif version > 0:
             bloom_cols = self._manifest_doc(version - 1).get("bloom_cols", [])
+        else:
+            bloom_cols = []
         # min-max skipping doc: footer-read ONLY the files new at this
         # version; stats for carried-over dirs copy from the previous doc
         # (immutable files, immutable stats) — commit cost stays O(files

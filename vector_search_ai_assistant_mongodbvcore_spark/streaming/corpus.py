@@ -145,13 +145,22 @@ def decontam_mask(
     bench_ngrams: list[str],
     text_col: str = "text",
     n: int = 8,
+    preserve_unmasked: bool = True,
 ) -> Column:
     """Masked-text column: the streaming form of surgical decontamination
     (operators/decontam.remove_contaminated_spans) — every word covered by
     a benchmark-overlapping n-gram is blanked, the rest of the document
-    survives. Stateless (append-mode-safe); output is the whitespace-
-    normalized rejoin of the kept words, exactly batch clean_text; NULL
-    text stays NULL.
+    survives. Stateless (append-mode-safe); NULL text stays NULL.
+
+    `preserve_unmasked` (default): documents with ZERO hits pass through
+    BYTE-IDENTICAL — masking must not rewrite what it did not touch
+    (newlines carry the line-based Gopher signals; a corpus-wide
+    whitespace normalization would blind duplicate_line_fraction and
+    friends). Only actually-masked docs get the whitespace-normalized
+    word rejoin (that rejoin is inherent to word-granular span removal
+    and is batch clean_text exactly). preserve_unmasked=False emits the
+    normalized rejoin for every doc — the batch operator's clean_text
+    contract, used by the operator-parity tests.
 
     Positional parity with the batch operator: TX.shingles puts the
     shingle starting at word i at array index i (short docs get ONE
@@ -164,6 +173,8 @@ def decontam_mask(
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     w = TX.words(c)
     if not bench_ngrams:
+        if preserve_unmasked:
+            return c
         return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
             F.array_join(w, " ")
         )
@@ -184,6 +195,17 @@ def decontam_mask(
                 )
             )
         )
+        kept = F.filter(
+            F.transform(w, lambda wd, i: F.when(~F.array_contains(cov, i), wd)),
+            lambda x: x.isNotNull(),
+        )
+        rebuilt = F.array_join(kept, " ")
+        out = (
+            F.when(F.size(cov) == 0, c).otherwise(rebuilt)
+            if preserve_unmasked
+            else rebuilt
+        )
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
     else:
         import pandas as pd
         from pyspark.sql import SparkSession
@@ -193,11 +215,13 @@ def decontam_mask(
         spark = SparkSession.getActiveSession()
         bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
 
+        keep_orig = preserve_unmasked
+
         @_F.pandas_udf(T.StringType())
-        def masked(word_arrays, ng_arrays):
+        def masked(texts, word_arrays, ng_arrays):
             bench = bc.value
 
-            def one(wa, a):
+            def one(t, wa, a):
                 if wa is None:
                     return None
                 cov: set[int] = set()
@@ -205,20 +229,17 @@ def decontam_mask(
                     for i, g in enumerate(a):
                         if g in bench:
                             cov.update(range(i, i + n))
+                if not cov and keep_orig:
+                    return t  # untouched doc: byte-identical passthrough
                 return " ".join(x for i, x in enumerate(wa) if i not in cov)
 
-            return pd.Series([one(wa, a) for wa, a in zip(word_arrays, ng_arrays)])
+            return pd.Series(
+                [one(t, wa, a) for t, wa, a in zip(texts, word_arrays, ng_arrays)]
+            )
 
         return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-            masked(w, ngs)
+            masked(c, w, ngs)
         )
-    kept = F.filter(
-        F.transform(w, lambda wd, i: F.when(~F.array_contains(cov, i), wd)),
-        lambda x: x.isNotNull(),
-    )
-    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.array_join(kept, " ")
-    )
 
 
 def prepare_stream(

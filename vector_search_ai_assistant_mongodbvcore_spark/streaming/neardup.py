@@ -20,12 +20,13 @@ Store layout: BucketedTable bucketed on `key` holding one row per
 (band, key, doc_id, batch) — every band key of every document EVER SEEN
 (survivor or not; greedy batch semantics drop a doc colliding with a
 lower-id doc even when that doc itself was dropped, so dropped docs'
-keys still poison later arrivals — parity pinned in tests). Upserts are
-keyed on (band, key, doc_id): replaying a micro-batch merges the
-identical rows, and the probe EXCLUDES rows stamped with the current
-batch id, so a replay recomputes the identical survivor set
-(exactly-once under retries, same discipline as the shard export
-stream).
+keys still poison later arrivals — parity pinned in tests). Writes are
+INSERT-IF-ABSENT on (band, key, doc_id): an existing row keeps its
+ORIGINAL batch stamp forever — re-stamping would hide a re-arriving
+doc's own history from the replay probe (which excludes rows stamped
+with the current batch id), so both a replayed micro-batch and a
+doc_id re-arriving batches later recompute the identical survivor set
+(exactly-once under retries, pinned in tests).
 
 Equivalence contract (pinned in tests): streaming micro-batches in id
 order through neardup_filter_batch, unioned, equals batch
@@ -49,7 +50,6 @@ from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.operators.dedup import (
     capped_bucket_pairs,
-    drop_near_duplicates,
     minhash_band_keys,
 )
 from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
@@ -94,35 +94,51 @@ def neardup_filter_batch(
       * drop if d shares a band key with a LOWER-id doc of this batch
         (greedy within the batch — drop_near_duplicates on the batch's
         own LSH candidate pairs), else keep.
-    Rows stamped with the CURRENT batch id are ignored by the probe, so
-    a foreachBatch replay recomputes the identical survivors before
-    re-merging the identical store rows (idempotent)."""
+    Rows stamped with the CURRENT batch id are ignored by the probe and
+    existing rows are never re-stamped (insert-if-absent), so a
+    foreachBatch replay — and a doc re-arriving in a later batch —
+    recompute the identical survivors (idempotent)."""
     banded = minhash_band_keys(
         batch, text_col, id_col, num_hashes, bands, shingle_size
     ).persist()
     try:
+        prior = store.read() if store.exists() else None
         collided = None
-        if store.exists():
-            prior = store.read().filter(F.col("batch") != F.lit(int(batch_id)))
-            collided = (
-                banded.join(prior.select("band", "key").distinct(), ["band", "key"])
-                .select(id_col)
-                .distinct()
-            )
+        if prior is not None:
+            # join the batch's TINY key set against the store as-is — no
+            # store-side distinct (an O(store) shuffle per batch);
+            # duplicate collided ids collapse in the drop-set distinct
+            earlier = prior.filter(F.col("batch") != F.lit(int(batch_id)))
+            collided = banded.join(
+                earlier.select("band", "key"), ["band", "key"]
+            ).select(id_col)
         in_batch_pairs = capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
-        survivors = drop_near_duplicates(batch, in_batch_pairs, id_col=id_col)
+        drop_ids = in_batch_pairs.select(F.col("id_b").alias(id_col))
         if collided is not None:
-            survivors = survivors.join(collided, id_col, "left_anti")
+            drop_ids = drop_ids.unionByName(collided)
+        # one id frame bounded by the batch size, lineage TRUNCATED so the
+        # survivors the caller materializes later never recompute the
+        # minhash aggregation after banded is unpersisted below
+        drop_ids = drop_ids.distinct().localCheckpoint(eager=True)
         # EVERY batch doc's keys enter the store (greedy semantics: a
-        # dropped doc's keys still poison later arrivals)
+        # dropped doc's keys still poison later arrivals) — but
+        # INSERT-IF-ABSENT only: re-stamping an existing (band, key, doc)
+        # row with the current batch id would hide a re-arriving doc's
+        # own history from the replay probe (batch != current) and break
+        # the exactly-once contract
         rows = banded.select(
             id_col, "band", "key", F.lit(int(batch_id)).alias("batch")
         )
-        if store.exists():
-            store.merge(rows, keys=["band", "key", id_col])
+        if prior is not None:
+            fresh = rows.join(
+                prior.select("band", "key", id_col),
+                ["band", "key", id_col],
+                "left_anti",
+            )
+            store.merge(fresh, keys=["band", "key", id_col])
         else:
             store.overwrite(rows)
-        return survivors
+        return batch.join(drop_ids, id_col, "left_anti")
     finally:
         banded.unpersist()
 
@@ -227,33 +243,32 @@ def embedding_neardup_filter_batch(
     )
     banded = coded.join(vec.select(id_col, vector_col), id_col).persist()
     try:
+        prior = store.read() if store.exists() else None
         collided = None
-        if store.exists():
-            prior = store.read().filter(F.col("batch") != F.lit(int(batch_id)))
+        if prior is not None:
+            earlier = prior.filter(F.col("batch") != F.lit(int(batch_id)))
             pv = (
                 dequantize_int8(F.col("vector"))
                 if int8
                 else F.col("vector")
             )
             cand = banded.join(
-                prior.select("table", "bucket", pv.alias("_pv")),
+                earlier.select("table", "bucket", pv.alias("_pv")),
                 ["table", "bucket"],
             )
-            collided = (
-                cand.filter(
-                    cosine_similarity(F.col(vector_col), F.col("_pv"))
-                    >= F.lit(threshold)
-                )
-                .select(id_col)
-                .distinct()
-            )
+            collided = cand.filter(
+                cosine_similarity(F.col(vector_col), F.col("_pv"))
+                >= F.lit(threshold)
+            ).select(id_col)
         pairs = embedding_neardup(
             vec, threshold=threshold, bits=bits, tables=tables,
             vector_col=vector_col, id_col=id_col, seed=seed,
         )
-        survivors = drop_near_duplicates(batch, pairs, id_col=id_col)
+        drop_ids = pairs.select(F.col("id_b").alias(id_col))
         if collided is not None:
-            survivors = survivors.join(collided, id_col, "left_anti")
+            drop_ids = drop_ids.unionByName(collided)
+        # bounded by the batch size, lineage truncated (see text form)
+        drop_ids = drop_ids.distinct().localCheckpoint(eager=True)
         stored = (
             quantize_int8(F.col(vector_col)) if int8 else F.col(vector_col)
         )
@@ -262,11 +277,18 @@ def embedding_neardup_filter_batch(
             stored.alias("vector"),
             F.lit(int(batch_id)).alias("batch"),
         )
-        if store.exists():
-            store.merge(rows, keys=["table", "bucket", id_col])
+        if prior is not None:
+            # insert-if-absent, same replay/re-arrival argument as the
+            # text form
+            fresh = rows.join(
+                prior.select("table", "bucket", id_col),
+                ["table", "bucket", id_col],
+                "left_anti",
+            )
+            store.merge(fresh, keys=["table", "bucket", id_col])
         else:
             store.overwrite(rows)
-        return survivors
+        return batch.join(drop_ids, id_col, "left_anti")
     finally:
         banded.unpersist()
 
