@@ -460,3 +460,47 @@ def test_decontam_mask_rejects_bad_mode(spark, src, bench):
     docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in ALL], SCHEMA)
     with pytest.raises(ValueError, match="decontam_mode"):
         prepare_stream(docs, decontam_mode="nope")
+
+
+def test_stream_line_dedup_matches_batch(spark, tmp_path):
+    """dedupe_doc_lines on the stream: line-boilerplate variants collapse
+    exactly as in batch (dedup keys on the CLEANED text both ways)."""
+    import os
+    import time
+
+    body = ("real content carried forward by plenty of perfectly ordinary "
+            "words that keep this document above every quality floor here")
+    rows1 = [{"doc_id": 0, "text": f"nav\n{body}\nnav\nnav"}]
+    rows2 = [{"doc_id": 1, "text": f"nav\nnav\n{body}\nnav"}]  # same cleaned
+    d = tmp_path / "docs"
+    d.mkdir()
+    base = time.time()
+    for i, rows in enumerate((rows1, rows2)):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    q = (
+        prepare_stream(stream, dedupe_doc_lines=True, use_gopher_rules=False,
+                       min_quality=0.1)
+        .writeStream.format("memory")
+        .queryName("linededup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM linededup_out").collect()
+    ids = {r["doc_id"] for r in got}
+    assert ids == {0}  # cleaned texts identical -> second arrival deduped
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2], SCHEMA
+    )
+    want = prepare_training_corpus(
+        batch_docs, dedupe_doc_lines=True, use_gopher_rules=False, min_quality=0.1
+    )
+    assert _rows(spark.sql("SELECT * FROM linededup_out")) == _rows(want)

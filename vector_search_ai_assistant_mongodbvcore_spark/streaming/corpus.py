@@ -259,6 +259,7 @@ def prepare_stream(
     splits: dict[str, float] | None = None,
     seed: int = 42,
     scrub: bool = True,
+    dedupe_doc_lines: bool = False,
     chunk_size: int = 32,
     chunk_overlap: int = 8,
     watermark_col: str | None = None,
@@ -278,6 +279,11 @@ def prepare_stream(
         assign_split,
     )
 
+    if dedupe_doc_lines:
+        # batch parity: per-doc line cleaning FIRST (prepare_training_corpus
+        # applies it before exact dedup, so the dedup key is the cleaned
+        # text on both paths) — a stateless column rewrite
+        docs = docs.withColumn(text_col, TX.dedupe_lines(F.col(text_col)))
     mask = decontam_mode == "mask" and benchmark_ngrams is not None
     if decontam_mode not in ("drop", "mask"):
         raise ValueError(
