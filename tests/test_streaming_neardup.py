@@ -241,3 +241,44 @@ def test_rearriving_doc_replay_stays_idempotent(spark, tmp_path):
     assert store.read().count() == n  # no new rows, no re-stamps
     # the original batch stamps survived
     assert store.read().filter(F.col("batch") == 0).count() > 0
+
+
+def test_fresh_checkpoint_epoch_restart_sees_old_stamps(spark, tmp_path):
+    """A NEW run (fresh checkpoint, epoch ids restarting at 0) against
+    the SAME store must treat the previous run's batch-0 stamps as
+    visible history: replay exclusion is scoped by (run, batch), not
+    batch alone. Without the run stamp, run2's batch 0 would ignore
+    run1's batch-0 rows and re-admit their near-dups."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        run_id_for_checkpoint,
+    )
+
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    run1 = run_id_for_checkpoint(str(tmp_path / "ckpt1"))
+    run2 = run_id_for_checkpoint(str(tmp_path / "ckpt2"))
+    assert run1 != run2
+    # same checkpoint -> same id on restart
+    assert run_id_for_checkpoint(str(tmp_path / "ckpt1")) == run1
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    kept1 = {
+        r["doc_id"]
+        for r in neardup_filter_batch(b1, store, 0, run_id=run1, **MH).collect()
+    }
+    assert kept1 == {0, 1, 2}
+    # run 2, batch 0: near-dup of doc 0 plus a fresh doc — the old run's
+    # batch-0 stamps must poison it
+    nxt = spark.createDataFrame(
+        [(50, _prose("alpha") + " tail redux"), (51, _prose("novel"))], SCHEMA
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in neardup_filter_batch(nxt, store, 0, run_id=run2, **MH).collect()
+    }
+    assert kept2 == {51}
+    # and run 2's own replay of its batch 0 is still idempotent
+    n = store.read().count()
+    replay = {
+        r["doc_id"]
+        for r in neardup_filter_batch(nxt, store, 0, run_id=run2, **MH).collect()
+    }
+    assert replay == {51} and store.read().count() == n

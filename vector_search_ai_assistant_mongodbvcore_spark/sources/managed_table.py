@@ -216,20 +216,30 @@ def _collect_parquet_stats(
             avail = [c for c in bloom_cols if c in top_level]
             blooms: dict[str, dict] = {}
             if avail:
-                tbl = pf.read(columns=avail)
-                for c in avail:
-                    keys: list[bytes] = []
-                    indexable = True
-                    for v in pa_pc.unique(tbl.column(c)).to_pylist():
-                        if v is None:
+                # stream the indexed columns batch-by-batch: driver memory
+                # is O(distinct values of the indexed columns), never
+                # O(rows of the file) — a whole-column pf.read() on a
+                # bloom-indexed fact table would make every commit
+                # driver-bound at exactly the scale the index targets
+                key_sets: dict[str, set[bytes]] = {c: set() for c in avail}
+                dead: set[str] = set()
+                for rec in pf.iter_batches(columns=avail):
+                    for c in avail:
+                        if c in dead:
                             continue
-                        key = _bloom_key(v)
-                        if key is None:  # float/timestamp/binary column
-                            indexable = False
-                            break
-                        keys.append(key)
-                    if indexable:
-                        blooms[c] = _bloom_build(keys)
+                        for v in pa_pc.unique(rec.column(c)).to_pylist():
+                            if v is None:
+                                continue
+                            key = _bloom_key(v)
+                            if key is None:  # float/timestamp/binary column
+                                dead.add(c)
+                                break
+                            key_sets[c].add(key)
+                    if len(dead) == len(avail):
+                        break
+                for c in avail:
+                    if c not in dead:
+                        blooms[c] = _bloom_build(sorted(key_sets[c]))
             out[path]["blooms"] = blooms
     return out
 

@@ -94,6 +94,36 @@ def collect_benchmark_ngrams(
 # 500k-ngram eval suite (minutes of driver plan construction)
 _LITERAL_PROBE_MAX = 4096
 
+# broadcast handles cached by benchmark-set content digest: decontam_keep/
+# decontam_mask are called once per PLAN construction, and a long-lived
+# session that rebuilds plans repeatedly (re-invoking prepare_stream per
+# run) must not accumulate one live broadcast per call. The cache is tiny
+# (a handful of eval suites per session); evicted entries are unpersisted.
+_BC_CACHE: "dict[str, object]" = {}
+_BC_CACHE_MAX = 4
+
+
+def _bench_broadcast(spark, bench_ngrams: list[str]):
+    import hashlib as _hl
+
+    h = _hl.md5()
+    for g in bench_ngrams:
+        h.update(g.encode("utf-8"))
+        h.update(b"\x00")
+    digest = f"{h.hexdigest()}:{len(bench_ngrams)}"
+    bc = _BC_CACHE.get(digest)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
+        _BC_CACHE[digest] = bc
+        while len(_BC_CACHE) > _BC_CACHE_MAX:
+            old_key = next(iter(_BC_CACHE))
+            old = _BC_CACHE.pop(old_key)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # a dead SparkContext: nothing left to free
+    return bc
+
 
 def decontam_keep(
     bench_ngrams: list[str],
@@ -129,7 +159,7 @@ def decontam_keep(
     from pyspark.sql import types as T
 
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
+    bc = _bench_broadcast(spark, bench_ngrams)
 
     @_F.pandas_udf(T.IntegerType())
     def shared(ngs):
@@ -213,7 +243,7 @@ def decontam_mask(
         from pyspark.sql import types as T
 
         spark = SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
+        bc = _bench_broadcast(spark, bench_ngrams)
 
         keep_orig = preserve_unmasked
 

@@ -17,14 +17,17 @@ established incremental-index pattern (streaming/incremental.py): a
 foreachBatch sink backed by a PERSISTED band-key store.
 
 Store layout: BucketedTable bucketed on `key` holding one row per
-(band, key, doc_id, batch) — every band key of every document EVER SEEN
+(band, key, doc_id, batch, run) — every band key of every document EVER SEEN
 (survivor or not; greedy batch semantics drop a doc colliding with a
 lower-id doc even when that doc itself was dropped, so dropped docs'
 keys still poison later arrivals — parity pinned in tests). Writes are
 INSERT-IF-ABSENT on (band, key, doc_id): an existing row keeps its
-ORIGINAL batch stamp forever — re-stamping would hide a re-arriving
-doc's own history from the replay probe (which excludes rows stamped
-with the current batch id), so both a replayed micro-batch and a
+ORIGINAL (run, batch) stamp forever — re-stamping would hide a
+re-arriving doc's own history from the replay probe (which excludes
+rows stamped with the current run's current batch id; the run id is
+minted per CHECKPOINT by run_id_for_checkpoint, so a fresh checkpoint
+restarting epochs at 0 against the same store never collides with a
+prior run's batch-0 stamps), so both a replayed micro-batch and a
 doc_id re-arriving batches later recompute the identical survivor set
 (exactly-once under retries, pinned in tests).
 
@@ -63,6 +66,7 @@ __all__ = [
     "open_embedding_neardup_store",
     "embedding_neardup_filter_batch",
     "start_embedding_neardup_stream",
+    "run_id_for_checkpoint",
 ]
 
 
@@ -71,6 +75,51 @@ def open_neardup_store(
 ) -> BucketedTable:
     """The persisted band-key store (see module docstring)."""
     return BucketedTable(spark, path, bucket_by=["key"], n_buckets=n_buckets)
+
+
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable run identity tied to a streaming CHECKPOINT's lifetime.
+
+    The replay-exclusion probe must ignore exactly the rows the CURRENT
+    micro-batch stamped on a previous (failed) attempt — identified by
+    (run, batch), not batch alone: Structured Streaming epoch ids restart
+    at 0 whenever the checkpoint is wiped or a new query starts from a
+    fresh checkpoint against the same store, and a bare batch==0 probe
+    would then hide the PREVIOUS run's batch-0 stamps from the new run's
+    batch 0, silently changing survivor sets. The id is minted once per
+    checkpoint (a marker file inside checkpoint_dir): restarting the same
+    query resumes both the epoch counter and the id; deleting the
+    checkpoint rotates the id, so prior-run stamps stay visible history.
+    Corollary: the STORE outlives checkpoints by design (it is the dedup
+    history), but a checkpoint must never outlive its store — wiping
+    store_path without wiping checkpoint_dir replays already-committed
+    batches against an empty history."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "NEARDUP_RUN_ID")
+    try:
+        with open(marker) as f:
+            rid = f.read().strip()
+            if rid:
+                return rid
+    except FileNotFoundError:
+        pass
+    import uuid
+
+    rid = str(uuid.uuid4())
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(rid)
+    os.replace(tmp, marker)
+    return rid
+
+
+def _current_attempt(prior: DataFrame, run_id: str, batch_id: int):
+    """Predicate selecting rows stamped by THIS (run, batch) attempt —
+    the rows a foreachBatch replay must not see as history. Stores
+    written before the run column existed read as NULL run: never the
+    current attempt."""
+    run = F.coalesce(F.col("run"), F.lit("")) if "run" in prior.columns else F.lit("")
+    return (run == F.lit(run_id)) & (F.col("batch") == F.lit(int(batch_id)))
 
 
 def neardup_filter_batch(
@@ -83,6 +132,7 @@ def neardup_filter_batch(
     bands: int = 4,
     shingle_size: int = 5,
     max_bucket: int = 10_000,
+    run_id: str = "",
 ) -> DataFrame:
     """One micro-batch of greedy streaming near-dedup; returns the
     SURVIVING rows of `batch` (all original columns) and upserts the
@@ -94,10 +144,13 @@ def neardup_filter_batch(
       * drop if d shares a band key with a LOWER-id doc of this batch
         (greedy within the batch — drop_near_duplicates on the batch's
         own LSH candidate pairs), else keep.
-    Rows stamped with the CURRENT batch id are ignored by the probe and
-    existing rows are never re-stamped (insert-if-absent), so a
+    Rows stamped with the CURRENT (run, batch) attempt are ignored by the
+    probe and existing rows are never re-stamped (insert-if-absent), so a
     foreachBatch replay — and a doc re-arriving in a later batch —
-    recompute the identical survivors (idempotent)."""
+    recompute the identical survivors (idempotent). `run_id`
+    (run_id_for_checkpoint) scopes that exclusion to THIS query's
+    checkpoint lifetime: a fresh checkpoint restarting epoch ids at 0
+    cannot collide with a prior run's batch-0 stamps."""
     banded = minhash_band_keys(
         batch, text_col, id_col, num_hashes, bands, shingle_size
     ).persist()
@@ -108,7 +161,7 @@ def neardup_filter_batch(
             # join the batch's TINY key set against the store as-is — no
             # store-side distinct (an O(store) shuffle per batch);
             # duplicate collided ids collapse in the drop-set distinct
-            earlier = prior.filter(F.col("batch") != F.lit(int(batch_id)))
+            earlier = prior.filter(~_current_attempt(prior, run_id, batch_id))
             collided = banded.join(
                 earlier.select("band", "key"), ["band", "key"]
             ).select(id_col)
@@ -123,11 +176,15 @@ def neardup_filter_batch(
         # EVERY batch doc's keys enter the store (greedy semantics: a
         # dropped doc's keys still poison later arrivals) — but
         # INSERT-IF-ABSENT only: re-stamping an existing (band, key, doc)
-        # row with the current batch id would hide a re-arriving doc's
-        # own history from the replay probe (batch != current) and break
-        # the exactly-once contract
+        # row with the current attempt would hide a re-arriving doc's
+        # own history from the replay probe and break the exactly-once
+        # contract
         rows = banded.select(
-            id_col, "band", "key", F.lit(int(batch_id)).alias("batch")
+            id_col,
+            "band",
+            "key",
+            F.lit(int(batch_id)).alias("batch"),
+            F.lit(run_id).alias("run"),
         )
         if prior is not None:
             fresh = rows.join(
@@ -160,12 +217,13 @@ def start_neardup_dedup_stream(
     partition overwrite on the deterministic batch id — a replayed batch
     replaces exactly its own partition, the shard-export discipline)."""
     spark = docs.sparkSession
+    run_id = run_id_for_checkpoint(checkpoint_dir)
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         store = open_neardup_store(spark, store_path, n_buckets=store_buckets)
         kept = neardup_filter_batch(
             df, store, int(epoch_id), text_col, id_col,
-            num_hashes, bands, shingle_size,
+            num_hashes, bands, shingle_size, run_id=run_id,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
@@ -219,13 +277,16 @@ def embedding_neardup_filter_batch(
     id_col: str = "vec_id",
     seed: int = 42,
     int8: bool = False,
+    run_id: str = "",
 ) -> DataFrame:
     """One micro-batch of greedy streaming EMBEDDING near-dedup; returns
     surviving rows (NULL-vector rows always survive — no evidence is not
     a duplicate verdict, the semdedup NULL guard). Drop iff exact cosine
     >= threshold against an earlier-batch doc sharing any (table, bucket)
     OR against a lower-id doc of this batch (greedy via the batch
-    operator embedding_neardup — identical hyperplanes, same seed)."""
+    operator embedding_neardup — identical hyperplanes, same seed).
+    `run_id` scopes replay exclusion to this checkpoint's lifetime (see
+    run_id_for_checkpoint)."""
     from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
         cosine_similarity,
         dequantize_int8,
@@ -246,7 +307,7 @@ def embedding_neardup_filter_batch(
         prior = store.read() if store.exists() else None
         collided = None
         if prior is not None:
-            earlier = prior.filter(F.col("batch") != F.lit(int(batch_id)))
+            earlier = prior.filter(~_current_attempt(prior, run_id, batch_id))
             pv = (
                 dequantize_int8(F.col("vector"))
                 if int8
@@ -276,6 +337,7 @@ def embedding_neardup_filter_batch(
             "table", "bucket", id_col,
             stored.alias("vector"),
             F.lit(int(batch_id)).alias("batch"),
+            F.lit(run_id).alias("run"),
         )
         if prior is not None:
             # insert-if-absent, same replay/re-arrival argument as the
@@ -311,6 +373,7 @@ def start_embedding_neardup_stream(
     """foreachBatch sink for the embedding form — same exactly-once
     discipline as start_neardup_dedup_stream."""
     spark = docs.sparkSession
+    run_id = run_id_for_checkpoint(checkpoint_dir)
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         store = open_embedding_neardup_store(
@@ -318,7 +381,7 @@ def start_embedding_neardup_stream(
         )
         kept = embedding_neardup_filter_batch(
             df, store, int(epoch_id), dims, threshold,
-            bits, tables, vector_col, id_col, seed, int8,
+            bits, tables, vector_col, id_col, seed, int8, run_id=run_id,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
