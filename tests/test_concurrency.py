@@ -1,0 +1,203 @@
+"""Optimistic concurrency on the storage layer (managed_table.py):
+compare-and-swap commits, conflict retry, merge racing compact.
+
+The reference's store gets this from MongoDB server-side transactions
+(MongoDbService.cs:563-592); Delta gets it from optimistic concurrency.
+The mini-Delta's contract: a commit succeeds only if `_VERSION` still
+reads the version the writer computed against; losers recompute against
+the winner's snapshot and retry, so concurrent writers interleave
+without losing rows and the version history is monotone (one winner per
+version number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    BucketedTable,
+    CommitConflict,
+    ManagedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id LONG, val STRING")
+
+
+# ---- deterministic CAS unit behavior ---------------------------------
+
+
+def test_managed_commit_conflict_raises(spark, tmp_path):
+    """A commit computed against version v must fail if another writer
+    moved the table past v in the meantime — never silently clobber."""
+    path = str(tmp_path / "t")
+    a = ManagedTable(spark, path)
+    a.overwrite(_df(spark, [(1, "a")]))
+    base = a.current_version()
+    # a second writer lands a commit between A's snapshot read and commit
+    b = ManagedTable(spark, path)
+    b.append(_df(spark, [(2, "b")]))
+    with pytest.raises(CommitConflict):
+        a._commit(_df(spark, [(9, "stale")]), "overwrite", expected=base)
+    # the losing attempt left no trace: B's commit is intact
+    assert {r["id"] for r in a.read().collect()} == {1, 2}
+
+
+def test_managed_public_mutator_retries_transparently(spark, tmp_path):
+    """The public mutators recompute on conflict: an append computed
+    against a stale snapshot must retry and include BOTH writers' rows."""
+    path = str(tmp_path / "t")
+    a = ManagedTable(spark, path)
+    a.overwrite(_df(spark, [(1, "a")]))
+
+    # monkey-style interleave: wrap current_version so A's FIRST snapshot
+    # read triggers B's commit, making A's first attempt stale
+    b = ManagedTable(spark, path)
+    real = a.current_version
+    fired = {"done": False}
+
+    def racing_version():
+        v = real()
+        if not fired["done"]:
+            fired["done"] = True
+            b.append(_df(spark, [(2, "b")]))
+        return v
+
+    a.current_version = racing_version
+    a.append(_df(spark, [(3, "c")]))
+    a.current_version = real
+    assert {r["id"] for r in a.read().collect()} == {1, 2, 3}
+
+
+def test_bucketed_commit_conflict_raises(spark, tmp_path):
+    path = str(tmp_path / "bt")
+    a = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+    a.overwrite(_df(spark, [(i, "seed") for i in range(8)]))
+    base = a.current_version()
+    b = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+    b.merge(_df(spark, [(100, "other")]))
+    staging, parts = a._write_staged(a._with_bucket(_df(spark, [(200, "stale")])))
+    with pytest.raises(CommitConflict):
+        a._commit_cas(
+            base,
+            "merge",
+            lambda final: {str(k): [os.path.join(final, v)] for k, v in parts.items()},
+            staging,
+        )
+    # loser's staging dir was cleaned up, winner's data intact
+    assert not [n for n in os.listdir(path) if n.startswith("_staging_")]
+    assert {r["id"] for r in a.read().collect()} == set(range(8)) | {100}
+
+
+# ---- two writers racing (threads sharing the SparkSession) -----------
+
+
+def test_managed_two_appenders_lose_no_rows(spark, tmp_path):
+    path = str(tmp_path / "race")
+    ManagedTable(spark, path).overwrite(_df(spark, [(0, "seed")]))
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            t = ManagedTable(spark, path)
+            for i in range(4):
+                t.append(_df(spark, [(offset + i, f"w{offset}")]))
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = {r["id"] for r in ManagedTable(spark, path).read().collect()}
+    assert got == {0} | {100 + i for i in range(4)} | {200 + i for i in range(4)}
+
+
+def test_bucketed_merge_racing_compact(spark, tmp_path):
+    """The r8-created collision: a streaming sink merging while a
+    maintenance job compacts. Neither commit may be lost, and the
+    version history must be monotone with every version readable."""
+    path = str(tmp_path / "mc")
+    table = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+    table.overwrite(_df(spark, [(i, "seed") for i in range(20)]))
+    # grow the per-bucket dir lists so compact() has real work
+    for j in range(3):
+        table.append(_df(spark, [(1000 + j * 10 + k, "grow") for k in range(4)]))
+    errors: list[Exception] = []
+
+    def merger() -> None:
+        try:
+            t = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+            for i in range(4):
+                t.merge(_df(spark, [(500 + i, "merged"), (i, "updated")]))
+        except Exception as e:
+            errors.append(e)
+
+    def compactor() -> None:
+        try:
+            t = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+            for _ in range(4):
+                t.compact(min_dirs=2)
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=merger)
+    t2 = threading.Thread(target=compactor)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    rows = {(r["id"], r["val"]) for r in table.read().collect()}
+    want_ids = (
+        set(range(20))
+        | {1000 + j * 10 + k for j in range(3) for k in range(4)}
+        | {500 + i for i in range(4)}
+    )
+    assert {i for i, _ in rows} == want_ids
+    # merged upserts won over the seeds they replaced
+    for i in range(4):
+        assert (i, "updated") in rows and (i, "seed") not in rows
+        assert (500 + i, "merged") in rows
+    # monotone history: _VERSION points at the latest manifest, and the
+    # kept window reads cleanly (complete snapshots, no torn commits)
+    cur = table.current_version()
+    # 8 commits minimum (seed v0 + 3 grows + 4 merges), compacts add more
+    assert cur >= 7
+    with open(os.path.join(path, "_VERSION")) as f:
+        assert json.load(f)["version"] == cur
+    assert table.read(version=cur).count() == len(want_ids)
+
+
+def test_bucketed_append_racing_merge(spark, tmp_path):
+    """Appends (file add) racing merges (bucket rewrite) — the two
+    commit shapes with the least overlap in touched state."""
+    path = str(tmp_path / "am")
+    table = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+    table.overwrite(_df(spark, [(i, "seed") for i in range(10)]))
+    errors: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            t = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+            for i in range(3):
+                t.append(_df(spark, [(300 + i, "app")]))
+        except Exception as e:
+            errors.append(e)
+
+    def merger() -> None:
+        try:
+            t = BucketedTable(spark, path, bucket_by=["id"], n_buckets=4)
+            for i in range(3):
+                t.merge(_df(spark, [(600 + i, "mrg")]))
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=merger)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = {r["id"] for r in table.read().collect()}
+    assert got == set(range(10)) | {300, 301, 302, 600, 601, 602}

@@ -27,8 +27,18 @@ Delta/Iceberg file rewrite but with hash pruning instead of stats). An
 upsert of B rows into a T-row table costs O(T/n_buckets * distinct_buckets(B)),
 not O(T).
 
-Concurrency: single-writer (the harness); a real deployment gets optimistic
-concurrency from Delta. Atomicity of the pointer swap relies on POSIX rename.
+Concurrency: OPTIMISTIC, Delta-style (the property SURVEY §1.4 maps the
+reference's transaction onto, MongoDbService.cs:563-592). Every mutation
+captures the version it computed against, writes its data to a UNIQUE
+staging dir, and commits under a short lock with compare-and-swap
+semantics: if `_VERSION` moved since the snapshot was read, the commit
+raises CommitConflict and the public mutator RETRIES the whole operation
+against the new snapshot — so a streaming sink and a concurrent
+compact()/cluster_by() maintenance job interleave without losing either
+commit, and the version history stays monotone (one winner per version
+number). Atomicity of the pointer swap relies on POSIX rename; mutual
+exclusion of the check-and-swap on an O_CREAT|O_EXCL lock file (stale
+locks from crashed writers are broken after _LOCK_STALE_SEC).
 """
 
 from __future__ import annotations
@@ -41,10 +51,102 @@ import math
 import os
 import shutil
 import time
+import uuid
 from functools import lru_cache, reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its pointer swap; the operation must recompute against the new
+    snapshot (the public mutators do this automatically)."""
+
+
+_LOCK_STALE_SEC = 120.0
+_STAGING_TTL_SEC = 3600.0
+_CONFLICT_RETRIES = 6
+
+
+class _CommitLock:
+    """Filesystem mutex around the check-and-swap section of a commit.
+    O_CREAT|O_EXCL gives atomicity on POSIX local/NFS-with-lockd; a lock
+    older than _LOCK_STALE_SEC is presumed crashed and broken. The lock
+    guards only the version check + renames (milliseconds), never the
+    parquet write."""
+
+    def __init__(self, table_path: str, timeout: float = 60.0):
+        self.lock_path = os.path.join(table_path, "_COMMIT_LOCK")
+        self.timeout = timeout
+        self._fd: "int | None" = None
+
+    def __enter__(self) -> "_CommitLock":
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                self._fd = os.open(
+                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(self._fd, str(os.getpid()).encode())
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.lock_path) > _LOCK_STALE_SEC:
+                        os.unlink(self.lock_path)  # break a crashed writer's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between EXCL-fail and stat
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {self.lock_path} held for >{self.timeout}s"
+                    )
+                time.sleep(0.02)
+
+    def __exit__(self, *exc) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def _retry_conflicts(attempt, attempts: int = _CONFLICT_RETRIES):
+    """Re-run `attempt` (a zero-arg closure re-reading the CURRENT
+    snapshot) until it commits without a CommitConflict."""
+    for i in range(attempts):
+        try:
+            return attempt()
+        except CommitConflict:
+            if i == attempts - 1:
+                raise
+            time.sleep(0.05 * (i + 1))
+
+
+def _staging_dir(table_path: str) -> str:
+    return os.path.join(table_path, f"_staging_{uuid.uuid4().hex[:12]}")
+
+
+def _sweep_stale_staging(table_path: str) -> None:
+    """Remove staging dirs orphaned by crashed writers. Age-gated by
+    _STAGING_TTL_SEC so an IN-FLIGHT writer's staging (written, not yet
+    renamed under the lock) is never swept by a concurrent committer."""
+    try:
+        names = os.listdir(table_path)
+    except FileNotFoundError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith("_staging_"):
+            continue
+        full = os.path.join(table_path, name)
+        try:
+            if now - os.path.getmtime(full) > _STAGING_TTL_SEC:
+                shutil.rmtree(full, ignore_errors=True)
+        except FileNotFoundError:
+            pass
 
 # ---- file-level min-max data skipping -------------------------------------
 #
@@ -370,32 +472,52 @@ class ManagedTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
-    def _commit(self, df: DataFrame, mode_note: str) -> int:
-        doc = self._version_doc()
-        new_v = doc["version"] + 1
-        bloom_cols = (
-            doc.get("bloom_cols", [])
-            if self.bloom_cols is None
-            else list(self.bloom_cols)
-        )
-        target = self._data_dir(new_v)
-        df.write.mode("overwrite").parquet(target)
-        stats = _collect_parquet_stats(self._version_files(target), bloom_cols)
-        with open(self._stats_file(new_v), "w") as f:
-            json.dump(stats, f)
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": new_v,
-                    "ts": time.time(),
-                    "op": mode_note,
-                    "bloom_cols": bloom_cols,
-                },
-                f,
-            )
-        os.replace(tmp, self._version_file())  # atomic pointer swap
+    def _commit(self, df: DataFrame, mode_note: str, expected: "int | None" = None) -> int:
+        """Write df as the next version. `expected` enables optimistic
+        concurrency: the commit succeeds only if `_VERSION` still reads
+        `expected` at swap time (CommitConflict otherwise — the caller
+        recomputes against the new snapshot and retries). Data is staged
+        under a unique dir OUTSIDE the lock; the lock covers only the
+        version check, the dir rename and the pointer swap."""
+        staging = _staging_dir(self.path)
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            with _CommitLock(self.path):
+                doc = self._version_doc()
+                cur = doc["version"]
+                if expected is not None and cur != expected:
+                    raise CommitConflict(
+                        f"{self.path}: expected v{expected}, found v{cur}"
+                    )
+                new_v = cur + 1
+                bloom_cols = (
+                    doc.get("bloom_cols", [])
+                    if self.bloom_cols is None
+                    else list(self.bloom_cols)
+                )
+                target = self._data_dir(new_v)
+                os.rename(staging, target)
+                staging = None  # owned by the table now
+                stats = _collect_parquet_stats(self._version_files(target), bloom_cols)
+                with open(self._stats_file(new_v), "w") as f:
+                    json.dump(stats, f)
+                tmp = self._version_file() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "version": new_v,
+                            "ts": time.time(),
+                            "op": mode_note,
+                            "bloom_cols": bloom_cols,
+                        },
+                        f,
+                    )
+                os.replace(tmp, self._version_file())  # atomic pointer swap
+        finally:
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
         self._vacuum(keep=2)
+        _sweep_stale_staging(self.path)
         return new_v
 
     def _stats_file(self, version: int) -> str:
@@ -476,36 +598,71 @@ class ManagedTable:
         return len(keep), len(files)
 
     # ---- writes ---------------------------------------------------------
+    # every mutator is one optimistic-concurrency attempt closure: read
+    # the CURRENT snapshot version, compute the new table against it,
+    # commit iff _VERSION is still that version; on CommitConflict the
+    # closure re-runs against whatever the winner committed.
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+        return _retry_conflicts(
+            lambda: self._commit(df, "overwrite", expected=self.current_version())
+        )
 
     def append(self, df: DataFrame) -> int:
         """S3: row insert."""
-        if self.exists():
-            df = self.read().unionByName(df, allowMissingColumns=True)
-        return self._commit(df, "append")
+
+        def attempt() -> int:
+            base = self.current_version()
+            out = (
+                self.read(version=base).unionByName(df, allowMissingColumns=True)
+                if base >= 0
+                else df
+            )
+            return self._commit(out, "append", expected=base)
+
+        return _retry_conflicts(attempt)
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """S4: keyed upsert — MERGE INTO ... WHEN MATCHED UPDATE ALL WHEN NOT
         MATCHED INSERT ALL, with equality on `keys` (the reference uses the
         compound (categoryId, _id) key, MongoDbService.cs:254-258)."""
-        if not self.exists():
-            return self._commit(source, "merge-init")
-        target = self.read()
-        # rows in target not matched by source + all source rows
-        remaining = target.join(source.select(*keys), on=keys, how="left_anti")
-        merged = remaining.unionByName(source, allowMissingColumns=True)
-        return self._commit(merged, "merge")
+
+        def attempt() -> int:
+            base = self.current_version()
+            if base < 0:
+                return self._commit(source, "merge-init", expected=base)
+            target = self.read(version=base)
+            # rows in target not matched by source + all source rows
+            remaining = target.join(source.select(*keys), on=keys, how="left_anti")
+            merged = remaining.unionByName(source, allowMissingColumns=True)
+            return self._commit(merged, "merge", expected=base)
+
+        return _retry_conflicts(attempt)
 
     def delete(self, predicate) -> int:
         """S5/S6: DELETE WHERE predicate (a Column)."""
-        target = self.read()
-        return self._commit(target.filter(~predicate | predicate.isNull()), "delete")
+
+        def attempt() -> int:
+            base = self.current_version()
+            target = self.read(version=base)
+            return self._commit(
+                target.filter(~predicate | predicate.isNull()), "delete", expected=base
+            )
+
+        return _retry_conflicts(attempt)
 
     def delete_by_keys(self, source: DataFrame, keys: list[str]) -> int:
         """Point deletes by key set (anti-join)."""
-        target = self.read()
-        return self._commit(target.join(source.select(*keys), on=keys, how="left_anti"), "delete-keys")
+
+        def attempt() -> int:
+            base = self.current_version()
+            target = self.read(version=base)
+            return self._commit(
+                target.join(source.select(*keys), on=keys, how="left_anti"),
+                "delete-keys",
+                expected=base,
+            )
+
+        return _retry_conflicts(attempt)
 
 
 class BucketedTable:
@@ -573,67 +730,103 @@ class BucketedTable:
             self.BUCKET_COL, F.pmod(F.hash(*self.bucket_by), F.lit(self.n_buckets))
         )
 
-    def _write_version(self, df: DataFrame, version: int) -> dict[int, str]:
-        """Write df (already bucket-stamped) partitioned by bucket; returns
-        {bucket: dir} for the buckets actually written."""
-        target = os.path.join(self.path, f"v_{version}")
-        (
-            df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self.BUCKET_COL)
-            .parquet(target)
-        )
-        out = {}
-        for name in os.listdir(target):
+    def _write_staged(
+        self,
+        df: DataFrame,
+        per_file: "int | None" = None,
+        sort_cols: "list[str] | None" = None,
+    ) -> "tuple[str, dict[int, str]]":
+        """Write df (already bucket-stamped) partitioned by bucket into a
+        UNIQUE staging dir (concurrent writers never collide on a data
+        path); returns (staging_dir, {bucket: subdir-name}). The commit
+        renames the whole staging dir to its final v_<n> home under the
+        lock, once the version number is known to be won."""
+        staging = _staging_dir(self.path)
+        w = df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        if sort_cols:
+            w = w.sortWithinPartitions(self.BUCKET_COL, *sort_cols)
+        writer = w.write.mode("overwrite")
+        if per_file is not None:
+            writer = writer.option("maxRecordsPerFile", per_file)
+        writer.partitionBy(self.BUCKET_COL).parquet(staging)
+        parts = {}
+        for name in os.listdir(staging):
             if name.startswith(f"{self.BUCKET_COL}="):
-                b = int(name.split("=", 1)[1])
-                out[b] = os.path.join(target, name)
-        return out
+                parts[int(name.split("=", 1)[1])] = name
+        return staging, parts
 
-    def _commit(
-        self, buckets: dict[str, list[str]], version: int, op: str, schema_json: str | None = None
+    def _commit_cas(
+        self,
+        expected: int,
+        op: str,
+        build_manifest,
+        staging: "str | None",
+        schema_json: str | None = None,
     ) -> int:
-        if schema_json is None and version > 0:
-            schema_json = self._manifest_doc(version - 1).get("schema")
-        if self.bloom_cols is not None:
-            bloom_cols = list(self.bloom_cols)
-        elif version > 0:
-            bloom_cols = self._manifest_doc(version - 1).get("bloom_cols", [])
-        else:
-            bloom_cols = []
-        # min-max skipping doc: footer-read ONLY the files new at this
-        # version; stats for carried-over dirs copy from the previous doc
-        # (immutable files, immutable stats) — commit cost stays O(files
-        # written), same as the data itself
-        prev = self._filestats(version - 1) if version > 0 else {}
-        stats: dict[str, dict] = {}
-        fresh: list[str] = []
-        for dirs in buckets.values():
-            for d in dirs:
-                for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-                    if f in prev:
-                        stats[f] = prev[f]
-                    else:
-                        fresh.append(f)
-        stats.update(_collect_parquet_stats(fresh, bloom_cols))
-        with open(self._stats_file(version), "w") as f:
-            json.dump(stats, f)
-        with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
-            json.dump(
-                {
-                    "buckets": buckets,
-                    "op": op,
-                    "ts": time.time(),
-                    "schema": schema_json,
-                    "bloom_cols": bloom_cols,
-                },
-                f,
-            )
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(tmp, self._version_file())
+        """Compare-and-swap commit: succeeds only if `_VERSION` still
+        reads `expected` under the lock (CommitConflict otherwise — the
+        public mutators recompute and retry). `build_manifest(final_dir)`
+        receives the renamed data dir (None for data-less commits) and
+        returns the bucket->dirs manifest for the new version."""
+        version = expected + 1
+        try:
+            with _CommitLock(self.path):
+                cur = self.current_version()
+                if cur != expected:
+                    raise CommitConflict(
+                        f"{self.path}: expected v{expected}, found v{cur}"
+                    )
+                final = None
+                if staging is not None:
+                    final = os.path.join(self.path, f"v_{version}")
+                    os.rename(staging, final)
+                    staging = None  # owned by the table now
+                buckets = build_manifest(final)
+                if schema_json is None and version > 0:
+                    schema_json = self._manifest_doc(version - 1).get("schema")
+                if self.bloom_cols is not None:
+                    bloom_cols = list(self.bloom_cols)
+                elif version > 0:
+                    bloom_cols = self._manifest_doc(version - 1).get("bloom_cols", [])
+                else:
+                    bloom_cols = []
+                # min-max skipping doc: footer-read ONLY the files new at
+                # this version; stats for carried-over dirs copy from the
+                # previous doc (immutable files, immutable stats) — commit
+                # cost stays O(files written), same as the data itself
+                prev = self._filestats(version - 1) if version > 0 else {}
+                stats: dict[str, dict] = {}
+                fresh: list[str] = []
+                for dirs in buckets.values():
+                    for d in dirs:
+                        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                            if f in prev:
+                                stats[f] = prev[f]
+                            else:
+                                fresh.append(f)
+                stats.update(_collect_parquet_stats(fresh, bloom_cols))
+                with open(self._stats_file(version), "w") as f:
+                    json.dump(stats, f)
+                with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
+                    json.dump(
+                        {
+                            "buckets": buckets,
+                            "op": op,
+                            "ts": time.time(),
+                            "schema": schema_json,
+                            "bloom_cols": bloom_cols,
+                        },
+                        f,
+                    )
+                tmp = self._version_file() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"version": version}, f)
+                os.replace(tmp, self._version_file())
+        finally:
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
         self._vacuum(keep=2)
+        _sweep_stale_staging(self.path)
         return version
 
     def _stats_file(self, version: int) -> str:
@@ -758,24 +951,48 @@ class BucketedTable:
         return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
 
     # ---- writes ---------------------------------------------------------
+    # every mutator is one optimistic-concurrency attempt (see
+    # ManagedTable): compute against the snapshot version it read, stage
+    # the data under a unique dir, commit iff _VERSION has not moved,
+    # otherwise recompute — merge racing compact loses neither commit.
     def overwrite(self, df: DataFrame) -> int:
-        v = self.current_version() + 1
-        stamped = self._with_bucket(df)
-        written = self._write_version(stamped, v)
-        return self._commit(
-            {str(b): [d] for b, d in written.items()}, v, "overwrite", stamped.schema.json()
-        )
+        def attempt() -> int:
+            base = self.current_version()
+            stamped = self._with_bucket(df)
+            staging, parts = self._write_staged(stamped)
+            return self._commit_cas(
+                base,
+                "overwrite",
+                lambda final: {
+                    str(b): [os.path.join(final, sub)] for b, sub in parts.items()
+                },
+                staging,
+                stamped.schema.json(),
+            )
+
+        return _retry_conflicts(attempt)
 
     def append(self, df: DataFrame) -> int:
         """S3: pure file add — NO existing data is read or rewritten; the
         new files join the affected buckets' dir lists."""
-        v = self.current_version() + 1
-        stamped = self._with_bucket(df)
-        written = self._write_version(stamped, v)
-        buckets = {k: list(vv) for k, vv in (self._manifest() if self.exists() else {}).items()}
-        for b, d in written.items():
-            buckets.setdefault(str(b), []).append(d)
-        return self._commit(buckets, v, "append", stamped.schema.json())
+
+        def attempt() -> int:
+            base = self.current_version()
+            stamped = self._with_bucket(df)
+            staging, parts = self._write_staged(stamped)
+
+            def build(final: str) -> dict:
+                buckets = {
+                    k: list(vv)
+                    for k, vv in (self._manifest(base) if base >= 0 else {}).items()
+                }
+                for b, sub in parts.items():
+                    buckets.setdefault(str(b), []).append(os.path.join(final, sub))
+                return buckets
+
+            return self._commit_cas(base, "append", build, staging, stamped.schema.json())
+
+        return _retry_conflicts(attempt)
 
     def _affected_buckets(self, source: DataFrame) -> list[int]:
         rows = self._with_bucket(source).select(self.BUCKET_COL).distinct().collect()
@@ -787,38 +1004,67 @@ class BucketedTable:
         must contain it (rows with equal keys must share a bucket)."""
         keys = keys or self.bucket_by
         assert set(self.bucket_by) <= set(keys), "merge keys must cover bucket_by"
-        if not self.exists():
-            return self.overwrite(source)
-        manifest = {k: list(v) for k, v in self._manifest().items()}
-        affected = self._affected_buckets(source)
-        old = self._read_buckets(manifest, affected)
-        if old is not None:
-            remaining = old.join(source.select(*keys), on=keys, how="left_anti")
-            merged = remaining.unionByName(source, allowMissingColumns=True)
-        else:
-            merged = source
-        v = self.current_version() + 1
-        written = self._write_version(self._with_bucket(merged), v)
-        for b in affected:
-            manifest[str(b)] = [written[b]] if b in written else []
-        return self._commit(manifest, v, "merge")
+
+        def attempt() -> int:
+            base = self.current_version()
+            if base < 0:
+                stamped = self._with_bucket(source)
+                staging, parts = self._write_staged(stamped)
+                return self._commit_cas(
+                    base,
+                    "overwrite",
+                    lambda final: {
+                        str(b): [os.path.join(final, sub)] for b, sub in parts.items()
+                    },
+                    staging,
+                    stamped.schema.json(),
+                )
+            manifest = {k: list(v) for k, v in self._manifest(base).items()}
+            affected = self._affected_buckets(source)
+            old = self._read_buckets(manifest, affected)
+            if old is not None:
+                remaining = old.join(source.select(*keys), on=keys, how="left_anti")
+                merged = remaining.unionByName(source, allowMissingColumns=True)
+            else:
+                merged = source
+            staging, parts = self._write_staged(self._with_bucket(merged))
+
+            def build(final: str) -> dict:
+                m = dict(manifest)
+                for b in affected:
+                    m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
+                return m
+
+            return self._commit_cas(base, "merge", build, staging)
+
+        return _retry_conflicts(attempt)
 
     def delete_by_keys(self, source: DataFrame, keys: list[str] | None = None) -> int:
         """S5: point deletes, bucket-pruned like merge."""
         keys = keys or self.bucket_by
         assert set(self.bucket_by) <= set(keys), "delete keys must cover bucket_by"
-        manifest = {k: list(v) for k, v in self._manifest().items()}
-        affected = self._affected_buckets(source)
-        old = self._read_buckets(manifest, affected)
-        v = self.current_version() + 1
-        manifest_update: dict[str, list[str]] = {str(b): [] for b in affected}
-        if old is not None:
-            remaining = self._with_bucket(old.join(source.select(*keys), on=keys, how="left_anti"))
-            written = self._write_version(remaining, v)
-            for b in affected:
-                manifest_update[str(b)] = [written[b]] if b in written else []
-        manifest.update(manifest_update)
-        return self._commit(manifest, v, "delete-keys")
+
+        def attempt() -> int:
+            base = self.current_version()
+            manifest = {k: list(v) for k, v in self._manifest(base).items()}
+            affected = self._affected_buckets(source)
+            old = self._read_buckets(manifest, affected)
+            staging, parts = None, {}
+            if old is not None:
+                remaining = self._with_bucket(
+                    old.join(source.select(*keys), on=keys, how="left_anti")
+                )
+                staging, parts = self._write_staged(remaining)
+
+            def build(final: "str | None") -> dict:
+                m = dict(manifest)
+                for b in affected:
+                    m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
+                return m
+
+            return self._commit_cas(base, "delete-keys", build, staging)
+
+        return _retry_conflicts(attempt)
 
     def compact(self, min_dirs: int = 2) -> int:
         """Maintenance (the OPTIMIZE analog): rewrite every bucket whose
@@ -831,16 +1077,25 @@ class BucketedTable:
         how append-heavy the workload is."""
         if not self.exists():
             raise FileNotFoundError(f"table {self.path} has no committed version")
-        manifest = {k: list(v) for k, v in self._manifest().items()}
-        todo = sorted(int(b) for b, dirs in manifest.items() if len(dirs) >= min_dirs)
-        if not todo:
-            return self.current_version()
-        old = self._read_buckets(manifest, todo)
-        v = self.current_version() + 1
-        written = self._write_version(self._with_bucket(old), v)
-        for b in todo:
-            manifest[str(b)] = [written[b]] if b in written else []
-        return self._commit(manifest, v, "compact")
+
+        def attempt() -> int:
+            base = self.current_version()
+            manifest = {k: list(v) for k, v in self._manifest(base).items()}
+            todo = sorted(int(b) for b, dirs in manifest.items() if len(dirs) >= min_dirs)
+            if not todo:
+                return base
+            old = self._read_buckets(manifest, todo)
+            staging, parts = self._write_staged(self._with_bucket(old))
+
+            def build(final: str) -> dict:
+                m = dict(manifest)
+                for b in todo:
+                    m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
+                return m
+
+            return self._commit_cas(base, "compact", build, staging)
+
+        return _retry_conflicts(attempt)
 
     def cluster_by(self, cols: list[str], files_per_bucket: int = 4) -> int:
         """Maintenance (the OPTIMIZE ZORDER analog, linear form): rewrite
@@ -863,46 +1118,55 @@ class BucketedTable:
             raise FileNotFoundError(f"table {self.path} has no committed version")
         if files_per_bucket <= 0:
             raise ValueError(f"files_per_bucket must be positive, got {files_per_bucket}")
-        manifest = {k: list(v) for k, v in self._manifest().items()}
-        todo = sorted(int(b) for b, dirs in manifest.items() if dirs)
-        if not todo:
-            return self.current_version()
-        old = self._read_buckets(manifest, todo)
-        rows = old.count()
-        per_file = max(1, rows // (self.n_buckets * files_per_bucket))
-        v = self.current_version() + 1
-        stamped = self._with_bucket(old)
-        target = os.path.join(self.path, f"v_{v}")
-        (
+
+        def attempt() -> int:
+            base = self.current_version()
+            manifest = {k: list(v) for k, v in self._manifest(base).items()}
+            todo = sorted(int(b) for b, dirs in manifest.items() if dirs)
+            if not todo:
+                return base
+            old = self._read_buckets(manifest, todo)
+            rows = old.count()
+            per_file = max(1, rows // (self.n_buckets * files_per_bucket))
             # sorted within each bucket partition + maxRecordsPerFile:
             # the writer chops the SORTED stream into consecutive chunks,
             # so every emitted file is a contiguous range of `cols`
-            stamped.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-            .sortWithinPartitions(self.BUCKET_COL, *cols)
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", per_file)
-            .partitionBy(self.BUCKET_COL)
-            .parquet(target)
-        )
-        written = {}
-        for name in os.listdir(target):
-            if name.startswith(f"{self.BUCKET_COL}="):
-                written[int(name.split("=", 1)[1])] = os.path.join(target, name)
-        for b in todo:
-            manifest[str(b)] = [written[b]] if b in written else []
-        return self._commit(manifest, v, f"cluster-by:{','.join(cols)}")
+            staging, parts = self._write_staged(
+                self._with_bucket(old), per_file=per_file, sort_cols=list(cols)
+            )
+
+            def build(final: str) -> dict:
+                m = dict(manifest)
+                for b in todo:
+                    m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
+                return m
+
+            return self._commit_cas(base, f"cluster-by:{','.join(cols)}", build, staging)
+
+        return _retry_conflicts(attempt)
 
     def delete(self, predicate) -> int:
         """S6: arbitrary-predicate delete with an opaque Column — no way to
         consult stats, so this form IS a full rewrite. Express the
         predicate as a (col, op, value) filter list and call delete_where
         to pay only for the buckets that can contain matches."""
-        target = self.read()
-        v = self.current_version() + 1
-        written = self._write_version(
-            self._with_bucket(target.filter(~predicate | predicate.isNull())), v
-        )
-        return self._commit({str(b): [d] for b, d in written.items()}, v, "delete")
+
+        def attempt() -> int:
+            base = self.current_version()
+            target = self.read(version=base)
+            staging, parts = self._write_staged(
+                self._with_bucket(target.filter(~predicate | predicate.isNull()))
+            )
+            return self._commit_cas(
+                base,
+                "delete",
+                lambda final: {
+                    str(b): [os.path.join(final, sub)] for b, sub in parts.items()
+                },
+                staging,
+            )
+
+        return _retry_conflicts(attempt)
 
     def delete_where(self, filters) -> int:
         """S6 at scale: predicate delete that rewrites ONLY the buckets
@@ -917,29 +1181,37 @@ class BucketedTable:
         if not self.exists():
             raise FileNotFoundError(f"table {self.path} has no committed version")
         checked = _validate_filters(filters)
-        cur = self.current_version()
-        manifest = {k: list(v) for k, v in self._manifest().items()}
-        stats = self._filestats(cur)
-        affected = []
-        for b, dirs in manifest.items():
-            files = [
-                f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
-            ]
-            if any(
-                all(_file_may_match(stats.get(f), c, o, val) for c, o, val in checked)
-                for f in files
-            ):
-                affected.append(int(b))
-        if not affected:
-            return cur  # nothing can match: zero IO, version unchanged
-        predicate = _filters_to_column(checked)
-        old = self._read_buckets(manifest, sorted(affected))
-        remaining = old.filter(~predicate | predicate.isNull())
-        v = cur + 1
-        written = self._write_version(self._with_bucket(remaining), v)
-        for b in affected:
-            manifest[str(b)] = [written[b]] if b in written else []
-        return self._commit(manifest, v, "delete-where")
+
+        def attempt() -> int:
+            base = self.current_version()
+            manifest = {k: list(v) for k, v in self._manifest(base).items()}
+            stats = self._filestats(base)
+            affected = []
+            for b, dirs in manifest.items():
+                files = [
+                    f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+                ]
+                if any(
+                    all(_file_may_match(stats.get(f), c, o, val) for c, o, val in checked)
+                    for f in files
+                ):
+                    affected.append(int(b))
+            if not affected:
+                return base  # nothing can match: zero IO, version unchanged
+            predicate = _filters_to_column(checked)
+            old = self._read_buckets(manifest, sorted(affected))
+            remaining = old.filter(~predicate | predicate.isNull())
+            staging, parts = self._write_staged(self._with_bucket(remaining))
+
+            def build(final: str) -> dict:
+                m = dict(manifest)
+                for b in affected:
+                    m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
+                return m
+
+            return self._commit_cas(base, "delete-where", build, staging)
+
+        return _retry_conflicts(attempt)
 
 
 class TransactionalWriter:
