@@ -345,6 +345,44 @@ def probe_embedding_neardup(spark, work: str, batch: int, batches: int) -> dict:
     return _summarize(_progress(q), rid)
 
 
+def probe_fuzzy_corpus(spark, work: str, batch: int, batches: int) -> dict:
+    """The COMPOSED chain: ingest -> exact dedup -> MinHash near-dedup
+    (band-key store) -> decontam -> gates -> scrub -> split -> chunk ->
+    shard export, all in one query (start_corpus_stream with neardup=).
+    Same doc mix as probe_neardup (every 5th doc a near-dup variant), so
+    the delta vs the `shards` row is the price of in-sink fuzzy dedup."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_corpus_stream,
+    )
+
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    base = time.time() - 3600
+    rid = 0
+    for bi in range(batches):
+        path = os.path.join(src, f"docs_{bi:04d}.json")
+        with open(path, "w") as f:
+            for _ in range(batch):
+                if rid % 5 == 4:
+                    body = _text(rid - 2, 80) + " trailing variant words"
+                else:
+                    body = _text(rid, 80)
+                f.write(json.dumps({"doc_id": rid, "text": body}) + "\n")
+                rid += 1
+        os.utime(path, (base + bi, base + bi))
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = start_corpus_stream(
+        stream,
+        os.path.join(work, "shards"),
+        seq_len=256,
+        checkpoint_dir=os.path.join(work, "fc_ckpt"),
+        neardup={"store_path": os.path.join(work, "fc_store")},
+        benchmark_ngrams=["never matches anything at all"],
+    )
+    q.awaitTermination(600)
+    return _summarize(_progress(q), rid)
+
+
 PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
@@ -354,6 +392,7 @@ PROBES = {
     "shards": probe_shard_export,
     "neardup": probe_neardup,
     "embneardup": probe_embedding_neardup,
+    "fuzzycorpus": probe_fuzzy_corpus,
 }
 
 

@@ -60,6 +60,7 @@ __all__ = [
     "decontam_mask",
     "prepare_stream",
     "start_shard_export_stream",
+    "start_corpus_stream",
 ]
 
 
@@ -402,6 +403,29 @@ def start_shard_export_stream(
     writer on the same SparkSession and, losing the race, static-mode
     truncate the whole tree).
     """
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        _write_shard_batch(df, epoch_id, out_dir, seq_len, tokenizer, max_rows_per_shard)
+
+    return (
+        chunks.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _write_shard_batch(
+    df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    seq_len: int,
+    tokenizer,
+    max_rows_per_shard: int,
+) -> None:
+    """One micro-batch of chunk rows -> packed token-sequence shards at
+    out_dir/split=<s>/batch=<id>/ — the foreachBatch body of
+    start_shard_export_stream, shared by start_corpus_stream."""
     from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
         tokenize,
     )
@@ -409,34 +433,260 @@ def start_shard_export_stream(
         materialize_sequences,
     )
 
-    def _batch(df: DataFrame, epoch_id: int) -> None:
-        tok = tokenizer if tokenizer is not None else tokenize
-        toks = (
-            df.select(
-                "split", "doc_id", "chunk_id", tok(F.col("chunk_text")).alias("_toks")
-            )
-            .withColumn("n_tokens", F.size("_toks"))
-            .persist()
+    tok = tokenizer if tokenizer is not None else tokenize
+    toks = (
+        df.select(
+            "split", "doc_id", "chunk_id", tok(F.col("chunk_text")).alias("_toks")
         )
-        try:
-            if toks.count() == 0:
-                return
-            seqs = materialize_sequences(toks, seq_len, pretokenized=True)
-            seqs = seqs.withColumn(
-                "seq_id", F.col("seq_id") + F.lit(int(epoch_id) << 33)
-            ).withColumn("batch", F.lit(int(epoch_id)))
-            (
-                seqs.write.mode("overwrite")
-                .partitionBy("split", "batch")
-                .option("partitionOverwriteMode", "dynamic")
-                .option("maxRecordsPerFile", max_rows_per_shard)
-                .parquet(out_dir)
+        .withColumn("n_tokens", F.size("_toks"))
+        .persist()
+    )
+    try:
+        if toks.count() == 0:
+            return
+        seqs = materialize_sequences(toks, seq_len, pretokenized=True)
+        seqs = seqs.withColumn(
+            "seq_id", F.col("seq_id") + F.lit(int(epoch_id) << 33)
+        ).withColumn("batch", F.lit(int(epoch_id)))
+        (
+            seqs.write.mode("overwrite")
+            .partitionBy("split", "batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", max_rows_per_shard)
+            .parquet(out_dir)
+        )
+    finally:
+        toks.unpersist()
+
+
+def _post_dedup_stages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    use_gopher_rules: bool,
+    min_quality: "float | None",
+    quality_model: "dict | None",
+    min_classifier_prob: float,
+    blocklist: "list[str] | None",
+    blocklist_max_hits: int,
+    benchmark_ngrams: "list[str] | None",
+    decontam_n: int,
+    decontam_min_hits: int,
+    decontam_mode: str,
+    splits: "dict[str, float] | None",
+    seed: int,
+    scrub: bool,
+    chunk_size: int,
+    chunk_overlap: int,
+) -> DataFrame:
+    """The stateless tail of the corpus chain in BATCH order
+    (prepare_training_corpus: decontam -> quality gates -> scrub ->
+    split -> chunk), applied to an already fully-deduplicated document
+    frame. Used by start_corpus_stream's foreachBatch, where exact AND
+    fuzzy dedup have both happened upstream — unlike prepare_stream,
+    which gates BEFORE its in-plan dedup state store and must therefore
+    carry the masked text as a derived column."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        assign_split,
+    )
+
+    work = df
+    if benchmark_ngrams is not None:
+        if decontam_mode == "mask":
+            work = work.withColumn(
+                text_col, decontam_mask(benchmark_ngrams, text_col, decontam_n)
             )
-        finally:
-            toks.unpersist()
+        elif decontam_mode == "drop":
+            work = work.filter(
+                decontam_keep(benchmark_ngrams, text_col, decontam_n, decontam_min_hits)
+            )
+        else:
+            raise ValueError(
+                f"decontam_mode must be 'drop' or 'mask', got {decontam_mode!r}"
+            )
+    work = gate_stream(
+        work,
+        text_col=text_col,
+        id_col=id_col,
+        use_gopher_rules=use_gopher_rules,
+        min_quality=min_quality,
+        quality_model=quality_model,
+        min_classifier_prob=min_classifier_prob,
+        blocklist=blocklist,
+        blocklist_max_hits=blocklist_max_hits,
+        scrub=False,
+    )
+    if scrub:
+        work = work.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
+    labeled = assign_split(work, id_col=id_col, splits=splits, seed=seed)
+    chunks = chunk_documents(
+        labeled.select(id_col, text_col, "split"),
+        size=chunk_size,
+        overlap=chunk_overlap,
+        text_col=text_col,
+        id_col=id_col,
+        carry_cols=("split",),
+    )
+    return chunks.select(id_col, "split", "chunk_id", "n_tokens", "chunk_text")
+
+
+def start_corpus_stream(
+    docs: DataFrame,
+    out_dir: str,
+    seq_len: int,
+    checkpoint_dir: str,
+    neardup: "dict | None" = None,
+    tokenizer=None,
+    max_rows_per_shard: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_gopher_rules: bool = True,
+    min_quality: "float | None" = None,
+    quality_model: "dict | None" = None,
+    min_classifier_prob: float = 0.5,
+    blocklist: "list[str] | None" = None,
+    blocklist_max_hits: int = 0,
+    benchmark_ngrams: "list[str] | None" = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+    decontam_mode: str = "drop",
+    splits: "dict[str, float] | None" = None,
+    seed: int = 42,
+    scrub: bool = True,
+    dedupe_doc_lines: bool = False,
+    chunk_size: int = 32,
+    chunk_overlap: int = 8,
+    watermark_col: "str | None" = None,
+    watermark_delay: str = "30 minutes",
+):
+    """The WHOLE corpus pipeline as one streaming query: raw document
+    stream -> trainer-ready shards, now including FUZZY (MinHash) near-
+    dedup so the stream produces the same rows as the one-command batch
+    path, which defaults fuzzy dedup ON (tools/prepare_run.py).
+
+    `neardup=None` is exactly prepare_stream -> start_shard_export_stream
+    (exact dedup only). `neardup={...}` composes the streaming MinHash
+    near-dedup (streaming/neardup.py) into the SAME foreachBatch as the
+    decontam/gate/scrub/split/chunk/shard stages. Accepted keys:
+    store_path (required), num_hashes=16, bands=4, shingle_size=5,
+    store_buckets=16, max_bucket=10_000.
+
+    Stage placement mirrors the batch operator exactly
+    (prepare_training_corpus with neardup_minhash=True,
+    neardup_keep="greedy"): line-dedup -> EXACT dedup -> FUZZY dedup ->
+    decontam -> quality gates -> scrub -> split -> chunk. With fuzzy
+    dedup on, the quality gates move INTO the sink (after fuzzy) rather
+    than ahead of the exact-dedup state store: fuzzy verdicts depend on
+    WHICH other docs are present — a junk doc's band keys must poison
+    later near-dups exactly as they do in batch, so junk may only be
+    gated out AFTER its keys enter the store. The exact-dedup state
+    therefore holds junk too (documented state-size trade vs
+    prepare_stream's gate-first order, which is only safe because exact
+    duplicates have identical text and identical gate verdicts).
+
+    Exactly-once: the band-key store probe excludes rows stamped with
+    the current (run, batch) attempt and the shard write is dynamic-
+    partition overwrite on the batch id, so a replayed micro-batch
+    reproduces both its survivor set and its shard partitions
+    byte-identical. The combined state surviving a restart =
+    Spark's dedup state store (via the checkpoint) + the band-key store
+    (via its own versioned table) — pinned in tests."""
+    if neardup is None:
+        chunks = prepare_stream(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            use_gopher_rules=use_gopher_rules,
+            min_quality=min_quality,
+            quality_model=quality_model,
+            min_classifier_prob=min_classifier_prob,
+            blocklist=blocklist,
+            blocklist_max_hits=blocklist_max_hits,
+            benchmark_ngrams=benchmark_ngrams,
+            decontam_n=decontam_n,
+            decontam_min_hits=decontam_min_hits,
+            decontam_mode=decontam_mode,
+            splits=splits,
+            seed=seed,
+            scrub=scrub,
+            dedupe_doc_lines=dedupe_doc_lines,
+            chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap,
+            watermark_col=watermark_col,
+            watermark_delay=watermark_delay,
+        )
+        return start_shard_export_stream(
+            chunks, out_dir, seq_len, checkpoint_dir, tokenizer, max_rows_per_shard
+        )
+
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        neardup_filter_batch,
+        open_neardup_store,
+        run_id_for_checkpoint,
+    )
+
+    nd = dict(neardup)
+    store_path = nd.pop("store_path")
+    nd_params = {
+        "num_hashes": nd.pop("num_hashes", 16),
+        "bands": nd.pop("bands", 4),
+        "shingle_size": nd.pop("shingle_size", 5),
+        "max_bucket": nd.pop("max_bucket", 10_000),
+    }
+    store_buckets = nd.pop("store_buckets", 16)
+    if nd:
+        raise ValueError(f"unknown neardup keys: {sorted(nd)}")
+
+    spark = docs.sparkSession
+    run_id = run_id_for_checkpoint(checkpoint_dir)
+
+    pre = docs
+    if dedupe_doc_lines:
+        # batch parity: per-doc line cleaning FIRST, so both dedup keys
+        # (exact fingerprint AND minhash shingles) see the cleaned text
+        pre = pre.withColumn(text_col, TX.dedupe_lines(F.col(text_col)))
+    if watermark_col is not None:
+        deduped = dedup_stream_watermarked(
+            pre, watermark_col, watermark_delay, text_col=text_col
+        )
+    else:
+        deduped = dedup_stream(pre, text_col=text_col)
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        store = open_neardup_store(spark, store_path, n_buckets=store_buckets)
+        kept = neardup_filter_batch(
+            df, store, int(epoch_id), text_col, id_col,
+            run_id=run_id, **nd_params,
+        )
+        chunks = _post_dedup_stages(
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            use_gopher_rules=use_gopher_rules,
+            min_quality=min_quality,
+            quality_model=quality_model,
+            min_classifier_prob=min_classifier_prob,
+            blocklist=blocklist,
+            blocklist_max_hits=blocklist_max_hits,
+            benchmark_ngrams=benchmark_ngrams,
+            decontam_n=decontam_n,
+            decontam_min_hits=decontam_min_hits,
+            decontam_mode=decontam_mode,
+            splits=splits,
+            seed=seed,
+            scrub=scrub,
+            chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap,
+        )
+        _write_shard_batch(
+            chunks, epoch_id, out_dir, seq_len, tokenizer, max_rows_per_shard
+        )
 
     return (
-        chunks.writeStream.foreachBatch(_batch)
+        deduped.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
