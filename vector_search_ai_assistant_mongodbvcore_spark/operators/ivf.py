@@ -326,6 +326,21 @@ class IvfIndex:
         self.spark.catalog.refreshByPath(data_dir)
         return self
 
+    def compact(self, max_files_per_partition: int = 8) -> int:
+        """Maintenance for the append add-path (see LshIndex.compact):
+        rewrites centroid partitions whose file count reached the
+        threshold; returns partitions rewritten, 0 = zero IO."""
+        from vector_search_ai_assistant_mongodbvcore_spark.sources.maintenance import (
+            compact_partitioned_dir,
+        )
+
+        return compact_partitioned_dir(
+            self.spark,
+            os.path.join(self.path, "data"),
+            ["centroid_id"],
+            max_files_per_partition,
+        )
+
     # ---- search ----------------------------------------------------------
     def _centroids(self) -> np.ndarray:
         return np.load(os.path.join(self.path, "centroids.npy"))

@@ -436,6 +436,33 @@ class Bm25Index:
             json.dump(meta, f)
         return self
 
+    def compact(self, max_files_per_partition: int = 8) -> int:
+        """Maintenance for the append add-path (see LshIndex.compact):
+        rewrites postings term-buckets AND docs id-buckets whose parquet
+        file count reached the threshold (the two dirs add_documents
+        appends into; the terms table is swap-rewritten wholesale on
+        every add and needs no compaction). Returns total partitions
+        rewritten, 0 = zero IO; search() is unchanged."""
+        import os
+
+        from vector_search_ai_assistant_mongodbvcore_spark.sources.maintenance import (
+            compact_partitioned_dir,
+        )
+
+        n = compact_partitioned_dir(
+            self.spark,
+            os.path.join(self.path, "postings"),
+            ["bucket"],
+            max_files_per_partition,
+        )
+        n += compact_partitioned_dir(
+            self.spark,
+            os.path.join(self.path, "docs"),
+            ["id_bucket"],
+            max_files_per_partition,
+        )
+        return n
+
     def remove_documents(self, ids: Sequence) -> "Bm25Index":
         """Delete indexed documents near-real-time — the keyword twin of the
         reference's delete path (AddRemoveData.cs:23-125 'remove' action →

@@ -482,6 +482,29 @@ class LshIndex:
         self.spark.catalog.refreshByPath(data_dir)
         return self
 
+    def compact(self, max_files_per_partition: int = 8) -> int:
+        """Maintenance (the OPTIMIZE analog for the append add-path):
+        every add_documents call lands one more file set into the touched
+        (table, bucket) partitions, so under streaming ingest a hot
+        partition's file count — and search's candidate-read open cost —
+        grows with BATCH COUNT. Rewrites exactly the partitions holding
+        >= max_files_per_partition parquet files; returns how many were
+        rewritten (0 = zero IO). Search results are unchanged (asserted
+        in tests); run it from the ingest sink (incremental.py's
+        compact_every) or whenever the stream is idle."""
+        import os as _os
+
+        from vector_search_ai_assistant_mongodbvcore_spark.sources.maintenance import (
+            compact_partitioned_dir,
+        )
+
+        return compact_partitioned_dir(
+            self.spark,
+            _os.path.join(self.path, "data"),
+            ["table", "bucket"],
+            max_files_per_partition,
+        )
+
     def search(
         self,
         query: Sequence[float],

@@ -67,13 +67,27 @@ def start_change_stream(
     checkpoint_dir: str,
     embedder=None,
     vector_col: str = "vector",
+    compact_every: "int | None" = None,
 ):
     """readStream(json dir) -> foreachBatch(apply_changes). Returns the
-    StreamingQuery; callers own awaitTermination/stop."""
+    StreamingQuery; callers own awaitTermination/stop.
+
+    `compact_every=N` runs the table's own compact() every N micro-
+    batches (BucketedTable only — ManagedTable snapshots are one dir per
+    version and never fragment), so an append-heavy stream keeps
+    per-bucket dir lists bounded without an external maintenance job.
+    Safe to race the sink's own merges since the table layer has
+    optimistic concurrency."""
     stream = spark.readStream.schema(schema).json(source_dir)
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         apply_changes(table, df, keys, embedder, vector_col)
+        if (
+            compact_every
+            and (int(epoch_id) + 1) % compact_every == 0
+            and hasattr(table, "compact")
+        ):
+            table.compact()
 
     return (
         stream.writeStream.foreachBatch(_batch)
@@ -141,12 +155,24 @@ def start_index_change_stream(
     id_col: str,
     checkpoint_dir: str,
     embedder=None,
+    compact_every: "int | None" = None,
+    max_files_per_partition: int = 8,
 ):
-    """readStream(json dir) -> foreachBatch(apply_index_changes)."""
+    """readStream(json dir) -> foreachBatch(apply_index_changes).
+
+    `compact_every=N` runs index.compact(max_files_per_partition) every
+    N micro-batches: the add path APPENDS one file set per batch into the
+    touched partitions, so without maintenance a long-running stream
+    grows per-partition file counts — and candidate-read open cost —
+    linearly with batch count. The compaction runs inside the same sink
+    (never racing its own appends) and rewrites only partitions that
+    crossed the threshold (sources/maintenance.py)."""
     stream = spark.readStream.schema(schema).json(source_dir)
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         apply_index_changes(index, df, id_col, embedder)
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            index.compact(max_files_per_partition)
 
     return (
         stream.writeStream.foreachBatch(_batch)
