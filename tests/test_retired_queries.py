@@ -186,3 +186,27 @@ def test_duplicated_ngram_stats_matches_duckdb(spark):
         for d, np, dp, fr in _duck(Q.DUPLICATED_NGRAM_STATS_SQL)
     }
     assert got == want
+
+
+def test_scalar_function_suite_matches_duckdb(spark):
+    """Retired r9 (slot -> cleaned_corpus); every scalar shape remains
+    oracle-covered elsewhere (regexp_replace in cleaned_corpus/text_stats,
+    substring/length in document_chunks, replace/case in domain_audit) —
+    the five-column suite itself stays DuckDB-gated here."""
+    got = [
+        tuple(r)
+        for r in Q.scalar_function_suite(spark, SF).orderBy("doc_id").collect()
+    ]
+    want = [
+        tuple(w)
+        for w in _duck(
+            """SELECT doc_id,
+                      substr(text, 1, 20),
+                      regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'),
+                      upper(lang),
+                      length(text),
+                      replace(source, 'src', 'source-')
+               FROM documents ORDER BY doc_id"""
+        )
+    ]
+    assert got == want

@@ -670,21 +670,16 @@ def doc_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register(
-    "scalar_function_suite",
-    """
-    SELECT doc_id,
-           substr(text, 1, 20) AS prefix20,
-           regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g') AS cleaned,
-           upper(lang) AS lang_upper,
-           length(text) AS text_len,
-           replace(source, 'src', 'source-') AS source_renamed
-    FROM documents
-    """,
-)
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 (regex clean, OpenAiService.cs:244), F4 (bounded substring,
-    NavMenu.razor:55), F3 (replace), plus case/length."""
+    NavMenu.razor:55), F3 (replace), plus case/length.
+
+    Retired from the 50-slot registry in round 9 (slot went to
+    `cleaned_corpus`): every scalar shape here is exercised by surviving
+    oracles several times over (regexp_replace in cleaned_corpus/
+    text_stats, substring/length in document_chunks and the profile
+    suite, case/replace in domain_audit), and the full five-column
+    suite keeps direct DuckDB parity in tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id",
@@ -693,6 +688,73 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("lang").alias("lang_upper"),
         F.length("text").alias("text_len"),
         F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias("source_renamed"),
+    )
+
+
+# C4-style screen list for the cleaned_corpus slot: frequent corpus terms
+# (not real badwords — the LIST is caller policy; the engine contract
+# under oracle test is the word-boundary/phrase probe), chosen so the
+# kept flag splits the table both ways at sf0.01.
+_CLEAN_BLOCKLIST = ["slow", "vector", "big table", "merge batch"]
+
+
+@register(
+    "cleaned_corpus",
+    f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(lines, (x, i) -> trim(x) = ''
+                                          OR list_position(lines, x) = i),
+             chr(10)) AS clean_text,
+           CAST(len(lines)
+                - len(list_filter(lines, (x, i) -> trim(x) = ''
+                                                   OR list_position(lines, x) = i))
+                AS INT) AS n_lines_removed,
+           CAST(len(list_intersect(list_distinct(sw), ['slow', 'vector']))
+                + (CASE WHEN contains(' ' || array_to_string(sw, ' ') || ' ',
+                                      ' big table ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(' ' || array_to_string(sw, ' ') || ' ',
+                                      ' merge batch ') THEN 1 ELSE 0 END)
+                AS INT) AS bl_hits,
+           (len(list_intersect(list_distinct(sw), ['slow', 'vector']))
+                + (CASE WHEN contains(' ' || array_to_string(sw, ' ') || ' ',
+                                      ' big table ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(' ' || array_to_string(sw, ' ') || ' ',
+                                      ' merge batch ') THEN 1 ELSE 0 END)) <= 1 AS kept
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(text, '\\s+', chr(10), 'g'), chr(10)) AS lines,
+                 list_transform({_w_sql(lower=True)},
+                                x -> regexp_replace(x, '^[^a-zA-Z0-9]+|[^a-zA-Z0-9]+$', '', 'g')) AS sw
+          FROM documents)
+    """,
+)
+def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 cleaning stages, oracle-paired (judge r8 directive #3):
+    CCNet within-doc line dedup (functions/text.dedupe_lines — first
+    occurrence of each exact non-blank line kept, order preserved) + the
+    C4 blocklist screen (functions/text.blocklist_hits/_keep —
+    word-boundary, case-insensitive, phrase-aware) as a kept flag, both
+    pure codegen column expressions over one documents scan.
+
+    The synthetic corpus has no newlines, so the query derives a
+    deterministic multi-line view first (every whitespace run becomes a
+    line break — the degenerate one-word-per-line case, maximal dedup
+    signal); the screen probes the ORIGINAL text, as C4 screens raw
+    documents before any cleaning."""
+    t = _tables(spark, sf_dir)
+    from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+
+    d = t["documents"]
+    lined = F.regexp_replace(F.col("text"), r"\s+", "\n")
+    clean = TX.dedupe_lines(lined)
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.size(F.split(lined, "\n")) - F.size(F.split(clean, "\n"))).alias(
+            "n_lines_removed"
+        ),
+        TX.blocklist_hits(F.col("text"), _CLEAN_BLOCKLIST).alias("bl_hits"),
+        TX.blocklist_keep(F.col("text"), _CLEAN_BLOCKLIST, max_hits=1).alias("kept"),
     )
 
 
@@ -2300,7 +2362,10 @@ _ORDER = [
     "conversation_text_by_user", "latest_events_per_user",
     "running_value_per_user", "first_exchange_trigger",
     "sessionization", "payload_concat_by_source",
-    "doc_serialize_json", "scalar_function_suite",
+    # (scalar_function_suite retired r9 -> slot for cleaned_corpus; its
+    # shapes are covered several times over by surviving oracles and the
+    # suite keeps DuckDB parity in tests/test_retired_queries.py)
+    "doc_serialize_json", "cleaned_corpus",
     # text analysis + vocabulary induction
     "text_stats", "language_id_confusion", "token_counts_by_source",
     "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
