@@ -322,12 +322,97 @@ def minhash_lsh_pairs(
     distinct (a < b). This is the *candidate generation* stage; callers
     verify with exact Jaccard (ngram_jaccard_pairs) or accept LSH recall.
 
-    Plan shape: signatures -> explode bands -> ONE shuffle on (band, key)
-    -> capped_bucket_pairs (posting lists for buckets <= max_bucket, an
-    equi-join route for hotter buckets — same pair set, bounded task
-    memory) -> distinct."""
-    banded = minhash_band_keys(df, text_col, id_col, num_hashes, bands, shingle_size)
-    return capped_bucket_pairs(banded, ["band", "key"], id_col, max_bucket)
+    Plan shape (r9, two-level): documents are first collapsed into
+    SIGNATURE CLASSES (identical full MinHash signature — exact and
+    near-exact duplicates land here), then LSH banding runs over the
+    DISTINCT classes only:
+
+      * intra-class pairs: every member pair of a class is a candidate
+        by construction (identical signatures agree in every band) —
+        emitted straight from the class roster, no banding, no distinct.
+      * inter-class pairs: bands explode over one row per CLASS, the
+        (band, key) buckets hold class ids, and capped_bucket_pairs
+        dedups CLASS pairs — a frame the size of the distinct-signature
+        count, not the corpus. Each class pair then expands to its
+        member cross product via two keyed joins.
+
+    Why: pair volume on a duplicate-heavy corpus grows quadratically in
+    group size (the 64x scale-probe worst case: every doc replicated
+    64x), and the old shape shuffled that quadratic pair stream through
+    a global distinct `bands` times over. Here the quadratic part is
+    pure emission (roster expansion / join fan-out — the true output
+    size), while every shuffle-and-dedup step runs at CLASS granularity,
+    which duplication does not grow. A corpus with no exact duplicates
+    degenerates to the old shape plus one cheap groupBy. max_bucket
+    bounds roster arrays exactly as it bounds posting lists: oversized
+    classes route through self-joins (same pair set, bounded task
+    memory)."""
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // bands
+    agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
+    band_keys = [
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    docs = agg.select(
+        F.col(id_col),
+        F.array(*band_keys).alias("_keys"),
+        F.concat_ws("||", *band_keys).alias("_ck"),
+    )
+    w = Window.partitionBy("_ck")
+    sized = docs.withColumn("_n", F.count(F.lit(1)).over(w))
+    small = sized.filter(F.col("_n") <= max_bucket)
+    big = sized.filter(F.col("_n") > max_bucket)
+
+    # intra-class: small classes expand their sorted roster JVM-side;
+    # oversized classes stream size^2 pairs through a self-join
+    rosters = small.groupBy("_ck").agg(
+        F.array_sort(F.collect_list(id_col)).alias("_ids"),
+        F.first("_keys").alias("_keys"),
+    )
+    intra_small = (
+        rosters.filter(F.size("_ids") > 1)
+        .select(F.explode(pair_structs(F.col("_ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    big_a = big.select("_ck", F.col(id_col).alias("id_a"))
+    big_b = big.select("_ck", F.col(id_col).alias("id_b"))
+    intra_big = (
+        big_a.join(big_b, "_ck")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    # inter-class: band the DISTINCT classes (including singletons — a
+    # lone doc still pairs across classes), dedup class pairs with the
+    # existing capped machinery, then fan out to member pairs
+    classes = rosters.select("_ck", "_keys").unionByName(
+        big.select("_ck", "_keys").distinct()
+    )
+    banded = classes.select(
+        "_ck", F.posexplode("_keys").alias("band", "key")
+    )
+    class_pairs = capped_bucket_pairs(banded, ["band", "key"], "_ck", max_bucket)
+    members = sized.select("_ck", F.col(id_col))
+    inter = (
+        class_pairs.select(
+            F.col("id_a").alias("_cka"), F.col("id_b").alias("_ckb")
+        )
+        .join(members.select(F.col("_ck").alias("_cka"), F.col(id_col).alias("_ida")), "_cka")
+        .join(members.select(F.col("_ck").alias("_ckb"), F.col(id_col).alias("_idb")), "_ckb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+    )
+    return intra_small.unionByName(intra_big).unionByName(inter)
 
 
 def minhash_band_keys(
