@@ -1,0 +1,108 @@
+"""The IVF access-path rewrite for raw SQL (plans/sql_rewrite.py):
+a plain `ORDER BY cosine_sim(...) DESC LIMIT k` query over an
+IVF-indexed table gets the centroid partition IN-filter injected; the
+same SQL without a registered index full-scans with identical
+semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+from vector_search_ai_assistant_mongodbvcore_spark.plans.sql_rewrite import (
+    VectorSqlSession,
+)
+
+
+def _qvec():
+    return [float(x) for x in np.random.RandomState(7).randn(64)]
+
+
+def _arr_sql(vec):
+    return "array(" + ", ".join(f"{x}D" for x in vec) + ")"
+
+
+@pytest.fixture()
+def vsql(spark, tables, tmp_path):
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    IvfIndex(spark, str(tmp_path / "ivf")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    vs = VectorSqlSession(spark)
+    vs.register_index("embeddings", str(tmp_path / "ivf"), n_probe=2)
+    return vs
+
+
+def _topk_sql(vec, k=10):
+    return (
+        "SELECT vec_id, cosine_sim(embedding, "
+        + _arr_sql(vec)
+        + f") AS score FROM embeddings ORDER BY score DESC LIMIT {k}"
+    )
+
+
+def test_raw_sql_gets_partition_filter(vsql, tmp_path):
+    df = vsql.sql(_topk_sql(_qvec()))
+    raw = plan_report(df).raw
+    assert "PartitionFilters" in raw and "centroid_id" in raw
+    assert plan_report(df).take_ordered  # still the top-k physical shape
+
+
+def test_rewritten_sql_matches_index_search(vsql, spark, tmp_path):
+    q = _qvec()
+    got = [(r["vec_id"], round(r["score"], 6)) for r in vsql.sql(_topk_sql(q)).collect()]
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    want = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in idx.search(q, k=10, n_probe=2, id_col="vec_id").collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert got == want  # scores bit-comparable at 6 dp: same codegen expr
+
+
+def test_other_alias_and_projection_order_also_match(vsql, spark, tmp_path):
+    q = _qvec()
+    sql = (
+        "SELECT cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ") AS sim, vec_id FROM embeddings ORDER BY sim DESC LIMIT 5"
+    )
+    got = [r["vec_id"] for r in vsql.sql(sql).collect()]
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    want = [r["vec_id"] for r in idx.search(q, k=5, n_probe=2, id_col="vec_id").collect()]
+    assert got == want
+
+
+def test_unregistered_table_passes_through(spark, tables):
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    vs = VectorSqlSession(spark)  # nothing registered
+    df = vs.sql(_topk_sql(_qvec()))
+    raw = plan_report(df).raw
+    assert "PartitionFilters" not in raw  # full scan
+    assert df.count() == 10
+
+
+def test_full_probe_rewrite_equals_unpruned_scan(spark, tables, tmp_path):
+    """n_probe = num_lists: the pruned path must equal the full scan
+    exactly — pruning is an IO optimization, never a semantics change."""
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    IvfIndex(spark, str(tmp_path / "ivf_all")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    vs = VectorSqlSession(spark)
+    q = _qvec()
+    plain = [r["vec_id"] for r in vs.sql(_topk_sql(q)).collect()]
+    vs.register_index("embeddings", str(tmp_path / "ivf_all"), n_probe=4)
+    routed = [r["vec_id"] for r in vs.sql(_topk_sql(q)).collect()]
+    assert routed == plain
+
+
+def test_non_topk_shapes_pass_through(vsql):
+    # no LIMIT, ASC ordering, non-cosine order key: all full-scan SQL
+    for sql in (
+        "SELECT count(*) AS n FROM embeddings",
+        "SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3",
+    ):
+        assert vsql.sql(sql).count() > 0
