@@ -1,0 +1,90 @@
+"""Integration tests for the OPTIONAL real kernels behind the engine's
+injectable seams (pyproject.toml extras [tiktoken]/[hnsw]/[media]).
+
+Each seam is fully exercised with deterministic doubles elsewhere in the
+suite; these tests run the REAL kernel through the same engine plumbing
+when the extra is installed, and skip cleanly when it is not (this
+container ships none of them — the skips are the expected outcome
+here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tiktoken_token_counts_through_engine_udf(spark):
+    tiktoken = pytest.importorskip("tiktoken")
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
+        count_tokens,
+    )
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    texts = ["hello world", "the quick brown fox", "tokens, tokens; tokens!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", count_tokens(F.col("text")).alias("n")).collect()
+    }
+    want = {i: len(enc.encode(t)) for i, t in enumerate(texts)}
+    assert got == want  # the engine UDF defers to tiktoken when importable
+
+
+def test_hnswlib_kernel_through_partitioned_ann(spark):
+    pytest.importorskip("hnswlib")
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.partitioned_ann import (
+        hnsw_index_factory,
+        partitioned_ann_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    q = [float(x) for x in rng.normal(size=16)]
+    got = partitioned_ann_topk(
+        df, q, k=10, index_factory=hnsw_index_factory(m=16, ef_construction=64)
+    )
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    # HNSW is approximate: require strong overlap with the exact top-k,
+    # not equality
+    exact = partitioned_ann_topk(df, q, k=10)
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    assert len(set(ids) & exact_ids) >= 8
+
+
+def test_pil_resize_kernel_through_multimodal_plumbing(spark):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    def pil_resizer(payload: bytes, w: int, h: int) -> bytes:
+        img = PIL_Image.open(io.BytesIO(payload)).resize((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def png(w, h):
+        img = PIL_Image.new("RGB", (w, h), (200, 10, 10))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", "image/png", 32, 16, None, png(32, 16)),
+            ("m2", "image", "image/png", 8, 8, None, png(8, 8)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = resize_media(media, 4, 4, resizer=pil_resizer).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["resize_ok"]
+        img = PIL_Image.open(io.BytesIO(bytes(r["payload"])))
+        assert img.size == (4, 4)
