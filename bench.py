@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "sessionization",
     "payload_concat_by_source",
     "text_stats",
+    "cleaned_corpus",
     "dedup_corpus_exact",
     "remove_duplicated_spans",
     "minhash_band_pairs",
