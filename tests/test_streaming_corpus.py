@@ -504,3 +504,35 @@ def test_stream_line_dedup_matches_batch(spark, tmp_path):
         batch_docs, dedupe_doc_lines=True, use_gopher_rules=False, min_quality=0.1
     )
     assert _rows(spark.sql("SELECT * FROM linededup_out")) == _rows(want)
+
+
+def test_non_gopher_quality_trio_matches_batch(spark, src, bench):
+    """use_gopher_rules=False: the batch quality stage is the heuristic
+    TRIO (quality floor + repeated-word + duplicate-line ceilings); the
+    stream must gate with all three, not the floor alone."""
+    got = _run_stream(
+        spark,
+        src,
+        benchmark_ngrams=collect_benchmark_ngrams(bench, n=8),
+        use_gopher_rules=False,
+        min_quality=0.3,
+        max_repeated_word_frac=0.5,
+        max_dup_line_frac=0.5,
+    )
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in ALL], SCHEMA
+    )
+    want = prepare_training_corpus(
+        batch_docs,
+        benchmark=bench,
+        decontam_n=8,
+        use_gopher_rules=False,
+        min_quality=0.3,
+        max_repeated_word_frac=0.5,
+        max_dup_line_frac=0.5,
+    )
+    assert _rows(got) == _rows(want)
+    # the trio does real work on this fixture: the spam doc repeats one
+    # word 10/10 times — repeated_word_fraction kills it even though no
+    # Gopher rule is consulted
+    assert 1 not in {r[0] for r in _rows(got)}

@@ -279,6 +279,8 @@ def prepare_stream(
     id_col: str = "doc_id",
     use_gopher_rules: bool = True,
     min_quality: float | None = None,
+    max_repeated_word_frac: "float | None" = None,
+    max_dup_line_frac: "float | None" = None,
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
     blocklist: "list[str] | None" = None,
@@ -339,6 +341,8 @@ def prepare_stream(
         id_col=id_col,
         use_gopher_rules=use_gopher_rules,
         min_quality=min_quality,
+        max_repeated_word_frac=max_repeated_word_frac,
+        max_dup_line_frac=max_dup_line_frac,
         quality_model=quality_model,
         min_classifier_prob=min_classifier_prob,
         blocklist=blocklist,
@@ -465,6 +469,8 @@ def _post_dedup_stages(
     id_col: str,
     use_gopher_rules: bool,
     min_quality: "float | None",
+    max_repeated_word_frac: "float | None",
+    max_dup_line_frac: "float | None",
     quality_model: "dict | None",
     min_classifier_prob: float,
     blocklist: "list[str] | None",
@@ -513,6 +519,8 @@ def _post_dedup_stages(
         id_col=id_col,
         use_gopher_rules=use_gopher_rules,
         min_quality=min_quality,
+        max_repeated_word_frac=max_repeated_word_frac,
+        max_dup_line_frac=max_dup_line_frac,
         quality_model=quality_model,
         min_classifier_prob=min_classifier_prob,
         blocklist=blocklist,
@@ -545,6 +553,8 @@ def start_corpus_stream(
     id_col: str = "doc_id",
     use_gopher_rules: bool = True,
     min_quality: "float | None" = None,
+    max_repeated_word_frac: "float | None" = None,
+    max_dup_line_frac: "float | None" = None,
     quality_model: "dict | None" = None,
     min_classifier_prob: float = 0.5,
     blocklist: "list[str] | None" = None,
@@ -601,6 +611,8 @@ def start_corpus_stream(
             id_col=id_col,
             use_gopher_rules=use_gopher_rules,
             min_quality=min_quality,
+            max_repeated_word_frac=max_repeated_word_frac,
+            max_dup_line_frac=max_dup_line_frac,
             quality_model=quality_model,
             min_classifier_prob=min_classifier_prob,
             blocklist=blocklist,
@@ -667,6 +679,8 @@ def start_corpus_stream(
             id_col=id_col,
             use_gopher_rules=use_gopher_rules,
             min_quality=min_quality,
+            max_repeated_word_frac=max_repeated_word_frac,
+            max_dup_line_frac=max_dup_line_frac,
             quality_model=quality_model,
             min_classifier_prob=min_classifier_prob,
             blocklist=blocklist,

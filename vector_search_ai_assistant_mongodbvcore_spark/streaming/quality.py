@@ -60,18 +60,32 @@ def gate_stream(
     blocklist: "list[str] | None" = None,
     blocklist_max_hits: int = 0,
     scrub: bool = True,
+    max_repeated_word_frac: float | None = None,
+    max_dup_line_frac: float | None = None,
 ) -> DataFrame:
     """Gate a (streaming or batch) document frame with the stateless
     quality battery; returns the same frame filtered and (optionally)
     PII-scrubbed. Accepts a readStream frame unchanged — every predicate
     is a projection, so the plan stays append-mode-safe. `blocklist`
     adds the C4-style badwords screen (word-boundary, case-insensitive),
-    stateless like the rest."""
+    stateless like the rest. `max_repeated_word_frac`/`max_dup_line_frac`
+    complete the batch pipeline's NON-Gopher heuristic trio
+    (prepare_training_corpus's quality stage when use_gopher_rules=False
+    is quality floor + repetition ceilings — a stream gating on
+    min_quality alone would pass docs batch rejects)."""
     out = docs
     if use_gopher_rules:
         out = out.filter(gopher_keep(text_col))
     if min_quality is not None:
         out = out.filter(TX.quality_score(F.col(text_col)) >= min_quality)
+    if max_repeated_word_frac is not None:
+        out = out.filter(
+            TX.repeated_word_fraction(F.col(text_col)) <= max_repeated_word_frac
+        )
+    if max_dup_line_frac is not None:
+        out = out.filter(
+            TX.duplicate_line_fraction(F.col(text_col)) <= max_dup_line_frac
+        )
     if blocklist is not None:
         out = out.filter(
             TX.blocklist_keep(F.col(text_col), blocklist, blocklist_max_hits)
