@@ -746,13 +746,21 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t["documents"]
     lined = F.regexp_replace(F.col("text"), r"\s+", "\n")
-    clean = TX.dedupe_lines(lined)
+    lines = F.split(lined, "\n")
+    # n_lines_removed is derived ARITHMETICALLY, not by re-running the
+    # dedupe on the clean text (CollapseProject would inline the column
+    # into both uses and evaluate the O(L^2) first-occurrence probe
+    # twice): kept lines = every blank line + the first occurrence of
+    # each distinct non-blank line, so |kept| = #blanks + #distinct
+    # non-blanks — both O(L) expressions
+    blank = F.size(F.filter(lines, lambda x: F.length(F.trim(x)) == 0))
+    distinct_nonblank = F.size(
+        F.array_distinct(F.filter(lines, lambda x: F.length(F.trim(x)) != 0))
+    )
     return d.select(
         "doc_id",
-        clean.alias("clean_text"),
-        (F.size(F.split(lined, "\n")) - F.size(F.split(clean, "\n"))).alias(
-            "n_lines_removed"
-        ),
+        TX.dedupe_lines(lined).alias("clean_text"),
+        (F.size(lines) - (blank + distinct_nonblank)).alias("n_lines_removed"),
         TX.blocklist_hits(F.col("text"), _CLEAN_BLOCKLIST).alias("bl_hits"),
         TX.blocklist_keep(F.col("text"), _CLEAN_BLOCKLIST, max_hits=1).alias("kept"),
     )
