@@ -39,6 +39,16 @@ commit, and the version history stays monotone (one winner per version
 number). Atomicity of the pointer swap relies on POSIX rename; mutual
 exclusion of the check-and-swap on an O_CREAT|O_EXCL lock file (stale
 locks from crashed writers are broken after _LOCK_STALE_SEC).
+
+One documented race remains OUTSIDE the CAS: a loser's lazy snapshot
+scan (read at version v, executed during its staging write) can fail
+with a missing-file error if TWO OR MORE competing commits land during
+that write AND the vacuum horizon (keep=2) passes v — the loser then
+surfaces the IO error instead of a clean CommitConflict. The data is
+still safe (winners committed; nothing lost); rerunning the mutation
+recomputes against the new snapshot. Deployments with heavy write
+contention should widen the vacuum horizon, exactly as Delta tunes its
+retention for concurrent readers.
 """
 
 from __future__ import annotations
