@@ -165,6 +165,8 @@ def test_post_dedup_stages_row_for_row_vs_batch(spark):
         id_col="doc_id",
         use_gopher_rules=True,
         min_quality=None,
+        max_repeated_word_frac=None,
+        max_dup_line_frac=None,
         quality_model=None,
         min_classifier_prob=0.5,
         blocklist=None,

@@ -282,3 +282,69 @@ def test_fresh_checkpoint_epoch_restart_sees_old_stamps(spark, tmp_path):
         for r in neardup_filter_batch(nxt, store, 0, run_id=run2, **MH).collect()
     }
     assert replay == {51} and store.read().count() == n
+
+
+def test_history_eviction_bounds_store_and_scopes_dedup(spark, tmp_path):
+    """evict_neardup_history: rows older than the horizon leave the
+    store, so (a) store size is bounded for infinite streams and (b) the
+    dedup guarantee becomes horizon-scoped — a near-dup of an EVICTED
+    doc survives, a near-dup of a retained doc still dies (the
+    dropDuplicatesWithinWatermark trade at the fuzzy layer)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        evict_neardup_history,
+    )
+
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    neardup_filter_batch(
+        spark.createDataFrame([(0, _prose("old"))], SCHEMA), store, 0, **MH
+    )
+    neardup_filter_batch(
+        spark.createDataFrame([(1, _prose("mid"))], SCHEMA), store, 1, **MH
+    )
+    assert store.read().filter(F.col("batch") == 0).count() > 0
+    evict_neardup_history(store, before_batch=1)  # drop batch-0 stamps
+    assert store.read().filter(F.col("batch") == 0).count() == 0
+    assert store.read().filter(F.col("batch") == 1).count() > 0
+
+    nxt = spark.createDataFrame(
+        [
+            (10, _prose("old") + " evicted tail"),   # near-dup of evicted 0
+            (11, _prose("mid") + " retained tail"),  # near-dup of retained 1
+        ],
+        SCHEMA,
+    )
+    kept = {r["doc_id"] for r in neardup_filter_batch(nxt, store, 2, **MH).collect()}
+    assert kept == {10}  # 11 still poisoned, 10 freed by eviction
+
+
+def test_sink_max_history_evicts_in_stream(spark, tmp_path):
+    """The foreachBatch sink's max_history_batches knob: after draining,
+    only the last N batches' stamps remain in the store."""
+    import os
+    import time
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = time.time()
+    for i in range(4):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            f.write(json.dumps({"doc_id": i, "text": _prose(f"t{i}")}) + "\n")
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = start_neardup_dedup_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        max_history_batches=2,
+        **MH,
+    )
+    q.awaitTermination(180)
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=16)
+    batches = {r["batch"] for r in store.read().select("batch").distinct().collect()}
+    assert batches == {2, 3}  # horizon = last 2 of 4 micro-batches
+    # all four docs were distinct: all survive to the out tree
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4

@@ -649,6 +649,11 @@ def start_corpus_stream(
         "max_bucket": nd.pop("max_bucket", 10_000),
     }
     store_buckets = nd.pop("store_buckets", 16)
+    # watermark-style scoped fuzzy dedup for infinite streams: evict
+    # store stamps older than this many batches (see
+    # neardup.evict_neardup_history) — pair with watermark_col, which
+    # bounds the exact-dedup state the same way
+    max_history = nd.pop("max_history_batches", None)
     if nd:
         raise ValueError(f"unknown neardup keys: {sorted(nd)}")
 
@@ -698,6 +703,15 @@ def start_corpus_stream(
         _write_shard_batch(
             chunks, epoch_id, out_dir, seq_len, tokenizer, max_rows_per_shard
         )
+        # history eviction LAST: a mid-batch failure replays against the
+        # still-unevicted store, keeping the divergence window at the
+        # horizon as small as the caveat on evict_neardup_history assumes
+        if max_history is not None and int(epoch_id) >= max_history:
+            from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+                evict_neardup_history,
+            )
+
+            evict_neardup_history(store, int(epoch_id) - max_history + 1)
 
     return (
         deduped.writeStream.foreachBatch(_batch)

@@ -67,6 +67,7 @@ __all__ = [
     "embedding_neardup_filter_batch",
     "start_embedding_neardup_stream",
     "run_id_for_checkpoint",
+    "evict_neardup_history",
 ]
 
 
@@ -75,6 +76,24 @@ def open_neardup_store(
 ) -> BucketedTable:
     """The persisted band-key store (see module docstring)."""
     return BucketedTable(spark, path, bucket_by=["key"], n_buckets=n_buckets)
+
+
+def evict_neardup_history(store: BucketedTable, before_batch: int) -> int:
+    """Bound the store for INFINITE streams: drop every row stamped with
+    batch < before_batch — the band-key analog of
+    dedup_stream_watermarked's state eviction. After eviction, documents
+    seen only before the horizon no longer poison new arrivals: the
+    dedup guarantee is scoped to the retained history, exactly like the
+    watermark trade on the exact-dedup state store. The write side rides
+    delete_where's stats pruning (buckets whose files cannot hold
+    sub-horizon stamps carry forward untouched).
+
+    Replay caveat (documented, same class as any state eviction): a
+    micro-batch replayed from BEFORE the horizon recomputes against the
+    evicted store and may keep docs the original run dropped — keep the
+    eviction lag (max_history_batches) much larger than the deepest
+    replay Structured Streaming can issue (in practice: one batch)."""
+    return store.delete_where([("batch", "<", int(before_batch))])
 
 
 def run_id_for_checkpoint(checkpoint_dir: str) -> str:
@@ -211,11 +230,14 @@ def start_neardup_dedup_stream(
     bands: int = 4,
     shingle_size: int = 5,
     store_buckets: int = 16,
+    max_history_batches: "int | None" = None,
 ):
     """foreachBatch sink: near-dedup filter each micro-batch against the
     persisted store, land survivors at out_dir/batch=<id>/ (dynamic-
     partition overwrite on the deterministic batch id — a replayed batch
-    replaces exactly its own partition, the shard-export discipline)."""
+    replaces exactly its own partition, the shard-export discipline).
+    `max_history_batches` bounds the store for infinite streams
+    (evict_neardup_history — watermark-style scoped dedup)."""
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
 
@@ -232,6 +254,8 @@ def start_neardup_dedup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
+        if max_history_batches is not None and int(epoch_id) >= max_history_batches:
+            evict_neardup_history(store, int(epoch_id) - max_history_batches + 1)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     return (
@@ -369,9 +393,10 @@ def start_embedding_neardup_stream(
     seed: int = 42,
     store_buckets: int = 16,
     int8: bool = False,
+    max_history_batches: "int | None" = None,
 ):
-    """foreachBatch sink for the embedding form — same exactly-once
-    discipline as start_neardup_dedup_stream."""
+    """foreachBatch sink for the embedding form — same exactly-once and
+    bounded-history discipline as start_neardup_dedup_stream."""
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
 
@@ -390,6 +415,8 @@ def start_embedding_neardup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
+        if max_history_batches is not None and int(epoch_id) >= max_history_batches:
+            evict_neardup_history(store, int(epoch_id) - max_history_batches + 1)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     return (
