@@ -123,13 +123,29 @@ class _CommitLock:
             pass
 
 
+def _is_vanished_file_race(e: Exception) -> bool:
+    """A competing commit + vacuum can delete the snapshot files/manifest
+    a concurrent attempt is lazily reading — surfacing as a missing-file
+    error anywhere between the snapshot read and the staging write.
+    Retrying against the fresh snapshot is exactly the CommitConflict
+    treatment; genuine user errors (mutating a table that never existed)
+    re-raise unchanged after the retries run dry."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    msg = str(e)
+    return "FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg
+
+
 def _retry_conflicts(attempt, attempts: int = _CONFLICT_RETRIES):
     """Re-run `attempt` (a zero-arg closure re-reading the CURRENT
-    snapshot) until it commits without a CommitConflict."""
+    snapshot) until it commits without a CommitConflict (or a
+    vanished-file race — see _is_vanished_file_race)."""
     for i in range(attempts):
         try:
             return attempt()
-        except CommitConflict:
+        except Exception as e:
+            if not (isinstance(e, CommitConflict) or _is_vanished_file_race(e)):
+                raise
             if i == attempts - 1:
                 raise
             time.sleep(0.05 * (i + 1))
@@ -491,24 +507,35 @@ class ManagedTable:
         version check, the dir rename and the pointer swap."""
         staging = _staging_dir(self.path)
         df.write.mode("overwrite").parquet(staging)
+        # stats (footer reads + opt-in Bloom column reads — potentially
+        # seconds on a bloom-indexed table) are computed on the STAGING
+        # files OUTSIDE the lock and path-remapped after the rename. Safe
+        # under CAS: bloom_cols come from the version doc at `expected`,
+        # and the commit only proceeds if the doc has not moved — the
+        # lock holds only for the check, the rename and three small file
+        # writes.
+        pre_doc = self._version_doc()
+        bloom_cols = (
+            pre_doc.get("bloom_cols", [])
+            if self.bloom_cols is None
+            else list(self.bloom_cols)
+        )
+        staged_stats = _collect_parquet_stats(self._version_files(staging), bloom_cols)
         try:
             with _CommitLock(self.path):
-                doc = self._version_doc()
-                cur = doc["version"]
+                cur = self.current_version()
                 if expected is not None and cur != expected:
                     raise CommitConflict(
                         f"{self.path}: expected v{expected}, found v{cur}"
                     )
                 new_v = cur + 1
-                bloom_cols = (
-                    doc.get("bloom_cols", [])
-                    if self.bloom_cols is None
-                    else list(self.bloom_cols)
-                )
                 target = self._data_dir(new_v)
                 os.rename(staging, target)
+                stats = {
+                    os.path.join(target, os.path.basename(p)): s
+                    for p, s in staged_stats.items()
+                }
                 staging = None  # owned by the table now
-                stats = _collect_parquet_stats(self._version_files(target), bloom_cols)
                 with open(self._stats_file(new_v), "w") as f:
                     json.dump(stats, f)
                 tmp = self._version_file() + ".tmp"
@@ -777,8 +804,43 @@ class BucketedTable:
         reads `expected` under the lock (CommitConflict otherwise — the
         public mutators recompute and retry). `build_manifest(final_dir)`
         receives the renamed data dir (None for data-less commits) and
-        returns the bucket->dirs manifest for the new version."""
+        returns the bucket->dirs manifest for the new version.
+
+        Stats (footer reads + opt-in Bloom column reads) run on the
+        STAGING files BEFORE the lock and are path-remapped after the
+        rename — safe under CAS, because every input (bloom_cols and the
+        carried-over stats at `expected`) is immutable per version and
+        the commit only proceeds if `expected` is still current. The
+        lock covers only the check, the rename and three small file
+        writes."""
         version = expected + 1
+        try:
+            if schema_json is None and version > 0:
+                schema_json = self._manifest_doc(expected).get("schema")
+            if self.bloom_cols is not None:
+                bloom_cols = list(self.bloom_cols)
+            elif version > 0:
+                bloom_cols = self._manifest_doc(expected).get("bloom_cols", [])
+            else:
+                bloom_cols = []
+        except FileNotFoundError as e:
+            # expected's manifest is already vacuumed: competing commits
+            # moved the table past the keep window during this attempt —
+            # a conflict, not an IO error; the retry recomputes
+            raise CommitConflict(
+                f"{self.path}: v{expected} superseded and vacuumed"
+            ) from e
+        # min-max skipping doc: footer-read ONLY the files new at this
+        # version; stats for carried-over dirs copy from the previous doc
+        # (immutable files, immutable stats) — commit cost stays O(files
+        # written), same as the data itself
+        prev = self._filestats(expected) if version > 0 else {}
+        staged_stats: dict[str, dict] = {}
+        if staging is not None:
+            staged_stats = _collect_parquet_stats(
+                sorted(glob.glob(os.path.join(staging, "*", "*.parquet"))),
+                bloom_cols,
+            )
         try:
             with _CommitLock(self.path):
                 cur = self.current_version()
@@ -787,34 +849,28 @@ class BucketedTable:
                         f"{self.path}: expected v{expected}, found v{cur}"
                     )
                 final = None
+                remapped: dict[str, dict] = {}
                 if staging is not None:
                     final = os.path.join(self.path, f"v_{version}")
                     os.rename(staging, final)
+                    remapped = {
+                        os.path.join(final, os.path.relpath(p0, staging)): s0
+                        for p0, s0 in staged_stats.items()
+                    }
                     staging = None  # owned by the table now
                 buckets = build_manifest(final)
-                if schema_json is None and version > 0:
-                    schema_json = self._manifest_doc(version - 1).get("schema")
-                if self.bloom_cols is not None:
-                    bloom_cols = list(self.bloom_cols)
-                elif version > 0:
-                    bloom_cols = self._manifest_doc(version - 1).get("bloom_cols", [])
-                else:
-                    bloom_cols = []
-                # min-max skipping doc: footer-read ONLY the files new at
-                # this version; stats for carried-over dirs copy from the
-                # previous doc (immutable files, immutable stats) — commit
-                # cost stays O(files written), same as the data itself
-                prev = self._filestats(version - 1) if version > 0 else {}
                 stats: dict[str, dict] = {}
-                fresh: list[str] = []
                 for dirs in buckets.values():
                     for d in dirs:
                         for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
                             if f in prev:
                                 stats[f] = prev[f]
+                            elif f in remapped:
+                                stats[f] = remapped[f]
                             else:
-                                fresh.append(f)
-                stats.update(_collect_parquet_stats(fresh, bloom_cols))
+                                # a carried dir predating the stats doc
+                                # (legacy version): footer-read it now
+                                stats[f] = _collect_parquet_stats([f], bloom_cols)[f]
                 with open(self._stats_file(version), "w") as f:
                     json.dump(stats, f)
                 with open(os.path.join(self.path, f"manifest_{version}.json"), "w") as f:
