@@ -201,3 +201,59 @@ def test_bucketed_append_racing_merge(spark, tmp_path):
     assert not errors
     got = {r["id"] for r in table.read().collect()}
     assert got == set(range(10)) | {300, 301, 302, 600, 601, 602}
+
+
+def test_orphaned_version_dir_does_not_wedge_table(spark, tmp_path):
+    """A commit that crashed between its data-dir rename and the pointer
+    swap leaves an orphaned v_{n+1} dir. The next commit must clear the
+    debris and succeed — not fail forever on renaming onto a non-empty
+    dir."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a")]))
+    orphan = os.path.join(path, "v_1")  # next version's dir, pre-created
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("crashed commit debris")
+    t.append(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+    bpath = str(tmp_path / "bt")
+    bt = BucketedTable(spark, bpath, bucket_by=["id"], n_buckets=2)
+    bt.overwrite(_df(spark, [(1, "a")]))
+    borphan = os.path.join(bpath, "v_1")
+    os.makedirs(borphan)
+    with open(os.path.join(borphan, "junk"), "w") as f:
+        f.write("debris")
+    bt.merge(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in bt.read().collect()} == {1, 2}
+
+
+def test_stale_lock_broken_and_stolen_lock_aborts(spark, tmp_path, monkeypatch):
+    """A crashed writer's stale lock is broken by the next writer; a
+    zombie holder whose lock was stolen must abort at the swap point
+    (CommitConflict via still_owned), never clobber the thief."""
+    import vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table as MT
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a")]))
+    # plant a stale lock (old mtime)
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("deadbeef")
+    old = __import__("time").time() - 1000
+    os.utime(lock, (old, old))
+    monkeypatch.setattr(MT, "_LOCK_STALE_SEC", 10.0)
+    t.append(_df(spark, [(2, "b")]))  # breaks the stale lock and commits
+    assert not os.path.exists(lock)
+
+    # stolen-lock abort: acquire, then simulate theft, then verify
+    lk = MT._CommitLock(path)
+    with lk:
+        with open(lock, "w") as f:  # thief overwrites with its own uuid
+            f.write("someone-else")
+        assert not lk.still_owned()
+    # __exit__ must NOT have removed the thief's lock
+    assert os.path.exists(lock)
+    os.unlink(lock)

@@ -106,3 +106,45 @@ def test_non_topk_shapes_pass_through(vsql):
         "SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3",
     ):
         assert vsql.sql(sql).count() > 0
+
+
+def test_cte_and_multi_cosine_queries_pass_through(vsql):
+    """The rule binds textually to FROM/cosine_sim, so any shape with
+    more than one of either is ambiguous and must NOT be rewritten —
+    a CTE's full-table aggregate must never be centroid-pruned, and a
+    two-projection query must never probe with the wrong vector."""
+    q = _qvec()
+    total = vsql.sql("SELECT count(*) AS n FROM embeddings").collect()[0]["n"]
+    cte = (
+        "WITH t AS (SELECT count(*) AS n FROM embeddings) "
+        "SELECT e.vec_id, t.n, cosine_sim(e.embedding, "
+        + _arr_sql(q)
+        + ") AS score FROM embeddings e CROSS JOIN t ORDER BY score DESC LIMIT 3"
+    )
+    rows = vsql.sql(cte).collect()
+    assert all(r["n"] == total for r in rows)  # CTE count NOT pruned
+    raw = plan_report(vsql.sql(cte)).raw
+    assert "PartitionFilters" not in raw
+
+    q2 = [float(x) for x in np.random.RandomState(9).randn(64)]
+    two = (
+        "SELECT vec_id, cosine_sim(embedding, " + _arr_sql(q2) + ") AS s1, "
+        "cosine_sim(embedding, " + _arr_sql(q) + ") AS score "
+        "FROM embeddings ORDER BY score DESC LIMIT 3"
+    )
+    assert "PartitionFilters" not in plan_report(vsql.sql(two)).raw
+
+
+def test_concurrent_sql_calls_do_not_share_views(vsql, spark, tmp_path):
+    """Each .sql() call prunes through its own uniquely-named view: a
+    second call with a different query vector must not disturb the
+    first call's (already-analyzed) plan or results."""
+    qa = _qvec()
+    qb = [float(x) for x in np.random.RandomState(11).randn(64)]
+    df_a = vsql.sql(_topk_sql(qa, k=5))
+    df_b = vsql.sql(_topk_sql(qb, k=5))  # would clobber a shared view
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    want_a = [r["vec_id"] for r in idx.search(qa, k=5, n_probe=2, id_col="vec_id").collect()]
+    want_b = [r["vec_id"] for r in idx.search(qb, k=5, n_probe=2, id_col="vec_id").collect()]
+    assert [r["vec_id"] for r in df_a.collect()] == want_a
+    assert [r["vec_id"] for r in df_b.collect()] == want_b

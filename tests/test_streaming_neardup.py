@@ -302,7 +302,7 @@ def test_history_eviction_bounds_store_and_scopes_dedup(spark, tmp_path):
         spark.createDataFrame([(1, _prose("mid"))], SCHEMA), store, 1, **MH
     )
     assert store.read().filter(F.col("batch") == 0).count() > 0
-    evict_neardup_history(store, before_batch=1)  # drop batch-0 stamps
+    evict_neardup_history(store, before_seq=1)  # drop batch-0 stamps
     assert store.read().filter(F.col("batch") == 0).count() == 0
     assert store.read().filter(F.col("batch") == 1).count() > 0
 
@@ -348,3 +348,34 @@ def test_sink_max_history_evicts_in_stream(spark, tmp_path):
     assert batches == {2, 3}  # horizon = last 2 of 4 micro-batches
     # all four docs were distinct: all survive to the out tree
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_history_bound_survives_checkpoint_reset(spark, tmp_path):
+    """seq stamps are monotone ACROSS runs: after a checkpoint reset
+    (epoch ids restart at 0) the new run's eviction still ages out the
+    prior run's stamps instead of waiting for its own counter to catch
+    up to the prior run's batch numbers."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        evict_neardup_history,
+        next_seq_base,
+    )
+
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    # run 1: epochs 0..2 (seq 0..2)
+    for e in range(3):
+        neardup_filter_batch(
+            spark.createDataFrame([(e, _prose(f"r1b{e}"))], SCHEMA),
+            store, e, run_id="run1", seq=e, **MH,
+        )
+    # checkpoint wiped -> run 2 restarts at epoch 0 but seq continues
+    base = next_seq_base(store)
+    assert base == 3
+    neardup_filter_batch(
+        spark.createDataFrame([(10, _prose("r2b0"))], SCHEMA),
+        store, 0, run_id="run2", seq=base + 0, **MH,
+    )
+    # horizon = last 2 stamps: run 1's seq 0..1 age out even though the
+    # new run's own epoch counter is still at 0
+    evict_neardup_history(store, before_seq=base + 0 - 2 + 1)
+    seqs = {r["seq"] for r in store.read().select("seq").distinct().collect()}
+    assert seqs == {2, 3}

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,10 +141,22 @@ class VectorSqlSession:
         self._indexes[table.lower()] = (index_path, n_probe)
 
     # ---- the rule --------------------------------------------------------
-    def _rewrite(self, query: str) -> "str | None":
+    def _rewrite(self, query: str) -> "tuple[str, str] | None":
+        """(temp view name, rewritten SQL) when the rule fires, else None."""
         om = _ORDER_RE.search(query)
         fm = _FROM_RE.search(query)
         if not om or not fm:
+            return None
+        # the rewrite fires ONLY on the unambiguous single-relation
+        # shape: exactly one FROM and exactly one cosine_sim call. A
+        # CTE/subquery/self-join query has other FROMs the regex cannot
+        # bind to the top-k scan (substituting the wrong one silently
+        # prunes an unrelated relation), and two cosine_sim projections
+        # make the probe-vector extraction ambiguous — both pass through
+        # to spark.sql unrewritten rather than risk a wrong answer.
+        if len(_FROM_RE.findall(query)) != 1:
+            return None
+        if len(_COSINE_CALL_RE.findall(query)) != 1:
             return None
         table = fm.group("table")
         reg = self._indexes.get(table.lower())
@@ -186,12 +199,22 @@ class VectorSqlSession:
             .filter(F.col("centroid_id").isin(probes))
             .drop("centroid_id")
         )
-        view = f"__ivf_pruned__{table.lower().replace('.', '_')}"
+        # UNIQUE view name per call: concurrent .sql() calls on the same
+        # table must not resolve each other's probe sets; the view is
+        # dropped right after analysis (spark.sql analyzes eagerly, so
+        # the returned DataFrame no longer needs the catalog entry)
+        view = f"__ivf_pruned__{table.lower().replace('.', '_')}_{uuid.uuid4().hex[:8]}"
         pruned.createOrReplaceTempView(view)
         # substitute ONLY the FROM target; the user's projections,
         # aliases and ORDER BY run unchanged over the pruned view
-        return query[: fm.start("table")] + view + query[fm.end("table") :]
+        return view, query[: fm.start("table")] + view + query[fm.end("table") :]
 
     def sql(self, query: str) -> DataFrame:
         rewritten = self._rewrite(query)
-        return self.spark.sql(rewritten if rewritten is not None else query)
+        if rewritten is None:
+            return self.spark.sql(query)
+        view, new_sql = rewritten
+        try:
+            return self.spark.sql(new_sql)
+        finally:
+            self.spark.catalog.dropTempView(view)

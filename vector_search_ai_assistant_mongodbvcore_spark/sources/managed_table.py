@@ -84,26 +84,43 @@ class _CommitLock:
     O_CREAT|O_EXCL gives atomicity on POSIX local/NFS-with-lockd; a lock
     older than _LOCK_STALE_SEC is presumed crashed and broken. The lock
     guards only the version check + renames (milliseconds), never the
-    parquet write."""
+    parquet write.
+
+    Crash-recovery safety: each lock file carries its owner's uuid.
+    Breaking a stale lock goes through an atomic RENAME to a unique
+    tombstone (two breakers cannot both remove the same file, and a
+    fresh lock created between the staleness check and the break is
+    stolen, never double-held), releases only unlink an owned lock, and
+    `still_owned()` lets the critical section detect theft: a zombie
+    writer that wakes after its lock was broken aborts with
+    CommitConflict instead of clobbering the thief's commit. The
+    residual race — theft landing inside the victim's few-millisecond
+    active critical section, which requires the >120s staleness clock to
+    expire exactly then — is documented, not defended."""
 
     def __init__(self, table_path: str, timeout: float = 60.0):
         self.lock_path = os.path.join(table_path, "_COMMIT_LOCK")
         self.timeout = timeout
-        self._fd: "int | None" = None
+        self.owner = uuid.uuid4().hex
 
     def __enter__(self) -> "_CommitLock":
         deadline = time.monotonic() + self.timeout
         while True:
             try:
-                self._fd = os.open(
-                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-                os.write(self._fd, str(os.getpid()).encode())
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, self.owner.encode())
+                os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.lock_path) > _LOCK_STALE_SEC:
-                        os.unlink(self.lock_path)  # break a crashed writer's lock
+                        # break via atomic rename: only one breaker wins
+                        tomb = self.lock_path + f".tomb_{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(self.lock_path, tomb)
+                            os.unlink(tomb)
+                        except FileNotFoundError:
+                            pass  # another breaker won
                         continue
                 except FileNotFoundError:
                     continue  # holder released between EXCL-fail and stat
@@ -113,14 +130,21 @@ class _CommitLock:
                     )
                 time.sleep(0.02)
 
-    def __exit__(self, *exc) -> None:
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
+    def still_owned(self) -> bool:
         try:
-            os.unlink(self.lock_path)
+            with open(self.lock_path) as f:
+                return f.read().strip() == self.owner
         except FileNotFoundError:
-            pass
+            return False
+
+    def __exit__(self, *exc) -> None:
+        # release ONLY a lock we still own — if a breaker stole it, the
+        # path now holds (or will hold) someone else's lock
+        if self.still_owned():
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
 
 
 def _is_vanished_file_race(e: Exception) -> bool:
@@ -522,7 +546,7 @@ class ManagedTable:
         )
         staged_stats = _collect_parquet_stats(self._version_files(staging), bloom_cols)
         try:
-            with _CommitLock(self.path):
+            with _CommitLock(self.path) as lk:
                 cur = self.current_version()
                 if expected is not None and cur != expected:
                     raise CommitConflict(
@@ -530,6 +554,13 @@ class ManagedTable:
                     )
                 new_v = cur + 1
                 target = self._data_dir(new_v)
+                # a pre-existing target can only be debris from a commit
+                # that crashed between ITS rename and pointer swap (the
+                # CAS we just passed proves no committed version points
+                # here) — clear it or every future commit wedges on
+                # ENOTEMPTY
+                if os.path.exists(target):
+                    shutil.rmtree(target, ignore_errors=True)
                 os.rename(staging, target)
                 stats = {
                     os.path.join(target, os.path.basename(p)): s
@@ -549,6 +580,11 @@ class ManagedTable:
                         },
                         f,
                     )
+                if not lk.still_owned():
+                    # a stale-breaker stole the lock from this (paused)
+                    # writer: abort before the linearization point and
+                    # let the retry recompute
+                    raise CommitConflict(f"{self.path}: commit lock stolen")
                 os.replace(tmp, self._version_file())  # atomic pointer swap
         finally:
             if staging is not None:
@@ -842,7 +878,7 @@ class BucketedTable:
                 bloom_cols,
             )
         try:
-            with _CommitLock(self.path):
+            with _CommitLock(self.path) as lk:
                 cur = self.current_version()
                 if cur != expected:
                     raise CommitConflict(
@@ -852,6 +888,9 @@ class BucketedTable:
                 remapped: dict[str, dict] = {}
                 if staging is not None:
                     final = os.path.join(self.path, f"v_{version}")
+                    # clear crashed-commit debris (see ManagedTable._commit)
+                    if os.path.exists(final):
+                        shutil.rmtree(final, ignore_errors=True)
                     os.rename(staging, final)
                     remapped = {
                         os.path.join(final, os.path.relpath(p0, staging)): s0
@@ -887,6 +926,8 @@ class BucketedTable:
                 tmp = self._version_file() + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump({"version": version}, f)
+                if not lk.still_owned():
+                    raise CommitConflict(f"{self.path}: commit lock stolen")
                 os.replace(tmp, self._version_file())
         finally:
             if staging is not None:

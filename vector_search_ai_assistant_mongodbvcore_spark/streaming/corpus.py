@@ -111,7 +111,12 @@ def _bench_broadcast(spark, bench_ngrams: list[str]):
     for g in bench_ngrams:
         h.update(g.encode("utf-8"))
         h.update(b"\x00")
-    digest = f"{h.hexdigest()}:{len(bench_ngrams)}"
+    # keyed by CONTEXT + content: a broadcast handle is only valid inside
+    # the SparkContext that created it — after spark.stop() + a new
+    # session in the same process, a content-only hit would hand tasks a
+    # dead broadcast id
+    app = spark.sparkContext.applicationId
+    digest = f"{app}:{h.hexdigest()}:{len(bench_ngrams)}"
     bc = _BC_CACHE.get(digest)
     if bc is None:
         bc = spark.sparkContext.broadcast(frozenset(bench_ngrams))
@@ -278,9 +283,9 @@ def prepare_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_gopher_rules: bool = True,
-    min_quality: float | None = None,
-    max_repeated_word_frac: "float | None" = None,
-    max_dup_line_frac: "float | None" = None,
+    min_quality: "float | None" = 0.3,
+    max_repeated_word_frac: "float | None" = 0.5,
+    max_dup_line_frac: "float | None" = 0.5,
     quality_model: dict | None = None,
     min_classifier_prob: float = 0.5,
     blocklist: "list[str] | None" = None,
@@ -335,19 +340,29 @@ def prepare_stream(
             "_masked", decontam_mask(benchmark_ngrams, text_col, decontam_n)
         )
         gate_col = "_masked"
+    # batch parity (pipeline.py's if/else): the Gopher battery REPLACES
+    # the heuristic trio — the floor/ceilings apply only when the rules
+    # are off, and then with the batch defaults (0.3/0.5/0.5)
+    trio = (
+        {}
+        if use_gopher_rules
+        else {
+            "min_quality": min_quality,
+            "max_repeated_word_frac": max_repeated_word_frac,
+            "max_dup_line_frac": max_dup_line_frac,
+        }
+    )
     gated = gate_stream(
         work,
         text_col=gate_col,
         id_col=id_col,
         use_gopher_rules=use_gopher_rules,
-        min_quality=min_quality,
-        max_repeated_word_frac=max_repeated_word_frac,
-        max_dup_line_frac=max_dup_line_frac,
         quality_model=quality_model,
         min_classifier_prob=min_classifier_prob,
         blocklist=blocklist,
         blocklist_max_hits=blocklist_max_hits,
         scrub=False,  # scrub AFTER dedup: the dedup key is the raw text
+        **trio,
     )
     if benchmark_ngrams is not None and not mask:
         gated = gated.filter(
@@ -513,19 +528,26 @@ def _post_dedup_stages(
             raise ValueError(
                 f"decontam_mode must be 'drop' or 'mask', got {decontam_mode!r}"
             )
+    trio = (
+        {}
+        if use_gopher_rules
+        else {
+            "min_quality": min_quality,
+            "max_repeated_word_frac": max_repeated_word_frac,
+            "max_dup_line_frac": max_dup_line_frac,
+        }
+    )
     work = gate_stream(
         work,
         text_col=text_col,
         id_col=id_col,
         use_gopher_rules=use_gopher_rules,
-        min_quality=min_quality,
-        max_repeated_word_frac=max_repeated_word_frac,
-        max_dup_line_frac=max_dup_line_frac,
         quality_model=quality_model,
         min_classifier_prob=min_classifier_prob,
         blocklist=blocklist,
         blocklist_max_hits=blocklist_max_hits,
         scrub=False,
+        **trio,
     )
     if scrub:
         work = work.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
@@ -552,9 +574,9 @@ def start_corpus_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_gopher_rules: bool = True,
-    min_quality: "float | None" = None,
-    max_repeated_word_frac: "float | None" = None,
-    max_dup_line_frac: "float | None" = None,
+    min_quality: "float | None" = 0.3,
+    max_repeated_word_frac: "float | None" = 0.5,
+    max_dup_line_frac: "float | None" = 0.5,
     quality_model: "dict | None" = None,
     min_classifier_prob: float = 0.5,
     blocklist: "list[str] | None" = None,
@@ -636,6 +658,7 @@ def start_corpus_stream(
 
     from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
         neardup_filter_batch,
+        next_seq_base,
         open_neardup_store,
         run_id_for_checkpoint,
     )
@@ -659,6 +682,11 @@ def start_corpus_stream(
 
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
+    seq_base = (
+        next_seq_base(open_neardup_store(spark, store_path, n_buckets=store_buckets))
+        if max_history is not None
+        else 0
+    )
 
     pre = docs
     if dedupe_doc_lines:
@@ -674,9 +702,10 @@ def start_corpus_stream(
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         store = open_neardup_store(spark, store_path, n_buckets=store_buckets)
+        cur_seq = seq_base + int(epoch_id)
         kept = neardup_filter_batch(
             df, store, int(epoch_id), text_col, id_col,
-            run_id=run_id, **nd_params,
+            run_id=run_id, seq=cur_seq, **nd_params,
         )
         chunks = _post_dedup_stages(
             kept,
@@ -706,12 +735,12 @@ def start_corpus_stream(
         # history eviction LAST: a mid-batch failure replays against the
         # still-unevicted store, keeping the divergence window at the
         # horizon as small as the caveat on evict_neardup_history assumes
-        if max_history is not None and int(epoch_id) >= max_history:
+        if max_history is not None and cur_seq >= max_history:
             from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
                 evict_neardup_history,
             )
 
-            evict_neardup_history(store, int(epoch_id) - max_history + 1)
+            evict_neardup_history(store, cur_seq - max_history + 1)
 
     return (
         deduped.writeStream.foreachBatch(_batch)

@@ -68,6 +68,7 @@ __all__ = [
     "start_embedding_neardup_stream",
     "run_id_for_checkpoint",
     "evict_neardup_history",
+    "next_seq_base",
 ]
 
 
@@ -78,9 +79,9 @@ def open_neardup_store(
     return BucketedTable(spark, path, bucket_by=["key"], n_buckets=n_buckets)
 
 
-def evict_neardup_history(store: BucketedTable, before_batch: int) -> int:
+def evict_neardup_history(store: BucketedTable, before_seq: int) -> int:
     """Bound the store for INFINITE streams: drop every row stamped with
-    batch < before_batch — the band-key analog of
+    seq < before_seq — the band-key analog of
     dedup_stream_watermarked's state eviction. After eviction, documents
     seen only before the horizon no longer poison new arrivals: the
     dedup guarantee is scoped to the retained history, exactly like the
@@ -88,12 +89,33 @@ def evict_neardup_history(store: BucketedTable, before_batch: int) -> int:
     delete_where's stats pruning (buckets whose files cannot hold
     sub-horizon stamps carry forward untouched).
 
+    `seq` is a MONOTONE age stamp spanning runs (run_base + epoch, see
+    next_seq_base) — eviction cannot key on raw batch ids, which restart
+    at 0 with every fresh checkpoint while the store retains the prior
+    run's high-numbered stamps (a batch-keyed horizon would then retain
+    the ENTIRE prior run until the new counter caught up). Stores
+    written before the seq column existed evict on `batch` (their single
+    run makes the two equivalent).
+
     Replay caveat (documented, same class as any state eviction): a
     micro-batch replayed from BEFORE the horizon recomputes against the
     evicted store and may keep docs the original run dropped — keep the
     eviction lag (max_history_batches) much larger than the deepest
     replay Structured Streaming can issue (in practice: one batch)."""
-    return store.delete_where([("batch", "<", int(before_batch))])
+    col = "seq" if "seq" in store.read().columns else "batch"
+    return store.delete_where([(col, "<", int(before_seq))])
+
+
+def next_seq_base(store: BucketedTable) -> int:
+    """Starting seq for a (re)starting stream: one past the largest stamp
+    already in the store, so age stamps stay monotone across runs and
+    checkpoint resets. 0 for a fresh store."""
+    if not store.exists():
+        return 0
+    df = store.read()
+    col = "seq" if "seq" in df.columns else "batch"
+    m = df.agg(F.max(col).alias("m")).collect()[0]["m"]
+    return int(m) + 1 if m is not None else 0
 
 
 def run_id_for_checkpoint(checkpoint_dir: str) -> str:
@@ -152,6 +174,7 @@ def neardup_filter_batch(
     shingle_size: int = 5,
     max_bucket: int = 10_000,
     run_id: str = "",
+    seq: "int | None" = None,
 ) -> DataFrame:
     """One micro-batch of greedy streaming near-dedup; returns the
     SURVIVING rows of `batch` (all original columns) and upserts the
@@ -204,6 +227,10 @@ def neardup_filter_batch(
             "key",
             F.lit(int(batch_id)).alias("batch"),
             F.lit(run_id).alias("run"),
+            # monotone cross-run age stamp for history eviction (see
+            # evict_neardup_history); defaults to the batch id for
+            # single-run callers
+            F.lit(int(seq if seq is not None else batch_id)).alias("seq"),
         )
         if prior is not None:
             fresh = rows.join(
@@ -240,12 +267,18 @@ def start_neardup_dedup_stream(
     (evict_neardup_history — watermark-style scoped dedup)."""
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
+    seq_base = (
+        next_seq_base(open_neardup_store(spark, store_path, n_buckets=store_buckets))
+        if max_history_batches is not None
+        else 0
+    )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         store = open_neardup_store(spark, store_path, n_buckets=store_buckets)
+        cur_seq = seq_base + int(epoch_id)
         kept = neardup_filter_batch(
             df, store, int(epoch_id), text_col, id_col,
-            num_hashes, bands, shingle_size, run_id=run_id,
+            num_hashes, bands, shingle_size, run_id=run_id, seq=cur_seq,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
@@ -254,8 +287,8 @@ def start_neardup_dedup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
-        if max_history_batches is not None and int(epoch_id) >= max_history_batches:
-            evict_neardup_history(store, int(epoch_id) - max_history_batches + 1)
+        if max_history_batches is not None and cur_seq >= max_history_batches:
+            evict_neardup_history(store, cur_seq - max_history_batches + 1)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     return (
@@ -302,6 +335,7 @@ def embedding_neardup_filter_batch(
     seed: int = 42,
     int8: bool = False,
     run_id: str = "",
+    seq: "int | None" = None,
 ) -> DataFrame:
     """One micro-batch of greedy streaming EMBEDDING near-dedup; returns
     surviving rows (NULL-vector rows always survive — no evidence is not
@@ -362,6 +396,7 @@ def embedding_neardup_filter_batch(
             stored.alias("vector"),
             F.lit(int(batch_id)).alias("batch"),
             F.lit(run_id).alias("run"),
+            F.lit(int(seq if seq is not None else batch_id)).alias("seq"),
         )
         if prior is not None:
             # insert-if-absent, same replay/re-arrival argument as the
@@ -399,14 +434,23 @@ def start_embedding_neardup_stream(
     bounded-history discipline as start_neardup_dedup_stream."""
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
+    seq_base = (
+        next_seq_base(
+            open_embedding_neardup_store(spark, store_path, n_buckets=store_buckets)
+        )
+        if max_history_batches is not None
+        else 0
+    )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         store = open_embedding_neardup_store(
             spark, store_path, n_buckets=store_buckets
         )
+        cur_seq = seq_base + int(epoch_id)
         kept = embedding_neardup_filter_batch(
             df, store, int(epoch_id), dims, threshold,
             bits, tables, vector_col, id_col, seed, int8, run_id=run_id,
+            seq=cur_seq,
         )
         (
             kept.withColumn("batch", F.lit(int(epoch_id)))
@@ -415,8 +459,8 @@ def start_embedding_neardup_stream(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
-        if max_history_batches is not None and int(epoch_id) >= max_history_batches:
-            evict_neardup_history(store, int(epoch_id) - max_history_batches + 1)
+        if max_history_batches is not None and cur_seq >= max_history_batches:
+            evict_neardup_history(store, cur_seq - max_history_batches + 1)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     return (
