@@ -17,7 +17,7 @@ established incremental-index pattern (streaming/incremental.py): a
 foreachBatch sink backed by a PERSISTED band-key store.
 
 Store layout: BucketedTable bucketed on `key` holding one row per
-(band, key, doc_id, batch, run) — every band key of every document EVER SEEN
+(band, key, doc_id, batch, run, seq) — every band key of every document EVER SEEN
 (survivor or not; greedy batch semantics drop a doc colliding with a
 lower-id doc even when that doc itself was dropped, so dropped docs'
 keys still poison later arrivals — parity pinned in tests). Writes are
