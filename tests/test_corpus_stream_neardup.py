@@ -226,3 +226,56 @@ def test_combined_state_survives_restart(spark, tmp_path):
     assert 10 not in seen  # exact state survived the restart
     assert 11 not in seen  # band-key store survived the restart
     assert 12 in seen
+
+
+def test_corpus_stream_fuzzy_mask_mode_equals_batch(spark, tmp_path):
+    """decontam_mode='mask' composed WITH fuzzy dedup: the contaminated
+    near-dup seed (doc 1) is masked, not dropped — but it still poisons
+    doc 3 via fuzzy dedup, which runs BEFORE masking on both paths."""
+    bench = spark.createDataFrame([(100, BENCH_TEXT)], SCHEMA)
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_batches(d, [B1, B2, B3])
+    out = str(tmp_path / "shards")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    q = start_corpus_stream(
+        stream,
+        out,
+        seq_len=16,
+        checkpoint_dir=str(tmp_path / "ck"),
+        neardup={"store_path": str(tmp_path / "band_store"), **ND},
+        benchmark_ngrams=collect_benchmark_ngrams(bench, n=8),
+        decontam_mode="mask",
+        use_gopher_rules=True,
+    )
+    q.awaitTermination(240)
+
+    disk = spark.read.parquet(out)
+    got_ids = {
+        r["doc_id"]
+        for r in disk.selectExpr("explode(doc_ids) AS doc_id").distinct().collect()
+    }
+    docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in ALL], SCHEMA)
+    want = prepare_training_corpus(
+        docs,
+        benchmark=bench,
+        decontam_n=8,
+        decontam_mode="mask",
+        use_gopher_rules=True,
+        neardup_minhash=True,
+        neardup_keep="greedy",
+        neardup_num_hashes=ND["num_hashes"],
+        neardup_bands=ND["bands"],
+        neardup_shingle_size=ND["shingle_size"],
+    ).persist()
+    want_ids = {r["doc_id"] for r in want.select("doc_id").distinct().collect()}
+    assert got_ids == want_ids
+    # mask mode keeps the contaminated doc (excised), fuzzy still drops 3
+    assert 1 in got_ids and 3 not in got_ids
+    want_tokens = want.agg(
+        F.sum(F.size(tokenize(F.col("chunk_text"))))
+    ).collect()[0][0]
+    assert disk.agg(F.sum("n_toks")).collect()[0][0] == want_tokens
+    want.unpersist()
