@@ -171,3 +171,30 @@ def test_bucketed_time_travel(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "B"), (3, "c")]
     with pytest.raises(ValueError):
         t.read(version=7)
+
+
+def test_merge_evolves_schema_and_reads_deterministically(spark, tmp_path):
+    """Additive schema evolution: a merge introducing a NEW column
+    records it in the manifest, and reads enforce the evolved schema —
+    untouched buckets' older files yield NULLs for it instead of the
+    column nondeterministically vanishing with the sampled footer."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        BucketedTable,
+    )
+
+    t = BucketedTable(spark, str(tmp_path / "ev"), bucket_by=["id"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, "old") for i in range(8)], "id long, val string"))
+    # merge rows carrying a column the table has never seen
+    t.merge(
+        spark.createDataFrame([(100, "new", 7)], "id long, val string, extra long")
+    )
+    df = t.read()
+    assert "extra" in df.columns  # present no matter which footer Spark samples
+    rows = {r["id"]: r["extra"] for r in df.collect()}
+    assert rows[100] == 7
+    assert all(rows[i] is None for i in range(8))  # legacy rows: NULL
+    # a LATER write lacking the column must not drop it from the schema
+    t.merge(spark.createDataFrame([(200, "late")], "id long, val string"))
+    df2 = t.read()
+    assert "extra" in df2.columns
+    assert {r["extra"] for r in df2.filter(df2.id == 200).collect()} == {None}

@@ -257,3 +257,33 @@ def test_stale_lock_broken_and_stolen_lock_aborts(spark, tmp_path, monkeypatch):
     # __exit__ must NOT have removed the thief's lock
     assert os.path.exists(lock)
     os.unlink(lock)
+
+
+def test_stolen_lock_aborts_before_destructive_steps(spark, tmp_path, monkeypatch):
+    """A zombie writer whose lock was stolen must abort BEFORE the
+    debris-clearing rmtree — the 'debris' at v_{n+1} could be the
+    thief's freshly committed data."""
+    import vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table as MT
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a")]))
+    # the thief's "committed" data dir at the next version
+    thief = os.path.join(path, "v_1")
+    os.makedirs(thief)
+    sentinel = os.path.join(thief, "thief.parquet")
+    with open(sentinel, "w") as f:
+        f.write("the thief's data")
+    monkeypatch.setattr(MT._CommitLock, "still_owned", lambda self: False)
+    with pytest.raises(CommitConflict):
+        t._commit(_df(spark, [(2, "b")]), "append", expected=t.current_version())
+    assert os.path.exists(sentinel)  # never rmtree'd by the zombie
+    monkeypatch.undo()
+    # the zombie's own (still-live) lock file lingers because release is
+    # owner-verified; a later writer treats it as stale or waits — here
+    # just clear it and confirm the table still works
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    if os.path.exists(lock):
+        os.unlink(lock)
+    t.append(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in t.read().collect()} == {1, 2}

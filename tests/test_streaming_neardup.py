@@ -379,3 +379,73 @@ def test_history_bound_survives_checkpoint_reset(spark, tmp_path):
     evict_neardup_history(store, before_seq=base + 0 - 2 + 1)
     seqs = {r["seq"] for r in store.read().select("seq").distinct().collect()}
     assert seqs == {2, 3}
+
+
+def test_seq_base_frozen_per_checkpoint(spark, tmp_path):
+    """Same-checkpoint restarts RESUME the epoch counter, so the seq
+    base must be minted once per checkpoint and reused — recomputing
+    max+1 on every start would double-count epochs and over-evict
+    in-horizon history."""
+    import os
+    import time
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base_t = time.time()
+
+    def add_files(lo, hi):
+        for i in range(lo, hi):
+            p = src / f"b{i}.json"
+            with open(p, "w") as f:
+                f.write(json.dumps({"doc_id": i, "text": _prose(f"s{i}")}) + "\n")
+            os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        start_neardup_dedup_stream(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            max_history_batches=2,
+            **MH,
+        ).awaitTermination(180)
+
+    add_files(0, 3)
+    run()  # epochs 0..2, frozen base 0 -> seqs 0..2, retained {1,2}
+    add_files(3, 5)
+    run()  # RESUMED epochs 3..4 with the SAME base -> seqs 3..4
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=16)
+    seqs = {r["seq"] for r in store.read().select("seq").distinct().collect()}
+    # horizon 2 at final seq 4: exactly {3, 4} — a recomputed base would
+    # have produced {6, 7} (and wiped the in-horizon history mid-run)
+    assert seqs == {3, 4}
+
+
+def test_legacy_null_seq_rows_purged_on_eviction(spark, tmp_path):
+    """Rows from a pre-seq store read seq=NULL after an upgrade write;
+    delete_where keeps NULL rows, so eviction must purge them
+    explicitly or the legacy history is immortal."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
+        evict_neardup_history,
+    )
+
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    # legacy write: no seq column (simulate pre-upgrade rows)
+    legacy = spark.createDataFrame(
+        [(0, 0, "k0", 0, "")], "doc_id long, band int, key string, batch long, run string"
+    )
+    store.overwrite(legacy)
+    # post-upgrade batch merges seq-stamped rows
+    neardup_filter_batch(
+        spark.createDataFrame([(5, _prose("new"))], SCHEMA),
+        store, 0, run_id="r2", seq=7, **MH,
+    )
+    assert store.read().filter(F.col("seq").isNull()).count() > 0
+    evict_neardup_history(store, before_seq=7)
+    assert store.read().filter(F.col("seq").isNull()).count() == 0
+    assert store.read().filter(F.col("seq") == 7).count() > 0

@@ -148,13 +148,18 @@ class VectorSqlSession:
         if not om or not fm:
             return None
         # the rewrite fires ONLY on the unambiguous single-relation
-        # shape: exactly one FROM and exactly one cosine_sim call. A
-        # CTE/subquery/self-join query has other FROMs the regex cannot
-        # bind to the top-k scan (substituting the wrong one silently
-        # prunes an unrelated relation), and two cosine_sim projections
-        # make the probe-vector extraction ambiguous — both pass through
+        # shape: exactly one FROM (and none of the derived-table
+        # `FROM (` form, which _FROM_RE cannot count) and exactly one
+        # cosine_sim call. A CTE/subquery/self-join query has other
+        # FROMs the regex cannot bind to the top-k scan (substituting
+        # the wrong one silently prunes an unrelated relation — e.g. a
+        # windowed count(*) OVER () inside a derived table would count
+        # only the probed partitions), and two cosine_sim projections
+        # make the probe-vector extraction ambiguous — all pass through
         # to spark.sql unrewritten rather than risk a wrong answer.
         if len(_FROM_RE.findall(query)) != 1:
+            return None
+        if re.search(r"\bFROM\s*\(", query, re.IGNORECASE):
             return None
         if len(_COSINE_CALL_RE.findall(query)) != 1:
             return None

@@ -79,6 +79,28 @@ _STAGING_TTL_SEC = 3600.0
 _CONFLICT_RETRIES = 6
 
 
+def _evolve_schema(prev_json: "str | None", new_json: "str | None") -> "str | None":
+    """ADDITIVE schema evolution for the manifest schema (the Delta
+    mergeSchema analog): the committed schema is the previous schema plus
+    any columns the new write introduces, in order. Evolution never drops
+    or retypes a column — a write whose frame lacks an old column leaves
+    it in the schema (schema-enforced reads fill it with NULL for files
+    that predate it), which is what makes mixed-vintage bucket reads
+    DETERMINISTIC instead of depending on which file's footer Spark
+    samples."""
+    if not prev_json:
+        return new_json
+    if not new_json:
+        return prev_json
+    prev = json.loads(prev_json)
+    new = json.loads(new_json)
+    names = {f["name"] for f in prev["fields"]}
+    prev["fields"] = prev["fields"] + [
+        f for f in new["fields"] if f["name"] not in names
+    ]
+    return json.dumps(prev)
+
+
 class _CommitLock:
     """Filesystem mutex around the check-and-swap section of a commit.
     O_CREAT|O_EXCL gives atomicity on POSIX local/NFS-with-lockd; a lock
@@ -554,10 +576,17 @@ class ManagedTable:
                     )
                 new_v = cur + 1
                 target = self._data_dir(new_v)
+                # theft check BEFORE any destructive step: a zombie whose
+                # stale lock was broken must abort here — if it reached
+                # the rmtree below, the "debris" it clears could be the
+                # THIEF'S freshly committed data dir
+                if not lk.still_owned():
+                    raise CommitConflict(f"{self.path}: commit lock stolen")
                 # a pre-existing target can only be debris from a commit
                 # that crashed between ITS rename and pointer swap (the
                 # CAS we just passed proves no committed version points
-                # here) — clear it or every future commit wedges on
+                # here, and the ownership check above proves no thief is
+                # mid-commit) — clear it or every future commit wedges on
                 # ENOTEMPTY
                 if os.path.exists(target):
                     shutil.rmtree(target, ignore_errors=True)
@@ -851,8 +880,13 @@ class BucketedTable:
         writes."""
         version = expected + 1
         try:
-            if schema_json is None and version > 0:
-                schema_json = self._manifest_doc(expected).get("schema")
+            if version > 0:
+                # additive evolution against the committed schema: a merge
+                # that introduces a column records it; a write lacking an
+                # old column keeps it (see _evolve_schema)
+                schema_json = _evolve_schema(
+                    self._manifest_doc(expected).get("schema"), schema_json
+                )
             if self.bloom_cols is not None:
                 bloom_cols = list(self.bloom_cols)
             elif version > 0:
@@ -886,6 +920,10 @@ class BucketedTable:
                     )
                 final = None
                 remapped: dict[str, dict] = {}
+                # theft check before the destructive steps (see
+                # ManagedTable._commit): never clear a thief's data
+                if not lk.still_owned():
+                    raise CommitConflict(f"{self.path}: commit lock stolen")
                 if staging is not None:
                     final = os.path.join(self.path, f"v_{version}")
                     # clear crashed-commit debris (see ManagedTable._commit)
@@ -997,13 +1035,13 @@ class BucketedTable:
             paths = [d for dirs in doc["buckets"].values() for d in dirs]
             if not paths:  # fully-deleted table: empty frame, last schema
                 return self._empty_frame(doc)
-            return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+            return self._reader(doc).parquet(*paths).drop(self.BUCKET_COL)
         checked = _validate_filters(filters)
         keep = self._pruned_file_list(doc, v, checked)
         residual = _filters_to_column(checked)
         if not keep:
             return self._empty_frame(doc)
-        return self.spark.read.parquet(*keep).drop(self.BUCKET_COL).filter(residual)
+        return self._reader(doc).parquet(*keep).drop(self.BUCKET_COL).filter(residual)
 
     def _empty_frame(self, doc: dict) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -1051,11 +1089,29 @@ class BucketedTable:
         keep = self._pruned_file_list(doc, v, _validate_filters(filters))
         return len(keep), total
 
+    def _reader(self, doc: dict):
+        """Reader ENFORCING the manifest schema when one is committed:
+        buckets can hold files of different vintages (appends/merges
+        after an evolution), and a bare parquet read samples ONE footer
+        for the schema — nondeterministically dropping newer columns.
+        The manifest schema is the evolved union (see _evolve_schema);
+        files that predate a column yield NULLs for it, deterministically."""
+        sch = doc.get("schema")
+        if not sch:
+            return self.spark.read  # pre-schema manifest: legacy behavior
+        from pyspark.sql.types import StructType
+
+        return self.spark.read.schema(StructType.fromJson(json.loads(sch)))
+
     def _read_buckets(self, manifest: dict[str, list[str]], buckets: list[int]) -> DataFrame | None:
         paths = [d for b in buckets for d in manifest.get(str(b), [])]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).drop(self.BUCKET_COL)
+        try:
+            doc = self._manifest_doc()
+        except FileNotFoundError:
+            doc = {}
+        return self._reader(doc).parquet(*paths).drop(self.BUCKET_COL)
 
     # ---- writes ---------------------------------------------------------
     # every mutator is one optimistic-concurrency attempt (see
@@ -1134,7 +1190,8 @@ class BucketedTable:
                 merged = remaining.unionByName(source, allowMissingColumns=True)
             else:
                 merged = source
-            staging, parts = self._write_staged(self._with_bucket(merged))
+            stamped = self._with_bucket(merged)
+            staging, parts = self._write_staged(stamped)
 
             def build(final: str) -> dict:
                 m = dict(manifest)
@@ -1142,7 +1199,10 @@ class BucketedTable:
                     m[str(b)] = [os.path.join(final, parts[b])] if b in parts else []
                 return m
 
-            return self._commit_cas(base, "merge", build, staging)
+            # pass the union schema: a source column the table has never
+            # seen must enter the manifest (additive evolution) or
+            # schema-enforced reads would hide it forever
+            return self._commit_cas(base, "merge", build, staging, stamped.schema.json())
 
         return _retry_conflicts(attempt)
 

@@ -131,6 +131,26 @@ def _bench_broadcast(spark, bench_ngrams: list[str]):
     return bc
 
 
+
+def _quality_trio(
+    use_gopher_rules: bool,
+    min_quality: "float | None",
+    max_repeated_word_frac: "float | None",
+    max_dup_line_frac: "float | None",
+) -> dict:
+    """gate_stream kwargs for the batch-parity quality rule
+    (pipeline.py's if/else): the Gopher battery REPLACES the heuristic
+    trio — floor/ceilings apply only when the rules are off, and then
+    with the batch defaults (0.3/0.5/0.5 in the callers' signatures)."""
+    if use_gopher_rules:
+        return {}
+    return {
+        "min_quality": min_quality,
+        "max_repeated_word_frac": max_repeated_word_frac,
+        "max_dup_line_frac": max_dup_line_frac,
+    }
+
+
 def decontam_keep(
     bench_ngrams: list[str],
     text_col: str = "text",
@@ -340,17 +360,8 @@ def prepare_stream(
             "_masked", decontam_mask(benchmark_ngrams, text_col, decontam_n)
         )
         gate_col = "_masked"
-    # batch parity (pipeline.py's if/else): the Gopher battery REPLACES
-    # the heuristic trio — the floor/ceilings apply only when the rules
-    # are off, and then with the batch defaults (0.3/0.5/0.5)
-    trio = (
-        {}
-        if use_gopher_rules
-        else {
-            "min_quality": min_quality,
-            "max_repeated_word_frac": max_repeated_word_frac,
-            "max_dup_line_frac": max_dup_line_frac,
-        }
+    trio = _quality_trio(
+        use_gopher_rules, min_quality, max_repeated_word_frac, max_dup_line_frac
     )
     gated = gate_stream(
         work,
@@ -528,14 +539,8 @@ def _post_dedup_stages(
             raise ValueError(
                 f"decontam_mode must be 'drop' or 'mask', got {decontam_mode!r}"
             )
-    trio = (
-        {}
-        if use_gopher_rules
-        else {
-            "min_quality": min_quality,
-            "max_repeated_word_frac": max_repeated_word_frac,
-            "max_dup_line_frac": max_dup_line_frac,
-        }
+    trio = _quality_trio(
+        use_gopher_rules, min_quality, max_repeated_word_frac, max_dup_line_frac
     )
     work = gate_stream(
         work,
@@ -658,9 +663,9 @@ def start_corpus_stream(
 
     from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
         neardup_filter_batch,
-        next_seq_base,
         open_neardup_store,
         run_id_for_checkpoint,
+        seq_base_for_checkpoint,
     )
 
     nd = dict(neardup)
@@ -683,7 +688,10 @@ def start_corpus_stream(
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
     seq_base = (
-        next_seq_base(open_neardup_store(spark, store_path, n_buckets=store_buckets))
+        seq_base_for_checkpoint(
+            checkpoint_dir,
+            open_neardup_store(spark, store_path, n_buckets=store_buckets),
+        )
         if max_history is not None
         else 0
     )

@@ -69,6 +69,7 @@ __all__ = [
     "run_id_for_checkpoint",
     "evict_neardup_history",
     "next_seq_base",
+    "seq_base_for_checkpoint",
 ]
 
 
@@ -102,20 +103,66 @@ def evict_neardup_history(store: BucketedTable, before_seq: int) -> int:
     evicted store and may keep docs the original run dropped — keep the
     eviction lag (max_history_batches) much larger than the deepest
     replay Structured Streaming can issue (in practice: one batch)."""
-    col = "seq" if "seq" in store.read().columns else "batch"
-    return store.delete_where([(col, "<", int(before_seq))])
+    if "seq" in _store_columns(store):
+        # legacy rows written before the seq column read as NULL and
+        # delete_where keeps NULL-evaluating rows — purge them explicitly
+        # (they are by definition older than any stamped horizon; the
+        # bounded-store contract outranks their history)
+        store.delete_where([("seq", "is_null", None)])
+        return store.delete_where([("seq", "<", int(before_seq))])
+    return store.delete_where([("batch", "<", int(before_seq))])
+
+
+def _store_columns(store: BucketedTable) -> "set[str]":
+    """Column names of the store's CURRENT committed schema, read from
+    the manifest doc (one small json, no parquet schema inference —
+    this runs on the per-batch eviction hot path). The manifest schema
+    is the LAST write's schema, which is exactly the right dispatch
+    key: once any new-code batch has written, `seq` exists."""
+    import json as _json
+
+    doc = store._manifest_doc()
+    sch = doc.get("schema")
+    if sch:
+        return {f["name"] for f in _json.loads(sch)["fields"]}
+    return set(store.read().columns)  # pre-schema manifest: one-off fallback
 
 
 def next_seq_base(store: BucketedTable) -> int:
-    """Starting seq for a (re)starting stream: one past the largest stamp
-    already in the store, so age stamps stay monotone across runs and
-    checkpoint resets. 0 for a fresh store."""
+    """One past the largest age stamp already in the store (0 for a
+    fresh store). Use seq_base_for_checkpoint in streaming sinks — the
+    base must be FROZEN per checkpoint, not recomputed per (re)start:
+    epoch counters RESUME on a same-checkpoint restart, and re-adding a
+    fresh max+1 base to a resumed epoch would double-count and
+    over-evict in-horizon history."""
     if not store.exists():
         return 0
     df = store.read()
-    col = "seq" if "seq" in df.columns else "batch"
+    col = "seq" if "seq" in _store_columns(store) else "batch"
     m = df.agg(F.max(col).alias("m")).collect()[0]["m"]
     return int(m) + 1 if m is not None else 0
+
+
+def seq_base_for_checkpoint(checkpoint_dir: str, store: BucketedTable) -> int:
+    """The checkpoint's FROZEN seq base: minted once (next_seq_base at
+    first start) and persisted beside the run-id marker, so cur_seq =
+    base + epoch stays consistent across same-checkpoint restarts (the
+    epoch counter resumes) and only a checkpoint wipe — which also
+    restarts epochs at 0 — mints a new base above the prior run's
+    stamps."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "NEARDUP_SEQ_BASE")
+    try:
+        with open(marker) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    base = next_seq_base(store)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(base))
+    os.replace(tmp, marker)
+    return base
 
 
 def run_id_for_checkpoint(checkpoint_dir: str) -> str:
@@ -268,7 +315,10 @@ def start_neardup_dedup_stream(
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
     seq_base = (
-        next_seq_base(open_neardup_store(spark, store_path, n_buckets=store_buckets))
+        seq_base_for_checkpoint(
+            checkpoint_dir,
+            open_neardup_store(spark, store_path, n_buckets=store_buckets),
+        )
         if max_history_batches is not None
         else 0
     )
@@ -435,8 +485,9 @@ def start_embedding_neardup_stream(
     spark = docs.sparkSession
     run_id = run_id_for_checkpoint(checkpoint_dir)
     seq_base = (
-        next_seq_base(
-            open_embedding_neardup_store(spark, store_path, n_buckets=store_buckets)
+        seq_base_for_checkpoint(
+            checkpoint_dir,
+            open_embedding_neardup_store(spark, store_path, n_buckets=store_buckets),
         )
         if max_history_batches is not None
         else 0
