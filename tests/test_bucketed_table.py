@@ -198,3 +198,26 @@ def test_merge_evolves_schema_and_reads_deterministically(spark, tmp_path):
     df2 = t.read()
     assert "extra" in df2.columns
     assert {r["extra"] for r in df2.filter(df2.id == 200).collect()} == {None}
+
+
+def test_retype_write_is_rejected_not_committed(spark, tmp_path):
+    """ADVICE r9: evolution never validated retypes — a write whose frame
+    retypes an existing column (int -> string) must be REJECTED at commit
+    time (Delta semantics), not committed as files the manifest schema
+    cannot satisfy. The table is unchanged afterwards and no staging
+    debris is left behind."""
+    import os
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        BucketedTable,
+        SchemaEvolutionError,
+    )
+
+    t = BucketedTable(spark, str(tmp_path / "rt"), bucket_by=["id"], n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    v0 = t.current_version()
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        t.merge(spark.createDataFrame([(3, "oops")], "id long, v string"))
+    assert t.current_version() == v0  # nothing committed
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [(1, 10), (2, 20)]
+    assert not [n for n in os.listdir(t.path) if n.startswith("_staging_")]

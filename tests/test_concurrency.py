@@ -287,3 +287,64 @@ def test_stolen_lock_aborts_before_destructive_steps(spark, tmp_path, monkeypatc
         os.unlink(lock)
     t.append(_df(spark, [(2, "b")]))
     assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+
+def test_mutating_missing_table_fails_fast(spark, tmp_path):
+    """ADVICE r9: a missing-file error on a table with NO committed
+    version is a user error, not a vacuum race — it must surface
+    immediately instead of burning the 6-attempt retry/backoff budget
+    re-running the same Spark job."""
+    import time as _time
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        BucketedTable,
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "never"))
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        t.delete_by_keys(spark.createDataFrame([("x",)], "k string"), keys=["k"])
+    assert _time.monotonic() - t0 < 2.0  # no 6x Spark-attempt retry loop
+
+    b = BucketedTable(spark, str(tmp_path / "never_b"), bucket_by=["k"], n_buckets=2)
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        b.delete_by_keys(spark.createDataFrame([("x",)], "k string"))
+    assert _time.monotonic() - t0 < 2.0
+
+
+def test_stale_staging_sweep_keys_on_deep_mtime(spark, tmp_path, monkeypatch):
+    """ADVICE r9: during a Spark parquet write the staging ROOT's mtime
+    is stamped at job start (data lands under _temporary/ until commit),
+    so a >TTL write looked stale and was swept mid-write. The sweep now
+    keys on the NEWEST mtime anywhere under the dir: a staging dir whose
+    root is old but whose task files are fresh survives; a dir stale
+    all the way down is removed."""
+    import os
+    import time as _time
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
+
+    root = tmp_path / "tbl"
+    root.mkdir()
+    old = _time.time() - mt._STAGING_TTL_SEC - 60
+
+    # in-flight: root mtime old (job start), task file fresh
+    live = root / "_staging_inflight0001"
+    (live / "_temporary").mkdir(parents=True)
+    (live / "_temporary" / "task-0.parquet.part").write_text("x")  # fresh mtime
+    os.utime(live, (old, old))
+
+    # orphaned: everything old
+    dead = root / "_staging_orphan000002"
+    (dead / "_temporary").mkdir(parents=True)
+    f = dead / "_temporary" / "task-0.parquet.part"
+    f.write_text("y")
+    os.utime(f, (old, old))
+    os.utime(dead / "_temporary", (old, old))
+    os.utime(dead, (old, old))
+
+    mt._sweep_stale_staging(str(root))
+    assert live.exists()  # in-flight write NOT swept out from under its writer
+    assert not dead.exists()  # crashed writer's debris removed

@@ -148,3 +148,47 @@ def test_concurrent_sql_calls_do_not_share_views(vsql, spark, tmp_path):
     want_b = [r["vec_id"] for r in idx.search(qb, k=5, n_probe=2, id_col="vec_id").collect()]
     assert [r["vec_id"] for r in df_a.collect()] == want_a
     assert [r["vec_id"] for r in df_b.collect()] == want_b
+
+
+def test_aggregate_and_window_shapes_pass_through(vsql):
+    """ADVICE r9 (medium): a GROUP BY / DISTINCT / OVER query that
+    happens to ORDER BY a cosine_sim-derived alias DESC LIMIT k passes
+    every textual top-k check, but pruning it would compute count()/max()
+    over only the probed partitions and silently DROP groups outside the
+    probes — wrong data, not a top-k approximation. All such shapes must
+    pass through unrewritten and agree with the full scan."""
+    q = _qvec()
+    agg = (
+        "SELECT label, count(*) AS n, max(cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ")) AS score FROM embeddings GROUP BY label "
+        "ORDER BY score DESC LIMIT 10"
+    )
+    raw = plan_report(vsql.sql(agg)).raw
+    assert "PartitionFilters" not in raw  # NOT pruned
+    # group counts equal the true full-scan counts
+    truth = {
+        r["label"]: r["n"]
+        for r in vsql.spark.sql(
+            "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+        ).collect()
+    }
+    got = {r["label"]: r["n"] for r in vsql.sql(agg).collect()}
+    assert all(truth[s] == n for s, n in got.items())
+
+    distinct = (
+        "SELECT DISTINCT vec_id, cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ") AS score FROM embeddings ORDER BY score DESC LIMIT 5"
+    )
+    assert "PartitionFilters" not in plan_report(vsql.sql(distinct)).raw
+
+    windowed = (
+        "SELECT vec_id, count(*) OVER () AS total, cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ") AS score FROM embeddings ORDER BY score DESC LIMIT 5"
+    )
+    wdf = vsql.sql(windowed)
+    assert "PartitionFilters" not in plan_report(wdf).raw
+    n_all = vsql.spark.sql("SELECT count(*) AS n FROM embeddings").collect()[0]["n"]
+    assert all(r["total"] == n_all for r in wdf.collect())

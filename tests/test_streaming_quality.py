@@ -170,3 +170,26 @@ def test_blocklist_gate_streams(spark, src):
     assert got == want
     assert 0 not in got  # doc 0 contains word3
     assert 3 in got
+
+
+def test_gopher_rules_warn_when_trio_explicitly_set():
+    """ADVICE r9: use_gopher_rules=True REPLACES the heuristic trio
+    (batch parity) — but a caller explicitly tightening min_quality
+    alongside it must get a warning, not a silently laxer gate."""
+    import warnings
+
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        _quality_trio,
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _quality_trio(True, 0.9, 0.5, 0.5) == {}
+        assert len(w) == 1 and "min_quality" in str(w[0].message)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _quality_trio(True, 0.3, 0.5, 0.5) == {}  # defaults: silent
+        assert not w
+        got = _quality_trio(False, 0.9, 0.5, 0.5)  # rules off: honored
+        assert got["min_quality"] == 0.9 and not w

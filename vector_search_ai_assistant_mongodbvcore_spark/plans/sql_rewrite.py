@@ -163,6 +163,19 @@ class VectorSqlSession:
             return None
         if len(_COSINE_CALL_RE.findall(query)) != 1:
             return None
+        # aggregate/window/distinct shapes change the SEMANTICS of
+        # pruning, not just the top-k approximation: a `GROUP BY source`
+        # with max(cosine_sim(...)) ORDER BY ... LIMIT k would silently
+        # compute count()/max() over only the probed partitions and drop
+        # whole groups outside the probes. The rewrite's contract is
+        # "same rows as the full scan up to ANN recall on the top-k
+        # ORDER BY" — any aggregation breaks that, so pass through.
+        if re.search(
+            r"\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|\bOVER\s*\(",
+            query,
+            re.IGNORECASE,
+        ):
+            return None
         table = fm.group("table")
         reg = self._indexes.get(table.lower())
         if reg is None:

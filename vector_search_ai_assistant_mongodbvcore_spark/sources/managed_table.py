@@ -79,6 +79,14 @@ _STAGING_TTL_SEC = 3600.0
 _CONFLICT_RETRIES = 6
 
 
+class SchemaEvolutionError(ValueError):
+    """A write tried to RETYPE an existing column. Evolution is strictly
+    additive — committing files in a new type while the manifest keeps the
+    old one would make later schema-enforced reads fail or silently
+    corrupt values, so (like Delta) the write is rejected at commit
+    time."""
+
+
 def _evolve_schema(prev_json: "str | None", new_json: "str | None") -> "str | None":
     """ADDITIVE schema evolution for the manifest schema (the Delta
     mergeSchema analog): the committed schema is the previous schema plus
@@ -87,14 +95,26 @@ def _evolve_schema(prev_json: "str | None", new_json: "str | None") -> "str | No
     it in the schema (schema-enforced reads fill it with NULL for files
     that predate it), which is what makes mixed-vintage bucket reads
     DETERMINISTIC instead of depending on which file's footer Spark
-    samples."""
+    samples. A write that RETYPES a same-named column is rejected
+    (SchemaEvolutionError) rather than committed — the manifest schema
+    would not match the new files, exactly the corruption Delta's commit
+    check prevents."""
     if not prev_json:
         return new_json
     if not new_json:
         return prev_json
     prev = json.loads(prev_json)
     new = json.loads(new_json)
-    names = {f["name"] for f in prev["fields"]}
+    prev_types = {f["name"]: f["type"] for f in prev["fields"]}
+    for f in new["fields"]:
+        old_t = prev_types.get(f["name"])
+        if old_t is not None and old_t != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r} retyped {old_t!r} -> {f['type']!r}; "
+                "schema evolution is additive-only (cast the frame to the "
+                "table's type before writing)"
+            )
+    names = set(prev_types)
     prev["fields"] = prev["fields"] + [
         f for f in new["fields"] if f["name"] not in names
     ]
@@ -182,15 +202,25 @@ def _is_vanished_file_race(e: Exception) -> bool:
     return "FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg
 
 
-def _retry_conflicts(attempt, attempts: int = _CONFLICT_RETRIES):
+def _retry_conflicts(attempt, attempts: int = _CONFLICT_RETRIES, table=None):
     """Re-run `attempt` (a zero-arg closure re-reading the CURRENT
     snapshot) until it commits without a CommitConflict (or a
-    vanished-file race — see _is_vanished_file_race)."""
+    vanished-file race — see _is_vanished_file_race). A missing-file
+    error on a table with NO committed version is a plain user error
+    (mutating a table that never existed), not a vacuum race — it
+    re-raises immediately instead of burning the retry/backoff budget on
+    the same failure."""
     for i in range(attempts):
         try:
             return attempt()
         except Exception as e:
             if not (isinstance(e, CommitConflict) or _is_vanished_file_race(e)):
+                raise
+            if (
+                not isinstance(e, CommitConflict)
+                and table is not None
+                and table.current_version() < 0
+            ):
                 raise
             if i == attempts - 1:
                 raise
@@ -201,10 +231,35 @@ def _staging_dir(table_path: str) -> str:
     return os.path.join(table_path, f"_staging_{uuid.uuid4().hex[:12]}")
 
 
+def _newest_mtime_under(root: str) -> float:
+    """Newest mtime anywhere under `root` (the root itself included).
+    During a Spark parquet write the staging ROOT's mtime is set at job
+    start — the data lands under _temporary/ until commit — so staleness
+    keyed on the root alone would sweep a >TTL in-flight write out from
+    under its writer. Task files keep their mtimes fresh for the whole
+    write, so the deep maximum is the honest liveness signal."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(root)
+    except FileNotFoundError:
+        return newest
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            try:
+                m = os.path.getmtime(os.path.join(dirpath, name))
+            except FileNotFoundError:
+                continue
+            if m > newest:
+                newest = m
+    return newest
+
+
 def _sweep_stale_staging(table_path: str) -> None:
     """Remove staging dirs orphaned by crashed writers. Age-gated by
-    _STAGING_TTL_SEC so an IN-FLIGHT writer's staging (written, not yet
-    renamed under the lock) is never swept by a concurrent committer."""
+    _STAGING_TTL_SEC on the NEWEST mtime under the dir (not the root's —
+    see _newest_mtime_under) so an IN-FLIGHT writer's staging (written,
+    not yet renamed under the lock) is never swept by a concurrent
+    committer, even when the write itself runs longer than the TTL."""
     try:
         names = os.listdir(table_path)
     except FileNotFoundError:
@@ -215,7 +270,7 @@ def _sweep_stale_staging(table_path: str) -> None:
             continue
         full = os.path.join(table_path, name)
         try:
-            if now - os.path.getmtime(full) > _STAGING_TTL_SEC:
+            if now - _newest_mtime_under(full) > _STAGING_TTL_SEC:
                 shutil.rmtree(full, ignore_errors=True)
         except FileNotFoundError:
             pass
@@ -706,7 +761,8 @@ class ManagedTable:
     # closure re-runs against whatever the winner committed.
     def overwrite(self, df: DataFrame) -> int:
         return _retry_conflicts(
-            lambda: self._commit(df, "overwrite", expected=self.current_version())
+            lambda: self._commit(df, "overwrite", expected=self.current_version()),
+            table=self,
         )
 
     def append(self, df: DataFrame) -> int:
@@ -721,7 +777,7 @@ class ManagedTable:
             )
             return self._commit(out, "append", expected=base)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """S4: keyed upsert — MERGE INTO ... WHEN MATCHED UPDATE ALL WHEN NOT
@@ -738,7 +794,7 @@ class ManagedTable:
             merged = remaining.unionByName(source, allowMissingColumns=True)
             return self._commit(merged, "merge", expected=base)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def delete(self, predicate) -> int:
         """S5/S6: DELETE WHERE predicate (a Column)."""
@@ -750,7 +806,7 @@ class ManagedTable:
                 target.filter(~predicate | predicate.isNull()), "delete", expected=base
             )
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def delete_by_keys(self, source: DataFrame, keys: list[str]) -> int:
         """Point deletes by key set (anti-join)."""
@@ -764,7 +820,7 @@ class ManagedTable:
                 expected=base,
             )
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
 
 class BucketedTable:
@@ -883,10 +939,17 @@ class BucketedTable:
             if version > 0:
                 # additive evolution against the committed schema: a merge
                 # that introduces a column records it; a write lacking an
-                # old column keeps it (see _evolve_schema)
-                schema_json = _evolve_schema(
-                    self._manifest_doc(expected).get("schema"), schema_json
-                )
+                # old column keeps it (see _evolve_schema). A rejected
+                # retype (SchemaEvolutionError) must not leak the staged
+                # files — clean up before surfacing the user error.
+                try:
+                    schema_json = _evolve_schema(
+                        self._manifest_doc(expected).get("schema"), schema_json
+                    )
+                except SchemaEvolutionError:
+                    if staging is not None:
+                        shutil.rmtree(staging, ignore_errors=True)
+                    raise
             if self.bloom_cols is not None:
                 bloom_cols = list(self.bloom_cols)
             elif version > 0:
@@ -1113,6 +1176,20 @@ class BucketedTable:
             doc = {}
         return self._reader(doc).parquet(*paths).drop(self.BUCKET_COL)
 
+    def _check_retypes(self, base: int, df: DataFrame) -> None:
+        """Fail FAST (before any Spark job) when an incoming frame
+        retypes a committed column — the commit-time _evolve_schema check
+        is the backstop, but by then the merge's unionByName has already
+        coerced the conflicting column (an ANSI cast error at best,
+        silent coercion at worst) and a staging write has been paid."""
+        if base < 0:
+            return
+        try:
+            prev = self._manifest_doc(base).get("schema")
+        except FileNotFoundError:
+            return  # superseded+vacuumed: the CAS will surface the conflict
+        _evolve_schema(prev, df.schema.json())
+
     # ---- writes ---------------------------------------------------------
     # every mutator is one optimistic-concurrency attempt (see
     # ManagedTable): compute against the snapshot version it read, stage
@@ -1121,6 +1198,7 @@ class BucketedTable:
     def overwrite(self, df: DataFrame) -> int:
         def attempt() -> int:
             base = self.current_version()
+            self._check_retypes(base, df)
             stamped = self._with_bucket(df)
             staging, parts = self._write_staged(stamped)
             return self._commit_cas(
@@ -1133,7 +1211,7 @@ class BucketedTable:
                 stamped.schema.json(),
             )
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def append(self, df: DataFrame) -> int:
         """S3: pure file add — NO existing data is read or rewritten; the
@@ -1141,6 +1219,7 @@ class BucketedTable:
 
         def attempt() -> int:
             base = self.current_version()
+            self._check_retypes(base, df)
             stamped = self._with_bucket(df)
             staging, parts = self._write_staged(stamped)
 
@@ -1155,7 +1234,7 @@ class BucketedTable:
 
             return self._commit_cas(base, "append", build, staging, stamped.schema.json())
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def _affected_buckets(self, source: DataFrame) -> list[int]:
         rows = self._with_bucket(source).select(self.BUCKET_COL).distinct().collect()
@@ -1182,6 +1261,7 @@ class BucketedTable:
                     staging,
                     stamped.schema.json(),
                 )
+            self._check_retypes(base, source)
             manifest = {k: list(v) for k, v in self._manifest(base).items()}
             affected = self._affected_buckets(source)
             old = self._read_buckets(manifest, affected)
@@ -1204,7 +1284,7 @@ class BucketedTable:
             # schema-enforced reads would hide it forever
             return self._commit_cas(base, "merge", build, staging, stamped.schema.json())
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def delete_by_keys(self, source: DataFrame, keys: list[str] | None = None) -> int:
         """S5: point deletes, bucket-pruned like merge."""
@@ -1231,7 +1311,7 @@ class BucketedTable:
 
             return self._commit_cas(base, "delete-keys", build, staging)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def compact(self, min_dirs: int = 2) -> int:
         """Maintenance (the OPTIMIZE analog): rewrite every bucket whose
@@ -1262,7 +1342,7 @@ class BucketedTable:
 
             return self._commit_cas(base, "compact", build, staging)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def cluster_by(self, cols: list[str], files_per_bucket: int = 4) -> int:
         """Maintenance (the OPTIMIZE ZORDER analog, linear form): rewrite
@@ -1310,7 +1390,7 @@ class BucketedTable:
 
             return self._commit_cas(base, f"cluster-by:{','.join(cols)}", build, staging)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def delete(self, predicate) -> int:
         """S6: arbitrary-predicate delete with an opaque Column — no way to
@@ -1333,7 +1413,7 @@ class BucketedTable:
                 staging,
             )
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
     def delete_where(self, filters) -> int:
         """S6 at scale: predicate delete that rewrites ONLY the buckets
@@ -1378,7 +1458,7 @@ class BucketedTable:
 
             return self._commit_cas(base, "delete-where", build, staging)
 
-        return _retry_conflicts(attempt)
+        return _retry_conflicts(attempt, table=self)
 
 
 class TransactionalWriter:

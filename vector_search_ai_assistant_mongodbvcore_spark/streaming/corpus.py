@@ -141,8 +141,30 @@ def _quality_trio(
     """gate_stream kwargs for the batch-parity quality rule
     (pipeline.py's if/else): the Gopher battery REPLACES the heuristic
     trio — floor/ceilings apply only when the rules are off, and then
-    with the batch defaults (0.3/0.5/0.5 in the callers' signatures)."""
+    with the batch defaults (0.3/0.5/0.5 in the callers' signatures).
+    A caller who EXPLICITLY tightens the trio while leaving the Gopher
+    battery on would silently get a laxer gate than requested — warn
+    instead of dropping the values without a trace (matching batch
+    semantics is still the behavior; the warning is the honesty)."""
     if use_gopher_rules:
+        non_default = [
+            name
+            for name, val, default in (
+                ("min_quality", min_quality, 0.3),
+                ("max_repeated_word_frac", max_repeated_word_frac, 0.5),
+                ("max_dup_line_frac", max_dup_line_frac, 0.5),
+            )
+            if val != default
+        ]
+        if non_default:
+            import warnings
+
+            warnings.warn(
+                f"use_gopher_rules=True replaces the heuristic quality trio; "
+                f"ignoring non-default {', '.join(non_default)} (set "
+                f"use_gopher_rules=False to apply them)",
+                stacklevel=3,
+            )
         return {}
     return {
         "min_quality": min_quality,
