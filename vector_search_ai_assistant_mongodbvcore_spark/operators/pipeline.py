@@ -88,6 +88,7 @@ def prepare_training_corpus(
     use_gopher_rules: bool = False,
     keep_languages: "tuple[str, ...] | None" = None,
     lang_col: str | None = None,
+    lang_model: dict | None = None,
     dsir_target: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_temperature: float = 1.0,
@@ -261,14 +262,19 @@ def prepare_training_corpus(
 
     if keep_languages is not None:
         # language screen (the CCNet-style per-language pipeline split):
-        # trust the metadata column when the caller names one, otherwise
-        # the engine's own stopword-argmax language ID — stateless column
-        # expression either way, applied after the quality gates (quality
-        # first: lang-ID on junk is noise)
-        lang = (
-            F.col(lang_col) if lang_col is not None else TX.language_id(F.col(text_col))
+        # trust the metadata column when the caller names one, else the
+        # FITTED char-n-gram classifier when a model is passed
+        # (operators/language_id.fit_language_id — the real detector),
+        # else the legacy stopword-argmax heuristic — stateless column
+        # expression in every case, applied after the quality gates
+        # (quality first: lang-ID on junk is noise)
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+            language_expr,
         )
-        quality = quality.filter(lang.isin(*keep_languages))
+
+        quality = quality.filter(
+            language_expr(text_col, lang_col, lang_model).isin(*keep_languages)
+        )
 
     if dsir_target is not None and dsir_top_k is not None:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import (

@@ -344,6 +344,9 @@ def prepare_stream(
     chunk_overlap: int = 8,
     watermark_col: str | None = None,
     watermark_delay: str = "30 minutes",
+    keep_languages: "tuple[str, ...] | None" = None,
+    lang_col: "str | None" = None,
+    lang_model: "dict | None" = None,
 ) -> DataFrame:
     """Trainer-ready (id, split, chunk_id, n_tokens, chunk_text) rows from
     a streaming (or batch — the plan is mode-agnostic) document frame.
@@ -400,6 +403,19 @@ def prepare_stream(
     if benchmark_ngrams is not None and not mask:
         gated = gated.filter(
             decontam_keep(benchmark_ngrams, text_col, decontam_n, decontam_min_hits)
+        )
+    if keep_languages is not None:
+        # batch parity: the language screen judges the same text the
+        # quality gates judged (masked in mask mode, as in batch where
+        # decontam precedes the screen); stateless predicate — position
+        # relative to the exact-dedup state store is immaterial because
+        # every member of an exact-dup class shares the text
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+            language_expr,
+        )
+
+        gated = gated.filter(
+            language_expr(gate_col, lang_col, lang_model).isin(*keep_languages)
         )
     if watermark_col is not None:
         deduped = dedup_stream_watermarked(
@@ -532,6 +548,9 @@ def _post_dedup_stages(
     scrub: bool,
     chunk_size: int,
     chunk_overlap: int,
+    keep_languages: "tuple[str, ...] | None" = None,
+    lang_col: "str | None" = None,
+    lang_model: "dict | None" = None,
 ) -> DataFrame:
     """The stateless tail of the corpus chain in BATCH order
     (prepare_training_corpus: decontam -> quality gates -> scrub ->
@@ -576,6 +595,18 @@ def _post_dedup_stages(
         scrub=False,
         **trio,
     )
+    if keep_languages is not None:
+        # batch order: the language screen follows the quality gates and
+        # judges the post-decontam text (mask mode already rewrote
+        # text_col above); stateless predicate, same expression as
+        # prepare_training_corpus via the shared language_expr
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+            language_expr,
+        )
+
+        work = work.filter(
+            language_expr(text_col, lang_col, lang_model).isin(*keep_languages)
+        )
     if scrub:
         work = work.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
     labeled = assign_split(work, id_col=id_col, splits=splits, seed=seed)
@@ -620,6 +651,9 @@ def start_corpus_stream(
     chunk_overlap: int = 8,
     watermark_col: "str | None" = None,
     watermark_delay: str = "30 minutes",
+    keep_languages: "tuple[str, ...] | None" = None,
+    lang_col: "str | None" = None,
+    lang_model: "dict | None" = None,
 ):
     """The WHOLE corpus pipeline as one streaming query: raw document
     stream -> trainer-ready shards, now including FUZZY (MinHash) near-
@@ -678,6 +712,9 @@ def start_corpus_stream(
             chunk_overlap=chunk_overlap,
             watermark_col=watermark_col,
             watermark_delay=watermark_delay,
+            keep_languages=keep_languages,
+            lang_col=lang_col,
+            lang_model=lang_model,
         )
         return start_shard_export_stream(
             chunks, out_dir, seq_len, checkpoint_dir, tokenizer, max_rows_per_shard
@@ -758,6 +795,9 @@ def start_corpus_stream(
             scrub=scrub,
             chunk_size=chunk_size,
             chunk_overlap=chunk_overlap,
+            keep_languages=keep_languages,
+            lang_col=lang_col,
+            lang_model=lang_model,
         )
         _write_shard_batch(
             chunks, epoch_id, out_dir, seq_len, tokenizer, max_rows_per_shard
