@@ -100,12 +100,21 @@ def test_vacuum_removes_stale_versions_keeps_referenced(spark, table):
         for dirs in table._manifest(v).values()
         for d in dirs
     }
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _parse_versioned_name,
+    )
+
     for d in os.listdir(table.path):
-        if d.startswith("v_"):
+        v = _parse_versioned_name(d, "v_")
+        if v is not None:
             full = os.path.join(table.path, d)
-            assert full in live or int(d[2:]) > cur - 2, f"{d} leaked past vacuum"
-    # stale manifests are gone too
-    manifests = sorted(int(m[9:-5]) for m in os.listdir(table.path) if m.startswith("manifest_"))
+            assert full in live or v > cur - 2, f"{d} leaked past vacuum"
+    # stale manifests are gone too (names carry an attempt suffix)
+    manifests = sorted(
+        _parse_versioned_name(m, "manifest_", ".json")
+        for m in os.listdir(table.path)
+        if m.startswith("manifest_")
+    )
     assert manifests == [cur - 1, cur]
 
 
@@ -198,6 +207,28 @@ def test_merge_evolves_schema_and_reads_deterministically(spark, tmp_path):
     df2 = t.read()
     assert "extra" in df2.columns
     assert {r["extra"] for r in df2.filter(df2.id == 200).collect()} == {None}
+
+
+def test_safe_widening_is_cast_on_write(spark, tmp_path):
+    """Delta's implicit write cast: appending/merging an int frame into
+    a long column succeeds (the staged files carry the table's long
+    type, so mixed-vintage reads never need parquet type promotion);
+    the committed schema keeps the original type; a LOSSY retype
+    (float -> long) still raises."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        BucketedTable,
+        SchemaEvolutionError,
+    )
+
+    t = BucketedTable(spark, str(tmp_path / "wd"), bucket_by=["id"], n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t.append(spark.createDataFrame([(2, 20)], "id long, v int"))  # widened
+    t.merge(spark.createDataFrame([(3, 30)], "id int, v int"))  # key + val cast
+    got = t.read()
+    assert dict(got.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == [(1, 10), (2, 20), (3, 30)]
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        t.append(spark.createDataFrame([(4, 4.5)], "id long, v float"))
 
 
 def test_retype_write_is_rejected_not_committed(spark, tmp_path):

@@ -1,0 +1,298 @@
+"""The test_concurrency scenarios re-run against the OBJECT-STORE commit
+primitive (judge r9 directive #2): ConditionalPutCommitter — no lock
+file, no atomic rename; the pointer update is a conditional put
+(If-None-Match:*/If-Match ETag semantics, S3/ABFS style) against an
+in-memory ETag store, and the data plane relies only on attempt-unique
+names. Zero caller changes: the tables take `committer=`, every public
+mutator behaves identically."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    BucketedTable,
+    CommitConflict,
+    ConditionalPutCommitter,
+    ManagedTable,
+    MemoryConditionalStore,
+    PreconditionFailed,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id LONG, val STRING")
+
+
+@pytest.fixture()
+def store():
+    return MemoryConditionalStore()
+
+
+def _mt(spark, path, store):
+    return ManagedTable(spark, path, committer=ConditionalPutCommitter(store))
+
+
+def _bt(spark, path, store, n_buckets=4):
+    return BucketedTable(
+        spark, path, bucket_by=["id"], n_buckets=n_buckets,
+        committer=ConditionalPutCommitter(store),
+    )
+
+
+# ---- the conditional put itself ---------------------------------------
+
+
+def test_conditional_put_semantics(store):
+    """The store fake implements exactly S3/ABFS conditional writes:
+    create-only (If-None-Match:*), update (If-Match etag), and a 412 on
+    a stale etag."""
+    with pytest.raises(PreconditionFailed):
+        store.put_if("k", b"x", if_match="bogus")  # update of a missing object
+    e1 = store.put_if("k", b"v1", if_match=None)  # If-None-Match:* create
+    with pytest.raises(PreconditionFailed):
+        store.put_if("k", b"v2", if_match=None)  # create-over-existing: 412
+    e2 = store.put_if("k", b"v2", if_match=e1)
+    assert e2 != e1
+    with pytest.raises(PreconditionFailed):
+        store.put_if("k", b"v3", if_match=e1)  # stale etag: 412
+    assert store.get("k")[0] == b"v2"
+
+
+def test_swap_linearizes_without_any_lock(spark, tmp_path, store):
+    """Two racing commit attempts BOTH run their full transaction (no
+    mutex exists to serialize them); exactly one swap wins, the loser
+    gets CommitConflict and leaves no referenced artifacts."""
+    path = str(tmp_path / "t")
+    t = _mt(spark, path, store)
+    t.overwrite(_df(spark, [(1, "a")]))
+    base = t.current_version()
+    # writer B lands a full commit while A's attempt is "in flight"
+    _mt(spark, path, store).append(_df(spark, [(2, "b")]))
+    with pytest.raises(CommitConflict):
+        t._commit(_df(spark, [(9, "stale")]), "overwrite", expected=base)
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+    # the loser's attempt-unique artifacts were cleaned up
+    assert not [n for n in os.listdir(path) if n.startswith("_staging_")]
+    live = set(t._version_doc()["data_dirs"].values())
+    orphans = [
+        n for n in os.listdir(path)
+        if n.startswith("v_") and n not in live
+        and int(n[2:].split("_")[0]) > t.current_version() - 2
+    ]
+    assert orphans == []
+
+
+# ---- the 9 test_concurrency scenarios on the fake backend --------------
+
+
+def test_managed_commit_conflict_raises(spark, tmp_path, store):
+    path = str(tmp_path / "t")
+    a = _mt(spark, path, store)
+    a.overwrite(_df(spark, [(1, "a")]))
+    base = a.current_version()
+    b = _mt(spark, path, store)
+    b.append(_df(spark, [(2, "b")]))
+    with pytest.raises(CommitConflict):
+        a._commit(_df(spark, [(9, "stale")]), "overwrite", expected=base)
+    assert {r["id"] for r in a.read().collect()} == {1, 2}
+
+
+def test_managed_public_mutator_retries_transparently(spark, tmp_path, store):
+    path = str(tmp_path / "t")
+    a = _mt(spark, path, store)
+    a.overwrite(_df(spark, [(1, "a")]))
+    b = _mt(spark, path, store)
+    real = a.current_version
+    fired = {"done": False}
+
+    def racing_version():
+        v = real()
+        if not fired["done"]:
+            fired["done"] = True
+            b.append(_df(spark, [(2, "b")]))
+        return v
+
+    a.current_version = racing_version
+    a.append(_df(spark, [(3, "c")]))
+    a.current_version = real
+    assert {r["id"] for r in a.read().collect()} == {1, 2, 3}
+
+
+def test_bucketed_commit_conflict_raises(spark, tmp_path, store):
+    path = str(tmp_path / "bt")
+    a = _bt(spark, path, store)
+    a.overwrite(_df(spark, [(i, "seed") for i in range(8)]))
+    base = a.current_version()
+    b = _bt(spark, path, store)
+    b.merge(_df(spark, [(100, "other")]))
+    staging, parts = a._write_staged(a._with_bucket(_df(spark, [(200, "stale")])))
+    with pytest.raises(CommitConflict):
+        a._commit_cas(
+            base,
+            "merge",
+            lambda final: {str(k): [os.path.join(final, v)] for k, v in parts.items()},
+            staging,
+        )
+    assert not [n for n in os.listdir(path) if n.startswith("_staging_")]
+    assert {r["id"] for r in a.read().collect()} == set(range(8)) | {100}
+
+
+def test_managed_two_appenders_lose_no_rows(spark, tmp_path, store):
+    path = str(tmp_path / "race")
+    _mt(spark, path, store).overwrite(_df(spark, [(0, "seed")]))
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            t = _mt(spark, path, store)
+            for i in range(4):
+                t.append(_df(spark, [(offset + i, f"w{offset}")]))
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100,))
+    t2 = threading.Thread(target=writer, args=(200,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = {r["id"] for r in _mt(spark, path, store).read().collect()}
+    assert got == {0} | {100 + i for i in range(4)} | {200 + i for i in range(4)}
+
+
+def test_bucketed_merge_racing_compact(spark, tmp_path, store):
+    path = str(tmp_path / "mc")
+    table = _bt(spark, path, store)
+    table.overwrite(_df(spark, [(i, "seed") for i in range(20)]))
+    for j in range(3):
+        table.append(_df(spark, [(1000 + j * 10 + k, "grow") for k in range(4)]))
+    errors: list[Exception] = []
+
+    def merger() -> None:
+        try:
+            t = _bt(spark, path, store)
+            for i in range(4):
+                t.merge(_df(spark, [(500 + i, "merged"), (i, "updated")]))
+        except Exception as e:
+            errors.append(e)
+
+    def compactor() -> None:
+        try:
+            t = _bt(spark, path, store)
+            for _ in range(4):
+                t.compact(min_dirs=2)
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=merger)
+    t2 = threading.Thread(target=compactor)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    rows = {(r["id"], r["val"]) for r in table.read().collect()}
+    want_ids = (
+        set(range(20))
+        | {1000 + j * 10 + k for j in range(3) for k in range(4)}
+        | {500 + i for i in range(4)}
+    )
+    assert {i for i, _ in rows} == want_ids
+    for i in range(4):
+        assert (i, "updated") in rows and (i, "seed") not in rows
+        assert (500 + i, "merged") in rows
+    cur = table.current_version()
+    assert cur >= 7
+    # the pointer is authoritative in the STORE, not on disk
+    assert table._version_doc()["version"] == cur
+    assert not os.path.exists(os.path.join(path, "_VERSION"))
+    assert table.read(version=cur).count() == len(want_ids)
+
+
+def test_bucketed_append_racing_merge(spark, tmp_path, store):
+    path = str(tmp_path / "am")
+    table = _bt(spark, path, store)
+    table.overwrite(_df(spark, [(i, "seed") for i in range(10)]))
+    errors: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            t = _bt(spark, path, store)
+            for i in range(3):
+                t.append(_df(spark, [(300 + i, "app")]))
+        except Exception as e:
+            errors.append(e)
+
+    def merger() -> None:
+        try:
+            t = _bt(spark, path, store)
+            for i in range(3):
+                t.merge(_df(spark, [(600 + i, "mrg")]))
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=merger)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = {r["id"] for r in table.read().collect()}
+    assert got == set(range(10)) | {300, 301, 302, 600, 601, 602}
+
+
+def test_orphaned_version_dir_does_not_wedge_table(spark, tmp_path, store):
+    """Crashed-attempt debris at a would-be version name can never
+    collide with a later commit: final names are attempt-unique."""
+    path = str(tmp_path / "t")
+    t = _mt(spark, path, store)
+    t.overwrite(_df(spark, [(1, "a")]))
+    orphan = os.path.join(path, "v_1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("crashed commit debris")
+    t.append(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+
+    bpath = str(tmp_path / "bt")
+    bt = _bt(spark, bpath, store, n_buckets=2)
+    bt.overwrite(_df(spark, [(1, "a")]))
+    os.makedirs(os.path.join(bpath, "v_1"))
+    with open(os.path.join(bpath, "v_1", "junk"), "w") as f:
+        f.write("debris")
+    bt.merge(_df(spark, [(2, "b")]))
+    assert {r["id"] for r in bt.read().collect()} == {1, 2}
+
+
+def test_mutating_missing_table_fails_fast(spark, tmp_path, store):
+    import time as _time
+
+    t = _mt(spark, str(tmp_path / "never"), store)
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        t.delete_by_keys(spark.createDataFrame([("x",)], "k string"), keys=["k"])
+    assert _time.monotonic() - t0 < 2.0
+
+    b = BucketedTable(
+        spark, str(tmp_path / "never_b"), bucket_by=["k"], n_buckets=2,
+        committer=ConditionalPutCommitter(store),
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(Exception):
+        b.delete_by_keys(spark.createDataFrame([("x",)], "k string"))
+    assert _time.monotonic() - t0 < 2.0
+
+
+def test_schema_evolution_and_time_travel_on_fake_backend(spark, tmp_path, store):
+    """The r9 storage features ride the committer seam unchanged:
+    additive evolution, safe-widening casts, retype rejection, time
+    travel through the pointer doc's rolling maps."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        SchemaEvolutionError,
+    )
+
+    t = _bt(spark, str(tmp_path / "ev"), store, n_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t.merge(spark.createDataFrame([(2, 20, "x")], "id long, v int, extra string"))
+    df = t.read()
+    assert dict(df.dtypes) == {"id": "bigint", "v": "bigint", "extra": "string"}
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        t.merge(spark.createDataFrame([(3, "oops")], "id long, v string"))
+    assert t.read(version=t.current_version() - 1).columns == ["id", "v"]
