@@ -290,6 +290,7 @@ class Bm25Index:
                     "total_tokens": int(row["total_tokens"] or 0),
                     "n_buckets": n_buckets,
                     "id_col": id_col,
+                    "text_col": text_col,
                     "fingerprint": data_fingerprint(docs),
                 },
                 f,
