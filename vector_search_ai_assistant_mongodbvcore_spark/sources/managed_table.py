@@ -823,7 +823,13 @@ class ManagedTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
-    def _commit(self, df: DataFrame, mode_note: str, expected: "int | None" = None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        mode_note: str,
+        expected: "int | None" = None,
+        txn_note: "str | None" = None,
+    ) -> int:
         """Write df as the next version. `expected` enables optimistic
         concurrency: the commit succeeds only if the pointer still reads
         `expected` at swap time (CommitConflict otherwise — the caller
@@ -872,12 +878,19 @@ class ManagedTable:
                 stats_path = os.path.join(self.path, stats_name)
                 with open(stats_path, "w") as f:
                     json.dump(stats, f)
+                # rolling txn stamps: which multi-table transaction each
+                # version belongs to (TransactionalWriter.consistent_read
+                # walks these to pin a torn-free snapshot pair)
+                txns = _trim_version_map(cur_doc.get("txns", {}), new_v)
+                if txn_note is not None:
+                    txns[str(new_v)] = txn_note
                 txn.swap(
                     {
                         "version": new_v,
                         "ts": time.time(),
                         "op": mode_note,
                         "bloom_cols": bloom_cols,
+                        "txns": txns,
                         "data_dirs": {
                             **_trim_version_map(cur_doc.get("data_dirs", {}), new_v),
                             str(new_v): final_name,
@@ -1011,20 +1024,24 @@ class ManagedTable:
 
         return _retry_conflicts(attempt, table=self)
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str], txn_note: "str | None" = None
+    ) -> int:
         """S4: keyed upsert — MERGE INTO ... WHEN MATCHED UPDATE ALL WHEN NOT
         MATCHED INSERT ALL, with equality on `keys` (the reference uses the
-        compound (categoryId, _id) key, MongoDbService.cs:254-258)."""
+        compound (categoryId, _id) key, MongoDbService.cs:254-258).
+        `txn_note` stamps the committed version's entry in the pointer
+        doc's rolling txns map (TransactionalWriter.consistent_read)."""
 
         def attempt() -> int:
             base = self.current_version()
             if base < 0:
-                return self._commit(source, "merge-init", expected=base)
+                return self._commit(source, "merge-init", expected=base, txn_note=txn_note)
             target = self.read(version=base)
             # rows in target not matched by source + all source rows
             remaining = target.join(source.select(*keys), on=keys, how="left_anti")
             merged = remaining.unionByName(source, allowMissingColumns=True)
-            return self._commit(merged, "merge", expected=base)
+            return self._commit(merged, "merge", expected=base, txn_note=txn_note)
 
         return _retry_conflicts(attempt, table=self)
 
@@ -1756,7 +1773,18 @@ class TransactionalWriter:
     sessions, then loads messages) never observe a session whose messages are
     missing. A crash between the two commits leaves orphan messages invisible
     to session-driven readers; they are idempotently overwritten on retry
-    because all writes are keyed MERGEs."""
+    because all writes are keyed MERGEs.
+
+    A reader JOINING both tables mid-commit can still see a torn turn
+    (the turn's messages committed, the session rollup not yet) —
+    `consistent_read` closes that window: both commits also stamp their
+    txn id into the table's pointer-doc txns map, and the reader pins
+    the SESSIONS snapshot first, then walks the MESSAGES version history
+    back to the version stamped with the same txn — both snapshots then
+    reflect the identical turn prefix. Scope: a single writer stream per
+    table pair (the reference's chat lifecycle); concurrent UNRELATED
+    readers are always safe, concurrent writers serialize through the
+    tables' optimistic CAS."""
 
     def __init__(self, sessions: ManagedTable, messages: ManagedTable):
         self.sessions = sessions
@@ -1775,5 +1803,57 @@ class TransactionalWriter:
         txn = txn_id or str(uuid.uuid4())
         message_rows = message_rows.withColumn("txn_id", F.lit(txn))
         session_row = session_row.withColumn("txn_id", F.lit(txn))
-        self.messages.merge(message_rows, message_keys or ["id"])
-        self.sessions.merge(session_row, session_keys or ["session_id"])
+        self.messages.merge(message_rows, message_keys or ["id"], txn_note=txn)
+        self.sessions.merge(session_row, session_keys or ["session_id"], txn_note=txn)
+
+    def consistent_read(
+        self, max_attempts: int = 40, backoff: float = 0.05
+    ) -> "tuple[DataFrame, DataFrame]":
+        """(sessions_df, messages_df) pinned to versions reflecting the
+        SAME committed turn prefix — a join between them never observes
+        a torn turn (messages without their session rollup or vice
+        versa).
+
+        Protocol: pin the sessions snapshot (version s, stamped with
+        txn T = the last fully committed turn), then find the messages
+        version stamped with the same T. Because messages commit FIRST,
+        that version exists whenever T exists, and any later messages
+        versions belong to turns the pinned sessions snapshot does not
+        reflect yet. Retries (fresh pins) when the stamp walk misses —
+        the table moved past the rolling-map/vacuum window mid-read —
+        and raises after max_attempts under sustained write pressure."""
+        for _ in range(max_attempts):
+            s_doc = self.sessions._version_doc()
+            s_v = s_doc["version"]
+            if s_v < 0:
+                # no turn fully committed yet: the consistent prefix is
+                # empty (any messages on disk are a mid-first-turn
+                # orphan a consistent reader must not see)
+                raise FileNotFoundError(
+                    f"no committed turn yet ({self.sessions.path} has no "
+                    "version) — the consistent snapshot is empty"
+                )
+            s_txn = s_doc.get("txns", {}).get(str(s_v))
+            m_doc = self.messages._version_doc()
+            m_txns = m_doc.get("txns", {})
+            if s_txn is None:
+                # pre-stamping history (or non-transactional writes):
+                # fall back to current/current — the legacy behavior
+                return self.sessions.read(version=s_v), self.messages.read()
+            for v in range(m_doc["version"], -1, -1):
+                if m_txns.get(str(v)) == s_txn:
+                    try:
+                        return (
+                            self.sessions.read(version=s_v),
+                            self.messages.read(version=v),
+                        )
+                    except FileNotFoundError:
+                        break  # vacuumed mid-read: re-pin
+                if str(v) not in m_txns:
+                    break  # walked past the rolling map: re-pin
+            time.sleep(backoff)
+        raise TimeoutError(
+            "consistent_read could not pin a matching snapshot pair in "
+            f"{max_attempts} attempts (sustained write pressure or a "
+            "vacuum window narrower than the writer's turn rate)"
+        )
