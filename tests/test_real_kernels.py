@@ -88,3 +88,46 @@ def test_pil_resize_kernel_through_multimodal_plumbing(spark):
         assert r["resize_ok"]
         img = PIL_Image.open(io.BytesIO(bytes(r["payload"])))
         assert img.size == (4, 4)
+
+
+def test_pyav_video_kernel_through_sample_frames(spark):
+    """[video] extra: encode a tiny mp4 in memory with PyAV, then drive
+    the REAL frame-decode kernel through the engine's sample_frames
+    plumbing — uniform sampling, PNG frame payloads, ts spread over
+    duration_ms. Skips cleanly when av/Pillow are absent."""
+    av = pytest.importorskip("av")
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        pyav_frame_sampler,
+        sample_frames,
+    )
+
+    def tiny_mp4(n_frames: int = 12, w: int = 32, h: int = 16) -> bytes:
+        buf = io.BytesIO()
+        with av.open(buf, mode="w", format="mp4") as out:
+            stream = out.add_stream("mpeg4", rate=6)
+            stream.width, stream.height, stream.pix_fmt = w, h, "yuv420p"
+            for i in range(n_frames):
+                arr = np.full((h, w, 3), i * 20 % 255, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for packet in stream.encode(frame):
+                    out.mux(packet)
+            for packet in stream.encode():
+                out.mux(packet)
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [("v1", "video", "video/mp4", 32, 16, 2000, tiny_mp4())], MEDIA_SCHEMA
+    )
+    rows = sample_frames(media, n_frames=4, sampler=pyav_frame_sampler()).collect()
+    assert len(rows) == 4
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500]
+    for r in rows:
+        img = PIL_Image.open(io.BytesIO(bytes(r["payload"])))
+        assert img.size == (32, 16)

@@ -744,7 +744,11 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
 
-    d = t["documents"]
+    # the documents table reads as ONE partition at bench scale (a single
+    # small parquet file) while this query is pure compute per row — fan
+    # the projection out across the cores first (one tiny shuffle of the
+    # raw rows, then every expression evaluates in parallel)
+    d = t["documents"].repartition(spark.sparkContext.defaultParallelism)
     lined = F.regexp_replace(F.col("text"), r"\s+", "\n")
     lines = F.split(lined, "\n")
     # n_lines_removed is derived ARITHMETICALLY, not by re-running the

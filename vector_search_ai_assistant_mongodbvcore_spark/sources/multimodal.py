@@ -188,6 +188,42 @@ def resize_media(
     return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
 
 
+def pyav_frame_sampler() -> Callable[[bytes, int], "list[bytes]"]:
+    """REAL video frame-decode kernel (the `[video]` pip extra: PyAV +
+    Pillow): decode the payload's first video stream, pick n frames
+    uniformly across the decoded sequence, and return each as PNG bytes
+    — a self-describing frame payload downstream decoders (the image
+    kernels above) consume directly.
+
+    Import-gated factory, same discipline as the PIL/hnswlib/tiktoken
+    kernels: calling this without the extra raises ImportError at
+    FACTORY time (driver-side, before any Spark job), never inside an
+    executor task; the deterministic fake_frame_sampler below stays the
+    default for tests and codec-less containers."""
+    import io
+
+    import av
+    from PIL import Image  # noqa: F401 — frame.to_image() needs Pillow
+
+    def sampler(payload: bytes, n: int) -> "list[bytes]":
+        if not payload or n <= 0:
+            return []
+        with av.open(io.BytesIO(payload)) as container:
+            frames = list(container.decode(video=0))
+        if not frames:
+            return []
+        n = min(n, len(frames))
+        idxs = [int(i * len(frames) / n) for i in range(n)]
+        out: "list[bytes]" = []
+        for i in idxs:
+            buf = io.BytesIO()
+            frames[i].to_image().save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
+
+    return sampler
+
+
 def fake_frame_sampler(payload: bytes, n_frames: int) -> "list[bytes]":
     """Deterministic stand-in: n_frames equal byte slices (a real kernel is
     ffmpeg keyframe extraction)."""
