@@ -190,6 +190,26 @@ def test_neardup_components_matches_union_find(spark):
     assert got == _py_components(edges)
 
 
+def test_neardup_components_disk_checkpoint_matches(spark, tmp_path):
+    """checkpoint_dir= (the 100 TB mode: parquet round-trip instead of
+    memory-pinned localCheckpoint — the r10 scale probe OOM'd the heap
+    pinning a 3x10^8-edge graph) yields IDENTICAL components, including
+    the multi-round chain that exercises the ping-pong label files."""
+    edges = (
+        [(i, i + 1) for i in range(1, 8)]
+        + [(a, b) for a in (20, 21, 22) for b in (21, 22, 23) if a < b]
+        + [(40, 41)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.comp
+        for r in DD.neardup_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert got == _py_components(edges)
+
+
 def test_neardup_components_raises_on_max_iter(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 30)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):

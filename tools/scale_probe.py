@@ -115,8 +115,12 @@ def main() -> None:
         # iterative min-propagation (replication makes every doc a
         # 64-member clique at 64x — the dense-component worst case; the
         # loop converges in O(log diameter) rounds) -> the anti-join
+        # disk-backed CC checkpointing: at high factors the symmetric
+        # edge list is ~N^2/2 rows per family — memory-pinned
+        # localCheckpoint OOMs where the parquet round-trip streams
         "component_dedup": lambda d: DD.drop_component_duplicates(
-            d, DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5)
+            d, DD.minhash_lsh_pairs(d, "text", "doc_id", 16, 4, 5),
+            checkpoint_dir=os.path.join(WORK, "cc_ckpt"),
         ).write.format("noop").mode("overwrite").save(),
         "ngram_jaccard": lambda d: DD.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5, df_cut=20)
         .write.format("noop").mode("overwrite").save(),

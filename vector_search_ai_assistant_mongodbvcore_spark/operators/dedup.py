@@ -111,6 +111,7 @@ def drop_near_duplicates(
 def neardup_components(
     pairs: DataFrame,
     max_iter: int = 25,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph, pure DataFrame ops:
     (node, component) where component = min id reachable from the node.
@@ -131,32 +132,60 @@ def neardup_components(
     would otherwise grow exponentially — the standard Spark iteration
     idiom; superseded rounds' cached blocks are dropped by the
     ContextCleaner once unreferenced. The convergence check costs one
-    LIMIT-1 count per round (an existence probe, not a label collect)."""
-    edges = (
+    LIMIT-1 count per round (an existence probe, not a label collect).
+
+    `checkpoint_dir`: DISK-BACKED lineage truncation for pair graphs too
+    big to pin in executor memory — localCheckpoint caches DESERIALIZED
+    blocks that cannot be evicted, and a worst-case graph (the r10 scale
+    probe's 256x replication makes every doc a 256-clique: ~3x10^8
+    symmetric edges) OOMs the heap where a parquet round-trip streams.
+    Rounds ping-pong between two label files (dependency depth is one
+    round), so disk use is bounded at edges + 2 label sets; the caller
+    owns the dir's lifecycle (the returned frame lazily reads the final
+    round's file). At 100 TB this is the mode to run — cache pinning of
+    an edge-scaled intermediate is a scale liability, not an
+    optimization."""
+    if checkpoint_dir is not None:
+        import os as _os
+
+        spark = pairs.sparkSession
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+
+        def _ckpt(df: DataFrame, name: str) -> DataFrame:
+            p = _os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+    else:
+
+        def _ckpt(df: DataFrame, name: str) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "edges",
     )
     # initial label: min(self, direct neighbors)
-    labels = (
+    labels = _ckpt(
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
-        .select(F.col("src").alias("node"), "comp")
-        .localCheckpoint()
+        .select(F.col("src").alias("node"), "comp"),
+        "labels_0",
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # propagate: a node adopts the smallest label among its own and
         # every neighbor's current label
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .select(edges["src"].alias("node"), F.col("comp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            # ping-pong: round i writes the slot round i-1 no longer reads
+            f"labels_{(i + 1) % 2}",
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
@@ -179,6 +208,7 @@ def drop_component_duplicates(
     id_col: str = "doc_id",
     max_iter: int = 25,
     quality_col: str | None = None,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Cluster-exact APPLY step: keep exactly ONE representative per
     connected component of the near-dup graph, plus every doc that
@@ -192,7 +222,7 @@ def drop_component_duplicates(
     sized join of the component map against df's (id, quality) columns
     and a per-component max-struct aggregate, both bounded by the pair
     graph (tiny next to the corpus)."""
-    comps = neardup_components(pairs, max_iter=max_iter)
+    comps = neardup_components(pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     if quality_col is None:
         losers = comps.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias(id_col)

@@ -99,6 +99,7 @@ def prepare_training_corpus(
     neardup_bands: int = 4,
     neardup_shingle_size: int = 5,
     neardup_keep: str = "component",
+    neardup_checkpoint_dir: "str | None" = None,
     dedupe_doc_lines: bool = False,
 ) -> DataFrame:
     """(id, split, chunk_id, n_tokens, chunk_text) ready for tokenization.
@@ -152,10 +153,14 @@ def prepare_training_corpus(
         elif neardup_keep == "best_quality":
             scored = deduped.withColumn("_ndq", TX.quality_score(F.col(text_col)))
             deduped = drop_component_duplicates(
-                scored, nd_pairs, id_col=id_col, quality_col="_ndq"
+                scored, nd_pairs, id_col=id_col, quality_col="_ndq",
+                checkpoint_dir=neardup_checkpoint_dir,
             ).drop("_ndq")
         elif neardup_keep == "component":
-            deduped = drop_component_duplicates(deduped, nd_pairs, id_col=id_col)
+            deduped = drop_component_duplicates(
+                deduped, nd_pairs, id_col=id_col,
+                checkpoint_dir=neardup_checkpoint_dir,
+            )
         else:
             raise ValueError(
                 f"neardup_keep must be 'component', 'greedy' or 'best_quality', got {neardup_keep!r}"

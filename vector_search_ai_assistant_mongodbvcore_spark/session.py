@@ -52,6 +52,14 @@ def get_spark(app_name: str = "vsai-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(32, cpus)))
+        # start shuffles FINE-GRAINED and let AQE coalesce down: with a
+        # flat 32-partition start, a 256x-replicated pair graph packs
+        # ~10M rows into each cache block and 32 concurrent unrolls OOM
+        # the local heap (observed in the r10 scale probe); 16x more
+        # initial partitions bound per-block memory while AQE merges the
+        # small ones back, so ordinary queries keep their plan shape
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(512, 16 * cpus)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
