@@ -88,6 +88,22 @@ def _tables(spark: SparkSession, sf_dir: str):
     return load_tables(spark, sf_dir)
 
 
+def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with its scan fanned out across the cores.
+
+    At bench scale the table is ONE small parquet file (one scan
+    partition), so every expression fused with the scan — MinHash
+    signatures, shingle explosion, n-gram stats — runs single-threaded
+    until the first shuffle (measured 1.7x on minhash_band_pairs). At
+    100 TB the scan arrives in thousands of partitions and the
+    repartition is a same-size shuffle of rows the first groupBy would
+    shuffle anyway. Only queries whose results are ROW-ORDER-INDEPENDENT
+    use this (no sampling, no positional ids)."""
+    return _tables(spark, sf_dir)["documents"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _cache_dir(sf_dir: str, name: str) -> str:
     """Engine-local materialization dir (indexes), keyed by data dir —
     stands in for the cluster's index tablespace."""
@@ -836,8 +852,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TX.gopher_quality_flags) as a violation count, each rule reproduced
     in the DuckDB twin (bullet char written literally: RE2 lacks Java's
     \\uXXXX escapes)."""
-    t = _tables(spark, sf_dir)
-    return TX.text_profile(t["documents"], keep=("doc_id",), gopher=True).select(
+    return TX.text_profile(_fanned_docs(spark, sf_dir), keep=("doc_id",), gopher=True).select(
         "doc_id", "word_count", "char_count", "avg_word_len", "punct_ratio",
         "stopword_ratio", "quality", F.col("gopher_violations").cast("int").alias("gopher_violations"),
     )
@@ -917,8 +932,9 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting via polynomial rolling hash (Rabin-Karp) —
     pure JVM aggregate() over the char array, no UDF; the DuckDB twin folds
     the identical recurrence."""
-    t = _tables(spark, sf_dir)
-    return t["documents"].select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
+    return _fanned_docs(spark, sf_dir).select(
+        "doc_id", TX.rolling_fingerprint("text").alias("fp")
+    )
 
 
 # The simhash DuckDB twin, kept for the retired-query parity test (it was
@@ -1004,9 +1020,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows)."""
-    t = _tables(spark, sf_dir)
     return DD.minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=16, bands=4, shingle_size=5
+        _fanned_docs(spark, sf_dir), "text", "doc_id", num_hashes=16, bands=4, shingle_size=5
     )
 
 
@@ -1052,9 +1067,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would pay a full write per invocation it could never amortize. Repeated
     dedup pipelines over the same corpus should pass `checkpoint_dir` to
     reuse the index across runs (nothing is persist()ed either way)."""
-    t = _tables(spark, sf_dir)
     out = DD.ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
+        _fanned_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5, df_cut=_NGRAM_DF_CUT,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1287,8 +1301,7 @@ def remove_duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list beyond the per-ngram 2-field min struct. The DuckDB twin
     reproduces the positional shingles, the lexicographic (doc, pos)
     argmin via a two-step min, and the covered-position word filter."""
-    t = _tables(spark, sf_dir)
-    return DD.remove_duplicated_spans(t["documents"], "text", "doc_id", n=_SPAN_N)
+    return DD.remove_duplicated_spans(_fanned_docs(spark, sf_dir), "text", "doc_id", n=_SPAN_N)
 
 
 @register(
