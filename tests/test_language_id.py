@@ -27,7 +27,6 @@ REAL = {
     "en": [
         "the weather this morning was cold and the streets were quiet",
         "she walked to the station and waited for the early train",
-        "我们 will not use this one",  # decoy removed below
         "the children played in the garden until the sun went down",
         "he could not remember where he had left the house keys",
         "a good book and a cup of tea make the evening better",
@@ -89,7 +88,6 @@ REAL = {
         "mañana iremos a la escuela en bicicleta por el bosque",
     ],
 }
-REAL["en"] = [s for s in REAL["en"] if "我们" not in s]
 
 
 def _real_df(spark, idx):
