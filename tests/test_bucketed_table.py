@@ -231,6 +231,37 @@ def test_safe_widening_is_cast_on_write(spark, tmp_path):
         t.append(spark.createDataFrame([(4, 4.5)], "id long, v float"))
 
 
+def test_nested_struct_evolution_is_additive(spark, tmp_path):
+    """Review finding: adding a field INSIDE a struct column is additive
+    (Delta mergeSchema permits it) and must merge, not raise; old rows
+    read the new nested field as NULL. A nested primitive RETYPE still
+    raises."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        BucketedTable,
+        SchemaEvolutionError,
+    )
+
+    t = BucketedTable(spark, str(tmp_path / "ns"), bucket_by=["id"], n_buckets=2)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, ("x",))], "id long, meta struct<a: string>"
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(2, ("y", "z"))], "id long, meta struct<a: string, b: string>"
+        )
+    )
+    got = {r["id"]: (r["meta"]["a"], r["meta"]["b"]) for r in t.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", "z")}
+    with pytest.raises(SchemaEvolutionError, match="retyped"):
+        t.merge(
+            spark.createDataFrame(
+                [(3, (4,))], "id long, meta struct<a: int>"
+            )
+        )
+
+
 def test_retype_write_is_rejected_not_committed(spark, tmp_path):
     """ADVICE r9: evolution never validated retypes — a write whose frame
     retypes an existing column (int -> string) must be REJECTED at commit

@@ -76,6 +76,32 @@ def test_no_committed_turn_raises_cleanly(spark, tmp_path):
         w.consistent_read()
 
 
+def test_unstamped_commit_does_not_wedge_consistent_read(spark, tmp_path):
+    """Review finding: a messages commit OUTSIDE the transaction
+    protocol (no txn stamp — e.g. a maintenance append) used to end the
+    stamp walk and wedge every consistent_read into TimeoutError on a
+    quiescent pair. The walk now skips unstamped versions: the
+    consistent pair is the last fully committed turn, with the
+    out-of-protocol rows becoming visible at the next stamped turn."""
+    w = _writer(spark, tmp_path)
+    _turn(spark, w, "s1", 1)
+    # out-of-protocol maintenance append (no txn stamp)
+    w.messages.merge(
+        spark.createDataFrame(
+            [("maint-0", "s9", "migrated row")],
+            "id string, session_id string, text string",
+        ),
+        ["id"],
+    )
+    sessions, messages = w.consistent_read()  # must not raise
+    assert sessions.first()["n_msgs"] == 2
+    assert messages.filter("session_id = 's1'").count() == 2
+    # visible after the next stamped turn
+    _turn(spark, w, "s1", 2)
+    _, messages2 = w.consistent_read()
+    assert messages2.filter("session_id = 's9'").count() == 1
+
+
 def test_interleaved_reader_never_sees_torn_turn(spark, tmp_path):
     """The directive's done-bar: a reader joining both tables while a
     writer streams turns NEVER observes n_msgs != count(messages) for

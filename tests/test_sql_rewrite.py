@@ -337,6 +337,54 @@ def test_hybrid_raw_sql_matches_hybrid_search_indexed(hsql, spark, tmp_path):
     assert got == want
 
 
+def test_bm25_terms_may_contain_sql_keywords(hsql, spark, tmp_path):
+    """The structural guards scan a quote-blanked copy: search terms
+    containing 'from'/'where'/'join'/commas/parens are content, not
+    clauses, and must not make the advertised shape decline (review
+    finding: 'results from the merge' tripped the two-FROM guard and
+    hard-failed on the raise_error body)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+        tokenize_query,
+    )
+
+    terms = "results from the merge, where (join) groups by batch"
+    sql = (
+        f"SELECT doc_id, round(bm25_score(text, '{terms}'), 4) AS s "
+        "FROM documents ORDER BY s DESC, doc_id LIMIT 5"
+    )
+    df = hsql.sql(sql)
+    assert "PartitionFilters" in plan_report(df).raw
+    want = [
+        (r["doc_id"], r["bm25"])
+        for r in Bm25Index(spark, str(tmp_path / "bm25"))
+        .search(tokenize_query(terms), k=5, round_scores=4)
+        .collect()
+    ]
+    assert [(r["doc_id"], r["s"]) for r in df.collect()] == want
+
+
+def test_bm25_foreign_tiebreak_declines(hsql):
+    """A tiebreak identifier other than the id column must NOT be
+    silently served as (score desc, id asc) — the rewrite declines and
+    the raise_error guidance surfaces at execution."""
+    sql = (
+        f"SELECT doc_id, bm25_score(text, '{_HQ}') AS s FROM documents "
+        "ORDER BY s DESC, n_chars ASC LIMIT 5"
+    )
+    with pytest.raises(Exception, match="Bm25Index"):
+        hsql.sql(sql).collect()
+
+
+def test_bm25_case_insensitive_identifiers(hsql):
+    """SQL identifiers are case-insensitive; the rewrite must be too."""
+    sql = (
+        f"SELECT DOC_ID, bm25_score(TEXT, '{_HQ}') AS S "
+        "FROM Documents ORDER BY s DESC, Doc_Id LIMIT 5"
+    )
+    assert hsql.sql(sql).count() == 5
+
+
 def test_cte_with_no_rewritable_body_passes_through(hsql, spark):
     sql = (
         "WITH top AS (SELECT doc_id, n_chars FROM documents "

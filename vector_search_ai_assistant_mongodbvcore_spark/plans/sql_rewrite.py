@@ -292,10 +292,42 @@ class VectorSqlSession:
     )
     _BM25_ORDER_RE = re.compile(
         r"ORDER\s+BY\s+(?P<target>[A-Za-z_][\w]*)\s+DESC"
-        r"(?:\s*,\s*[A-Za-z_][\w]*(?:\s+ASC)?)?"
+        r"(?:\s*,\s*(?P<tiebreak>[A-Za-z_][\w]*)(?:\s+ASC)?)?"
         r"\s+LIMIT\s+(?P<k>\d+)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    @staticmethod
+    def _blank_quoted(query: str) -> str:
+        """The query with every single-quoted span replaced by exactly as
+        many spaces ('' escapes included): the STRUCTURAL guards (FROM
+        counting, keyword scans, ORDER BY matching) must never read the
+        user's search terms — `bm25_score(text, 'results from the
+        merge')` is one FROM, not two, and terms like 'where' or 'join'
+        are content, not clauses. Offsets are preserved so regex spans
+        computed against the blanked text index into the original."""
+        out = []
+        i, n = 0, len(query)
+        while i < n:
+            ch = query[i]
+            if ch != "'":
+                out.append(ch)
+                i += 1
+                continue
+            out.append("'")
+            i += 1
+            while i < n:
+                if query[i] == "'":
+                    if i + 1 < n and query[i + 1] == "'":
+                        out.append("  ")
+                        i += 2
+                        continue
+                    out.append("'")
+                    i += 1
+                    break
+                out.append(" ")
+                i += 1
+        return "".join(out)
 
     def _rewrite_bm25(self, query: str) -> "DataFrame | None":
         """The whole-query rewrite for the keyword top-k shape: returns
@@ -303,35 +335,50 @@ class VectorSqlSession:
         user's SELECT list) when the rule fires, else None. Same
         conservatism as the cosine rule: one FROM, no derived table, no
         aggregation/window, the ORDER BY alias resolving to the one
-        bm25_score projection, the id column matching the index's."""
-        om = self._BM25_ORDER_RE.search(query)
-        fm = _FROM_RE.search(query)
+        bm25_score projection, the id column matching the index's. All
+        structural guards scan a QUOTE-BLANKED copy of the text so the
+        search-terms string can contain any words at all."""
+        blanked = self._blank_quoted(query)
+        om = self._BM25_ORDER_RE.search(blanked)
+        fm = _FROM_RE.search(blanked)
         if not om or not fm:
             return None
-        if len(_FROM_RE.findall(query)) != 1:
+        if len(_FROM_RE.findall(blanked)) != 1:
             return None
-        if re.search(r"\bFROM\s*\(", query, re.IGNORECASE):
+        if re.search(r"\bFROM\s*\(", blanked, re.IGNORECASE):
             return None
         if re.search(
             r"\bGROUP\s+BY\b|\bHAVING\b|\bDISTINCT\b|\bOVER\s*\(|\bWHERE\b|\bJOIN\b",
-            query,
+            blanked,
             re.IGNORECASE,
         ):
             return None
+        # the tiebreak (when present) must be the id column the index
+        # orders ties by — accepting any identifier would silently serve
+        # (score desc, id asc) for a different requested order
+        tiebreak = om.group("tiebreak")
         index_path = self._bm25.get(fm.group("table").lower())
         if index_path is None:
             return None
-        sm = re.match(r"\s*SELECT\s+(?P<items>.*?)\s+FROM\b", query, re.IGNORECASE | re.DOTALL)
+        sm = re.match(r"\s*SELECT\s+(?P<items>.*?)\s+FROM\b", blanked, re.IGNORECASE | re.DOTALL)
         if sm is None:
             return None
-        items = [it.strip() for it in sm.group("items").split(",")]
-        # re-join items split inside the bm25_score(...) call: balance parens
+        # split the select list on the BLANKED text (commas/parens inside
+        # the terms string are blanked), then slice each item's span out
+        # of the ORIGINAL text — blanking preserves offsets exactly
+        base = sm.start("items")
+        blanked_items = sm.group("items")
         merged: list[str] = []
-        for it in items:
-            if merged and merged[-1].count("(") > merged[-1].count(")"):
-                merged[-1] = merged[-1] + ", " + it
-            else:
-                merged.append(it)
+        start = 0
+        depth = 0
+        for pos, ch in enumerate(blanked_items + ","):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                merged.append(query[base + start : base + pos].strip())
+                start = pos + 1
         if len(merged) != 2:
             return None
         id_item = [it for it in merged if re.fullmatch(r"`?[A-Za-z_][\w]*`?", it)]
@@ -350,11 +397,14 @@ class VectorSqlSession:
         if not idx.exists():
             return None
         meta = idx.meta()
+        # SQL identifiers are case-insensitive — compare them that way
         user_id = id_item[0].strip("`")
-        if user_id != meta.get("id_col"):
+        if user_id.lower() != str(meta.get("id_col", "")).lower():
             return None
+        if tiebreak is not None and tiebreak.lower() != user_id.lower():
+            return None  # the index breaks ties by id; any other order is not served
         indexed_text = meta.get("text_col")
-        if indexed_text is not None and cm.group("col") != indexed_text:
+        if indexed_text is not None and cm.group("col").lower() != indexed_text.lower():
             return None
         terms = tokenize_query(cm.group("q").replace("''", "'"))
         if not terms:

@@ -758,14 +758,9 @@ def cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     line break — the degenerate one-word-per-line case, maximal dedup
     signal); the screen probes the ORIGINAL text, as C4 screens raw
     documents before any cleaning."""
-    t = _tables(spark, sf_dir)
     from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
 
-    # the documents table reads as ONE partition at bench scale (a single
-    # small parquet file) while this query is pure compute per row — fan
-    # the projection out across the cores first (one tiny shuffle of the
-    # raw rows, then every expression evaluates in parallel)
-    d = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    d = _fanned_docs(spark, sf_dir)
     lined = F.regexp_replace(F.col("text"), r"\s+", "\n")
     lines = F.split(lined, "\n")
     # n_lines_removed is derived ARITHMETICALLY, not by re-running the
@@ -912,8 +907,12 @@ def _lang_pred_oracle() -> str:
     and class list as literals; the scoring replays char_ngrams'
     normalization, the md5 bucketing, the L1-normalized per-class fold
     and the first-max argmax exactly. The driver's correctness gate runs
-    at sf0.01, which is the corpus this fit binds to."""
-    m = _lang_pred_model("/root/testdata/sf0.01/documents.parquet")
+    at sf0.01, which is the corpus this fit binds to (CHECK_SF_DIR
+    overrides for a local gate pointed elsewhere — the SAME env the
+    tools/check_correctness harness reads, so Spark query and oracle
+    always fit on the same corpus)."""
+    sf_dir = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+    m = _lang_pred_model(os.path.join(sf_dir, "documents.parquet"))
     n_classes = len(m["classes"])
     lo, hi = m["ngram_range"]
     grams = ",\n             ".join(
@@ -2549,12 +2548,22 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
 
 def oracle_sql() -> dict[str, str]:
     # an oracle may be a CALLABLE (lazy: language_id_pred fits its model
-    # and inlines the weights at resolution time, not at module import)
-    return {
-        name: (sql() if callable(sql) else sql)
-        for name, (_, sql) in REGISTRY.items()
-        if sql is not None
-    }
+    # and inlines the weights at resolution time, not at module import).
+    # A callable that cannot resolve (its fit corpus is absent on this
+    # machine) degrades ITS OWN row to the weaker rows-only check — it
+    # must never take the other 50 oracles down with it.
+    out: dict[str, str] = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        if callable(sql):
+            try:
+                out[name] = sql()
+            except Exception:
+                continue
+        else:
+            out[name] = sql
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -130,20 +130,104 @@ def _evolve_schema(prev_json: "str | None", new_json: "str | None") -> "str | No
         return prev_json
     prev = json.loads(prev_json)
     new = json.loads(new_json)
-    prev_types = {f["name"]: f["type"] for f in prev["fields"]}
-    for f in new["fields"]:
-        old_t = prev_types.get(f["name"])
-        if old_t is not None and old_t != f["type"]:
-            raise SchemaEvolutionError(
-                f"column {f['name']!r} retyped {old_t!r} -> {f['type']!r}; "
-                "schema evolution is additive-only (cast the frame to the "
-                "table's type before writing)"
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    names = {f["name"] for f in prev["fields"]}
+    merged_fields = []
+    for f in prev["fields"]:
+        nf = new_by_name.get(f["name"])
+        if nf is None or nf["type"] == f["type"]:
+            merged_fields.append(f)
+        elif (
+            isinstance(f["type"], str)
+            and isinstance(nf["type"], str)
+            and (nf["type"], f["type"]) in _SAFE_WIDENINGS
+        ):
+            # the frame was (or will be) cast to the committed type
+            # pre-write by _align_to_committed — keep the wider type
+            merged_fields.append(f)
+        else:
+            # NESTED additive evolution (a struct gaining a field, an
+            # array of structs widening its element) merges recursively;
+            # any genuine retype raises inside _merge_types
+            merged_fields.append(
+                {**f, "type": _merge_types(f["type"], nf["type"], f["name"])}
             )
-    names = set(prev_types)
-    prev["fields"] = prev["fields"] + [
+    prev["fields"] = merged_fields + [
         f for f in new["fields"] if f["name"] not in names
     ]
     return json.dumps(prev)
+
+
+def _merge_types(old_t, new_t, path: str):
+    """Recursive ADDITIVE merge of two Spark schema-JSON types: struct
+    fields union (old order kept, new-only appended), arrays/maps merge
+    their element types, nullability ORs; anything else — a primitive
+    retype anywhere in the nesting — raises SchemaEvolutionError. The
+    Delta mergeSchema semantics for nested columns."""
+    if old_t == new_t:
+        return old_t
+    if (
+        isinstance(old_t, dict)
+        and isinstance(new_t, dict)
+        and old_t.get("type") == new_t.get("type") == "struct"
+    ):
+        new_by = {f["name"]: f for f in new_t["fields"]}
+        old_names = {f["name"] for f in old_t["fields"]}
+        fields = []
+        for f in old_t["fields"]:
+            nf = new_by.get(f["name"])
+            if nf is None:
+                fields.append(f)
+            else:
+                fields.append(
+                    {
+                        "name": f["name"],
+                        "type": _merge_types(
+                            f["type"], nf["type"], f"{path}.{f['name']}"
+                        ),
+                        "nullable": bool(
+                            f.get("nullable", True) or nf.get("nullable", True)
+                        ),
+                        "metadata": f.get("metadata", {}),
+                    }
+                )
+        fields += [f for f in new_t["fields"] if f["name"] not in old_names]
+        return {"type": "struct", "fields": fields}
+    if (
+        isinstance(old_t, dict)
+        and isinstance(new_t, dict)
+        and old_t.get("type") == new_t.get("type") == "array"
+    ):
+        return {
+            "type": "array",
+            "elementType": _merge_types(
+                old_t["elementType"], new_t["elementType"], path + "[]"
+            ),
+            "containsNull": bool(
+                old_t.get("containsNull", True) or new_t.get("containsNull", True)
+            ),
+        }
+    if (
+        isinstance(old_t, dict)
+        and isinstance(new_t, dict)
+        and old_t.get("type") == new_t.get("type") == "map"
+    ):
+        return {
+            "type": "map",
+            "keyType": _merge_types(old_t["keyType"], new_t["keyType"], path + ".key"),
+            "valueType": _merge_types(
+                old_t["valueType"], new_t["valueType"], path + ".value"
+            ),
+            "valueContainsNull": bool(
+                old_t.get("valueContainsNull", True)
+                or new_t.get("valueContainsNull", True)
+            ),
+        }
+    raise SchemaEvolutionError(
+        f"column {path!r} retyped {old_t!r} -> {new_t!r}; "
+        "schema evolution is additive-only (cast the frame to the "
+        "table's type before writing)"
+    )
 
 
 class _CommitLock:
@@ -904,16 +988,24 @@ class ManagedTable:
                 published = stats_path = None  # committed: owned by the table
         finally:
             # a loser (or a crash after publish) leaves only attempt-unique
-            # artifacts no pointer references — remove them here
+            # artifacts no pointer references — remove them here, BUT
+            # verify against the live pointer first: an async exception
+            # landing between a successful swap and the line above would
+            # otherwise delete data the committed pointer names
             if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
-            if published is not None:
-                shutil.rmtree(published, ignore_errors=True)
-            if stats_path is not None:
-                try:
-                    os.remove(stats_path)
-                except FileNotFoundError:
-                    pass
+            if published is not None or stats_path is not None:
+                doc = self.committer.read_pointer(self.path) or {}
+                referenced = set(doc.get("data_dirs", {}).values()) | set(
+                    doc.get("stats_files", {}).values()
+                )
+                if published is not None and os.path.basename(published) not in referenced:
+                    shutil.rmtree(published, ignore_errors=True)
+                if stats_path is not None and os.path.basename(stats_path) not in referenced:
+                    try:
+                        os.remove(stats_path)
+                    except FileNotFoundError:
+                        pass
         self._vacuum(keep=2)
         _sweep_stale_staging(self.path)
         return new_v
@@ -1297,13 +1389,26 @@ class BucketedTable:
         finally:
             if staging is not None:
                 shutil.rmtree(staging, ignore_errors=True)
-            if published is not None:
-                shutil.rmtree(published, ignore_errors=True)
-            for p in cleanup_files:
-                try:
-                    os.remove(p)
-                except FileNotFoundError:
-                    pass
+            if published is not None or cleanup_files:
+                # verify against the live pointer before deleting: an
+                # async exception between a successful swap and the
+                # lines above must not rmtree committed artifacts
+                doc = self.committer.read_pointer(self.path) or {}
+                referenced = set(doc.get("manifests", {}).values()) | set(
+                    doc.get("stats_files", {}).values()
+                )
+                committed_here = str(version) in doc.get("manifests", {}) and doc[
+                    "manifests"
+                ][str(version)] in {os.path.basename(p) for p in cleanup_files}
+                if published is not None and not committed_here:
+                    shutil.rmtree(published, ignore_errors=True)
+                for p in cleanup_files:
+                    if os.path.basename(p) in referenced:
+                        continue
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         self._vacuum(keep=2)
         _sweep_stale_staging(self.path)
         return version
@@ -1485,11 +1590,11 @@ class BucketedTable:
             ):
                 df = df.withColumn(f["name"], F.col(f["name"]).cast(old_t))
             else:
-                raise SchemaEvolutionError(
-                    f"column {f['name']!r} retyped {old_t!r} -> {f['type']!r}; "
-                    "schema evolution is additive-only (cast the frame to "
-                    "the table's type before writing)"
-                )
+                # nested types: VALIDATE additively (raises on a nested
+                # retype) but never cast — a struct column missing (or
+                # adding) nested fields reads correctly under the merged
+                # schema with NULLs filling the gaps
+                _merge_types(old_t, f["type"], f["name"])
         return df
 
     # ---- writes ---------------------------------------------------------
@@ -1821,7 +1926,15 @@ class TransactionalWriter:
         versions belong to turns the pinned sessions snapshot does not
         reflect yet. Retries (fresh pins) when the stamp walk misses —
         the table moved past the rolling-map/vacuum window mid-read —
-        and raises after max_attempts under sustained write pressure."""
+        and raises after max_attempts under sustained write pressure.
+
+        Out-of-protocol commits (a maintenance delete/append on the
+        messages table without a txn stamp) are SKIPPED by the stamp
+        walk: their effects become visible to consistent readers at the
+        next stamped turn, and if such commits push the last stamped
+        version past the vacuum horizon, consistent_read raises rather
+        than serve a torn pair — run maintenance through the writer (or
+        re-stamp) on a pair that must stay continuously readable."""
         for _ in range(max_attempts):
             s_doc = self.sessions._version_doc()
             s_v = s_doc["version"]
@@ -1840,17 +1953,26 @@ class TransactionalWriter:
                 # pre-stamping history (or non-transactional writes):
                 # fall back to current/current — the legacy behavior
                 return self.sessions.read(version=s_v), self.messages.read()
-            for v in range(m_doc["version"], -1, -1):
+            # walk the retained window only (the rolling map holds
+            # _DOC_MAP_KEEP trailing versions); an UNSTAMPED version —
+            # e.g. a maintenance delete/append outside the transaction
+            # protocol — is skipped, not treated as the end of history,
+            # or one such commit would wedge every consistent_read on an
+            # otherwise quiescent pair
+            m_v = m_doc["version"]
+            hit = None
+            for v in range(m_v, max(-1, m_v - _DOC_MAP_KEEP) - 1, -1):
                 if m_txns.get(str(v)) == s_txn:
-                    try:
-                        return (
-                            self.sessions.read(version=s_v),
-                            self.messages.read(version=v),
-                        )
-                    except FileNotFoundError:
-                        break  # vacuumed mid-read: re-pin
-                if str(v) not in m_txns:
-                    break  # walked past the rolling map: re-pin
+                    hit = v
+                    break
+            if hit is not None:
+                try:
+                    return (
+                        self.sessions.read(version=s_v),
+                        self.messages.read(version=hit),
+                    )
+                except FileNotFoundError:
+                    pass  # vacuumed mid-read: re-pin
             time.sleep(backoff)
         raise TimeoutError(
             "consistent_read could not pin a matching snapshot pair in "
