@@ -28,6 +28,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _q.queries()
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return _q.oracle_sql()
+def oracle_sql(sf_dir: "str | None" = None) -> dict[str, str]:
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
+
+    `sf_dir` (optional — the driver calls with no args) pins callable
+    oracles that FIT on the corpus (language_id_pred) to the same data
+    the gate runs the Spark queries on; None = the driver's default
+    gate corpus, sf0.01."""
+    return _q.oracle_sql(sf_dir)

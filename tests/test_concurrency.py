@@ -348,3 +348,68 @@ def test_stale_staging_sweep_keys_on_deep_mtime(spark, tmp_path, monkeypatch):
     mt._sweep_stale_staging(str(root))
     assert live.exists()  # in-flight write NOT swept out from under its writer
     assert not dead.exists()  # crashed writer's debris removed
+
+
+def test_post_swap_vacuum_error_never_retries_the_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): a FileNotFoundError raised by post-commit
+    maintenance (two writers racing to vacuum the same stale file is
+    routine under the lock-free committer) lands AFTER the pointer swap
+    already succeeded. The retry loop used to classify it as a
+    vanished-file race and RE-RUN the whole attempt — committing the
+    append's rows twice. Post-swap maintenance is now exception-proof:
+    the mutation returns normally and the rows appear exactly once."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    t.overwrite(_df(spark, [(1, "a")]))
+
+    def exploding_vacuum(self, keep=2):
+        raise FileNotFoundError("simulated: concurrent vacuumer won the race")
+
+    monkeypatch.setattr(ManagedTable, "_vacuum", exploding_vacuum)
+    t.append(_df(spark, [(2, "b"), (3, "c")]))  # must not raise, must not retry
+    monkeypatch.undo()
+    rows = sorted(r["id"] for r in t.read().collect())
+    assert rows == [1, 2, 3]  # exactly once — no duplicate re-commit
+
+
+def test_post_swap_vacuum_error_never_retries_bucketed(spark, tmp_path, monkeypatch):
+    """Same guarantee on the bucketed (file-level COW) table."""
+    t = BucketedTable(spark, str(tmp_path / "bt"), bucket_by=["id"], n_buckets=4)
+    t.overwrite(_df(spark, [(1, "a")]))
+
+    def exploding_vacuum(self, keep=2):
+        raise FileNotFoundError("simulated: concurrent vacuumer won the race")
+
+    monkeypatch.setattr(BucketedTable, "_vacuum", exploding_vacuum)
+    t.append(_df(spark, [(2, "b")]))
+    monkeypatch.undo()
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_vacuum_tolerates_concurrently_removed_files(spark, tmp_path, monkeypatch):
+    """_vacuum itself finishes its sweep when another vacuumer already
+    removed a stale metadata file mid-listing (unguarded os.remove used
+    to abort on the first such file)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, "x")]))
+    # plant a stale filestats file, then race-delete it between the
+    # vacuum's listing and its remove — the "other" vacuumer wins
+    stale = _os.path.join(path, "filestats_0_udeadbeef.json")
+    with open(stale, "w") as f:
+        f.write("{}")
+    real_listdir = _os.listdir
+
+    def listing_then_delete(p):
+        names = real_listdir(p)
+        if p == path and _os.path.exists(stale):
+            _os.remove(stale)
+        return names
+
+    monkeypatch.setattr("os.listdir", listing_then_delete)
+    t._vacuum(keep=1)  # must not raise
+    monkeypatch.undo()
+    assert {r["id"] for r in t.read().collect()} == {3}

@@ -296,3 +296,20 @@ def test_schema_evolution_and_time_travel_on_fake_backend(spark, tmp_path, store
     with pytest.raises(SchemaEvolutionError, match="retyped"):
         t.merge(spark.createDataFrame([(3, "oops")], "id long, v string"))
     assert t.read(version=t.current_version() - 1).columns == ["id", "v"]
+
+
+def test_default_committers_share_one_pointer_store(spark, tmp_path):
+    """ADVICE r10 (low): two handles on the same table path, each with a
+    separately DEFAULT-constructed ConditionalPutCommitter, must share
+    the pointer — the old per-committer private store was split-brain by
+    construction (both commit version 0 over one directory; each one's
+    vacuum could delete the other's committed data)."""
+    path = str(tmp_path / "shared")
+    a = ManagedTable(spark, path, committer=ConditionalPutCommitter())
+    b = ManagedTable(spark, path, committer=ConditionalPutCommitter())
+    a.overwrite(_df(spark, [(1, "a")]))
+    # b sees a's commit through the shared default store
+    assert b.current_version() == 0
+    b.append(_df(spark, [(2, "b")]))
+    assert a.current_version() == 1
+    assert sorted(r["id"] for r in a.read().collect()) == [1, 2]

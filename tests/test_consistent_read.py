@@ -150,3 +150,37 @@ def test_interleaved_reader_never_sees_torn_turn(spark, tmp_path):
     sessions, messages = w.consistent_read()
     assert sessions.first()["n_msgs"] == 2 * n_turns
     assert messages.count() == 2 * n_turns
+
+
+def test_unstamped_sessions_commit_does_not_reopen_torn_window(spark, tmp_path):
+    """ADVICE r10 (low): when the LATEST sessions commit is
+    out-of-protocol (a maintenance merge without a txn stamp), the old
+    legacy fallback returned current sessions + CURRENT messages —
+    silently serving mid-turn orphan messages. The pin now walks the
+    sessions txns map back to the newest STAMPED version, mirroring the
+    messages-side skip."""
+    w = _writer(spark, tmp_path)
+    _turn(spark, w, "s1", 1)
+    _turn(spark, w, "s1", 2)
+    # mid-turn-3 window: messages half committed, rollup not yet
+    orphan = spark.createDataFrame(
+        [("s1-m4", "s1", "prompt 3"), ("s1-m5", "s1", "completion 3")],
+        "id string, session_id string, text string",
+    ).withColumn("txn_id", __import__("pyspark").sql.functions.lit("txn-inflight"))
+    w.messages.merge(orphan, ["id"], txn_note="txn-inflight")
+    # out-of-protocol maintenance commit on the SESSIONS table (no stamp)
+    w.sessions.merge(
+        spark.createDataFrame([("s9", 0)], "session_id string, n_msgs long"),
+        ["session_id"],
+    )
+    sessions, messages = w.consistent_read()
+    srow = sessions.filter("session_id = 's1'").first()
+    assert srow["n_msgs"] == 4
+    # the turn-3 orphans must be invisible (old fallback served 6)
+    assert messages.filter("session_id = 's1'").count() == 4
+    # raw read confirms the orphans exist — the pin hides them
+    assert w.messages.read().filter("session_id = 's1'").count() == 6
+    # the maintenance row becomes visible at the next stamped turn
+    _turn(spark, w, "s1", 3)
+    sessions2, _ = w.consistent_read()
+    assert sessions2.filter("session_id = 's9'").count() == 1

@@ -98,3 +98,38 @@ def test_empty_text_edge_values(spark, doc_dir):
     assert r1["word_count"] == 2
     assert r1["avg_word_len"] == 0.0
     assert r1["gopher_violations"] == 4
+
+
+def test_oracle_sql_plumbs_sf_dir_and_narrows_degradation():
+    """ADVICE r10 (low x2): callable oracles receive the gate's sf_dir
+    (no CHECK_SF_DIR side channel needed), an ABSENT fit corpus degrades
+    only that oracle's row WITH a visible warning, and any non-absence
+    exception from a callable surfaces instead of silently weakening the
+    gate to rows-only."""
+    import warnings
+
+    from vector_search_ai_assistant_mongodbvcore_spark import queries as q
+
+    # absent corpus: that one oracle degrades, loudly; the rest survive
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = q.oracle_sql("/nonexistent/dir")
+    assert "language_id_pred" not in out
+    assert "pricing_summary" in out
+    assert any("language_id_pred" in str(w.message) for w in caught)
+
+    # explicit sf_dir reaches the callable (fit binds to that corpus)
+    out2 = q.oracle_sql("/root/testdata/sf0.001")
+    assert "language_id_pred" in out2
+
+    # a non-absence error must SURFACE, not downgrade
+    def broken_oracle(sf_dir=None):
+        raise ValueError("simulated oracle-generation regression")
+
+    saved = q.REGISTRY["language_id_pred"]
+    q.REGISTRY["language_id_pred"] = (saved[0], broken_oracle)
+    try:
+        with pytest.raises(ValueError, match="simulated"):
+            q.oracle_sql("/root/testdata/sf0.001")
+    finally:
+        q.REGISTRY["language_id_pred"] = saved

@@ -57,7 +57,9 @@ def run():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # pass the gate's corpus so callable oracles (language_id_pred) fit
+    # on the SAME data the Spark queries run on — no env-var side channel
+    oracles = entry_mod.oracle_sql(SF_DIR)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -899,19 +899,24 @@ def _lang_pred_model(parquet_path: str) -> dict:
     )
 
 
-def _lang_pred_oracle() -> str:
+def _lang_pred_oracle(sf_dir: "str | None" = None) -> str:
     """LAZY DuckDB twin of language_id_pred (the registry resolves
-    callables at oracle_sql() time): fits the SAME pure-Python model the
-    Spark query serves (bit-identical weights — fit_language_id_local is
-    deterministic per parquet file) and inlines the weight matrix, bias
-    and class list as literals; the scoring replays char_ngrams'
-    normalization, the md5 bucketing, the L1-normalized per-class fold
-    and the first-max argmax exactly. The driver's correctness gate runs
-    at sf0.01, which is the corpus this fit binds to (CHECK_SF_DIR
-    overrides for a local gate pointed elsewhere — the SAME env the
-    tools/check_correctness harness reads, so Spark query and oracle
-    always fit on the same corpus)."""
-    sf_dir = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+    callables at oracle_sql() time, passing the gate's sf_dir through):
+    fits the SAME pure-Python model the Spark query serves (bit-identical
+    weights — fit_language_id_local is deterministic per parquet file)
+    and inlines the weight matrix, bias and class list as literals; the
+    scoring replays char_ngrams' normalization, the md5 bucketing, the
+    L1-normalized per-class fold and the first-max argmax exactly.
+
+    `sf_dir` is the corpus the harness runs both engines on — plumbed in
+    by oracle_sql(sf_dir) so the oracle always fits on the SAME corpus
+    as the Spark query (a model fit on a different corpus would report a
+    false engine mismatch). When resolved with no argument (the driver's
+    zero-arg oracle_sql() call) it defaults to the driver's gate corpus,
+    sf0.01, overridable via CHECK_SF_DIR for a local gate pointed
+    elsewhere."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
     m = _lang_pred_model(os.path.join(sf_dir, "documents.parquet"))
     n_classes = len(m["classes"])
     lo, hi = m["ngram_range"]
@@ -2546,20 +2551,32 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: "str | None" = None) -> dict[str, str]:
     # an oracle may be a CALLABLE (lazy: language_id_pred fits its model
     # and inlines the weights at resolution time, not at module import).
-    # A callable that cannot resolve (its fit corpus is absent on this
-    # machine) degrades ITS OWN row to the weaker rows-only check — it
-    # must never take the other 50 oracles down with it.
+    # Callables take the gate's sf_dir so Spark query and oracle always
+    # bind to the same corpus (None = the driver's default, sf0.01).
+    # A callable whose fit corpus is ABSENT on this machine degrades ITS
+    # OWN row to the weaker rows-only check — it must never take the
+    # other 50 oracles down with it — but only absence errors qualify:
+    # any other exception (bad SQL generation, a numpy regression) is a
+    # real bug and must surface, not silently weaken the gate.
+    import warnings
+
     out: dict[str, str] = {}
     for name, (_, sql) in REGISTRY.items():
         if sql is None:
             continue
         if callable(sql):
             try:
-                out[name] = sql()
-            except Exception:
+                out[name] = sql(sf_dir)
+            except (FileNotFoundError, OSError) as e:
+                warnings.warn(
+                    f"oracle {name!r} degraded to rows-only: fit corpus "
+                    f"unavailable ({e})",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 continue
         else:
             out[name] = sql

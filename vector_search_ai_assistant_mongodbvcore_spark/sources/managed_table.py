@@ -453,16 +453,28 @@ class _CondPutTxn:
         pass
 
 
+# default pointer store for ConditionalPutCommitter: ONE process-global
+# instance, so two handles opened on the same table path with separately
+# default-constructed committers share the pointer. Private per-committer
+# stores (the old default) were split-brain by construction: both handles
+# committed version 0 over one shared directory and each one's vacuum
+# could delete the other's committed data dirs. Pointer keys are full
+# table paths, so distinct tables never collide in the shared store.
+_SHARED_MEMORY_STORE = MemoryConditionalStore()
+
+
 class ConditionalPutCommitter:
     """Object-store committer: the pointer lives in an ETag'd store and
     every update is a conditional put. On S3 this maps to PutObject with
     If-None-Match:*/If-Match; on Azure Blob to the If-Match ETag access
     condition; the data/metadata plane stays plain writes of
-    attempt-unique names. Share ONE store (or one real bucket) across
-    all handles of a table."""
+    attempt-unique names. The default store is process-global (all
+    default-constructed committers share it — same-path handles see one
+    pointer, like the real bucket they model); pass an explicit store
+    only to isolate a test universe."""
 
     def __init__(self, store: "MemoryConditionalStore | None" = None):
-        self.store = store if store is not None else MemoryConditionalStore()
+        self.store = store if store is not None else _SHARED_MEMORY_STORE
 
     def read_pointer(self, table_path: str) -> "dict | None":
         data, _ = self.store.get(os.path.join(table_path, "_VERSION"))
@@ -560,6 +572,26 @@ def _newest_mtime_under(root: str) -> float:
             if m > newest:
                 newest = m
     return newest
+
+
+def _post_commit_maintenance(table) -> None:
+    """Best-effort cleanup AFTER a successful pointer swap — MUST never
+    raise. The swap already made the commit durable; an exception
+    escaping from here would reach _retry_conflicts, which classifies a
+    vanished-file error as a retryable race and would RE-RUN the whole
+    mutation — re-applying an append/merge that already committed
+    (duplicate rows). Two committers racing to vacuum the same stale
+    file (plain under the lock-free ConditionalPutCommitter) is exactly
+    such a post-swap FileNotFoundError. Suppressing is harmless: vacuum
+    and staging sweep are idempotent and the next commit retries them."""
+    try:
+        table._vacuum(keep=2)
+    except Exception:
+        pass
+    try:
+        _sweep_stale_staging(table.path)
+    except Exception:
+        pass
 
 
 def _sweep_stale_staging(table_path: str) -> None:
@@ -1006,8 +1038,7 @@ class ManagedTable:
                         os.remove(stats_path)
                     except FileNotFoundError:
                         pass
-        self._vacuum(keep=2)
-        _sweep_stale_staging(self.path)
+        _post_commit_maintenance(self)
         return new_v
 
     def _stats_file(self, version: int, doc: "dict | None" = None) -> str:
@@ -1030,6 +1061,9 @@ class ManagedTable:
             return {}  # pre-stats version: no pruning, full correctness
 
     def _vacuum(self, keep: int = 2) -> None:
+        # every delete tolerates a concurrent vacuumer having won the
+        # race to the same stale file (routine under the lock-free
+        # ConditionalPutCommitter) — see _post_commit_maintenance
         cur = self.current_version()
         for name in os.listdir(self.path):
             v = _parse_versioned_name(name, "v_")
@@ -1038,7 +1072,10 @@ class ManagedTable:
                 continue
             v = _parse_versioned_name(name, "filestats_", ".json")
             if v is not None and v <= cur - keep:
-                os.remove(os.path.join(self.path, name))
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
 
     # ---- reads ----------------------------------------------------------
     def read(self, version: int | None = None, filters=None) -> DataFrame:
@@ -1409,8 +1446,7 @@ class BucketedTable:
                         os.remove(p)
                     except FileNotFoundError:
                         pass
-        self._vacuum(keep=2)
-        _sweep_stale_staging(self.path)
+        _post_commit_maintenance(self)
         return version
 
     def _stats_file(self, version: int) -> str:
@@ -1444,12 +1480,15 @@ class BucketedTable:
                 shutil.rmtree(full, ignore_errors=True)
                 continue
             v = _parse_versioned_name(name, "manifest_", ".json")
+            if v is None:
+                v = _parse_versioned_name(name, "filestats_", ".json")
             if v is not None and v <= cur - keep:
-                os.remove(full)
-                continue
-            v = _parse_versioned_name(name, "filestats_", ".json")
-            if v is not None and v <= cur - keep:
-                os.remove(full)
+                # tolerate a concurrent vacuumer winning the race to the
+                # same stale file — see _post_commit_maintenance
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
 
     # ---- reads ----------------------------------------------------------
     def read(self, version: int | None = None, filters=None) -> DataFrame:
@@ -1928,13 +1967,20 @@ class TransactionalWriter:
         the table moved past the rolling-map/vacuum window mid-read —
         and raises after max_attempts under sustained write pressure.
 
-        Out-of-protocol commits (a maintenance delete/append on the
-        messages table without a txn stamp) are SKIPPED by the stamp
-        walk: their effects become visible to consistent readers at the
-        next stamped turn, and if such commits push the last stamped
-        version past the vacuum horizon, consistent_read raises rather
-        than serve a torn pair — run maintenance through the writer (or
-        re-stamp) on a pair that must stay continuously readable."""
+        Out-of-protocol commits (a maintenance delete/append without a
+        txn stamp, on EITHER table) are SKIPPED by the stamp walk: on
+        the messages side the walk passes over unstamped versions; on
+        the sessions side the pin steps BACK to the newest stamped
+        sessions version in the retained window (so a maintenance
+        commit landing mid-turn can't smuggle a torn pair through the
+        legacy fallback). Effects of such commits become visible to
+        consistent readers at the next stamped turn; if they push the
+        last stamped version past the vacuum horizon / rolling-map
+        window, consistent_read raises (messages side) or degrades to
+        the legacy current/current fallback (sessions side with an
+        entirely-unstamped retained window) — run maintenance through
+        the writer (or re-stamp) on a pair that must stay continuously
+        readable."""
         for _ in range(max_attempts):
             s_doc = self.sessions._version_doc()
             s_v = s_doc["version"]
@@ -1946,12 +1992,32 @@ class TransactionalWriter:
                     f"no committed turn yet ({self.sessions.path} has no "
                     "version) — the consistent snapshot is empty"
                 )
-            s_txn = s_doc.get("txns", {}).get(str(s_v))
+            s_txns = s_doc.get("txns", {})
+            s_txn = s_txns.get(str(s_v))
+            if s_txn is None:
+                # the LATEST sessions commit is unstamped (out-of-protocol
+                # maintenance on the sessions table). Mirror the
+                # messages-side rule: walk BACK to the newest STAMPED
+                # sessions version in the retained window and pin that —
+                # falling straight to current/current here would reopen
+                # the torn-turn window this method exists to close (the
+                # unstamped commit may have landed mid-turn). Maintenance
+                # effects become visible at the next stamped turn.
+                for v in range(s_v - 1, max(-1, s_v - _DOC_MAP_KEEP) - 1, -1):
+                    if s_txns.get(str(v)) is not None:
+                        s_v, s_txn = v, s_txns[str(v)]
+                        break
             m_doc = self.messages._version_doc()
             m_txns = m_doc.get("txns", {})
             if s_txn is None:
-                # pre-stamping history (or non-transactional writes):
-                # fall back to current/current — the legacy behavior
+                # NO stamped sessions version in the retained window:
+                # genuinely pre-stamping / non-transactional history —
+                # fall back to current/current, the legacy behavior.
+                # Caveat (documented): a pair whose stamped history was
+                # pushed past the rolling-map window by >_DOC_MAP_KEEP
+                # out-of-protocol commits degrades to this fallback too;
+                # run maintenance through the writer (or re-stamp) on a
+                # pair that must stay continuously consistent-readable.
                 return self.sessions.read(version=s_v), self.messages.read()
             # walk the retained window only (the rolling map holds
             # _DOC_MAP_KEEP trailing versions); an UNSTAMPED version —
