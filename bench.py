@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "payload_concat_by_source",
     "text_stats",
     "cleaned_corpus",
+    "language_id_pred",
     "dedup_corpus_exact",
     "remove_duplicated_spans",
     "minhash_band_pairs",
