@@ -89,6 +89,7 @@ def prepare_training_corpus(
     keep_languages: "tuple[str, ...] | None" = None,
     lang_col: str | None = None,
     lang_model: dict | None = None,
+    min_lang_confidence: "float | None" = None,
     dsir_target: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_temperature: float = 1.0,
@@ -277,8 +278,14 @@ def prepare_training_corpus(
             language_expr,
         )
 
+        # min_lang_confidence (fitted-model path only): below-floor
+        # predictions become 'unknown' and fall out of the screen unless
+        # the caller explicitly quarantines by listing 'unknown' —
+        # CCNet's actual policy for mixed/ambiguous text
         quality = quality.filter(
-            language_expr(text_col, lang_col, lang_model).isin(*keep_languages)
+            language_expr(
+                text_col, lang_col, lang_model, min_lang_confidence
+            ).isin(*keep_languages)
         )
 
     if dsir_target is not None and dsir_top_k is not None:

@@ -347,6 +347,7 @@ def prepare_stream(
     keep_languages: "tuple[str, ...] | None" = None,
     lang_col: "str | None" = None,
     lang_model: "dict | None" = None,
+    min_lang_confidence: "float | None" = None,
 ) -> DataFrame:
     """Trainer-ready (id, split, chunk_id, n_tokens, chunk_text) rows from
     a streaming (or batch — the plan is mode-agnostic) document frame.
@@ -415,7 +416,9 @@ def prepare_stream(
         )
 
         gated = gated.filter(
-            language_expr(gate_col, lang_col, lang_model).isin(*keep_languages)
+            language_expr(
+                gate_col, lang_col, lang_model, min_lang_confidence
+            ).isin(*keep_languages)
         )
     if watermark_col is not None:
         deduped = dedup_stream_watermarked(
@@ -551,6 +554,7 @@ def _post_dedup_stages(
     keep_languages: "tuple[str, ...] | None" = None,
     lang_col: "str | None" = None,
     lang_model: "dict | None" = None,
+    min_lang_confidence: "float | None" = None,
 ) -> DataFrame:
     """The stateless tail of the corpus chain in BATCH order
     (prepare_training_corpus: decontam -> quality gates -> scrub ->
@@ -605,7 +609,9 @@ def _post_dedup_stages(
         )
 
         work = work.filter(
-            language_expr(text_col, lang_col, lang_model).isin(*keep_languages)
+            language_expr(
+                text_col, lang_col, lang_model, min_lang_confidence
+            ).isin(*keep_languages)
         )
     if scrub:
         work = work.withColumn(text_col, TX.scrub_pii(F.col(text_col)))
@@ -654,6 +660,7 @@ def start_corpus_stream(
     keep_languages: "tuple[str, ...] | None" = None,
     lang_col: "str | None" = None,
     lang_model: "dict | None" = None,
+    min_lang_confidence: "float | None" = None,
 ):
     """The WHOLE corpus pipeline as one streaming query: raw document
     stream -> trainer-ready shards, now including FUZZY (MinHash) near-
@@ -713,6 +720,7 @@ def start_corpus_stream(
             watermark_col=watermark_col,
             watermark_delay=watermark_delay,
             keep_languages=keep_languages,
+            min_lang_confidence=min_lang_confidence,
             lang_col=lang_col,
             lang_model=lang_model,
         )
@@ -796,6 +804,7 @@ def start_corpus_stream(
             chunk_size=chunk_size,
             chunk_overlap=chunk_overlap,
             keep_languages=keep_languages,
+            min_lang_confidence=min_lang_confidence,
             lang_col=lang_col,
             lang_model=lang_model,
         )
