@@ -984,8 +984,11 @@ def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     model = _lang_pred_model(_os.path.join(sf_dir, "documents.parquet"))
-    t = _tables(spark, sf_dir)
-    return t["documents"].select(
+    # fanned: the serving fold is map-only but heavy per row (5 widths
+    # of 8-12-grams x 10 class folds), and a one-file bench scan would
+    # run it single-threaded — measured 18.3 s -> ~1.5 s at sf0.1.
+    # Row-order-independent (per-row projection), so the fan-out is safe.
+    return _fanned_docs(spark, sf_dir).select(
         "doc_id", predict_language_col(model, "text").alias("lang_pred")
     )
 
