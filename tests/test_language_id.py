@@ -452,3 +452,23 @@ def test_stream_language_gate_matches_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM langgate").collect()}
     assert got == want
     assert got == {did for did, lang, _ in rows if lang in ("de", "es")}
+
+
+def test_confidence_floor_without_model_raises():
+    """A floor on a path with no confidence (heuristic, or a lang_col
+    override) must raise, not silently skip the screen the caller
+    believes is applied."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        language_expr,
+    )
+
+    with pytest.raises(ValueError, match="min_lang_confidence requires"):
+        language_expr("text", min_lang_confidence=0.5)
+    with pytest.raises(ValueError, match="min_lang_confidence requires"):
+        language_expr(
+            "text", lang_col="lang",
+            lang_model={"classes": ["a", "b"], "dims": 4,
+                        "ngram_range": [1, 2], "weights": [0.0] * 8,
+                        "bias": [0.0, 0.0]},
+            min_lang_confidence=0.5,
+        )

@@ -365,7 +365,17 @@ def language_expr(
     heuristic (functions/text.language_id). `min_lang_confidence`
     applies only on the fitted-classifier path: below-floor predictions
     become 'unknown' (quarantined by any keep_languages screen that does
-    not list 'unknown')."""
+    not list 'unknown'). Setting a floor WITHOUT a fitted model raises —
+    the metadata column and the heuristic have no confidence to compare
+    against, and silently ignoring the floor would let a caller believe
+    their corpus is confidence-screened when it is not."""
+    if min_lang_confidence is not None and (lang_model is None or lang_col is not None):
+        raise ValueError(
+            "min_lang_confidence requires the fitted-classifier path "
+            "(lang_model set and no lang_col override) — it is the only "
+            "language path with a confidence to compare against; fit a "
+            "model with operators/language_id.fit_language_id"
+        )
     if lang_col is not None:
         return F.col(lang_col)
     if lang_model is not None:
