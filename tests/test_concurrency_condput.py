@@ -413,3 +413,71 @@ def test_bucketed_merge_under_apply_then_timeout_not_double_applied(spark, tmp_p
     rows = {r["id"]: r["val"] for r in t.read().collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
     assert t.current_version() == 1
+
+
+def test_indeterminate_put_outcome_is_not_retried(spark, tmp_path):
+    """Review finding: when a failed put's version entry has already aged
+    out of the pointer's rolling maps, the outcome is UNPROVABLE — it
+    must surface as a non-retryable AmbiguousCommitOutcome, never as
+    CommitConflict (whose automatic retry would double-apply a mutation
+    that may have committed)."""
+    import json as _json
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        AmbiguousCommitOutcome,
+        _CondPutTxn,
+    )
+
+    store = MemoryConditionalStore()
+    path = str(tmp_path / "t")
+    key = f"{path}/_VERSION"
+    # current pointer: version 10, rolling maps no longer retain v5
+    store.put_if(
+        key,
+        _json.dumps(
+            {"version": 10, "data_dirs": {"10": "v_10_uzzzz"}, "stats_files": {}}
+        ).encode(),
+        if_match=None,
+    )
+    txn = _CondPutTxn(store, path)
+    txn.__enter__()
+    txn._etag = "stale"  # forces PreconditionFailed on swap
+    our_doc = {"version": 5, "data_dirs": {"5": "v_5_uaaaa"}, "stats_files": {}}
+    with pytest.raises(AmbiguousCommitOutcome, match="cannot prove"):
+        txn.swap(our_doc)
+    # a version the pointer NEVER reached is provably not-landed -> a
+    # plain retryable conflict
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        CommitConflict as _CC,
+    )
+
+    txn2 = _CondPutTxn(store, path)
+    txn2.__enter__()
+    txn2._etag = "stale"
+    with pytest.raises(_CC):
+        txn2.swap({"version": 11, "data_dirs": {"11": "v_11_ubbbb"}, "stats_files": {}})
+
+
+def test_forget_clears_pointer_for_deleted_table(spark, tmp_path):
+    """Review finding: the process-global default store outlives the
+    filesystem — rmtree + a fresh handle at the same path resumed from
+    the dead table's pointer. forget(path) restores the fresh universe
+    a real bucket would give (its pointer lives inside the prefix)."""
+    import shutil as _sh
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _SHARED_MEMORY_STORE,
+    )
+
+    path = str(tmp_path / "t")
+    a = ManagedTable(spark, path, committer=ConditionalPutCommitter())
+    a.overwrite(_df(spark, [(1, "a")]))
+    a.append(_df(spark, [(2, "b")]))
+    assert a.current_version() == 1
+    _sh.rmtree(path)
+    _SHARED_MEMORY_STORE.forget(path)
+    b = ManagedTable(spark, path, committer=ConditionalPutCommitter())
+    assert b.current_version() == -1  # fresh universe
+    b.overwrite(_df(spark, [(9, "z")]))
+    assert b.current_version() == 0
+    assert [r["id"] for r in b.read().collect()] == [9]

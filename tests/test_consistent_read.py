@@ -253,3 +253,23 @@ def test_consistent_read_racing_vacuum_fails_clean_or_succeeds(spark, tmp_path):
     sessions, messages = w.consistent_read()
     assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 2 * n_turns
     assert messages.count() == 2 * n_turns
+
+
+def test_stamped_but_vacuumed_sessions_degrades_to_legacy_fallback(spark, tmp_path):
+    """Review finding: enough unstamped maintenance commits vacuum the
+    last STAMPED sessions snapshot while its stamp survives in the txns
+    map — pinning it would wedge every consistent_read into TimeoutError
+    on a quiescent pair. The walk now degrades to the documented legacy
+    current/current fallback instead."""
+    w = _writer(spark, tmp_path)
+    _turn(spark, w, "s1", 1)
+    _turn(spark, w, "s1", 2)
+    # three out-of-protocol commits: keep=2 vacuums turn 2's snapshot
+    for i in range(3):
+        w.sessions.merge(
+            spark.createDataFrame([(f"m{i}", 0)], "session_id string, n_msgs long"),
+            ["session_id"],
+        )
+    sessions, messages = w.consistent_read()  # must not raise
+    assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 4
+    assert messages.filter("session_id = 's1'").count() == 4

@@ -472,3 +472,22 @@ def test_confidence_floor_without_model_raises():
                         "bias": [0.0, 0.0]},
             min_lang_confidence=0.5,
         )
+
+
+def test_floor_without_screen_raises_in_pipeline_and_stream(spark):
+    """Review finding: min_lang_confidence with no keep_languages was
+    silently ignored (the screen is the only place the floor acts) —
+    both the batch pipeline and the streaming twin now fail loud."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        prepare_stream,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    model = fit_language_id(_real_df(spark, range(13)), dims=1024, reg=1e-4)
+    with pytest.raises(ValueError, match="min_lang_confidence requires keep_languages"):
+        prepare_training_corpus(docs, lang_model=model, min_lang_confidence=0.5)
+    with pytest.raises(ValueError, match="min_lang_confidence requires keep_languages"):
+        prepare_stream(docs, lang_model=model, min_lang_confidence=0.5)

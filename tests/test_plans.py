@@ -184,3 +184,6 @@ def test_plans_md_covers_every_registered_query():
     registered = set(Q._ORDER) - {"chat_turn"}  # imperative lifecycle, skipped by design
     missing = sorted(registered - rows)
     assert not missing, f"PLANS.md lacks rows for registered queries: {missing}"
+    # a present-but-broken row must fail too (plan_audit refuses to
+    # write one, but guard the committed artifact independently)
+    assert "ERROR" not in text, "PLANS.md contains ERROR rows"

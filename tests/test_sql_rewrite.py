@@ -565,3 +565,32 @@ def test_hybrid_cte_with_lsh_vector_leg(lshsql, spark, tmp_path):
     raw = plan_report(df).raw
     assert "bucket" in raw  # both legs' partition filters in one plan
     assert df.count() == 10
+
+
+def test_quantized_registration_without_exact_source_declines(spark, tables, tmp_path):
+    """Review finding: a quantized registration with no exact_source must
+    NOT serve int8/ADC scores for SQL that asked for exact cosine_sim —
+    it declines to the (correct, unpruned) full scan."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    IvfIndex(spark, str(tmp_path / "ivf_q8_nx")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42,
+        quantize=True,
+    )
+    vs = VectorSqlSession(spark)
+    vs.register_index("embeddings", str(tmp_path / "ivf_q8_nx"), n_probe=4)
+    q = _qvec()
+    df = vs.sql(_strict_topk_sql(q))
+    assert "PartitionFilters" not in plan_report(df).raw  # full scan
+    assert df.count() == 10
+
+    LshIndex(spark, str(tmp_path / "lsh_q8_nx")).build(
+        tables["embeddings"], dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id", quantize=True,
+    )
+    vs2 = VectorSqlSession(spark)
+    vs2.register_lsh_index("embeddings", str(tmp_path / "lsh_q8_nx"))
+    df2 = vs2.sql(_strict_topk_sql(q))
+    assert "PartitionFilters" not in plan_report(df2).raw  # full scan
+    assert df2.count() == 10

@@ -202,9 +202,12 @@ class VectorSqlSession:
         columns, so the user's projections run unchanged on the pruned
         scan). QUANTIZED (int8/PQ) indexes change the stored scoring
         column, so the recognized strict top-k shape is served WHOLE
-        through IvfIndex.search instead — pass `exact_source` (the
-        full-precision table) to shortlist on quantized scores and
-        re-rank exactly, the engine's rerank contract (r10 directive #2).
+        through IvfIndex.search instead — `exact_source` (the
+        full-precision table) shortlists on quantized scores and
+        re-ranks exactly, the engine's rerank contract (r10 directive
+        #2), and it is REQUIRED for quantized serving: without it the
+        serve declines to the correct full scan rather than return
+        quantized scores for SQL that asked for exact cosine_sim.
         A table may carry ONE vector index registration: registering
         over an existing LSH registration raises rather than serve an
         ambiguous access path."""
@@ -229,9 +232,12 @@ class VectorSqlSession:
         through LshIndex.search — the (table, bucket) partition-pruned
         candidate read. LSH is approximate by construction (recall =
         bucket collision probability), exactly like the engine-API
-        `lsh_ann_topk` path; `exact_source` re-ranks a quantized index's
-        shortlist at full precision. Same one-registration-per-table
-        rule as register_index."""
+        `lsh_ann_topk` path — registering IS the opt-in to that recall;
+        scores on the served candidates stay exact. A QUANTIZED LSH
+        index additionally changes the score values, so it requires
+        `exact_source` (shortlist + exact rerank) — without one the
+        serve declines to the correct full scan. Same
+        one-registration-per-table rule as register_index."""
         key = table.lower()
         if key in self._indexes:
             raise ValueError(
@@ -580,14 +586,10 @@ class VectorSqlSession:
         tiebreak = om.group("tiebreak")
         if tiebreak is not None and tiebreak.lower() != user_id.lower():
             return None  # the index breaks ties by id; any other order is not served
-        # the query vector must be a LITERAL: evaluate it once driver-side
-        try:
-            qvec = self.spark.sql(f"SELECT {vec_lit} AS v").collect()[0]["v"]
-        except Exception:
-            return None
-        if qvec is None:
-            return None
-        qvec = [float(x) for x in qvec]
+        # ALL registration/index checks run BEFORE the literal is
+        # evaluated — that evaluation is a driver-side Spark job, and an
+        # unquantized-IVF query (served by the FROM-substitution rule,
+        # which evaluates the literal itself) must not pay it twice
         k = int(om.group("k"))
         if lsh_reg is not None:
             from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
@@ -603,7 +605,13 @@ class VectorSqlSession:
                 return None
             if user_id.lower() != str(m.get("id_col", "")).lower():
                 return None
-            out = idx.search(qvec, k=k, round_scores=round_d, exact_source=exact)
+            if m.get("quantized") and exact is None:
+                # the SQL asks for exact cosine_sim; int8-dequantized
+                # scores would silently change the VALUES (candidate
+                # recall is the registered LSH contract, score accuracy
+                # is not) — without an exact_source rerank, decline to
+                # the correct full scan
+                return None
         else:
             from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
@@ -614,8 +622,26 @@ class VectorSqlSession:
             m = idx.meta()
             if not m.get("quantized"):
                 return None  # unquantized: the FROM-substitution rule serves it
+            if exact is None:
+                # quantized scores (int8 dequant / PQ ADC) are not the
+                # cosine_sim the SQL asks for: the engine contract for
+                # quantized serving is shortlist + exact rerank, so a
+                # registration without exact_source declines to the
+                # correct full scan rather than serve approximate values
+                return None
             if vec_col.lower() != str(m.get("vector_col", "")).lower():
                 return None
+        # the query vector must be a LITERAL: evaluate it once driver-side
+        try:
+            qvec = self.spark.sql(f"SELECT {vec_lit} AS v").collect()[0]["v"]
+        except Exception:
+            return None
+        if qvec is None:
+            return None
+        qvec = [float(x) for x in qvec]
+        if lsh_reg is not None:
+            out = idx.search(qvec, k=k, round_scores=round_d, exact_source=exact)
+        else:
             out = idx.search(
                 qvec,
                 k=k,

@@ -330,6 +330,15 @@ class PreconditionFailed(RuntimeError):
     (HTTP 412 in S3/ABFS terms)."""
 
 
+class AmbiguousCommitOutcome(RuntimeError):
+    """A conditional put failed AND the pointer can no longer prove
+    whether this attempt's write applied (its version entry aged out of
+    the rolling maps during the ambiguity window). Deliberately NOT a
+    CommitConflict: the automatic conflict retry would re-apply a
+    mutation that may already be committed. Reconcile (read the table)
+    before re-running the operation."""
+
+
 class MemoryConditionalStore:
     """In-memory ETag'd object store for the POINTER objects — the test
     double for S3 conditional writes / Azure Blob If-Match. Thread-safe:
@@ -360,6 +369,19 @@ class MemoryConditionalStore:
         with self._mu:
             data, etag = self._objects.get(key, (None, None))
             return data, etag
+
+    def forget(self, table_path: str) -> None:
+        """Drop every pointer under `table_path`. On a real object store
+        the pointer lives INSIDE the table's prefix, so deleting the
+        table deletes it too; this in-memory double outlives the
+        filesystem — a caller that rmtree's a table directory and wants
+        a fresh universe at the same path (tests, mostly) must forget
+        the old pointer here or the new handle resumes from the dead
+        table's version history."""
+        prefix = table_path.rstrip("/") + "/"
+        with self._mu:
+            for k in [k for k in self._objects if k.startswith(prefix)]:
+                del self._objects[k]
 
     def put_if(self, key: str, data: bytes, if_match: "str | None") -> str:
         """if_match=None means If-None-Match:* (create-only)."""
@@ -483,25 +505,43 @@ class _CondPutTxn:
         try:
             self._store.put_if(self._key, payload, if_match=self._etag)
         except PreconditionFailed as e:
-            if self._landed(payload):
+            landed = self._landed(payload)
+            if landed:
                 return
+            if landed is None:
+                # indeterminate: NEVER map to CommitConflict — the
+                # automatic retry would re-apply a mutation that may
+                # already be committed (duplicate rows). Surface a
+                # non-retryable error; the operator must reconcile
+                # (read the table) before re-running.
+                raise AmbiguousCommitOutcome(
+                    f"{self.path}: conditional put failed AND this "
+                    "attempt's version entry is no longer in the "
+                    "pointer's rolling maps — cannot prove whether the "
+                    "put applied; reconcile before retrying"
+                ) from e
             raise CommitConflict(f"{self.path}: pointer moved ({e})") from e
         except Exception:
-            if self._landed(payload):
+            if self._landed(payload) is True:
                 return
-            raise
+            raise  # not landed (or indeterminate): the original
+            # transport error surfaces — it is not retryable-classified
 
-    def _landed(self, payload: bytes) -> bool:
-        """Did THIS attempt's put apply? Exact payload equality is the
-        fast path; when a LATER writer already committed on top (read
-        the landed pointer, won the next version) the current pointer
+    def _landed(self, payload: bytes) -> "bool | None":
+        """Did THIS attempt's put apply? True/False when provable,
+        None when indeterminate. Exact payload equality is the fast
+        path; when a LATER writer already committed on top (read the
+        landed pointer, won the next version) the current pointer
         differs — but its rolling maps carry our version's entry
         forward, and the entry's ATTEMPT-UNIQUE name (v_N_u<uuid> /
-        manifest_N_u<uuid>.json) proves which attempt won version N. An
-        entry already trimmed from the rolling window (> _DOC_MAP_KEEP
-        later commits inside this ambiguity window — not physically
-        plausible in-flight) returns False and the original error
-        surfaces conservatively."""
+        manifest_N_u<uuid>.json) proves which attempt won version N.
+        A current version BELOW ours proves NOT landed (our put would
+        have advanced it). An entry already trimmed from the rolling
+        window (> _DOC_MAP_KEEP later commits inside this ambiguity
+        window — not physically plausible in-flight, but cheap to
+        handle correctly) is INDETERMINATE: the caller raises a
+        non-retryable AmbiguousCommitOutcome rather than letting the
+        conflict-retry double-apply the mutation."""
         data, _ = self._store.get(self._key)
         if data is None:
             return False
@@ -511,13 +551,18 @@ class _CondPutTxn:
             cur = json.loads(data)
             doc = json.loads(payload)
         except ValueError:
-            return False
-        v = str(doc.get("version"))
+            return None
+        v = doc.get("version")
+        if cur.get("version", -1) < v:
+            return False  # pointer never reached our version: not landed
         for field in ("data_dirs", "manifests", "stats_files"):
-            ours = doc.get(field, {}).get(v)
+            ours = doc.get(field, {}).get(str(v))
             if ours is not None:
-                return cur.get(field, {}).get(v) == ours
-        return False
+                theirs = cur.get(field, {}).get(str(v))
+                if theirs is None:
+                    return None  # trimmed from the window: indeterminate
+                return theirs == ours
+        return None
 
     def __exit__(self, *exc) -> None:
         pass
@@ -2082,10 +2127,18 @@ class TransactionalWriter:
                 # falling straight to current/current here would reopen
                 # the torn-turn window this method exists to close (the
                 # unstamped commit may have landed mid-turn). Maintenance
-                # effects become visible at the next stamped turn.
+                # effects become visible at the next stamped turn. The
+                # stamped version must also still be READABLE: >= keep
+                # unstamped commits vacuum its snapshot dir while the
+                # txns map retains the stamp, and pinning it would wedge
+                # every call into TimeoutError on a quiescent pair — an
+                # unreadable stamp degrades to the legacy
+                # current/current fallback instead (the documented
+                # out-of-protocol caveat).
                 for v in range(s_v - 1, max(-1, s_v - _DOC_MAP_KEEP) - 1, -1):
                     if s_txns.get(str(v)) is not None:
-                        s_v, s_txn = v, s_txns[str(v)]
+                        if os.path.exists(self.sessions._data_dir(v, s_doc)):
+                            s_v, s_txn = v, s_txns[str(v)]
                         break
             m_doc = self.messages._version_doc()
             m_txns = m_doc.get("txns", {})

@@ -363,6 +363,15 @@ def prepare_stream(
         assign_split,
     )
 
+    if min_lang_confidence is not None and keep_languages is None:
+        # batch parity with prepare_training_corpus: the floor only acts
+        # through the language screen — fail loud instead of silently
+        # skipping the quarantine the caller believes is applied
+        raise ValueError(
+            "min_lang_confidence requires keep_languages (the floor acts "
+            "through the language screen; include 'unknown' in "
+            "keep_languages to RETAIN quarantined docs instead)"
+        )
     if dedupe_doc_lines:
         # batch parity: per-doc line cleaning FIRST (prepare_training_corpus
         # applies it before exact dedup, so the dedup key is the cleaned
@@ -570,6 +579,12 @@ def _post_dedup_stages(
         assign_split,
     )
 
+    if min_lang_confidence is not None and keep_languages is None:
+        raise ValueError(
+            "min_lang_confidence requires keep_languages (the floor acts "
+            "through the language screen; include 'unknown' in "
+            "keep_languages to RETAIN quarantined docs instead)"
+        )
     work = df
     if benchmark_ngrams is not None:
         if decontam_mode == "mask":
