@@ -296,3 +296,61 @@ def export_curriculum_shards(
         )
         manifest[e] = {k: plan[k] for k in ("rates", "expected_tokens", "shortfall", "shares") if k in plan}
     return manifest
+
+
+def export_language_partitioned(
+    df: DataFrame,
+    lang_model: dict,
+    out_dir: str,
+    text_col: str = "text",
+    min_confidence: "float | None" = None,
+    languages: "tuple[str, ...] | None" = None,
+    lang_col_name: str = "lang_pred",
+) -> DataFrame:
+    """CCNet-shaped per-language corpus export: predict each document's
+    language with the fitted classifier (operators/language_id), route
+    below-floor predictions to the 'unknown' QUARANTINE partition (kept
+    on disk for later triage, never silently dropped — CCNet's policy),
+    and write the corpus parquet-partitioned by the predicted code:
+
+        <out_dir>/<lang_col_name>=en/part-*.parquet
+        <out_dir>/<lang_col_name>=unknown/...
+
+    `languages` optionally restricts the export to named codes (plus
+    'unknown' when a floor is set — quarantine is part of the contract);
+    None exports every predicted code. Returns the per-language doc
+    counts of the WRITTEN tree (read back, so the numbers are what a
+    consumer will see, not what the plan promised).
+
+    Scale shape: the language expression is the pure-codegen serving
+    fold (no join, no Python); rows are repartitioned ON the predicted
+    code before the partitioned write so each language directory is
+    written by its own tasks instead of every task spraying a sliver
+    file into every directory (the same writer discipline as
+    LshIndex.build / IvfIndex.build). Downstream per-language pipelines
+    then read ONE partition directory — Catalyst partition pruning on
+    the lang column, no scan of the other languages."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        predict_language_col,
+    )
+
+    pred = predict_language_col(
+        lang_model, F.col(text_col), min_confidence=min_confidence
+    )
+    out = df.withColumn(lang_col_name, pred)
+    if languages is not None:
+        keep = set(languages) | ({"unknown"} if min_confidence is not None else set())
+        out = out.filter(F.col(lang_col_name).isin(*sorted(keep)))
+    (
+        out.repartition(F.col(lang_col_name))
+        .write.mode("overwrite")
+        .partitionBy(lang_col_name)
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(lang_col_name)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(lang_col_name)
+    )

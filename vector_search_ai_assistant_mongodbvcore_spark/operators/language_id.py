@@ -319,7 +319,14 @@ def predict_language_col(
 def language_confidence_col(model: dict, col: Column | str) -> Column:
     """Softmax probability of the winning class, NULL for no-n-gram text.
     Numerically stabilized (exp(s - max); the max re-read per element is
-    O(C) on the bound scores variable, C is tiny)."""
+    O(C) on the bound scores variable, C is tiny).
+
+    Calibration caveat: the ridge fit does not calibrate probabilities —
+    the softmax SCALE depends on the raw score magnitudes, which grow
+    with fit-sample size and shrink with regularization (a 6-row toy fit
+    puts everything near 1/C + epsilon). Choose min_confidence floors
+    against held-out data for the model actually deployed, not as an
+    absolute constant."""
     return _bound(
         language_scores_col(model, col),
         lambda sc: F.when(sc.isNull(), F.lit(None).cast("double")).otherwise(
