@@ -594,3 +594,32 @@ def test_quantized_registration_without_exact_source_declines(spark, tables, tmp
     df2 = vs2.sql(_strict_topk_sql(q))
     assert "PartitionFilters" not in plan_report(df2).raw  # full scan
     assert df2.count() == 10
+
+
+def test_quantized_lsh_with_exact_source_serves_reranked(spark, tables, tmp_path):
+    """Quantized LSH + exact_source: the serve shortlists on int8 scores
+    over the pruned buckets and exact-rescoring matches the engine call
+    bit for bit."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    LshIndex(spark, str(tmp_path / "lsh_q8_x")).build(
+        tables["embeddings"], dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id", quantize=True,
+    )
+    vs = VectorSqlSession(spark)
+    vs.register_lsh_index(
+        "embeddings", str(tmp_path / "lsh_q8_x"), exact_source=tables["embeddings"]
+    )
+    q = _qvec()
+    df = vs.sql(_strict_topk_sql(q))
+    assert "PartitionFilters" in plan_report(df).raw
+    got = [(r["vec_id"], r["score"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in LshIndex(spark, str(tmp_path / "lsh_q8_x"))
+        .search(q, k=10, round_scores=4, exact_source=tables["embeddings"])
+        .select("vec_id", "score")
+        .collect()
+    ]
+    assert got == want
