@@ -273,3 +273,27 @@ def test_stamped_but_vacuumed_sessions_degrades_to_legacy_fallback(spark, tmp_pa
     sessions, messages = w.consistent_read()  # must not raise
     assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 4
     assert messages.filter("session_id = 's1'").count() == 4
+
+
+def test_stamped_but_vacuumed_messages_degrades_not_timeout(spark, tmp_path):
+    """Review finding (messages-side twin of the sessions fix): unstamped
+    maintenance on the MESSAGES table can vacuum the snapshot matching
+    the pinned sessions stamp while the stamp survives in the rolling
+    map. On a quiescent pair consistent_read must degrade to the legacy
+    current/current fallback after its pin budget — never wedge into
+    TimeoutError."""
+    w = _writer(spark, tmp_path)
+    _turn(spark, w, "s1", 1)
+    _turn(spark, w, "s1", 2)
+    for i in range(3):  # out-of-protocol merges: keep=2 vacuums turn 2
+        w.messages.merge(
+            spark.createDataFrame(
+                [(f"maint-{i}", "s9", "migrated")],
+                "id string, session_id string, text string",
+            ),
+            ["id"],
+        )
+    sessions, messages = w.consistent_read(max_attempts=4, backoff=0.01)
+    assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 4
+    assert messages.filter("session_id = 's1'").count() == 4
+    assert messages.filter("session_id = 's9'").count() == 3  # current view

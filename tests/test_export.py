@@ -298,3 +298,47 @@ def test_export_language_partitioned_routes_and_quarantines(spark, tmp_path):
     }
     assert counts2 == {"unknown": 2}
     assert os.path.isdir(f"{out2}/lang_pred=unknown")
+
+
+def test_export_language_partitioned_empty_and_unknown_edges(spark, tmp_path):
+    """Review findings: an export whose restriction matches nothing must
+    return EMPTY counts (not crash schema inference on a data-less
+    directory), and no-n-gram docs route to the unknown quarantine even
+    WITHOUT a confidence floor — never silently dropped."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_language_partitioned,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        fit_language_id,
+    )
+
+    train = spark.createDataFrame(
+        [("en", "the weather this morning was cold and quiet"),
+         ("en", "she walked to the station and waited for the train"),
+         ("de", "das wetter heute morgen war kalt und die straßen leer"),
+         ("de", "sie ging zum bahnhof und wartete auf den zug")],
+        "lang string, text string",
+    )
+    model = fit_language_id(train, dims=1024, reg=1e-4)
+    docs = spark.createDataFrame(
+        [(0, "the children played in the garden"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    # restriction matching nothing (besides the always-kept quarantine)
+    out = str(tmp_path / "none")
+    counts = {
+        r["lang_pred"]: r["n_docs"]
+        for r in export_language_partitioned(
+            docs.filter("doc_id = 0"), model, out, languages=("fr",)
+        ).collect()
+    }
+    assert counts == {}  # empty export: empty counts, no crash
+    # empty/NULL text -> 'unknown' even with no floor; kept, not dropped
+    out2 = str(tmp_path / "unk")
+    counts2 = {
+        r["lang_pred"]: r["n_docs"]
+        for r in export_language_partitioned(
+            docs, model, out2, languages=("en",)
+        ).collect()
+    }
+    assert counts2 == {"en": 1, "unknown": 2}

@@ -491,3 +491,25 @@ def test_floor_without_screen_raises_in_pipeline_and_stream(spark):
         prepare_training_corpus(docs, lang_model=model, min_lang_confidence=0.5)
     with pytest.raises(ValueError, match="min_lang_confidence requires keep_languages"):
         prepare_stream(docs, lang_model=model, min_lang_confidence=0.5)
+
+
+def test_floor_without_screen_fails_fast_in_start_corpus_stream(spark, tmp_path):
+    """Review finding: the neardup path validated only inside
+    foreachBatch, surfacing the misuse asynchronously after the query
+    started; start_corpus_stream now fails fast at call time on both
+    paths."""
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_corpus_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "x.json").write_text('{"doc_id": 1, "text": "hello"}\n')
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    model = fit_language_id(_real_df(spark, range(13)), dims=1024, reg=1e-4)
+    with pytest.raises(ValueError, match="min_lang_confidence requires keep_languages"):
+        start_corpus_stream(
+            stream, str(tmp_path / "out"), 64, str(tmp_path / "ck"),
+            neardup={"store_path": str(tmp_path / "nd")},
+            lang_model=model, min_lang_confidence=0.5,
+        )

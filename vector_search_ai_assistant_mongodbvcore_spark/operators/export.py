@@ -316,11 +316,14 @@ def export_language_partitioned(
         <out_dir>/<lang_col_name>=en/part-*.parquet
         <out_dir>/<lang_col_name>=unknown/...
 
-    `languages` optionally restricts the export to named codes (plus
-    'unknown' when a floor is set — quarantine is part of the contract);
-    None exports every predicted code. Returns the per-language doc
-    counts of the WRITTEN tree (read back, so the numbers are what a
-    consumer will see, not what the plan promised).
+    `languages` optionally restricts the export to named codes — plus,
+    ALWAYS, 'unknown': no-n-gram text predicts 'unknown' even without a
+    floor, and quarantine-not-drop is the contract regardless of how a
+    doc got there. None exports every predicted code. Returns the
+    per-language doc counts of the WRITTEN tree (read back with the
+    frame's own schema, so the numbers are what a consumer will see and
+    an empty export returns empty counts instead of failing schema
+    inference).
 
     Scale shape: the language expression is the pure-codegen serving
     fold (no join, no Python); rows are repartitioned ON the predicted
@@ -339,7 +342,7 @@ def export_language_partitioned(
     )
     out = df.withColumn(lang_col_name, pred)
     if languages is not None:
-        keep = set(languages) | ({"unknown"} if min_confidence is not None else set())
+        keep = set(languages) | {"unknown"}
         out = out.filter(F.col(lang_col_name).isin(*sorted(keep)))
     (
         out.repartition(F.col(lang_col_name))
@@ -349,7 +352,7 @@ def export_language_partitioned(
     )
     spark = df.sparkSession
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema(out.schema).parquet(out_dir)
         .groupBy(lang_col_name)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(lang_col_name)

@@ -359,6 +359,24 @@ def py_predict_language(model: dict, text: str | None, unknown: str = "unknown")
     return classes[best], 1.0 / denom
 
 
+def require_language_screen(
+    min_lang_confidence: "float | None", keep_languages
+) -> None:
+    """Shared entry-point validation for the pipeline/streaming floor
+    arg: the floor only acts through the language screen, so accepting
+    it without one would let the caller believe low-confidence docs were
+    quarantined when nothing was filtered at all. ONE definition — the
+    batch pipeline, prepare_stream, the foreachBatch tail AND
+    start_corpus_stream (fail-fast, before the query starts) all call
+    this, so the contract and its message cannot drift apart."""
+    if min_lang_confidence is not None and keep_languages is None:
+        raise ValueError(
+            "min_lang_confidence requires keep_languages (the floor acts "
+            "through the language screen; include 'unknown' in "
+            "keep_languages to RETAIN quarantined docs instead)"
+        )
+
+
 def language_expr(
     text_col: str = "text",
     lang_col: str | None = None,

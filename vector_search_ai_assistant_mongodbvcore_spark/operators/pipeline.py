@@ -115,15 +115,11 @@ def prepare_training_corpus(
     quality_classifier.fit_quality_classifier) adds the learned-classifier
     floor on top of the heuristic quality gates — both are map-side
     (broadcast n-gram set / inlined literal weights)."""
-    if min_lang_confidence is not None and keep_languages is None:
-        # the floor only acts through the language screen — accepting it
-        # without one would let the caller believe low-confidence docs
-        # were quarantined when nothing was filtered at all
-        raise ValueError(
-            "min_lang_confidence requires keep_languages (the floor acts "
-            "through the language screen; include 'unknown' in "
-            "keep_languages to RETAIN quarantined docs instead)"
-        )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        require_language_screen,
+    )
+
+    require_language_screen(min_lang_confidence, keep_languages)
     if dedupe_doc_lines:
         # CCNet order: per-doc line cleaning BEFORE corpus dedup, so two
         # docs differing only in repeated boilerplate collapse to one

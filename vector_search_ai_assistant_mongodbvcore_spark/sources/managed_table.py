@@ -2106,6 +2106,7 @@ class TransactionalWriter:
         promptly or widen the writer's vacuum horizon to cover their
         read latency (keep >= 2 + expected concurrent turns mid-read) —
         the same retention/reader trade Delta tunes."""
+        vacuumed_stamp = False
         for _ in range(max_attempts):
             s_doc = self.sessions._version_doc()
             s_v = s_doc["version"]
@@ -2165,6 +2166,21 @@ class TransactionalWriter:
                     hit = v
                     break
             if hit is not None:
+                if not os.path.exists(self.messages._data_dir(hit, m_doc)):
+                    # the matching messages snapshot is ALREADY vacuumed
+                    # (out-of-protocol maintenance pushed it past the
+                    # horizon while its stamp survived in the rolling
+                    # map). Do NOT degrade immediately — under active
+                    # writing the next re-pin finds a fresher stamped
+                    # turn and serves it consistently; only remember the
+                    # miss, and if EVERY attempt ends here (a quiescent
+                    # pair whose last stamped snapshot is permanently
+                    # gone) degrade to the documented legacy
+                    # current/current fallback after the loop instead of
+                    # wedging into TimeoutError.
+                    vacuumed_stamp = True
+                    time.sleep(backoff)
+                    continue
                 try:
                     return (
                         self.sessions.read(version=s_v),
@@ -2173,6 +2189,12 @@ class TransactionalWriter:
                 except FileNotFoundError:
                     pass  # vacuumed mid-read: re-pin
             time.sleep(backoff)
+        if vacuumed_stamp:
+            # every attempt found the SAME stamped-but-vacuumed snapshot:
+            # quiescent pair, consistency permanently unreachable until
+            # the next stamped turn — the documented out-of-protocol
+            # degrade, mirroring the sessions-side readability rule
+            return self.sessions.read(), self.messages.read()
         raise TimeoutError(
             "consistent_read could not pin a matching snapshot pair in "
             f"{max_attempts} attempts (sustained write pressure or a "

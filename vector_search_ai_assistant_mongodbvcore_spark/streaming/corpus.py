@@ -48,6 +48,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.functions import text as TX
+from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+    require_language_screen,
+)
 from vector_search_ai_assistant_mongodbvcore_spark.streaming.dedup import (
     dedup_stream,
     dedup_stream_watermarked,
@@ -363,15 +366,7 @@ def prepare_stream(
         assign_split,
     )
 
-    if min_lang_confidence is not None and keep_languages is None:
-        # batch parity with prepare_training_corpus: the floor only acts
-        # through the language screen — fail loud instead of silently
-        # skipping the quarantine the caller believes is applied
-        raise ValueError(
-            "min_lang_confidence requires keep_languages (the floor acts "
-            "through the language screen; include 'unknown' in "
-            "keep_languages to RETAIN quarantined docs instead)"
-        )
+    require_language_screen(min_lang_confidence, keep_languages)
     if dedupe_doc_lines:
         # batch parity: per-doc line cleaning FIRST (prepare_training_corpus
         # applies it before exact dedup, so the dedup key is the cleaned
@@ -579,12 +574,7 @@ def _post_dedup_stages(
         assign_split,
     )
 
-    if min_lang_confidence is not None and keep_languages is None:
-        raise ValueError(
-            "min_lang_confidence requires keep_languages (the floor acts "
-            "through the language screen; include 'unknown' in "
-            "keep_languages to RETAIN quarantined docs instead)"
-        )
+    require_language_screen(min_lang_confidence, keep_languages)
     work = df
     if benchmark_ngrams is not None:
         if decontam_mode == "mask":
@@ -709,6 +699,11 @@ def start_corpus_stream(
     byte-identical. The combined state surviving a restart =
     Spark's dedup state store (via the checkpoint) + the band-key store
     (via its own versioned table) — pinned in tests."""
+    # FAIL FAST at call time on both paths: the neardup path validates
+    # inside _post_dedup_stages, which only runs in foreachBatch AFTER
+    # the query starts — surfacing the misuse as an async
+    # StreamingQueryException instead of here (review finding)
+    require_language_screen(min_lang_confidence, keep_languages)
     if neardup is None:
         chunks = prepare_stream(
             docs,
