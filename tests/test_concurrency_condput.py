@@ -431,6 +431,9 @@ def test_indeterminate_put_outcome_is_not_retried(spark, tmp_path):
     store = MemoryConditionalStore()
     path = str(tmp_path / "t")
     key = f"{path}/_VERSION"
+    # the synthetic pointer must reference an EXISTING dir or the txn's
+    # dangling-pointer guard (ADVICE r11) fires before the swap under test
+    os.makedirs(os.path.join(path, "v_10_uzzzz"))
     # current pointer: version 10, rolling maps no longer retain v5
     store.put_if(
         key,
@@ -481,3 +484,47 @@ def test_forget_clears_pointer_for_deleted_table(spark, tmp_path):
     b.overwrite(_df(spark, [(9, "z")]))
     assert b.current_version() == 0
     assert [r["id"] for r in b.read().collect()] == [9]
+
+
+def test_dangling_pointer_detected_not_resumed(spark, tmp_path, store):
+    """ADVICE r11 (low): the pointer store outlives the filesystem — a
+    table directory deleted and recreated at the same path used to
+    silently resume the dead table's version history. read_pointer and
+    the write transaction now detect a pointer whose retained data dirs
+    are ALL gone and raise DanglingPointerError with forget() guidance;
+    forget() then yields a genuinely fresh table."""
+    import shutil
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        DanglingPointerError,
+    )
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, committer=ConditionalPutCommitter(store))
+    t.append(spark.range(3).toDF("id"))
+    t.append(spark.range(3, 5).toDF("id"))
+    assert t.read().count() == 5
+    shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)  # "recreated at the same path"
+    fresh_handle = ManagedTable(spark, path, committer=ConditionalPutCommitter(store))
+    with pytest.raises(DanglingPointerError, match="forget"):
+        fresh_handle.read()
+    with pytest.raises(DanglingPointerError, match="forget"):
+        fresh_handle.append(spark.range(2).toDF("id"))
+    store.forget(path)
+    fresh_handle.append(spark.range(2).toDF("id"))
+    assert fresh_handle.read().count() == 2
+    assert fresh_handle.current_version() == 0  # fresh universe, not v2
+
+
+def test_racing_vacuum_never_reads_as_dangling(spark, tmp_path, store):
+    """The dangling check must key on ALL retained data dirs, not the
+    one current dir a reader happened to pin — an aggressive keep=2
+    vacuum deletes old dirs mid-read but always leaves the newest, so a
+    live table can never present as dangling."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, committer=ConditionalPutCommitter(store))
+    for i in range(6):  # several commits + vacuums
+        t.append(spark.range(i, i + 1).toDF("id"))
+        t._vacuum(keep=2)
+    assert t.read().count() == 6  # never raises DanglingPointerError

@@ -297,3 +297,49 @@ def test_stamped_but_vacuumed_messages_degrades_not_timeout(spark, tmp_path):
     assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 4
     assert messages.filter("session_id = 's1'").count() == 4
     assert messages.filter("session_id = 's9'").count() == 3  # current view
+
+
+def test_mixed_failures_raise_timeout_not_unsynchronized_pair(spark, tmp_path):
+    """ADVICE r11 (medium): the vacuumed-stamp flag used to be STICKY —
+    one attempt hitting a stamped-but-vacuumed snapshot followed by
+    attempts that failed for OTHER reasons (stamp-walk misses under
+    write pressure, mid-read FileNotFoundError) still degraded to an
+    unsynchronized current/current pair at exhaustion. The degrade now
+    requires EVERY attempt to end in the vacuumed-stamp branch; a mix
+    must surface as the documented TimeoutError."""
+    w = _writer(spark, tmp_path)
+    _turn(spark, w, "s1", 1)
+    _turn(spark, w, "s1", 2)
+    for i in range(3):  # out-of-protocol merges: keep=2 vacuums turn 2
+        w.messages.merge(
+            spark.createDataFrame(
+                [(f"maint-{i}", "s9", "migrated")],
+                "id string, session_id string, text string",
+            ),
+            ["id"],
+        )
+    real_doc = w.messages._version_doc
+    calls = [0]
+
+    def flaky_doc():
+        # attempt 1 sees the true doc (stamped-but-vacuumed branch);
+        # later attempts see a doc whose txns map has NO match for the
+        # pinned stamp — the walk misses, simulating the table moving
+        # past the rolling window under sustained write pressure
+        calls[0] += 1
+        doc = real_doc()
+        if calls[0] > 1:
+            doc = dict(doc)
+            doc["txns"] = {}
+        return doc
+
+    w.messages._version_doc = flaky_doc
+    try:
+        with pytest.raises(TimeoutError):
+            w.consistent_read(max_attempts=3, backoff=0.01)
+        assert calls[0] == 3  # all attempts ran; none returned a pair
+    finally:
+        w.messages._version_doc = real_doc
+    # the all-vacuumed quiescent case still degrades (not a regression)
+    sessions, messages = w.consistent_read(max_attempts=3, backoff=0.01)
+    assert sessions.filter("session_id = 's1'").first()["n_msgs"] == 4

@@ -623,3 +623,44 @@ def test_quantized_lsh_with_exact_source_serves_reranked(spark, tables, tmp_path
         .collect()
     ]
     assert got == want
+
+
+def test_quantized_ivf_wrong_id_declines(q8sql):
+    """ADVICE r11 (medium): the quantized-IVF serve must validate the
+    SELECT's bare identifier against the index's stored id_col (the LSH
+    branch already did). A non-unique column as the shortlist / rerank
+    key would inflate or collapse the candidate set beyond the
+    documented shortlist-recall approximation — decline to the full
+    scan instead."""
+    q = _qvec()
+    wrong_id = (
+        "SELECT label, round(cosine_sim(embedding, "
+        + _arr_sql(q)
+        + "), 4) AS score FROM embeddings ORDER BY score DESC LIMIT 5"
+    )
+    df = q8sql.sql(wrong_id)
+    assert "PartitionFilters" not in plan_report(df).raw  # full scan
+    assert df.columns == ["label", "score"]
+    assert df.count() == 5
+
+
+def test_parse_cosine_item_quoted_punctuation():
+    """ADVICE r11 (low): paren/comma depth in _parse_cosine_item is now
+    counted on a quote-blanked copy — a quoted string containing '(' ')'
+    or ',' inside the arguments can no longer mis-split them — while the
+    returned argument text is sliced from the original."""
+    parse = VectorSqlSession._parse_cosine_item
+    item = (
+        "cosine_sim(embedding, transform(split('1.0,(2.0', ','), "
+        "x -> cast(x AS DOUBLE))) AS score"
+    )
+    got = parse(item)
+    assert got is not None
+    vec_col, vec_lit, round_d, alias = got
+    assert vec_col == "embedding"
+    assert vec_lit == "transform(split('1.0,(2.0', ','), x -> cast(x AS DOUBLE))"
+    assert round_d is None and alias == "score"
+    # the plain shape still parses identically
+    assert parse("round(cosine_sim(v, array(1.0D, 2.0D)), 3) AS s") == (
+        "v", "array(1.0D, 2.0D)", 3, "s",
+    )

@@ -201,6 +201,12 @@ class IvfIndex:
             meta = {
                 "num_lists": num_lists,
                 "vector_col": vector_col,
+                # the unique id the index shortlists and reranks by — the
+                # raw-SQL serve validates the SELECT's bare identifier
+                # against this (a non-unique column as the shortlist /
+                # semi-join rerank key would inflate or collapse the
+                # candidate set beyond the documented recall contract)
+                "id_col": id_col,
                 "seed": seed,
                 "quantized": quantize,
                 "fingerprint": data_fingerprint(df),

@@ -492,9 +492,18 @@ class VectorSqlSession:
     def _parse_cosine_item(item: str) -> "tuple[str, str, int | None, str] | None":
         """Parse a select-list item of the form
         `[round(]cosine_sim(<col>, <literal-expr>)[, <d>)] AS <alias>`
-        into (vector col, literal expr, round digits | None, alias)."""
+        into (vector col, literal expr, round digits | None, alias).
+
+        Structure (paren/comma depth) is counted on a QUOTE-BLANKED copy
+        of the item — the same discipline as every other guard in this
+        module — while the argument text is sliced from the ORIGINAL
+        (blanking preserves offsets exactly). A quoted string containing
+        '(' ')' or ',' inside the arguments (rare for vector literals,
+        but legal SQL) can therefore never mis-split the args (ADVICE
+        r11, low)."""
+        blanked = VectorSqlSession._blank_quoted(item)
         rm = re.match(
-            r"^\s*(?P<round>round\s*\(\s*)?cosine_sim\s*\(", item, re.IGNORECASE
+            r"^\s*(?P<round>round\s*\(\s*)?cosine_sim\s*\(", blanked, re.IGNORECASE
         )
         if rm is None:
             return None
@@ -502,22 +511,22 @@ class VectorSqlSession:
         i = rm.end()
         end = None
         while i < len(item):
-            ch = item[i]
+            ch = blanked[i]
             if ch == "(":
                 depth += 1
-                cur.append(ch)
+                cur.append(item[i])
             elif ch == ")":
                 if depth == 0:
                     args.append("".join(cur).strip())
                     end = i
                     break
                 depth -= 1
-                cur.append(ch)
+                cur.append(item[i])
             elif ch == "," and depth == 0:
                 args.append("".join(cur).strip())
                 cur = []
             else:
-                cur.append(ch)
+                cur.append(item[i])
             i += 1
         if end is None or len(args) != 2:
             return None
@@ -630,6 +639,17 @@ class VectorSqlSession:
                 # correct full scan rather than serve approximate values
                 return None
             if vec_col.lower() != str(m.get("vector_col", "")).lower():
+                return None
+            if user_id.lower() != str(m.get("id_col", "")).lower():
+                # ADVICE r11 (medium): mirror the LSH branch — a SELECT
+                # naming any column other than the index's unique id
+                # would make that column IvfIndex.search's shortlist key
+                # AND the exact_source semi-join rerank key; a non-unique
+                # column there inflates/collapses the candidate set, a
+                # change beyond the documented shortlist-recall
+                # approximation. Decline to the correct full scan.
+                # (Indexes built before meta carried id_col decline too —
+                # correctness over serving.)
                 return None
         # the query vector must be a LITERAL: evaluate it once driver-side
         try:

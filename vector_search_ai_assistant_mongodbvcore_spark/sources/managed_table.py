@@ -339,6 +339,39 @@ class AmbiguousCommitOutcome(RuntimeError):
     before re-running the operation."""
 
 
+class DanglingPointerError(RuntimeError):
+    """The pointer store holds a version doc for this table path but NONE
+    of the doc's retained data dirs exist on the filesystem: the table
+    directory was deleted (and possibly recreated) while the
+    process-global pointer survived. Silently resuming the dead table's
+    version history would be split-brain — call `store.forget(path)` to
+    start a fresh universe at this path, or restore the data. (On a real
+    object store the pointer lives inside the table's prefix and dies
+    with it; only this in-process double can outlive the filesystem.)"""
+
+
+def _pointer_dangles(table_path: str, doc: "dict | None") -> bool:
+    """True when `doc` points at a table whose retained artifacts are ALL
+    gone from the filesystem. Every retained name across the rolling
+    maps is checked — ManagedTable's data_dirs, BucketedTable's
+    manifests/stats_files (whose docs carry no data_dirs) — not just the
+    current version, which keeps a reader racing an aggressive vacuum
+    from a spurious positive: vacuum always leaves the newest artifacts,
+    so 'none exist' can only mean the table directory itself was
+    removed."""
+    if doc is None:
+        return False
+    v = doc.get("version", -1)
+    if v < 0:
+        return False
+    names = (
+        list(doc.get("data_dirs", {}).values())
+        + list(doc.get("manifests", {}).values())
+        + list(doc.get("stats_files", {}).values())
+    ) or [f"v_{v}"]
+    return not any(os.path.exists(os.path.join(table_path, n)) for n in names)
+
+
 class MemoryConditionalStore:
     """In-memory ETag'd object store for the POINTER objects — the test
     double for S3 conditional writes / Azure Blob If-Match. Thread-safe:
@@ -475,6 +508,16 @@ class _CondPutTxn:
         data, etag = self._store.get(self._key)
         self.doc = json.loads(data) if data is not None else None
         self._etag = etag
+        if _pointer_dangles(self.path, self.doc):
+            # a writer must not resume a dead table's version history
+            # (ADVICE r11, low) — same detection as read_pointer, at the
+            # one other place the pointer is consulted
+            raise DanglingPointerError(
+                f"{self.path}: pointer at version {self.doc.get('version')} "
+                "but none of its retained data dirs exist — the table "
+                "directory was deleted while the shared pointer store "
+                "survived; call store.forget(path) for a fresh table"
+            )
         return self
 
     def publish(self, staging: str, final_name: str) -> str:
@@ -593,7 +636,15 @@ class ConditionalPutCommitter:
 
     def read_pointer(self, table_path: str) -> "dict | None":
         data, _ = self.store.get(os.path.join(table_path, "_VERSION"))
-        return json.loads(data) if data is not None else None
+        doc = json.loads(data) if data is not None else None
+        if _pointer_dangles(table_path, doc):
+            raise DanglingPointerError(
+                f"{table_path}: pointer at version {doc.get('version')} "
+                "but none of its retained data dirs exist — the table "
+                "directory was deleted while the shared pointer store "
+                "survived; call store.forget(path) for a fresh table"
+            )
+        return doc
 
     def transaction(self, table_path: str) -> _CondPutTxn:
         return _CondPutTxn(self.store, table_path)
@@ -2106,7 +2157,7 @@ class TransactionalWriter:
         promptly or widen the writer's vacuum horizon to cover their
         read latency (keep >= 2 + expected concurrent turns mid-read) —
         the same retention/reader trade Delta tunes."""
-        vacuumed_stamp = False
+        vacuumed_stamp_attempts = 0
         for _ in range(max_attempts):
             s_doc = self.sessions._version_doc()
             s_v = s_doc["version"]
@@ -2177,8 +2228,13 @@ class TransactionalWriter:
                     # pair whose last stamped snapshot is permanently
                     # gone) degrade to the documented legacy
                     # current/current fallback after the loop instead of
-                    # wedging into TimeoutError.
-                    vacuumed_stamp = True
+                    # wedging into TimeoutError. Counted, not a sticky
+                    # flag: an attempt that got PAST this branch (reached
+                    # the read, or found no stamp match at all) is
+                    # evidence the pair is NOT quiescent-with-a-vacuumed
+                    # stamp, and exhaustion must surface as TimeoutError
+                    # — never a silently unsynchronized pair.
+                    vacuumed_stamp_attempts += 1
                     time.sleep(backoff)
                     continue
                 try:
@@ -2189,11 +2245,16 @@ class TransactionalWriter:
                 except FileNotFoundError:
                     pass  # vacuumed mid-read: re-pin
             time.sleep(backoff)
-        if vacuumed_stamp:
-            # every attempt found the SAME stamped-but-vacuumed snapshot:
-            # quiescent pair, consistency permanently unreachable until
-            # the next stamped turn — the documented out-of-protocol
-            # degrade, mirroring the sessions-side readability rule
+        if vacuumed_stamp_attempts == max_attempts:
+            # EVERY attempt found a stamped-but-vacuumed snapshot (none
+            # reached the read path or missed the stamp walk): quiescent
+            # pair, consistency permanently unreachable until the next
+            # stamped turn — the documented out-of-protocol degrade,
+            # mirroring the sessions-side readability rule. A mix of
+            # vacuumed-stamp hits and other failures (mid-read
+            # FileNotFoundError, stamp-walk misses under write pressure)
+            # falls through to TimeoutError below — the all-or-nothing
+            # contract never returns an unsynchronized pair.
             return self.sessions.read(), self.messages.read()
         raise TimeoutError(
             "consistent_read could not pin a matching snapshot pair in "
