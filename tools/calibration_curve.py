@@ -1,0 +1,99 @@
+"""Reproduce the language-ID confidence-floor curve recorded in
+DATACARD.md (judge r11 directive #2): fit on the 8-language real-text
+fixture's train split, temperature-calibrate on its calibration split,
+and print the floor -> outcome table measured on the held-out split.
+
+    python tools/calibration_curve.py
+
+Uses the SAME fixture as tests/test_language_id.py (imported, not
+copied) so the published numbers and the pinned test can never drift
+apart. Deterministic end to end: fixed fixture order, fixed seed-free
+closed-form fit, fixed calibration grid."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main() -> None:
+    from test_language_id import REAL, REAL_NONLATIN, _real_df
+
+    from vector_search_ai_assistant_mongodbvcore_spark import get_spark
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        calibrate_language_id,
+        confidence_floor_curve,
+        fit_language_id,
+        language_agreement,
+    )
+
+    spark = get_spark(cpus=8)
+    try:
+        corpus = {**REAL, **REAL_NONLATIN}
+        train = _real_df(spark, range(9), corpus)
+        calib = _real_df(spark, range(9, 11), corpus)
+        test = _real_df(spark, range(11, 13), corpus)
+        model = fit_language_id(train, dims=8192, reg=1e-4)
+        cal = calibrate_language_id(model, calib)
+        acc = language_agreement(test, cal)
+        print(f"held-out accuracy: {acc:.3f}")
+        print(f"fitted temperature: {cal['temperature']:.6g}")
+        print()
+        print("in-scope held-out (8 known languages):")
+        print("| floor | unknown_rate | false_unknown_rate | accepted_error_rate |")
+        print("|---|---|---|---|")
+        for row in confidence_floor_curve(cal, test):
+            print(
+                f"| {row['floor']:.1f} | {row['unknown_rate']:.3f} "
+                f"| {row['false_unknown_rate']:.3f} "
+                f"| {row['accepted_error_rate']:.3f} |"
+            )
+        # out-of-scope: languages the model does NOT know (it/nl —
+        # Romance/Germanic neighbors of known classes, the hard case).
+        # Every accepted row is by definition an error; the curve shows
+        # which floor buys how much quarantine.
+        oos = spark.createDataFrame(
+            [("it", s) for s in _ITALIAN] + [("nl", s) for s in _DUTCH],
+            "lang string, text string",
+        )
+        print()
+        print("out-of-scope (unknown languages it/nl; accepting is an error):")
+        print("| floor | quarantined | accepted_error_rate |")
+        print("|---|---|---|")
+        for row in confidence_floor_curve(cal, oos):
+            print(
+                f"| {row['floor']:.1f} | {row['unknown_rate']:.3f} "
+                f"| {row['accepted_error_rate']:.3f} |"
+            )
+    finally:
+        spark.stop()
+
+
+_ITALIAN = [
+    "il tempo questa mattina era freddo e le strade erano tranquille",
+    "ha camminato fino alla stazione e ha aspettato il primo treno",
+    "i bambini hanno giocato in giardino fino al tramonto",
+    "non ricordava dove aveva lasciato le chiavi di casa",
+    "un buon libro e una tazza di tè rendono la serata migliore",
+    "il vecchio ponte sul fiume era chiuso per lavori",
+    "nessuno sapeva perché le luci della torre erano ancora accese",
+    "il mercato vende pane fresco e verdure ogni sabato",
+]
+
+_DUTCH = [
+    "het weer was vanmorgen koud en de straten waren stil",
+    "ze liep naar het station en wachtte op de vroege trein",
+    "de kinderen speelden in de tuin tot de zon onderging",
+    "hij kon zich niet herinneren waar hij de sleutels had gelaten",
+    "een goed boek en een kop thee maken de avond beter",
+    "de oude brug over de rivier was gesloten voor reparaties",
+    "niemand wist waarom de lichten in de toren nog brandden",
+    "de markt verkoopt elke zaterdag vers brood en groenten",
+]
+
+
+if __name__ == "__main__":
+    main()
