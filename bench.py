@@ -15,6 +15,19 @@ warm pass absorbs that variance so round-over-round deltas track plan
 changes, not box state. `value` is the sum of the TIMED passes only —
 r9+ totals are therefore not directly comparable to the cold r1-r8
 totals (expect a lower, more stable number).
+
+Since r12 (judge r11 directive #5) each query's timed pass runs THREE
+times and the recorded per-query number is the MEDIAN — BENCH_HISTORY.md
+proved ±12% same-code drift between single samples, wide enough to smear
+round-over-round comparisons. `value` is the sum of medians; the raw
+samples ride along under "samples" so a judge can see the spread.
+
+"sql_serves" (judge r11 directive #8) times the raw-SQL-served
+quantized-IVF and LSH top-k paths (plans/sql_rewrite whole-query serve,
+shortlist + exact rerank) — NOT registry slots (their bit-parity is
+pinned in tests/test_sql_rewrite.py), just timing rows so a serving
+regression is visible round over round. Excluded from `value` to keep
+the headline total comparable with earlier rounds.
 """
 
 from __future__ import annotations
@@ -93,18 +106,19 @@ def main() -> None:
     # (+~18s observed at sf0.1) — the bench measures serving, not build.
     q.prewarm_indexes(spark, SF_DIR)
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = registry[name]
         # warm pass (untimed): pages the input files, JITs the codegen,
         # spins up any Python workers this query needs
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name], samples[name] = _median_of(
+            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        )
         total += timings[name]
     total = round(total, 3)
+    sql_serves = _bench_sql_serves(spark, q)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -118,12 +132,82 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "sql_serves": sql_serves,
                 "sf": sf_val,
             }
         )
     )
     _append_history(total, timings, sf_val)
     spark.stop()
+
+
+def _median_of(run, n: int = 3) -> "tuple[float, list[float]]":
+    """(median, samples) over n timed executions of run()."""
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        run()
+        ts.append(round(time.time() - t0, 3))
+    return sorted(ts)[len(ts) // 2], ts
+
+
+def _bench_sql_serves(spark, q) -> dict:
+    """Median-of-3 timings for the raw-SQL-served vector paths: the
+    quantized (int8) IVF whole-query serve with mandatory exact rerank,
+    and the LSH whole-query serve. Indexes build OFFLINE (cached under
+    the engine's index tablespace, exactly like prewarm_indexes) so the
+    rows measure serving, not build."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.sql_rewrite import (
+        VectorSqlSession,
+    )
+
+    tables = q._tables(spark, SF_DIR)
+    emb = tables["embeddings"]
+    IvfIndex(spark, q._cache_dir(SF_DIR, "ivf_q8_embeddings")).build_if_absent(
+        emb, vector_col="embedding", num_lists=4, seed=42, fit_fraction=0.5,
+        quantize=True,
+    )
+    LshIndex(spark, q._cache_dir(SF_DIR, "lsh_embeddings")).build_if_absent(
+        emb, dims=len(q._QV_ANN), bits=q._LSH_ANN_BITS, tables=q._LSH_ANN_TABLES,
+        vector_col="embedding", id_col="vec_id",
+    )
+    emb.createOrReplaceTempView("embeddings")
+    vec_lit = "array(" + ", ".join(f"{float(x)!r}D" for x in q._QV_ANN) + ")"
+    sql = (
+        f"SELECT vec_id, round(cosine_sim(embedding, {vec_lit}), 4) AS score "
+        "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+    )
+
+    out: dict[str, float] = {}
+    for name, register in (
+        (
+            "ivf_quantized_sql_topk",
+            lambda vs: vs.register_index(
+                "embeddings",
+                q._cache_dir(SF_DIR, "ivf_q8_embeddings"),
+                n_probe=4,
+                exact_source=emb,
+            ),
+        ),
+        (
+            "lsh_sql_topk",
+            lambda vs: vs.register_lsh_index(
+                "embeddings", q._cache_dir(SF_DIR, "lsh_embeddings")
+            ),
+        ),
+    ):
+        vs = VectorSqlSession(spark)
+        register(vs)
+        vs.sql(sql).write.format("noop").mode("overwrite").save()  # warm
+        med, ts = _median_of(
+            lambda: vs.sql(sql).write.format("noop").mode("overwrite").save()
+        )
+        out[name] = med
+        out[f"{name}_samples"] = ts
+    return out
 
 
 def _append_history(total: float, timings: dict, sf) -> None:
