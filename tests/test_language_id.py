@@ -662,3 +662,68 @@ def test_calibration_in_pipeline_batch_equals_twin(spark):
         if label in ("en", "de") and conf is not None and conf >= 0.5:
             want.add(r["doc_id"])
     assert got == want and want  # non-trivial: some docs survive
+
+
+def test_stream_calibrated_floor_matches_batch(spark, tmp_path):
+    """Directive r11 #2's parity clause: a CALIBRATED model with a
+    confidence floor keeps the same documents in prepare_stream as in
+    the batch pipeline — the temperature rides the model dict through
+    the shared language_expr, so batch==stream holds by construction
+    and is pinned here end to end through a real streaming query."""
+    import json
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        calibrate_language_id,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        prepare_stream,
+    )
+
+    rows = _corpus_rows()
+    cal = calibrate_language_id(
+        fit_language_id(_real_df(spark, range(9)), dims=4096, reg=1e-4),
+        _real_df(spark, range(9, 11)),
+    )
+    assert "temperature" in cal
+    kw = dict(
+        keep_languages=("de", "es"),
+        lang_model=cal,
+        min_lang_confidence=0.5,
+        min_quality=0.0,
+        max_repeated_word_frac=1.0,
+        max_dup_line_frac=1.0,
+        chunk_size=1000,
+        chunk_overlap=0,
+    )
+    docs = spark.createDataFrame(
+        [(d, t) for d, _, t in rows], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]
+        for r in prepare_training_corpus(docs, **kw).select("doc_id").collect()
+    }
+
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "docs.json", "w") as f:
+        for did, _, t in rows:
+            f.write(json.dumps({"doc_id": did, "text": t}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    chunks = prepare_stream(stream, use_gopher_rules=False, scrub=True, **kw)
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName("callanggate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM callanggate").collect()}
+    assert got == want
+    # the calibrated floor is meaningful: confidently-predicted de/es
+    # docs survive (the calibrated scale puts them above 0.5)
+    assert got == {did for did, lang, _ in rows if lang in ("de", "es")}
