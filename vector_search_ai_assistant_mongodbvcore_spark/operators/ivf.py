@@ -201,16 +201,26 @@ class IvfIndex:
             meta = {
                 "num_lists": num_lists,
                 "vector_col": vector_col,
-                # the unique id the index shortlists and reranks by — the
-                # raw-SQL serve validates the SELECT's bare identifier
-                # against this (a non-unique column as the shortlist /
-                # semi-join rerank key would inflate or collapse the
-                # candidate set beyond the documented recall contract)
-                "id_col": id_col,
                 "seed": seed,
                 "quantized": quantize,
                 "fingerprint": data_fingerprint(df),
             }
+            if id_col in df.columns:
+                # the unique id the index shortlists and reranks by — the
+                # raw-SQL serve validates the SELECT's bare identifier
+                # against this (a non-unique column as the shortlist /
+                # semi-join rerank key would inflate or collapse the
+                # candidate set beyond the documented recall contract).
+                # Recorded ONLY when the column is real: `id_col` has a
+                # default ("vec_id"), and stamping that default onto a
+                # table keyed differently would poison every meta-driven
+                # consumer (apply_index_changes keys remove/add off the
+                # stored id; the SQL serve would decline or, worse,
+                # validate against a phantom). Absent id_col => quantized
+                # SQL serving declines to the full scan, and incremental
+                # maintenance falls back to its per-call id column —
+                # both the safe directions.
+                meta["id_col"] = id_col
             if pq_model is not None:
                 meta["pq_model"] = pq_model
             json.dump(meta, f)
