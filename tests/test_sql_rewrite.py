@@ -821,3 +821,31 @@ def test_bm25_foreign_tiebreak_raises_loudly_at_rewrite_time(hsql):
     )
     with pytest.raises(ValueError, match="breaks ties by id"):
         hsql.sql(sql)
+
+
+def test_vector_serve_accepts_id_alias(q8sql, lshsql, spark, tables, tmp_path):
+    """r12 symmetry with the BM25 leg: the quantized-IVF and LSH
+    whole-query serves accept `vec_id AS id` with the tiebreak on
+    either name, carrying the alias to the output schema — same rows
+    as the unaliased form."""
+    q = _qvec()
+
+    def aliased(tb):
+        return (
+            "SELECT vec_id AS id, round(cosine_sim(embedding, "
+            + _arr_sql(q)
+            + f"), 4) AS score FROM embeddings ORDER BY score DESC{tb} LIMIT 8"
+        )
+
+    for vs, tb in ((q8sql, ", id"), (q8sql, ", vec_id"), (lshsql, ", id")):
+        df = vs.sql(aliased(tb))
+        assert "PartitionFilters" in plan_report(df).raw
+        assert df.columns == ["id", "score"]
+        want = [
+            (r["vec_id"], r["score"])
+            for r in vs.sql(_strict_topk_sql(q, k=8)).collect()
+        ]
+        assert [(r["id"], r["score"]) for r in df.collect()] == want
+    # a foreign tiebreak still declines to the full scan
+    df = q8sql.sql(aliased(", label"))
+    assert "PartitionFilters" not in plan_report(df).raw

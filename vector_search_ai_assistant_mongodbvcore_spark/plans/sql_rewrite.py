@@ -743,7 +743,8 @@ class VectorSqlSession:
         merged = self._split_select_items(query, blanked, masked)
         if merged is None or len(merged) != 2:
             return None
-        id_item = [it for it in merged if re.fullmatch(r"`?[A-Za-z_][\w]*`?", it)]
+        id_matches = [(it, re.fullmatch(self._ID_ITEM_RE, it)) for it in merged]
+        id_item = [(it, im) for it, im in id_matches if im is not None]
         parsed = [(it, self._parse_cosine_item(it)) for it in merged]
         call_item = [(it, p) for it, p in parsed if p is not None]
         if len(id_item) != 1 or len(call_item) != 1:
@@ -751,9 +752,15 @@ class VectorSqlSession:
         vec_col, vec_lit, round_d, alias = call_item[0][1]
         if alias.lower() != om.group("target").lower():
             return None
-        user_id = id_item[0].strip("`")
+        # `<id>` or `<id> AS <alias>` (r12: same rename acceptance as the
+        # BM25 leg) — the tiebreak may name either; the output carries
+        # the alias
+        im = id_item[0][1]
+        user_id = im.group("col")
+        id_alias = im.group("alias")
+        id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
         tiebreak = om.group("tiebreak")
-        if tiebreak is not None and tiebreak.lower() != user_id.lower():
+        if tiebreak is not None and tiebreak.lower() not in id_names:
             return None  # the index breaks ties by id; any other order is not served
         # ALL registration/index checks run BEFORE the literal is
         # evaluated — that evaluation is a driver-side Spark job, and an
@@ -828,7 +835,9 @@ class VectorSqlSession:
                 exact_source=exact,
             )
         cols = [
-            F.col(user_id) if it is id_item[0] else F.col("score").alias(alias)
+            F.col(user_id).alias(id_alias or user_id)
+            if it is id_item[0][0]
+            else F.col("score").alias(alias)
             for it in merged
         ]
         return out.select(*cols)
