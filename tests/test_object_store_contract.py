@@ -174,3 +174,122 @@ def test_managed_table_runs_on_s3_adapter_stub(spark, tmp_path):
     assert t.current_version() == 1
     # time travel still resolves through the adapter-served pointer
     assert t.read(version=0).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Azure Blob adapter (the reference's own cloud) over a deterministic stub
+# ---------------------------------------------------------------------------
+
+
+class _AzError(Exception):
+    def __init__(self, code: str, status: int):
+        super().__init__(f"{status} {code}")
+        self.error_code = code
+        self.status_code = status
+
+
+class _StubBlobReader:
+    def __init__(self, data: bytes, etag: str):
+        self._data = data
+
+        class _P:
+            pass
+
+        self.properties = _P()
+        self.properties.etag = f'"{etag}"'
+
+    def readall(self) -> bytes:
+        return self._data
+
+
+class _StubBlobClient:
+    def __init__(self, container, name):
+        self._c, self._name = container, name
+
+    def download_blob(self):
+        if self._name not in self._c.objs:
+            raise _AzError("BlobNotFound", 404)
+        data, etag = self._c.objs[self._name]
+        return _StubBlobReader(data, etag)
+
+    def upload_blob(self, data, overwrite=False, etag=None, match_condition=None):
+        cur = self._c.objs.get(self._name)
+        if not overwrite and cur is not None:
+            raise _AzError("BlobAlreadyExists", 409)
+        if etag is not None:
+            assert match_condition is not None  # SDK requires the pair
+            if cur is None or f'"{cur[1]}"' != etag:
+                raise _AzError("ConditionNotMet", 412)
+        new = uuid.uuid4().hex
+        self._c.objs[self._name] = (bytes(data), new)
+        return {"etag": f'"{new}"'}
+
+    def delete_blob(self):
+        self._c.objs.pop(self._name, None)
+
+
+class _StubBlobContainer:
+    def __init__(self):
+        self.objs: dict[str, tuple[bytes, str]] = {}
+
+    def get_blob_client(self, name):
+        return _StubBlobClient(self, name)
+
+    def list_blobs(self, name_starts_with=""):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [_B(k) for k in sorted(self.objs) if k.startswith(name_starts_with)]
+
+
+def _abfs_stub():
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.object_store import (
+        AzureBlobConditionalStore,
+    )
+
+    return AzureBlobConditionalStore(
+        "test-container", prefix="eng", container_client=_StubBlobContainer()
+    )
+
+
+@pytest.fixture(params=["memory", "s3_stub", "abfs_stub", "s3_real"])
+def anystore2(request):
+    return {
+        "memory": _memory,
+        "s3_stub": _s3_stub,
+        "abfs_stub": _abfs_stub,
+        "s3_real": _s3_real,
+    }[request.param]()
+
+
+def test_contract_full_matrix_all_backends(anystore2):
+    """The same primitive contract, now including the Azure adapter."""
+    s = anystore2
+    key = f"/tables/t-{uuid.uuid4().hex[:8]}/_VERSION"
+    assert s.get(key) == (None, None)
+    e1 = s.put_if(key, b"v0", if_match=None)
+    with pytest.raises(PreconditionFailed):
+        s.put_if(key, b"dup", if_match=None)
+    with pytest.raises(PreconditionFailed):
+        s.put_if(key, b"v1", if_match="stale")
+    e2 = s.put_if(key, b"v1", if_match=e1)
+    assert s.get(key) == (b"v1", e2) and e2 != e1 and '"' not in e2
+    table = key.rsplit("/_VERSION", 1)[0]
+    assert key in s.list(table + "/")
+    s.forget(table)
+    assert s.get(key) == (None, None)
+
+
+def test_managed_table_runs_on_abfs_adapter_stub(spark, tmp_path):
+    """The Azure twin of the S3 integration: the full commit protocol
+    over the Blob adapter's conditional writes."""
+    t = ManagedTable(
+        spark,
+        str(tmp_path / "t"),
+        committer=ConditionalPutCommitter(_abfs_stub()),
+    )
+    t.append(spark.range(3).toDF("id"))
+    t.merge(spark.createDataFrame([(1,), (7,)], "id long"), ["id"])
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 7}
+    assert t.read(version=0).count() == 3

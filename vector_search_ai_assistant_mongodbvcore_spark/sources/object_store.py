@@ -54,7 +54,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import 
     PreconditionFailed,
 )
 
-__all__ = ["S3ConditionalStore"]
+__all__ = ["S3ConditionalStore", "AzureBlobConditionalStore"]
 
 
 class S3ConditionalStore:
@@ -165,3 +165,115 @@ class S3ConditionalStore:
                     ]
                 },
             )
+
+
+class AzureBlobConditionalStore:
+    """Pointer store over an Azure Blob container — the reference's own
+    cloud (its Bicep deploys Azure storage; SURVEY §1 maps the service
+    layer). Azure Blob has carried conditional writes far longer than
+    S3: `If-None-Match: *` create-only (a lost race surfaces as
+    BlobAlreadyExists / HTTP 409) and `If-Match: <etag>` compare-and-
+    swap (a lost race as ConditionNotMet / HTTP 412).
+
+    Error mapping mirrors the S3 adapter's discipline:
+
+      * 412 ConditionNotMet and 409 BlobAlreadyExists both PROVE the
+        write did not apply -> PreconditionFailed (clean lost race; the
+        409 here is Azure's create-only refusal, NOT S3's ambiguous
+        ConditionalRequestConflict).
+      * any OTHER 409 (lease held, pending copy), timeouts, 5xx ->
+        re-raised unmapped: outcome unproven, the committer's
+        rolling-map landed-proof resolves it.
+
+    `container_client` injection serves the contract tests (a stub
+    exercises the mapping without network); without it the client is
+    built from `AZURE_STORAGE_CONNECTION_STRING` via the gated
+    azure-storage-blob dependency (the [abfs] extra)."""
+
+    def __init__(self, container: str, prefix: str = "", container_client=None):
+        if container_client is None:  # pragma: no cover - env-dependent
+            import os as _os
+
+            try:
+                from azure.storage.blob import ContainerClient
+            except ImportError as e:
+                raise ImportError(
+                    "AzureBlobConditionalStore needs azure-storage-blob: "
+                    'pip install "vector-search-ai-assistant-mongodbvcore-spark[abfs]"'
+                ) from e
+            conn = _os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+            if not conn:
+                raise ValueError(
+                    "set AZURE_STORAGE_CONNECTION_STRING or pass container_client"
+                )
+            container_client = ContainerClient.from_connection_string(conn, container)
+        self._c = container_client
+        self.prefix = prefix.strip("/")
+        self._if_not_modified = None
+
+    def _key(self, key: str) -> str:
+        key = key.lstrip("/")
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def _match_cond(self):
+        """azure.core.MatchConditions.IfNotModified, resolved lazily so
+        the stub-backed contract tests run without the SDK (the stub
+        accepts the string sentinel)."""
+        if self._if_not_modified is None:
+            try:  # pragma: no cover - env-dependent
+                from azure.core import MatchConditions
+
+                self._if_not_modified = MatchConditions.IfNotModified
+            except ImportError:
+                self._if_not_modified = "IfNotModified"
+        return self._if_not_modified
+
+    @staticmethod
+    def _status(err) -> int:
+        return getattr(err, "status_code", 0) or 0
+
+    @staticmethod
+    def _code(err) -> str:
+        return str(getattr(err, "error_code", "") or "")
+
+    def get(self, key: str) -> "tuple[bytes | None, str | None]":
+        try:
+            blob = self._c.get_blob_client(self._key(key))
+            reader = blob.download_blob()
+        except Exception as e:  # noqa: BLE001 — mapped below
+            if self._status(e) == 404 or self._code(e) == "BlobNotFound":
+                return None, None
+            raise
+        data = reader.readall()
+        return data, str(reader.properties.etag).strip('"')
+
+    def put_if(self, key: str, data: bytes, if_match: "str | None") -> str:
+        blob = self._c.get_blob_client(self._key(key))
+        try:
+            if if_match is None:
+                resp = blob.upload_blob(data, overwrite=False)
+            else:
+                resp = blob.upload_blob(
+                    data,
+                    overwrite=True,
+                    etag=f'"{if_match}"',
+                    match_condition=self._match_cond(),
+                )
+        except Exception as e:  # noqa: BLE001 — mapped below
+            if self._status(e) == 412 or self._code(e) == "ConditionNotMet":
+                raise PreconditionFailed(f"{key}: {e}") from e
+            if self._code(e) == "BlobAlreadyExists":
+                raise PreconditionFailed(f"{key}: {e}") from e
+            raise  # unproven outcome: the committer's landed-proof owns it
+        return str(resp["etag"]).strip('"')
+
+    def list(self, prefix: str = "") -> "list[str]":
+        mapped = self._key(prefix)
+        return [
+            prefix + b.name[len(mapped):]
+            for b in self._c.list_blobs(name_starts_with=mapped)
+        ]
+
+    def forget(self, table_path: str) -> None:
+        for k in self.list(table_path.rstrip("/") + "/"):
+            self._c.get_blob_client(self._key(k)).delete_blob()
