@@ -393,6 +393,7 @@ def read_language_partition(
     exported_dir: str,
     lang: str,
     lang_col_name: str = "lang_pred",
+    schema=None,
 ) -> DataFrame:
     """ONE language's documents from an export_language_partitioned tree,
     as a partition-PRUNED scan (judge r11 directive #7 — the CCNet
@@ -408,9 +409,14 @@ def read_language_partition(
 
         fr = read_language_partition(spark, exported, "fr")
         chunks = prepare_training_corpus(fr, ...)
-    """
+
+    `schema` (optional, the exporter's `out.schema`) skips inference —
+    required for a tree whose restriction matched nothing (a data-less
+    export has no footers to infer from; same escape hatch the
+    exporter's own count read-back uses)."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
     return (
-        spark.read.parquet(exported_dir)
+        reader.parquet(exported_dir)
         .filter(F.col(lang_col_name) == lang)
         .drop(lang_col_name)
     )

@@ -305,11 +305,11 @@ def calibrate_language_id(
         therefore where a floor cuts) moves. Every existing green
         parity surface (language_id_pred oracle, batch==stream label
         equality) is unaffected by construction.
-      * deterministic: scores are collected in the input's order
-        (bounded by max_calib_rows — same fit-on-sample discipline as
-        the fit itself), and the 1-D optimization is a fixed
-        log-grid + ternary refinement of a CONVEX objective (NLL is
-        convex in 1/T for fixed scores).
+      * deterministic: calibration rows are selected in (label, text)
+        sort order before the max_calib_rows cap (a bare limit() on a
+        multi-partition frame is not order-stable), and the 1-D
+        optimization is a fixed log-grid + ternary refinement of a
+        CONVEX objective (NLL is convex in 1/T for fixed scores).
       * calibrate on rows the fit never saw: in-sample scores are
         over-separated, which biases T low and re-inflates every
         confidence.
@@ -325,8 +325,10 @@ def calibrate_language_id(
         .select(
             language_scores_col(model, F.col(text_col)).alias("_s"),
             F.col(label_col).cast("string").alias("_y"),
+            F.col(text_col).alias("_t"),
         )
         .filter(F.col("_s").isNotNull())
+        .orderBy("_y", "_t")
         .limit(int(max_calib_rows))
         .collect()
     )

@@ -602,6 +602,8 @@ class VectorSqlSession:
         im = id_item[0][1]
         user_id = im.group("col")
         id_alias = im.group("alias")  # None for the bare `<id>` form
+        if id_alias and id_alias.lower() == cm.group("alias").lower():
+            return None  # duplicate output names; Spark would reject the SQL
         if user_id.lower() != str(meta.get("id_col", "")).lower():
             return None
         id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
@@ -758,6 +760,12 @@ class VectorSqlSession:
         im = id_item[0][1]
         user_id = im.group("col")
         id_alias = im.group("alias")
+        if id_alias and id_alias.lower() == alias.lower():
+            # `<id> AS s, cosine_sim(...) AS s` — Spark's own analysis
+            # would reject the ambiguous ORDER BY reference; the serve
+            # bypasses that analysis, so decline rather than return a
+            # frame with duplicate column names
+            return None
         id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
         tiebreak = om.group("tiebreak")
         if tiebreak is not None and tiebreak.lower() not in id_names:
