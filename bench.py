@@ -201,7 +201,21 @@ def _bench_sql_serves(spark, q) -> dict:
     ):
         vs = VectorSqlSession(spark)
         register(vs)
-        vs.sql(sql).write.format("noop").mode("overwrite").save()  # warm
+        # the row must time the SERVE, not a silent decline to the full
+        # scan (r12 review finding: a registration/meta mismatch would
+        # otherwise record full-scan numbers under the serve's label and
+        # hide exactly the regression these rows exist to expose)
+        from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import (
+            plan_report,
+        )
+
+        served = vs.sql(sql)
+        if "PartitionFilters" not in plan_report(served).raw:
+            raise RuntimeError(
+                f"{name}: the SQL serve declined to a full scan — fix the "
+                "registration/index before recording a bench row"
+            )
+        served.write.format("noop").mode("overwrite").save()  # warm
         med, ts = _median_of(
             lambda: vs.sql(sql).write.format("noop").mode("overwrite").save()
         )

@@ -60,7 +60,11 @@ class _StubS3:
         cur = self.objs.get(Key)
         if IfNoneMatch == "*" and cur is not None:
             raise _StubClientError("PreconditionFailed", 412)
-        if IfMatch is not None and (cur is None or cur[1] != IfMatch):
+        if IfMatch is not None and cur is None:
+            # real S3: If-Match on a MISSING key is 404 NoSuchKey, not
+            # 412 — the adapter must map it, so the stub must model it
+            raise _StubClientError("NoSuchKey", 404)
+        if IfMatch is not None and cur[1] != IfMatch:
             raise _StubClientError("PreconditionFailed", 412)
         etag = uuid.uuid4().hex
         self.objs[Key] = (bytes(Body), etag)
@@ -156,6 +160,48 @@ def test_s3_adapter_error_mapping():
         s.put_if("/t/_VERSION", b"y", if_match=e)
     with pytest.raises(PreconditionFailed):
         s.put_if("/t/_VERSION", b"y", if_match="wrong")
+    # real S3 answers a CAS on a MISSING key with 404 NoSuchKey — the
+    # adapter maps it to the same clean lost race (proven not-applied),
+    # e.g. when forget() races a swap (r12 review finding)
+    with pytest.raises(PreconditionFailed):
+        s.put_if("/t/_MISSING", b"y", if_match=e)
+    # a CREATE-ONLY put's non-412 errors still pass through unmapped
+    assert s.get("/t/_MISSING") == (None, None)
+
+
+def test_abfs_forget_tolerates_concurrent_forget():
+    """The Azure twin of DeleteObjects' idempotence: a blob deleted
+    between list and delete (concurrent forget / stale listing) is a
+    no-op, not a crash mid-iteration (r12 review finding)."""
+    container = _StubBlobContainer()
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.object_store import (
+        AzureBlobConditionalStore,
+    )
+
+    s = AzureBlobConditionalStore("c", prefix="p", container_client=container)
+    s.put_if("/t/a", b"a", if_match=None)
+    s.put_if("/t/b", b"b", if_match=None)
+
+    real_client = container.get_blob_client
+
+    def racing(name):
+        bc = real_client(name)
+        orig = bc.delete_blob
+
+        def delete_then_404():
+            # simulate the other forgetter winning: first delete call
+            # finds the blob ALREADY gone
+            container.objs.pop(name, None)
+            orig()  # stub pops again: no-op
+            raise _AzError("BlobNotFound", 404)
+
+        bc.delete_blob = delete_then_404
+        return bc
+
+    container.get_blob_client = racing
+    s.forget("/t")  # must not raise
+    container.get_blob_client = real_client
+    assert s.get("/t/a") == (None, None) and s.get("/t/b") == (None, None)
 
 
 def test_managed_table_runs_on_s3_adapter_stub(spark, tmp_path):

@@ -330,6 +330,7 @@ def calibrate_language_id(
         .filter(F.col("_s").isNotNull())
         .orderBy("_y", "_t")
         .limit(int(max_calib_rows))
+        .select("_s", "_y")  # _t ordered the cap; don't ship text to the driver
         .collect()
     )
     keep = [(r["_s"], cls_idx[r["_y"]]) for r in rows if r["_y"] in cls_idx]

@@ -368,8 +368,29 @@ def _pointer_dangles(table_path: str, doc: "dict | None") -> bool:
         list(doc.get("data_dirs", {}).values())
         + list(doc.get("manifests", {}).values())
         + list(doc.get("stats_files", {}).values())
-    ) or [f"v_{v}"]
+    ) or [
+        # map-less LEGACY docs: both table types still read them by
+        # convention-derived names — ManagedTable's v_{v} dir,
+        # BucketedTable's manifest_{v}.json (+ filestats) — so the
+        # fallback must admit either shape or a healthy legacy bucketed
+        # table would read as dangling (r12 review finding)
+        f"v_{v}",
+        f"manifest_{v}.json",
+        f"filestats_{v}.json",
+    ]
     return not any(os.path.exists(os.path.join(table_path, n)) for n in names)
+
+
+def _raise_if_dangling(table_path: str, doc: "dict | None") -> None:
+    """Shared guard for the two places the pointer is consulted (read
+    and write-transaction entry) — one message, impossible to drift."""
+    if _pointer_dangles(table_path, doc):
+        raise DanglingPointerError(
+            f"{table_path}: pointer at version {doc.get('version')} "
+            "but none of its retained data dirs exist — the table "
+            "directory was deleted while the shared pointer store "
+            "survived; call store.forget(path) for a fresh table"
+        )
 
 
 class MemoryConditionalStore:
@@ -534,16 +555,10 @@ class _CondPutTxn:
         data, etag = self._store.get(self._key)
         self.doc = json.loads(data) if data is not None else None
         self._etag = etag
-        if _pointer_dangles(self.path, self.doc):
-            # a writer must not resume a dead table's version history
-            # (ADVICE r11, low) — same detection as read_pointer, at the
-            # one other place the pointer is consulted
-            raise DanglingPointerError(
-                f"{self.path}: pointer at version {self.doc.get('version')} "
-                "but none of its retained data dirs exist — the table "
-                "directory was deleted while the shared pointer store "
-                "survived; call store.forget(path) for a fresh table"
-            )
+        # a writer must not resume a dead table's version history
+        # (ADVICE r11, low) — same detection as read_pointer, at the
+        # one other place the pointer is consulted
+        _raise_if_dangling(self.path, self.doc)
         return self
 
     def publish(self, staging: str, final_name: str) -> str:
@@ -703,13 +718,7 @@ class ConditionalPutCommitter:
     def read_pointer(self, table_path: str) -> "dict | None":
         data, _ = self.store.get(os.path.join(table_path, "_VERSION"))
         doc = json.loads(data) if data is not None else None
-        if _pointer_dangles(table_path, doc):
-            raise DanglingPointerError(
-                f"{table_path}: pointer at version {doc.get('version')} "
-                "but none of its retained data dirs exist — the table "
-                "directory was deleted while the shared pointer store "
-                "survived; call store.forget(path) for a fresh table"
-            )
+        _raise_if_dangling(table_path, doc)
         return doc
 
     def transaction(self, table_path: str) -> _CondPutTxn:
@@ -2311,7 +2320,7 @@ class TransactionalWriter:
                 except FileNotFoundError:
                     pass  # vacuumed mid-read: re-pin
             time.sleep(backoff)
-        if vacuumed_stamp_attempts == max_attempts:
+        if max_attempts > 0 and vacuumed_stamp_attempts == max_attempts:
             # EVERY attempt found a stamped-but-vacuumed snapshot (none
             # reached the read path or missed the stamp walk): quiescent
             # pair, consistency permanently unreachable until the next

@@ -126,6 +126,15 @@ class S3ConditionalStore:
             if self._code(e) == "PreconditionFailed" or self._status(e) == 412:
                 # the service PROVED nothing applied: a clean lost race
                 raise PreconditionFailed(f"{key}: {e}") from e
+            if if_match is not None and (
+                self._code(e) == "NoSuchKey" or self._status(e) == 404
+            ):
+                # real S3 answers an If-Match put on a MISSING key with
+                # 404 NoSuchKey, not 412 (r12 review finding) — equally
+                # proof that nothing applied (the precondition cannot
+                # hold on a key that is gone, e.g. forget() raced the
+                # swap), so it is the same clean lost race
+                raise PreconditionFailed(f"{key}: {e}") from e
             # 409 ConditionalRequestConflict, timeouts, 5xx: outcome NOT
             # proven — surface as-is; _CondPutTxn.swap resolves through
             # the rolling-map landed-proof (never a blind retry)
@@ -276,4 +285,13 @@ class AzureBlobConditionalStore:
 
     def forget(self, table_path: str) -> None:
         for k in self.list(table_path.rstrip("/") + "/"):
-            self._c.get_blob_client(self._key(k)).delete_blob()
+            try:
+                self._c.get_blob_client(self._key(k)).delete_blob()
+            except Exception as e:  # noqa: BLE001 — mapped below
+                # the module contract says LIST is a hint that may lag
+                # deletes: a concurrent forget (or a stale listing
+                # layer) makes this blob already gone — idempotent
+                # no-op, like the S3 twin's DeleteObjects (r12 review)
+                if self._status(e) == 404 or self._code(e) == "BlobNotFound":
+                    continue
+                raise
