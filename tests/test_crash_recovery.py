@@ -249,3 +249,35 @@ def test_memory_store_list_lag_anomaly_contract():
     s2 = MemoryConditionalStore()
     s2.put_if("/t/_VERSION", b"{}", if_match=None)
     assert "/t/_VERSION" in s2.list("/t/")
+
+
+def test_bucketed_dangling_pointer_detected(spark, tmp_path, store):
+    """The BucketedTable twin of the dangling-pointer guard: its docs
+    carry manifests/stats_files (no data_dirs), and the detection must
+    key on those — a deleted-and-recreated bucketed table raises rather
+    than resuming the dead history, while a LIVE one never trips it."""
+    import shutil
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        DanglingPointerError,
+    )
+
+    path = str(tmp_path / "b")
+    t = BucketedTable(
+        spark, path, bucket_by=["id"], n_buckets=4,
+        committer=ConditionalPutCommitter(store),
+    )
+    t.merge(spark.range(4).toDF("id"), ["id"])
+    t.merge(spark.range(4, 6).toDF("id"), ["id"])
+    assert t.read().count() == 6  # live table: guard never fires
+    shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    fresh = BucketedTable(
+        spark, path, bucket_by=["id"], n_buckets=4,
+        committer=ConditionalPutCommitter(store),
+    )
+    with pytest.raises(DanglingPointerError, match="forget"):
+        fresh.read()
+    store.forget(path)
+    fresh.merge(spark.range(2).toDF("id"), ["id"])
+    assert fresh.read().count() == 2 and fresh.current_version() == 0
