@@ -849,3 +849,30 @@ def test_vector_serve_accepts_id_alias(q8sql, lshsql, spark, tables, tmp_path):
     # a foreign tiebreak still declines to the full scan
     df = q8sql.sql(aliased(", label"))
     assert "PartitionFilters" not in plan_report(df).raw
+
+
+def test_where_clause_composes_on_pruned_view(spark, tables, tmp_path):
+    """A WHERE clause rides the unquantized FROM-substitution unchanged
+    (the predicate applies ON the pruned view, exactly as it would on
+    the raw table); at full probes the served result equals the
+    unregistered full scan row-for-row. Pins a shape the rewrite has
+    always accepted but no test exercised."""
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    IvfIndex(spark, str(tmp_path / "ivf_w")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    vs = VectorSqlSession(spark)
+    vs.register_index("embeddings", str(tmp_path / "ivf_w"), n_probe=4)
+    q = _qvec()
+    sql = (
+        "SELECT vec_id, cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ") AS score FROM embeddings WHERE vec_id % 3 = 0 "
+        "ORDER BY score DESC, vec_id LIMIT 7"
+    )
+    df = vs.sql(sql)
+    assert "PartitionFilters" in plan_report(df).raw
+    want = VectorSqlSession(spark).sql(sql).collect()  # unregistered scan
+    assert [(r["vec_id"], r["score"]) for r in df.collect()] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
