@@ -876,3 +876,41 @@ def test_where_clause_composes_on_pruned_view(spark, tables, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in df.collect()] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_register_auto_sniffs_index_kind(spark, tables, tmp_path):
+    """register_auto routes on each builder's own meta schema and never
+    guesses: IVF (with pass-through options), LSH, BM25, and loud
+    errors for a non-index dir."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        LshIndex,
+    )
+
+    tables["documents"].createOrReplaceTempView("documents")
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    IvfIndex(spark, str(tmp_path / "a_ivf")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
+    )
+    LshIndex(spark, str(tmp_path / "a_lsh")).build(
+        tables["embeddings"], dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id",
+    )
+    Bm25Index(spark, str(tmp_path / "a_bm")).build(tables["documents"])
+
+    vs = VectorSqlSession(spark)
+    assert vs.register_auto("embeddings", str(tmp_path / "a_ivf"), n_probe=2) == "ivf"
+    assert vs.register_auto("documents", str(tmp_path / "a_bm")) == "bm25"
+    # the one-vector-registration rule still applies through auto
+    with pytest.raises(ValueError, match="already has an IVF registration"):
+        vs.register_auto("embeddings", str(tmp_path / "a_lsh"))
+    vs2 = VectorSqlSession(spark)
+    assert vs2.register_auto("embeddings", str(tmp_path / "a_lsh")) == "lsh"
+    # the registered paths actually serve
+    q = _qvec()
+    assert "PartitionFilters" in plan_report(vs.sql(_topk_sql(q, k=5))).raw
+    assert "PartitionFilters" in plan_report(vs2.sql(_strict_topk_sql(q, k=5))).raw
+    with pytest.raises(ValueError, match="no meta.json"):
+        VectorSqlSession(spark).register_auto("documents", str(tmp_path))

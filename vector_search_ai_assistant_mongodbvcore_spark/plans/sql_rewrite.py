@@ -306,6 +306,42 @@ class VectorSqlSession:
             )
         self._lsh[key] = (index_path, exact_source)
 
+    def register_auto(self, table: str, index_path: str, **kwargs) -> str:
+        """Sniff the index KIND from the dir's meta.json and route to
+        the matching register_* call; returns 'ivf' | 'lsh' | 'bm25'.
+        The discriminating fields are each builder's own schema
+        (IvfIndex: num_lists; LshIndex: tables+bits; Bm25Index:
+        n_buckets) — an unrecognizable dir raises rather than guess an
+        access path. kwargs pass through (n_probe / exact_source for
+        IVF, exact_source for LSH); the one-vector-registration-per-
+        table rule applies unchanged."""
+        import json
+
+        try:
+            with open(os.path.join(index_path, "meta.json")) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"{index_path}: no meta.json — not a materialized index dir"
+            ) from None
+        if "num_lists" in m:
+            self.register_index(table, index_path, **kwargs)
+            return "ivf"
+        if "tables" in m and "bits" in m:
+            self.register_lsh_index(table, index_path, **kwargs)
+            return "lsh"
+        if "n_buckets" in m:
+            if kwargs:
+                raise TypeError(
+                    f"register_bm25_index takes no extra options, got {sorted(kwargs)}"
+                )
+            self.register_bm25_index(table, index_path)
+            return "bm25"
+        raise ValueError(
+            f"{index_path}: meta.json matches no known index layout "
+            f"(fields: {sorted(m)})"
+        )
+
     def register_bm25_index(self, table: str, index_path: str) -> None:
         """Declare that keyword queries against `table` are served by the
         Bm25Index at `index_path`: the recognized bm25_score top-k shape
