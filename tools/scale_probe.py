@@ -63,7 +63,7 @@ def main() -> None:
         "chunking", "minhash_band_pairs", "ngram_jaccard", "decontam",
         "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
         "cap_per_source", "remove_spans", "mask_contam", "bpe_encode",
-        "component_dedup",
+        "component_dedup", "export_bylang", "export_bylang_serial",
     }
     _EV_OPS = {"asof_attribution"}
     _VEC_OPS = {
@@ -164,6 +164,23 @@ def main() -> None:
         "bpe_encode": lambda d: bpe_encode_corpus(d, bpe_model)
         .select("doc_id", F.size("input_ids").alias("n"))
         .write.format("noop").mode("overwrite").save(),
+        # per-language partitioned export (r11 directive #1's skew fix):
+        # the corpus is ~44% English, so the serial twin (files_per_lang=1
+        # — one shuffle key per language, the pre-r12 write shape) funnels
+        # the dominant language through ONE task while the salted default
+        # fans it across 8; the tN gap between the two ops is the fix's
+        # measured value at pressure. Model fit ONCE on the 1x corpus
+        # (frozen, like the BPE/PQ models); export_language_partitioned's
+        # counts read-back is part of the measured work (it is part of
+        # the operator's contract).
+        "export_bylang": lambda d: export_language_partitioned(
+            d, export_lang_model, os.path.join(WORK, f"bylang_{d is docsN}"),
+            salt_col="doc_id",
+        ).collect(),
+        "export_bylang_serial": lambda d: export_language_partitioned(
+            d, export_lang_model, os.path.join(WORK, f"bylangs_{d is docsN}"),
+            salt_col="doc_id", files_per_lang=1,
+        ).collect(),
     }
 
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
@@ -187,6 +204,19 @@ def main() -> None:
     bpe_model = (
         learn_bpe(docs1, num_merges=100, max_terms=10_000)
         if docs1 is not None and needs_bpe
+        else None
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_language_partitioned,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        fit_language_id,
+    )
+
+    needs_export = not only or bool(only & {"export_bylang", "export_bylang_serial"})
+    export_lang_model = (
+        fit_language_id(docs1, dims=2048, ngram_range=(8, 12), max_fit_rows=2000)
+        if docs1 is not None and needs_export
         else None
     )
 
