@@ -727,3 +727,39 @@ def test_stream_calibrated_floor_matches_batch(spark, tmp_path):
     # the calibrated floor is meaningful: confidently-predicted de/es
     # docs survive (the calibrated scale puts them above 0.5)
     assert got == {did for did, lang, _ in rows if lang in ("de", "es")}
+
+
+def test_calibrated_floor_trades_error_on_ambiguous_mix(spark):
+    """The informative half of the DATACARD curve: on a held-out mix of
+    full sentences and 2-word truncations (genuinely ambiguous in-scope
+    text), a calibrated mid floor quarantines some ambiguity with a
+    BOUNDED false-unknown rate while REDUCING the accepted error vs no
+    floor — the trade the floor exists to buy."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        calibrate_language_id,
+        confidence_floor_curve,
+    )
+
+    corpus = {**REAL, **REAL_NONLATIN}
+
+    def trunc(idx):
+        rows = []
+        for lang, sents in corpus.items():
+            for i in idx:
+                if i < len(sents):
+                    rows.append((lang, " ".join(sents[i].split()[:2])))
+        return spark.createDataFrame(rows, "lang string, text string")
+
+    model = fit_language_id(_real_df(spark, range(9), corpus), dims=8192, reg=1e-4)
+    cal = calibrate_language_id(
+        model, _real_df(spark, range(9, 11), corpus).unionByName(trunc(range(9, 11)))
+    )
+    test = _real_df(spark, range(11, 13), corpus).unionByName(trunc(range(11, 13)))
+    curve = {
+        c["floor"]: c
+        for c in confidence_floor_curve(cal, test, floors=(0.05, 0.6))
+    }
+    no_floor, mid = curve[0.05], curve[0.6]
+    assert mid["false_unknown_rate"] <= 0.1
+    assert mid["accepted_error_rate"] < no_floor["accepted_error_rate"]
+    assert 0.0 < mid["unknown_rate"] <= 0.3  # quarantines SOME, not most
