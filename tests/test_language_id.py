@@ -763,3 +763,73 @@ def test_calibrated_floor_trades_error_on_ambiguous_mix(spark):
     assert mid["false_unknown_rate"] <= 0.1
     assert mid["accepted_error_rate"] < no_floor["accepted_error_rate"]
     assert 0.0 < mid["unknown_rate"] <= 0.3  # quarantines SOME, not most
+
+
+def test_calibration_rows_ignore_out_of_class_labels(spark):
+    """r12 review: out-of-class labels must not consume the calibration
+    budget. A frame whose alphabetically-FIRST label is a language the
+    model does not know ('aa', more rows than the cap) still calibrates
+    on the valid rows behind it — the old (label, text)-sorted cap took
+    only the 'aa' rows and raised 'no calibration rows'."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        calibrate_language_id,
+    )
+
+    model = fit_language_id(_real_df(spark, range(9)), dims=4096, reg=1e-4)
+    junk = spark.createDataFrame(
+        [("aa", f"zz qq xx {i} unknown tongue row") for i in range(300)],
+        "lang string, text string",
+    )
+    labeled = junk.unionByName(_real_df(spark, range(9, 11)))
+    cal = calibrate_language_id(model, labeled, max_calib_rows=100)
+    assert cal["temperature"] > 0
+
+
+def test_calibration_cap_is_label_balanced(spark):
+    """The max_calib_rows cap takes rows round-robin across labels: with
+    a dominant alphabetically-first class, the capped selection still
+    includes every class (the old sorted cap spent the whole budget on
+    the first class). Tested against the selection helper directly."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        _calibration_rows,
+    )
+
+    model = fit_language_id(_real_df(spark, range(9)), dims=4096, reg=1e-4)
+    # 200 'de' rows (sorts before 'en') vs 8 'en' rows; cap of 40 must
+    # keep roughly half from each class, not 40 'de' rows
+    de = spark.createDataFrame(
+        [("de", f"das wetter war kalt und die strassen leer nummer {i}")
+         for i in range(200)],
+        "lang string, text string",
+    )
+    en = spark.createDataFrame(
+        [("en", f"the weather was cold and the streets were quiet number {i}")
+         for i in range(8)],
+        "lang string, text string",
+    )
+    rows = _calibration_rows(model, de.unionByName(en), "text", "lang", 40)
+    labels = [r["_y"] for r in rows]
+    assert len(labels) == 40
+    assert labels.count("en") == 8  # every minority row kept
+    assert labels.count("de") == 32
+    # deterministic: same frame, same selection
+    again = _calibration_rows(model, de.unionByName(en), "text", "lang", 40)
+    assert [r["_y"] for r in again] == labels
+
+
+def test_confidence_floor_curve_empty_frame_raises(spark):
+    """An all-zeros curve computed on no data would read as 'no floor
+    needed'; the curve raises loudly instead (r12 review)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        confidence_floor_curve,
+    )
+
+    model = fit_language_id(_real_df(spark, range(9)), dims=1024, reg=1e-4)
+    empty = spark.createDataFrame([], "lang string, text string")
+    with pytest.raises(ValueError, match="no labeled rows"):
+        confidence_floor_curve(model, empty)
+    all_null = spark.createDataFrame(
+        [(None, "some text")], "lang string, text string"
+    )
+    with pytest.raises(ValueError, match="no labeled rows"):
+        confidence_floor_curve(model, all_null)

@@ -82,9 +82,19 @@ class _StubS3:
 
     def delete_objects(self, Bucket, Delete):
         assert len(Delete["Objects"]) <= 1000  # the real API cap
+        errs = []
         for o in Delete["Objects"]:
+            if o["Key"] in getattr(self, "deny_delete", ()):
+                # the real API reports per-key failures (AccessDenied,
+                # ...) inside a 200 response; a missing key is a
+                # SUCCESS (S3 deletes are idempotent)
+                errs.append(
+                    {"Key": o["Key"], "Code": "AccessDenied",
+                     "Message": "stub: delete denied"}
+                )
+                continue
             self.objs.pop(o["Key"], None)
-        return {}
+        return {"Errors": errs} if errs else {}
 
 
 def _memory():
@@ -167,6 +177,26 @@ def test_s3_adapter_error_mapping():
         s.put_if("/t/_MISSING", b"y", if_match=e)
     # a CREATE-ONLY put's non-412 errors still pass through unmapped
     assert s.get("/t/_MISSING") == (None, None)
+
+
+def test_s3_forget_surfaces_per_key_delete_errors():
+    """DeleteObjects reports per-key failures inside a 200 response; a
+    forget that cannot clear every pointer key must FAIL loudly — a
+    silently-partial forget leaves the dead table's _VERSION to resume
+    its history, the split-brain forget() exists to prevent (r12
+    review). Keys already gone stay the idempotent no-op."""
+    stub = _StubS3()
+    s = S3ConditionalStore("b", prefix="p", client=stub)
+    s.put_if("/t/_VERSION", b"x", if_match=None)
+    s.put_if("/t/aux", b"y", if_match=None)
+    stub.deny_delete = {"p/t/_VERSION"}
+    with pytest.raises(RuntimeError, match="NOT fully cleared"):
+        s.forget("/t")
+    assert s.get("/t/_VERSION")[0] == b"x"  # the denied key survives
+    stub.deny_delete = set()
+    s.forget("/t")  # clears cleanly once the denial lifts
+    assert s.get("/t/_VERSION") == (None, None)
+    assert s.get("/t/aux") == (None, None)
 
 
 def test_abfs_forget_tolerates_concurrent_forget():

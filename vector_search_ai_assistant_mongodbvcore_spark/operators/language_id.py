@@ -282,6 +282,46 @@ def language_scores_col(model: dict, col: Column | str) -> Column:
     return _bound(buckets, score)
 
 
+def _calibration_rows(
+    model: dict,
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    max_calib_rows: int,
+) -> list:
+    """The collected (_s scores, _y label) calibration rows: in-class
+    labels only (filtered BEFORE the cap so unusable labels never
+    consume the budget), capped round-robin across labels — rank within
+    each label by md5(text) (deterministic, order-stable), then take
+    the smallest ranks first, so every present class contributes
+    ~max_calib_rows/n_classes rows before any class contributes more.
+    Split out of calibrate_language_id so the selection policy is
+    directly testable (r12 review finding: the old (label, text)-sorted
+    cap starved the alphabetically-last languages and could come back
+    empty when out-of-class labels filled the cap)."""
+    from pyspark.sql import Window
+
+    classes = [str(s) for s in model["classes"]]
+    scored = (
+        labeled.filter(F.col(label_col).isNotNull())
+        .select(
+            language_scores_col(model, F.col(text_col)).alias("_s"),
+            F.col(label_col).cast("string").alias("_y"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .filter(F.col("_y").isin(classes))
+    )
+    w = Window.partitionBy("_y").orderBy("_h")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .orderBy("_rn", "_y", "_h")
+        .limit(max_calib_rows)
+        .select("_s", "_y")  # _rn/_h ordered the cap; don't ship them
+        .collect()
+    )
+
+
 def calibrate_language_id(
     model: dict,
     labeled: DataFrame,
@@ -305,11 +345,17 @@ def calibrate_language_id(
         therefore where a floor cuts) moves. Every existing green
         parity surface (language_id_pred oracle, batch==stream label
         equality) is unaffected by construction.
-      * deterministic: calibration rows are selected in (label, text)
-        sort order before the max_calib_rows cap (a bare limit() on a
-        multi-partition frame is not order-stable), and the 1-D
-        optimization is a fixed log-grid + ternary refinement of a
-        CONVEX objective (NLL is convex in 1/T for fixed scores).
+      * deterministic AND label-balanced under the cap: out-of-class
+        labels are dropped BEFORE the max_calib_rows cap (they carry no
+        NLL signal, so they must not consume the budget), and the cap
+        takes rows round-robin across labels (rank within label by a
+        text hash, then smallest ranks first) — a plain (label, text)
+        sort would spend the whole budget on the alphabetically-first
+        languages of a large frame and fit T on a class-skewed subset.
+        A bare limit() on a multi-partition frame is not order-stable;
+        the (rank, label, hash) order is. The 1-D optimization is a
+        fixed log-grid + ternary refinement of a CONVEX objective (NLL
+        is convex in 1/T for fixed scores).
       * calibrate on rows the fit never saw: in-sample scores are
         over-separated, which biases T low and re-inflates every
         confidence.
@@ -320,20 +366,10 @@ def calibrate_language_id(
 
     classes = [str(s) for s in model["classes"]]
     cls_idx = {c: i for i, c in enumerate(classes)}
-    rows = (
-        labeled.filter(F.col(label_col).isNotNull())
-        .select(
-            language_scores_col(model, F.col(text_col)).alias("_s"),
-            F.col(label_col).cast("string").alias("_y"),
-            F.col(text_col).alias("_t"),
-        )
-        .filter(F.col("_s").isNotNull())
-        .orderBy("_y", "_t")
-        .limit(int(max_calib_rows))
-        .select("_s", "_y")  # _t ordered the cap; don't ship text to the driver
-        .collect()
+    rows = _calibration_rows(
+        model, labeled, text_col, label_col, int(max_calib_rows)
     )
-    keep = [(r["_s"], cls_idx[r["_y"]]) for r in rows if r["_y"] in cls_idx]
+    keep = [(r["_s"], cls_idx[r["_y"]]) for r in rows]
     if not keep:
         raise ValueError(
             "no calibration rows: need labeled text whose labels are "
@@ -411,7 +447,15 @@ def confidence_floor_curve(
                 ).alias(f"err_{i}"),
             ]
         )
-    row = base.agg(*aggs).first()
+    row = base.agg(F.count(F.lit(1)).alias("_n"), *aggs).first()
+    if int(row["_n"]) == 0:
+        # an all-zeros curve computed on NO data reads as "no floor
+        # needed / zero risk" — raise loudly instead, mirroring
+        # calibrate_language_id on the equivalent condition (r12 review)
+        raise ValueError(
+            f"confidence_floor_curve: no labeled rows (label_col="
+            f"{label_col!r} all-null or the frame is empty)"
+        )
     return [
         {
             "floor": float(f),

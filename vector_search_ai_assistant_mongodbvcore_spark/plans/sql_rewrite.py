@@ -510,6 +510,36 @@ class VectorSqlSession:
         re.IGNORECASE,
     )
 
+    @classmethod
+    def _single_id_item(
+        cls, merged: "list[str]", call_alias: str
+    ) -> "tuple[str, str, str | None, set[str]] | None":
+        """The single bare `<id>[ AS <alias>]` select item among the
+        merged select list, as (item text, id column, alias | None,
+        lowercased {id, alias} name set for the ORDER BY tiebreak
+        check). None when the shape does not hold: not exactly one
+        id-shaped item, or the id's output name collides with the call
+        item's alias (Spark's own analysis would reject the duplicate
+        ORDER BY reference; the serves bypass that analysis, so they
+        must decline rather than return duplicate column names).
+        Shared by the BM25 and vector whole-query serves — the two
+        inline copies had already drifted once (r12 review)."""
+        hits = [
+            (it, m)
+            for it in merged
+            for m in [re.fullmatch(cls._ID_ITEM_RE, it)]
+            if m is not None
+        ]
+        if len(hits) != 1:
+            return None
+        it, im = hits[0]
+        user_id = im.group("col")
+        id_alias = im.group("alias")  # None for the bare `<id>` form
+        if id_alias and id_alias.lower() == call_alias.lower():
+            return None
+        id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
+        return it, user_id, id_alias, id_names
+
     @staticmethod
     def _blank_quoted(query: str) -> str:
         """The query with every single-quoted span replaced by exactly as
@@ -614,17 +644,16 @@ class VectorSqlSession:
         merged = self._split_select_items(query, blanked)
         if merged is None or len(merged) != 2:
             return None
-        id_matches = [
-            (it, re.fullmatch(self._ID_ITEM_RE, it))
-            for it in merged
-        ]
-        id_item = [(it, m) for it, m in id_matches if m is not None]
         call_item = [it for it in merged if self._BM25_ITEM_RE.match(it)]
-        if len(id_item) != 1 or len(call_item) != 1:
+        if len(call_item) != 1:
             return None
         cm = self._BM25_ITEM_RE.match(call_item[0])
         if cm.group("alias").lower() != om.group("target").lower():
             return None
+        parsed_id = self._single_id_item(merged, cm.group("alias"))
+        if parsed_id is None:
+            return None
+        id_text, user_id, id_alias, id_names = parsed_id
         from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
             Bm25Index,
             tokenize_query,
@@ -635,14 +664,8 @@ class VectorSqlSession:
             return None
         meta = idx.meta()
         # SQL identifiers are case-insensitive — compare them that way
-        im = id_item[0][1]
-        user_id = im.group("col")
-        id_alias = im.group("alias")  # None for the bare `<id>` form
-        if id_alias and id_alias.lower() == cm.group("alias").lower():
-            return None  # duplicate output names; Spark would reject the SQL
         if user_id.lower() != str(meta.get("id_col", "")).lower():
             return None
-        id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
         if tiebreak is not None and tiebreak.lower() not in id_names:
             # the FULL served shape matched (registered index, id column,
             # score alias) except the tiebreak — and BM25 has no correct
@@ -669,7 +692,7 @@ class VectorSqlSession:
         out = idx.search(terms, k=int(om.group("k")), round_scores=round_to)
         cols = [
             F.col(meta["id_col"]).alias(id_alias or user_id)
-            if it is id_item[0][0]
+            if it is id_text
             else F.col("bm25").alias(cm.group("alias"))
             for it in merged
         ]
@@ -781,11 +804,9 @@ class VectorSqlSession:
         merged = self._split_select_items(query, blanked, masked)
         if merged is None or len(merged) != 2:
             return None
-        id_matches = [(it, re.fullmatch(self._ID_ITEM_RE, it)) for it in merged]
-        id_item = [(it, im) for it, im in id_matches if im is not None]
         parsed = [(it, self._parse_cosine_item(it)) for it in merged]
         call_item = [(it, p) for it, p in parsed if p is not None]
-        if len(id_item) != 1 or len(call_item) != 1:
+        if len(call_item) != 1:
             return None
         vec_col, vec_lit, round_d, alias = call_item[0][1]
         if alias.lower() != om.group("target").lower():
@@ -793,16 +814,10 @@ class VectorSqlSession:
         # `<id>` or `<id> AS <alias>` (r12: same rename acceptance as the
         # BM25 leg) — the tiebreak may name either; the output carries
         # the alias
-        im = id_item[0][1]
-        user_id = im.group("col")
-        id_alias = im.group("alias")
-        if id_alias and id_alias.lower() == alias.lower():
-            # `<id> AS s, cosine_sim(...) AS s` — Spark's own analysis
-            # would reject the ambiguous ORDER BY reference; the serve
-            # bypasses that analysis, so decline rather than return a
-            # frame with duplicate column names
+        parsed_id = self._single_id_item(merged, alias)
+        if parsed_id is None:
             return None
-        id_names = {user_id.lower()} | ({id_alias.lower()} if id_alias else set())
+        id_text, user_id, id_alias, id_names = parsed_id
         tiebreak = om.group("tiebreak")
         if tiebreak is not None and tiebreak.lower() not in id_names:
             return None  # the index breaks ties by id; any other order is not served
@@ -880,7 +895,7 @@ class VectorSqlSession:
             )
         cols = [
             F.col(user_id).alias(id_alias or user_id)
-            if it is id_item[0][0]
+            if it is id_text
             else F.col("score").alias(alias)
             for it in merged
         ]

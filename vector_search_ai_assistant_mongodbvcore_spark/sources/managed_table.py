@@ -342,12 +342,22 @@ class AmbiguousCommitOutcome(RuntimeError):
 class DanglingPointerError(RuntimeError):
     """The pointer store holds a version doc for this table path but NONE
     of the doc's retained data dirs exist on the filesystem: the table
-    directory was deleted (and possibly recreated) while the
-    process-global pointer survived. Silently resuming the dead table's
-    version history would be split-brain — call `store.forget(path)` to
-    start a fresh universe at this path, or restore the data. (On a real
-    object store the pointer lives inside the table's prefix and dies
-    with it; only this in-process double can outlive the filesystem.)"""
+    directory was deleted (and possibly recreated) while the pointer —
+    the process-global in-memory store, or a durable S3/Azure pointer
+    store (sources/object_store.py) — survived. Silently resuming the
+    dead table's version history would be split-brain — call
+    `store.forget(path)` to start a fresh universe at this path, or
+    restore the data.
+
+    Visibility contract (matters once the pointer plane is durable):
+    the DATA plane is the local filesystem — every process consulting a
+    shared pointer store must see the table path through the same
+    (shared) mount, which is already what the os-based data plane
+    requires to read the table at all. A process without the mount
+    would hit this error on a healthy table; that is a deployment
+    error (it could not have read the data either), not a reason to
+    skip the check — the check is authoritative exactly because data
+    and check observe the same filesystem."""
 
 
 def _pointer_dangles(table_path: str, doc: "dict | None") -> bool:

@@ -24,6 +24,13 @@ the committer was designed against. Azure Blob exposes the same pair
 via the If-None-Match/If-Match access conditions; an ABFS adapter is
 the same ~60 lines against azure-storage-blob.
 
+Scope: these adapters carry the POINTER plane only. The data plane
+stays the local filesystem (ManagedTable's staging/publish/vacuum are
+os-based), so every process sharing a durable pointer store must see
+the table path through the same shared mount — which it already needs
+to read the table at all. The dangling-pointer guard
+(managed_table._pointer_dangles) relies on exactly that contract.
+
 Gating follows the engine's seam pattern (pyproject extras): boto3 is
 NOT a base dependency; constructing the adapter without it raises with
 install guidance, tests/test_object_store_contract.py runs the shared
@@ -166,7 +173,7 @@ class S3ConditionalStore:
         prefix = table_path.rstrip("/") + "/"
         keys = self.list(prefix)
         for i in range(0, len(keys), 1000):  # DeleteObjects batch cap
-            self._c.delete_objects(
+            resp = self._c.delete_objects(
                 Bucket=self.bucket,
                 Delete={
                     "Objects": [
@@ -174,6 +181,24 @@ class S3ConditionalStore:
                     ]
                 },
             )
+            # DeleteObjects reports per-key failures inside a 200
+            # response; swallowing them would report a partial forget
+            # as success and leave the dead table's _VERSION pointer to
+            # resume its history — the split-brain forget() exists to
+            # prevent. Keys already gone (NoSuchKey — LIST lagged a
+            # concurrent delete) are the idempotent no-op the module
+            # contract allows; anything else fails the forget loudly.
+            errs = [
+                e
+                for e in (resp or {}).get("Errors", [])
+                if e.get("Code") not in ("NoSuchKey", "404")
+            ]
+            if errs:
+                raise RuntimeError(
+                    f"forget({table_path}): DeleteObjects failed for "
+                    f"{len(errs)} key(s), pointer state NOT fully "
+                    f"cleared: {errs[:3]}"
+                )
 
 
 class AzureBlobConditionalStore:
