@@ -439,3 +439,110 @@ def test_read_language_partition_prunes_and_feeds_pipeline(spark, tmp_path):
     )
     chunk_ids = {r["doc_id"] for r in chunks.collect()}
     assert chunk_ids == de_ids  # every German doc survives, nothing else
+
+
+def _json_batches(tmp_path, rows_per_batch):
+    """Write each row batch as one JSON-lines file (one micro-batch each
+    under maxFilesPerTrigger=1)."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(rows_per_batch):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    return str(src)
+
+
+def test_language_export_stream_matches_batch(spark, tmp_path):
+    """Streaming twin of export_language_partitioned: the streamed tree
+    holds the same per-language doc sets as the batch exporter run on
+    the union of the micro-batches (the routing is the SHARED
+    language_routed, so parity is by construction — this pins the
+    write discipline around it), a re-run over the same checkpoint
+    replays nothing (exactly-once), and read_language_partition reads
+    the streamed tree back into the identical document schema with a
+    partition-pruned scan."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_language_partitioned,
+        read_language_partition,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import plan_report
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_language_export_stream,
+    )
+
+    model, docs, n_en, n_de = _ende_model_and_docs(spark, n_en=6, n_de=4)
+    rows = [r.asDict() for r in docs.collect()]
+    src = _json_batches(tmp_path, [rows[:5], rows[5:]])  # de straddles both
+    out_s = str(tmp_path / "stream_tree")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_language_export_stream(
+            stream, model, out_s, ckpt, files_per_lang=2, salt_col="doc_id"
+        )
+        q.awaitTermination(180)
+
+    run()
+    streamed = spark.read.parquet(out_s)
+    assert "export_batch" in streamed.columns  # the replay key rode along
+    assert streamed.select("export_batch").distinct().count() == 2  # 2 batches
+
+    out_b = str(tmp_path / "batch_tree")
+    export_language_partitioned(docs, model, out_b, files_per_lang=2, salt_col="doc_id")
+    batch = spark.read.parquet(out_b)
+    for lang in ("en", "de"):
+        s_ids = {r["doc_id"] for r in streamed.filter(F.col("lang_pred") == lang).collect()}
+        b_ids = {r["doc_id"] for r in batch.filter(F.col("lang_pred") == lang).collect()}
+        assert s_ids == b_ids, f"{lang}: stream {s_ids} != batch {b_ids}"
+
+    # exactly-once: a second run over the same source + checkpoint has
+    # nothing new to process and must not duplicate any partition
+    run()
+    assert spark.read.parquet(out_s).count() == n_en + n_de
+
+    # the reader contract holds on the streamed tree: pruned scan, and
+    # the export_batch bookkeeping column dropped with the lang column
+    de = read_language_partition(spark, out_s, "de")
+    raw = plan_report(de).raw
+    assert "PartitionFilters" in raw and "lang_pred" in raw
+    assert de.columns == ["doc_id", "text"]
+    assert {r["doc_id"] for r in de.collect()} == set(range(n_en, n_en + n_de))
+
+
+def test_language_export_stream_quarantines_below_floor(spark, tmp_path):
+    """The floor + `languages` restriction wire through the streaming
+    writer exactly as in batch: an impossible floor quarantines every
+    doc to lang_pred=unknown, KEPT on disk under the restriction."""
+    import os
+
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_language_export_stream,
+    )
+
+    model, docs, n_en, n_de = _ende_model_and_docs(spark, n_en=2, n_de=1)
+    src = _json_batches(tmp_path, [[r.asDict() for r in docs.collect()]])
+    out = str(tmp_path / "qtree")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = start_language_export_stream(
+        stream,
+        model,
+        out,
+        str(tmp_path / "qckpt"),
+        min_confidence=1.1,
+        languages=("en",),
+    )
+    q.awaitTermination(180)
+    assert os.path.isdir(f"{out}/lang_pred=unknown")
+    got = spark.read.parquet(out)
+    assert got.count() == n_en + n_de
+    assert {r["lang_pred"] for r in got.select("lang_pred").distinct().collect()} == {
+        "unknown"
+    }

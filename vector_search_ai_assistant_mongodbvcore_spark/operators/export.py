@@ -346,6 +346,51 @@ def export_language_partitioned(
     pipelines then read ONE partition directory — Catalyst partition
     pruning on the lang column, no scan of the other languages (see
     read_language_partition)."""
+    out = language_routed(
+        df,
+        lang_model,
+        text_col=text_col,
+        min_confidence=min_confidence,
+        languages=languages,
+        lang_col_name=lang_col_name,
+        files_per_lang=files_per_lang,
+        salt_col=salt_col,
+    )
+    out.write.mode("overwrite").partitionBy(lang_col_name).parquet(out_dir)
+    spark = df.sparkSession
+    return (
+        spark.read.schema(out.schema).parquet(out_dir)
+        .groupBy(lang_col_name)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(lang_col_name)
+    )
+
+
+def language_routed(
+    df: DataFrame,
+    lang_model: dict,
+    text_col: str = "text",
+    min_confidence: "float | None" = None,
+    languages: "tuple[str, ...] | None" = None,
+    lang_col_name: str = "lang_pred",
+    files_per_lang: int = 8,
+    salt_col: "str | None" = None,
+) -> DataFrame:
+    """The routing HALF of export_language_partitioned, mode-agnostic so
+    the streaming twin (streaming/corpus.start_language_export_stream)
+    shares it verbatim — parity by construction, not by twin-testing two
+    copies: predict the language (below-floor -> 'unknown' quarantine,
+    never dropped), apply the optional `languages` restriction (plus,
+    ALWAYS, 'unknown'), and repartition on (predicted code, salt) so
+    each language directory is written by up to files_per_lang tasks.
+
+    The explicit partition count is the shuffle-key cardinality bound:
+    an UNSIZED repartition(cols) is an AQE coalesce target — at low
+    volume AQE merges the post-shuffle partitions back into few tasks
+    and re-serializes the write (exactly the straggler the salt exists
+    to break), while an explicit count is user-specified partitioning
+    AQE leaves alone. (len(classes)+1) covers every servable code + the
+    unknown quarantine; a `languages` restriction tightens it."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
         predict_language_col,
     )
@@ -360,32 +405,12 @@ def export_language_partitioned(
         keep = set(languages) | {"unknown"}
         out = out.filter(F.col(lang_col_name).isin(*sorted(keep)))
     salt = F.pmod(F.hash(F.col(salt_col or text_col)), F.lit(files_per_lang))
-    # explicit partition count = the shuffle key cardinality bound:
-    # an UNSIZED repartition(cols) is an AQE coalesce target — at low
-    # volume AQE merges the post-shuffle partitions back into few tasks
-    # and re-serializes the write (exactly the straggler the salt
-    # exists to break), while an explicit count is user-specified
-    # partitioning AQE leaves alone. (len(classes)+1) covers every
-    # servable code + the unknown quarantine; a `languages` restriction
-    # tightens it.
     n_langs = (
         len(set(languages) | {"unknown"})
         if languages is not None
         else len(lang_model["classes"]) + 1
     )
-    (
-        out.repartition(n_langs * files_per_lang, F.col(lang_col_name), salt)
-        .write.mode("overwrite")
-        .partitionBy(lang_col_name)
-        .parquet(out_dir)
-    )
-    spark = df.sparkSession
-    return (
-        spark.read.schema(out.schema).parquet(out_dir)
-        .groupBy(lang_col_name)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy(lang_col_name)
-    )
+    return out.repartition(n_langs * files_per_lang, F.col(lang_col_name), salt)
 
 
 def read_language_partition(
@@ -413,10 +438,15 @@ def read_language_partition(
     `schema` (optional, the exporter's `out.schema`) skips inference —
     required for a tree whose restriction matched nothing (a data-less
     export has no footers to infer from; same escape hatch the
-    exporter's own count read-back uses)."""
+    exporter's own count read-back uses).
+
+    Reads BOTH exporter layouts: the batch tree
+    (<dir>/lang_pred=en/part-*) and the streaming twin's
+    (<dir>/lang_pred=en/export_batch=<n>/part-* — the extra partition
+    level is start_language_export_stream's exactly-once replay key).
+    The `export_batch` bookkeeping column, when present, is dropped
+    with the language column so downstream pipelines see the original
+    document schema from either tree."""
     reader = spark.read if schema is None else spark.read.schema(schema)
-    return (
-        reader.parquet(exported_dir)
-        .filter(F.col(lang_col_name) == lang)
-        .drop(lang_col_name)
-    )
+    out = reader.parquet(exported_dir).filter(F.col(lang_col_name) == lang)
+    return out.drop(lang_col_name, "export_batch")

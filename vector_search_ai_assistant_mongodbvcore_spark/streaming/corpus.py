@@ -534,6 +534,76 @@ def _write_shard_batch(
         toks.unpersist()
 
 
+def start_language_export_stream(
+    docs: DataFrame,
+    lang_model: dict,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    min_confidence: "float | None" = None,
+    languages: "tuple[str, ...] | None" = None,
+    lang_col_name: str = "lang_pred",
+    files_per_lang: int = 8,
+    salt_col: "str | None" = None,
+):
+    """Streaming twin of operators.export.export_language_partitioned:
+    route a streaming document frame into the CCNet-shaped per-language
+    partitioned tree, continuously —
+
+        <out_dir>/<lang_col_name>=en/export_batch=<n>/part-*.parquet
+        <out_dir>/<lang_col_name>=unknown/...     (quarantine, always kept)
+
+    The routing (predict -> below-floor 'unknown' quarantine ->
+    `languages` restriction that always keeps 'unknown' -> salted
+    (lang, pmod(hash(salt_col), files_per_lang)) repartition so a
+    dominant language is written by files_per_lang tasks per batch, not
+    one straggler) is operators.export.language_routed — the SAME code
+    the batch exporter runs, so stream==batch routing parity holds by
+    construction and only the write discipline differs here.
+
+    Exactly-once under micro-batch retries: each batch lands under its
+    deterministic `export_batch=<epoch_id>` sub-partition via dynamic
+    partition overwrite — a replayed batch replaces exactly its own
+    (lang, batch) partitions instead of appending duplicates (the same
+    discipline as start_shard_export_stream; dynamic mode is a WRITER
+    option, never a session-conf toggle). Readers use
+    read_language_partition, which prunes on the language partition and
+    drops the export_batch bookkeeping column, so downstream pipelines
+    see the identical document schema from either exporter's tree."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        language_routed,
+    )
+
+    # fail fast on a bad knob at START time, not first-batch time
+    if files_per_lang < 1:
+        raise ValueError(f"files_per_lang must be >= 1, got {files_per_lang}")
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        routed = language_routed(
+            df,
+            lang_model,
+            text_col=text_col,
+            min_confidence=min_confidence,
+            languages=languages,
+            lang_col_name=lang_col_name,
+            files_per_lang=files_per_lang,
+            salt_col=salt_col,
+        ).withColumn("export_batch", F.lit(int(epoch_id)))
+        (
+            routed.write.mode("overwrite")
+            .partitionBy(lang_col_name, "export_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _post_dedup_stages(
     df: DataFrame,
     text_col: str,
