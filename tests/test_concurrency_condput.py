@@ -528,3 +528,33 @@ def test_racing_vacuum_never_reads_as_dangling(spark, tmp_path, store):
         t.append(spark.range(i, i + 1).toDF("id"))
         t._vacuum(keep=2)
     assert t.read().count() == 6  # never raises DanglingPointerError
+
+
+def test_txn_applied_reconciles_ambiguous_outcomes(spark, tmp_path, store):
+    """The AmbiguousCommitOutcome reconcile primitive: a landed stamped
+    merge reads True; an unapplied note reads False while the rolling
+    window still covers the attempt; once the table moves past the
+    window, absence proves nothing and the answer degrades to None
+    (reconcile from the data) — never a confident wrong answer."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _DOC_MAP_KEEP,
+    )
+
+    t = _mt(spark, str(tmp_path / "t"), store)
+    base = t.current_version()
+    t.merge(_df(spark, [(1, "a")]), ["id"], txn_note="turn-1")
+    assert t.txn_applied("turn-1") is True
+    assert t.txn_applied("turn-1", since_version=base) is True
+
+    # not applied, window intact: provably False
+    assert t.txn_applied("never-sent", since_version=t.current_version()) is False
+    # no since_version: absence alone can never prove not-applied
+    assert t.txn_applied("never-sent") is None
+
+    # roll the window past the observation point: False degrades to None
+    seen = t.current_version()
+    for i in range(_DOC_MAP_KEEP):
+        t.merge(_df(spark, [(10 + i, "x")]), ["id"], txn_note=f"turn-{2 + i}")
+    assert t.txn_applied("never-sent", since_version=seen) is None
+    # while the landed stamps inside the window still read True
+    assert t.txn_applied(f"turn-{1 + _DOC_MAP_KEEP}") is True

@@ -546,3 +546,58 @@ def test_language_export_stream_quarantines_below_floor(spark, tmp_path):
     assert {r["lang_pred"] for r in got.select("lang_pred").distinct().collect()} == {
         "unknown"
     }
+
+
+def test_language_mixture_composes_with_export_tree(spark, tmp_path):
+    """The CCNet hand-off feeds token-budgeted LANGUAGE mixtures and
+    per-language fertility audits with zero new machinery: the exported
+    tree's lang_pred partition column IS the group key —
+    source_token_stats(lang_pred) supplies, plan_mixture_rates targets
+    per-language shares, sample_by_rates(lang_pred) draws the mixture
+    deterministically, and tokenizer_fertility(('lang_pred',)) is the
+    tokenizer-bias audit over the same tree."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_language_partitioned,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.profile import (
+        tokenizer_fertility,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import (
+        plan_mixture_rates,
+        sample_by_rates,
+        source_token_stats,
+    )
+
+    model, docs, n_en, n_de = _ende_model_and_docs(spark, n_en=40, n_de=10)
+    out = str(tmp_path / "bylang")
+    export_language_partitioned(docs, model, out, files_per_lang=2, salt_col="doc_id")
+    tree = spark.read.parquet(out)  # lang_pred rides as the partition col
+
+    # supply per language, plan a 50/50 mixture on a budget the dominant
+    # language must be downsampled to meet
+    supply = source_token_stats(tree, source_col="lang_pred")
+    assert set(supply) == {"en", "de"} and supply["en"] > supply["de"]
+    budget = 2 * supply["de"]
+    plan = plan_mixture_rates(supply, {"en": 0.5, "de": 0.5}, budget)
+    assert plan["rates"]["de"] == 1.0 and 0.0 < plan["rates"]["en"] < 1.0
+
+    mixed = sample_by_rates(tree, "lang_pred", plan["rates"])
+    got = {
+        r["lang_pred"]: r["n"]
+        for r in mixed.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["de"] == n_de  # rate 1.0 keeps every German doc
+    assert 0 < got["en"] < n_en  # English downsampled toward the share
+    # deterministic: the identical mixture on a re-read of the tree
+    again = sample_by_rates(spark.read.parquet(out), "lang_pred", plan["rates"])
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in mixed.collect()
+    }
+
+    # the fertility audit groups on the same partition column
+    fert = {
+        r["lang_pred"]: r
+        for r in tokenizer_fertility(tree, group_cols=("lang_pred",)).collect()
+    }
+    assert fert["en"]["n_docs"] == n_en and fert["de"]["n_docs"] == n_de
+    assert fert["en"]["fertility"] > 0 and fert["de"]["fertility"] > 0

@@ -335,8 +335,10 @@ class AmbiguousCommitOutcome(RuntimeError):
     whether this attempt's write applied (its version entry aged out of
     the rolling maps during the ambiguity window). Deliberately NOT a
     CommitConflict: the automatic conflict retry would re-apply a
-    mutation that may already be committed. Reconcile (read the table)
-    before re-running the operation."""
+    mutation that may already be committed. Reconcile before re-running:
+    a mutation that carried a txn_note resolves via
+    ManagedTable.txn_applied(note, since_version=...); otherwise read
+    the table and check for the mutation's effect."""
 
 
 class DanglingPointerError(RuntimeError):
@@ -1424,6 +1426,39 @@ class ManagedTable:
             return self._commit(merged, "merge", expected=base, txn_note=txn_note)
 
         return _retry_conflicts(attempt, table=self)
+
+    def txn_applied(
+        self, txn_note: str, since_version: "int | None" = None
+    ) -> "bool | None":
+        """Reconcile primitive for AmbiguousCommitOutcome: did a commit
+        stamped `txn_note` land on this table? Tri-state, honest about
+        the rolling window:
+
+          * True  — a RETAINED version carries the stamp: definitely
+            applied (stamps ride the pointer's rolling txns map, which
+            the ambiguous attempt's swap would have written).
+          * False — the stamp is absent AND the window still covers
+            every version the attempt could have produced:
+            `since_version` (the version the caller observed before the
+            attempt, e.g. current_version() read beforehand) is less
+            than _DOC_MAP_KEEP commits behind current — definitely NOT
+            applied; safe to re-run the mutation.
+          * None  — indeterminate: no `since_version` given, or the
+            table has moved past the window since it. Absence proves
+            nothing; reconcile from the DATA (read the table and check
+            for the mutation's effect) before re-running.
+
+        Only mutations that carried a `txn_note` (merge /
+        TransactionalWriter) are reconcilable this way — an unstamped
+        commit writes no txns entry, so absence of OTHER versions'
+        stamps never masks a hit."""
+        doc = self._version_doc()
+        cur = doc.get("version", -1)
+        if txn_note in doc.get("txns", {}).values():
+            return True
+        if since_version is not None and cur - since_version < _DOC_MAP_KEEP:
+            return False
+        return None
 
     def delete(self, predicate) -> int:
         """S5/S6: DELETE WHERE predicate (a Column)."""
