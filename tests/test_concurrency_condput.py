@@ -558,3 +558,19 @@ def test_txn_applied_reconciles_ambiguous_outcomes(spark, tmp_path, store):
     assert t.txn_applied("never-sent", since_version=seen) is None
     # while the landed stamps inside the window still read True
     assert t.txn_applied(f"turn-{1 + _DOC_MAP_KEEP}") is True
+
+
+def test_txn_applied_reused_note_does_not_vouch_for_later_attempt(spark, tmp_path, store):
+    """r12 review: with a FIXED note (e.g. txn_note='daily-load'), an
+    earlier run's stamp still inside the window must not read as True
+    for a later attempt that never applied — given since_version, only
+    stamps AFTER it count, and the un-landed attempt reads a provably
+    safe False (window intact)."""
+    t = _mt(spark, str(tmp_path / "t"), store)
+    t.merge(_df(spark, [(1, "a")]), ["id"], txn_note="daily-load")  # yesterday
+    seen = t.current_version()  # observed before today's (failed) attempt
+    assert t.txn_applied("daily-load") is True  # no since: any stamp counts
+    assert t.txn_applied("daily-load", since_version=seen) is False
+    # today's retry lands: now the post-seen stamp vouches
+    t.merge(_df(spark, [(2, "b")]), ["id"], txn_note="daily-load")
+    assert t.txn_applied("daily-load", since_version=seen) is True

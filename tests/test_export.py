@@ -475,7 +475,11 @@ def test_language_export_stream_matches_batch(spark, tmp_path):
 
     model, docs, n_en, n_de = _ende_model_and_docs(spark, n_en=6, n_de=4)
     rows = [r.asDict() for r in docs.collect()]
-    src = _json_batches(tmp_path, [rows[:5], rows[5:]])  # de straddles both
+    # rows are n_en English then n_de German; interleave the batches so
+    # BOTH language directories accumulate across micro-batches
+    b0 = rows[: n_en - 1] + rows[n_en : n_en + 2]  # 5 en + 2 de
+    b1 = rows[n_en - 1 : n_en] + rows[n_en + 2 :]  # 1 en + 2 de
+    src = _json_batches(tmp_path, [b0, b1])
     out_s = str(tmp_path / "stream_tree")
     ckpt = str(tmp_path / "ckpt")
 
@@ -601,3 +605,51 @@ def test_language_mixture_composes_with_export_tree(spark, tmp_path):
     }
     assert fert["en"]["n_docs"] == n_en and fert["de"]["n_docs"] == n_de
     assert fert["en"]["fertility"] > 0 and fert["de"]["fertility"] > 0
+
+
+def test_export_rejects_colliding_columns(spark, tmp_path):
+    """r12 review: withColumn silently OVERWRITES an existing column, so
+    both exporters refuse inputs whose columns collide with the routing
+    prediction (renamable) or the streaming replay key (reserved) —
+    loud beats lossy. And read_language_partition strips export_batch
+    ONLY from a streamed tree: a batch tree's legitimate export_batch
+    DATA column survives the read-back."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.export import (
+        export_language_partitioned,
+        language_routed,
+        read_language_partition,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_language_export_stream,
+    )
+
+    model, docs, n_en, n_de = _ende_model_and_docs(spark, n_en=2, n_de=1)
+    with_pred = docs.withColumn("lang_pred", F.lit("stale"))
+    with pytest.raises(ValueError, match="lang_pred"):
+        language_routed(with_pred, model)
+    src = _json_batches(tmp_path, [[r.asDict() for r in docs.collect()]])
+    stream_pred = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+        .withColumn("lang_pred", F.lit("stale"))
+    )
+    with pytest.raises(ValueError, match="lang_pred"):
+        start_language_export_stream(
+            stream_pred, model, str(tmp_path / "o1"), str(tmp_path / "c1")
+        )
+    stream_eb = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+        .withColumn("export_batch", F.lit(7))
+    )
+    with pytest.raises(ValueError, match="export_batch"):
+        start_language_export_stream(
+            stream_eb, model, str(tmp_path / "o2"), str(tmp_path / "c2")
+        )
+
+    # batch tree: export_batch as USER DATA survives the pruned read
+    out = str(tmp_path / "batch_tree")
+    export_language_partitioned(
+        docs.withColumn("export_batch", F.lit(7)), model, out
+    )
+    back = read_language_partition(spark, out, "en")
+    assert "export_batch" in back.columns
+    assert all(r["export_batch"] == 7 for r in back.collect())

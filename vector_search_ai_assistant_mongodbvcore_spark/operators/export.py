@@ -397,6 +397,13 @@ def language_routed(
 
     if files_per_lang < 1:
         raise ValueError(f"files_per_lang must be >= 1, got {files_per_lang}")
+    if lang_col_name in df.columns:
+        # withColumn would silently OVERWRITE the caller's data column
+        # with the prediction (r12 review: loud beats lossy)
+        raise ValueError(
+            f"column {lang_col_name!r} already exists on the input — "
+            "pass a different lang_col_name"
+        )
     pred = predict_language_col(
         lang_model, F.col(text_col), min_confidence=min_confidence
     )
@@ -444,9 +451,28 @@ def read_language_partition(
     (<dir>/lang_pred=en/part-*) and the streaming twin's
     (<dir>/lang_pred=en/export_batch=<n>/part-* — the extra partition
     level is start_language_export_stream's exactly-once replay key).
-    The `export_batch` bookkeeping column, when present, is dropped
-    with the language column so downstream pipelines see the original
-    document schema from either tree."""
+    The `export_batch` bookkeeping column is dropped with the language
+    column so downstream pipelines see the original document schema
+    from either tree — but ONLY when the directory layout shows it is
+    the streaming twin's partition level (a batch tree may carry a
+    legitimate DATA column of that name, which the batch exporter
+    preserves and this reader must not strip; the streaming writer
+    rejects such inputs, so in a streamed tree the name is always
+    bookkeeping)."""
+    import os
+
     reader = spark.read if schema is None else spark.read.schema(schema)
     out = reader.parquet(exported_dir).filter(F.col(lang_col_name) == lang)
-    return out.drop(lang_col_name, "export_batch")
+    drop_cols = [lang_col_name]
+    lang_dirs = [
+        e
+        for e in os.listdir(exported_dir)
+        if e.startswith(f"{lang_col_name}=")
+        and os.path.isdir(os.path.join(exported_dir, e))
+    ]
+    if lang_dirs and any(
+        e.startswith("export_batch=")
+        for e in os.listdir(os.path.join(exported_dir, lang_dirs[0]))
+    ):
+        drop_cols.append("export_batch")
+    return out.drop(*drop_cols)

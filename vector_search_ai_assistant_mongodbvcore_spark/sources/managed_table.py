@@ -1436,25 +1436,37 @@ class ManagedTable:
 
           * True  — a RETAINED version carries the stamp: definitely
             applied (stamps ride the pointer's rolling txns map, which
-            the ambiguous attempt's swap would have written).
-          * False — the stamp is absent AND the window still covers
-            every version the attempt could have produced:
-            `since_version` (the version the caller observed before the
-            attempt, e.g. current_version() read beforehand) is less
-            than _DOC_MAP_KEEP commits behind current — definitely NOT
-            applied; safe to re-run the mutation.
-          * None  — indeterminate: no `since_version` given, or the
-            table has moved past the window since it. Absence proves
-            nothing; reconcile from the DATA (read the table and check
-            for the mutation's effect) before re-running.
+            the ambiguous attempt's swap would have written). When
+            `since_version` is given, only stamps at versions AFTER it
+            count — a reused note's stamp from an earlier transaction
+            (e.g. a fixed txn_note="daily-load" whose yesterday's run
+            is still inside the window) must not vouch for an attempt
+            that never applied.
+          * False — the stamp is absent after `since_version` AND the
+            window still covers every version the attempt could have
+            produced: `since_version` (the version the caller observed
+            before the attempt, e.g. current_version() read beforehand)
+            is less than _DOC_MAP_KEEP commits behind current —
+            definitely NOT applied; safe to re-run the mutation.
+          * None  — indeterminate: no `since_version` given and the
+            stamp is absent, or the table has moved past the window
+            since it. Absence proves nothing; reconcile from the DATA
+            (read the table and check for the mutation's effect) before
+            re-running.
 
         Only mutations that carried a `txn_note` (merge /
         TransactionalWriter) are reconcilable this way — an unstamped
         commit writes no txns entry, so absence of OTHER versions'
-        stamps never masks a hit."""
+        stamps never masks a hit. Unique notes (a fresh uuid per
+        logical transaction, as TransactionalWriter mints) make every
+        answer exact; with reused notes, pass `since_version`."""
         doc = self._version_doc()
         cur = doc.get("version", -1)
-        if txn_note in doc.get("txns", {}).values():
+        hits = [int(v) for v, note in doc.get("txns", {}).items() if note == txn_note]
+        if since_version is None:
+            if hits:
+                return True
+        elif any(v > since_version for v in hits):
             return True
         if since_version is not None and cur - since_version < _DOC_MAP_KEEP:
             return False

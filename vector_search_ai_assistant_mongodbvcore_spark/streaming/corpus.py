@@ -574,9 +574,25 @@ def start_language_export_stream(
         language_routed,
     )
 
-    # fail fast on a bad knob at START time, not first-batch time
+    # fail fast at START time, not first-batch time
     if files_per_lang < 1:
         raise ValueError(f"files_per_lang must be >= 1, got {files_per_lang}")
+    for col in (lang_col_name, "export_batch"):
+        if col in docs.columns:
+            # withColumn would silently OVERWRITE the caller's data
+            # column (the routing prediction / the replay key) in the
+            # exported tree (r12 review: loud beats lossy). export_batch
+            # is this writer's hardcoded bookkeeping partition;
+            # lang_col_name at least is renamable.
+            raise ValueError(
+                f"column {col!r} already exists on the input stream — "
+                + (
+                    "rename it or pass a different lang_col_name"
+                    if col == lang_col_name
+                    else "rename it (export_batch is the streaming "
+                    "exporter's reserved replay-key partition)"
+                )
+            )
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         routed = language_routed(
