@@ -17,6 +17,9 @@ numbers on the Spark form: change-record micro-batches driven through
   shards    the same chain terminated by start_shard_export_stream —
             micro-batch packing + partitioned parquet shard writes, the
             complete streaming ingest -> trainer-shards loop
+  langexport  multilingual docs -> language routing -> per-language
+            partitioned parquet (start_language_export_stream), the
+            CCNet hand-off as a continuous sink
 
 at two micro-batch sizes. Latency comes from each StreamingQuery's
 progress log (durationMs.triggerExecution per micro-batch); throughput
@@ -383,6 +386,62 @@ def probe_fuzzy_corpus(spark, work: str, batch: int, batches: int) -> dict:
     return _summarize(_progress(q), rid)
 
 
+LANG_SENTS = {
+    "en": "the weather this morning was cold and the streets were quiet near the old station",
+    "de": "das wetter heute morgen war kalt und die straßen waren leer nahe dem alten bahnhof",
+    "fr": "le temps ce matin était froid et les rues étaient calmes près de la vieille gare",
+}
+
+
+def probe_lang_export(spark, work: str, batch: int, batches: int) -> dict:
+    """Streaming per-language partitioned export: multilingual docs ->
+    pure-codegen language routing -> salted partitioned parquet write
+    under <lang>/export_batch=<n> (streaming/corpus.
+    start_language_export_stream). Measures the full route+write loop —
+    the CCNet hand-off running as a continuous sink."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        fit_language_id,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_language_export_stream,
+    )
+
+    train = spark.createDataFrame(
+        [(lang, f"{s} variante {i}") for lang, s in LANG_SENTS.items() for i in range(4)],
+        "lang string, text string",
+    )
+    model = fit_language_id(train, dims=2048, reg=1e-4)
+    langs = sorted(LANG_SENTS)
+    src = os.path.join(work, "docs")
+    os.makedirs(src)
+    base = time.time() - 3600
+    rid = 0
+    for bi in range(batches):
+        path = os.path.join(src, f"docs_{bi:04d}.json")
+        with open(path, "w") as f:
+            for _ in range(batch):
+                lang = langs[rid % len(langs)]
+                f.write(
+                    json.dumps(
+                        {"doc_id": rid, "text": f"{LANG_SENTS[lang]} nummer {rid}"}
+                    )
+                    + "\n"
+                )
+                rid += 1
+        os.utime(path, (base + bi, base + bi))
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = start_language_export_stream(
+        stream,
+        model,
+        os.path.join(work, "tree"),
+        os.path.join(work, "lang_ckpt"),
+        files_per_lang=4,
+        salt_col="doc_id",
+    )
+    q.awaitTermination(600)
+    return _summarize(_progress(q), rid)
+
+
 PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
@@ -393,6 +452,7 @@ PROBES = {
     "neardup": probe_neardup,
     "embneardup": probe_embedding_neardup,
     "fuzzycorpus": probe_fuzzy_corpus,
+    "langexport": probe_lang_export,
 }
 
 
