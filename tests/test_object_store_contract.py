@@ -369,3 +369,39 @@ def test_managed_table_runs_on_abfs_adapter_stub(spark, tmp_path):
     t.merge(spark.createDataFrame([(1,), (7,)], "id long"), ["id"])
     assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 7}
     assert t.read(version=0).count() == 3
+
+
+def test_store_from_url_selects_backends():
+    """The deployment seam: scheme -> adapter, loud on anything else.
+    memory:// returns the PROCESS-SHARED store (same object every call —
+    two tables wired from config share one pointer universe, like the
+    default committer); cloud schemes construct the gated adapters (here
+    surfacing their install guidance, since the SDKs are absent)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.object_store import (
+        store_from_url,
+    )
+
+    a = store_from_url("memory://")
+    b = store_from_url("memory://")
+    assert a is b
+    assert isinstance(a, MemoryConditionalStore)
+
+    for bad in ("memory://extra", "gs://bucket", "s3://", "plainstring"):
+        with pytest.raises(ValueError):
+            store_from_url(bad)
+
+    try:
+        import boto3  # noqa: F401
+
+        s = store_from_url("s3://bkt/pre/fix")
+        assert s.bucket == "bkt" and s.prefix == "pre/fix"
+    except ImportError:
+        with pytest.raises(ImportError, match=r"\[s3\]"):
+            store_from_url("s3://bkt/pre/fix")
+    try:
+        import azure.storage.blob  # noqa: F401
+    except ImportError:
+        with pytest.raises((ImportError, ValueError)):
+            # ImportError without the SDK; ValueError (missing conn
+            # string) when the SDK is present but unconfigured
+            store_from_url("abfs://cont")

@@ -61,7 +61,59 @@ from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import 
     PreconditionFailed,
 )
 
-__all__ = ["S3ConditionalStore", "AzureBlobConditionalStore"]
+__all__ = [
+    "S3ConditionalStore",
+    "AzureBlobConditionalStore",
+    "store_from_url",
+]
+
+
+def store_from_url(url: str):
+    """Pointer store from a config string — the deployment seam (the
+    reference selects its store through appsettings/bicep strings, e.g.
+    the index kind at appsettings.json:24; same contract here, so a
+    deployment flips the pointer plane without code):
+
+        memory://                  process-shared in-memory store (the
+                                   default committer's test double)
+        s3://bucket[/prefix]       S3ConditionalStore ([s3] extra)
+        abfs://container[/prefix]  AzureBlobConditionalStore ([abfs]
+                                   extra; az:// accepted as an alias)
+
+    Raises ValueError on an unrecognized scheme (loud beats a silently
+    wrong pointer plane) and the adapters' own ImportError with install
+    guidance when the gated SDK is absent. Typical wiring:
+
+        store = store_from_url(os.environ["SPARK_GRAFT_POINTER_STORE"])
+        table = ManagedTable(spark, path,
+                             committer=ConditionalPutCommitter(store))
+    """
+    scheme, sep, rest = url.partition("://")
+    if not sep:
+        raise ValueError(
+            f"{url!r}: expected <scheme>://..., one of memory:// "
+            "s3://bucket[/prefix] abfs://container[/prefix]"
+        )
+    scheme = scheme.lower()
+    if scheme == "memory":
+        if rest:
+            raise ValueError(f"{url!r}: memory:// takes no path")
+        from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+            _SHARED_MEMORY_STORE,
+        )
+
+        return _SHARED_MEMORY_STORE
+    container, _, prefix = rest.partition("/")
+    if not container:
+        raise ValueError(f"{url!r}: missing bucket/container")
+    if scheme == "s3":
+        return S3ConditionalStore(container, prefix)
+    if scheme in ("abfs", "az"):
+        return AzureBlobConditionalStore(container, prefix)
+    raise ValueError(
+        f"{url!r}: unknown pointer-store scheme {scheme!r} "
+        "(memory | s3 | abfs)"
+    )
 
 
 class S3ConditionalStore:
