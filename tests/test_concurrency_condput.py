@@ -574,3 +574,41 @@ def test_txn_applied_reused_note_does_not_vouch_for_later_attempt(spark, tmp_pat
     # today's retry lands: now the post-seen stamp vouches
     t.merge(_df(spark, [(2, "b")]), ["id"], txn_note="daily-load")
     assert t.txn_applied("daily-load", since_version=seen) is True
+
+
+def test_txn_applied_never_gives_a_wrong_definite_answer(spark, tmp_path, store):
+    """Soundness sweep over a seeded-random history of stamped/unstamped
+    commits and note reuse: at every step, for every note ever minted
+    (plus one never sent), txn_applied may say None — it must NEVER say
+    True for a note whose stamped commits all precede since_version, nor
+    False for one stamped after it. The tri-state's definite answers are
+    checked against ground truth the sweep tracks."""
+    import random
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _DOC_MAP_KEEP,
+    )
+
+    rng = random.Random(7)
+    t = _mt(spark, str(tmp_path / "t"), store)
+    applied: list[tuple[int, str]] = []  # (version, note) ground truth
+    notes = [f"n{i}" for i in range(4)]  # small pool -> frequent reuse
+    rid = 0
+    for step in range(18):
+        note = rng.choice(notes + [None, None])
+        v = t.merge(_df(spark, [(rid, "x")]), ["id"], txn_note=note)
+        rid += 1
+        if note is not None:
+            applied.append((v, note))
+        cur = t.current_version()
+        for probe in notes + ["never-sent"]:
+            for since in (None, cur, max(0, cur - 2), max(0, cur - _DOC_MAP_KEEP)):
+                got = t.txn_applied(probe, since_version=since)
+                if since is None:
+                    truly = any(n == probe for _, n in applied)
+                else:
+                    truly = any(n == probe and v2 > since for v2, n in applied)
+                if got is True:
+                    assert truly, (step, probe, since, "said True, never applied")
+                elif got is False:
+                    assert not truly, (step, probe, since, "said False, was applied")
