@@ -612,3 +612,27 @@ def test_txn_applied_never_gives_a_wrong_definite_answer(spark, tmp_path, store)
                     assert truly, (step, probe, since, "said True, never applied")
                 elif got is False:
                     assert not truly, (step, probe, since, "said False, was applied")
+
+
+def test_bucketed_txn_applied_parity(spark, tmp_path, store):
+    """The scale table reconciles ambiguous merges identically to
+    ManagedTable: a stamped merge reads True, an unsent note reads a
+    provably safe False inside the window, and None past it."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        _DOC_MAP_KEEP,
+    )
+
+    t = _bt(spark, str(tmp_path / "bt"), store)
+    base = t.current_version()
+    t.merge(_df(spark, [(1, "a"), (2, "b")]), txn_note="turn-1")
+    assert t.txn_applied("turn-1") is True
+    assert t.txn_applied("turn-1", since_version=base) is True
+    assert t.txn_applied("ghost", since_version=t.current_version()) is False
+    assert t.txn_applied("ghost") is None
+    seen = t.current_version()
+    for i in range(_DOC_MAP_KEEP):
+        t.merge(_df(spark, [(10 + i, "x")]))  # unstamped traffic
+    assert t.txn_applied("ghost", since_version=seen) is None
+    assert t.txn_applied("turn-1") is None  # the stamp itself rolled out
+    # and the data committed by the stamped merge is still there
+    assert {r["id"] for r in t.read().collect()} >= {1, 2}

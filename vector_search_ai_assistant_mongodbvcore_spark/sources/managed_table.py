@@ -749,6 +749,24 @@ def _trim_version_map(m: "dict[str, str]", new_version: int) -> "dict[str, str]"
     return {k: v for k, v in m.items() if int(k) > new_version - _DOC_MAP_KEEP}
 
 
+def _txn_applied(
+    doc: dict, txn_note: str, since_version: "int | None"
+) -> "bool | None":
+    """Shared tri-state reconcile over a pointer doc's rolling txns map —
+    the logic behind ManagedTable.txn_applied and
+    BucketedTable.txn_applied (contract documented on the former)."""
+    cur = doc.get("version", -1)
+    hits = [int(v) for v, note in doc.get("txns", {}).items() if note == txn_note]
+    if since_version is None:
+        if hits:
+            return True
+    elif any(v > since_version for v in hits):
+        return True
+    if since_version is not None and cur - since_version < _DOC_MAP_KEEP:
+        return False
+    return None
+
+
 def _parse_versioned_name(name: str, prefix: str, suffix: str = "") -> "int | None":
     """Version number from an (optionally attempt-suffixed) artifact name:
     v_3 / v_3_uab12cd34, filestats_3.json / filestats_3_uab12cd34.json."""
@@ -1460,17 +1478,7 @@ class ManagedTable:
         stamps never masks a hit. Unique notes (a fresh uuid per
         logical transaction, as TransactionalWriter mints) make every
         answer exact; with reused notes, pass `since_version`."""
-        doc = self._version_doc()
-        cur = doc.get("version", -1)
-        hits = [int(v) for v, note in doc.get("txns", {}).items() if note == txn_note]
-        if since_version is None:
-            if hits:
-                return True
-        elif any(v > since_version for v in hits):
-            return True
-        if since_version is not None and cur - since_version < _DOC_MAP_KEEP:
-            return False
-        return None
+        return _txn_applied(self._version_doc(), txn_note, since_version)
 
     def delete(self, predicate) -> int:
         """S5/S6: DELETE WHERE predicate (a Column)."""
@@ -1596,6 +1604,7 @@ class BucketedTable:
         build_manifest,
         staging: "str | None",
         schema_json: str | None = None,
+        txn_note: "str | None" = None,
     ) -> int:
         """Compare-and-swap commit: succeeds only if the pointer still
         reads `expected` at swap time (CommitConflict otherwise — the
@@ -1704,9 +1713,15 @@ class BucketedTable:
                         },
                         f,
                     )
+                # rolling txn stamps: same contract as ManagedTable._commit
+                # (txn_applied reconciles ambiguous outcomes through them)
+                txns = _trim_version_map(cur_doc.get("txns", {}), version)
+                if txn_note is not None:
+                    txns[str(version)] = txn_note
                 txn.swap(
                     {
                         "version": version,
+                        "txns": txns,
                         "manifests": {
                             **_trim_version_map(cur_doc.get("manifests", {}), version),
                             str(version): manifest_name,
@@ -1984,10 +1999,18 @@ class BucketedTable:
         rows = self._with_bucket(source).select(self.BUCKET_COL).distinct().collect()
         return sorted(r[0] for r in rows)
 
-    def merge(self, source: DataFrame, keys: list[str] | None = None) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str] | None = None,
+        txn_note: "str | None" = None,
+    ) -> int:
         """S4 MERGE: rewrites ONLY the buckets containing source keys —
         O(touched buckets), not O(table). `keys` defaults to bucket_by and
-        must contain it (rows with equal keys must share a bucket)."""
+        must contain it (rows with equal keys must share a bucket).
+        `txn_note` stamps the committed version in the pointer doc's
+        rolling txns map, same contract as ManagedTable.merge — see
+        txn_applied for the AmbiguousCommitOutcome reconcile."""
         keys = keys or self.bucket_by
         assert set(self.bucket_by) <= set(keys), "merge keys must cover bucket_by"
 
@@ -2004,6 +2027,7 @@ class BucketedTable:
                     },
                     staging,
                     stamped.schema.json(),
+                    txn_note=txn_note,
                 )
             source2 = self._align_to_committed(base, source)
             manifest = {k: list(v) for k, v in self._manifest(base).items()}
@@ -2026,9 +2050,19 @@ class BucketedTable:
             # pass the union schema: a source column the table has never
             # seen must enter the manifest (additive evolution) or
             # schema-enforced reads would hide it forever
-            return self._commit_cas(base, "merge", build, staging, stamped.schema.json())
+            return self._commit_cas(
+                base, "merge", build, staging, stamped.schema.json(), txn_note=txn_note
+            )
 
         return _retry_conflicts(attempt, table=self)
+
+    def txn_applied(
+        self, txn_note: str, since_version: "int | None" = None
+    ) -> "bool | None":
+        """Same reconcile primitive as ManagedTable.txn_applied (see its
+        docstring for the tri-state contract) — the scale table's
+        ambiguous merge outcomes resolve the same way."""
+        return _txn_applied(self._version_doc(), txn_note, since_version)
 
     def delete_by_keys(self, source: DataFrame, keys: list[str] | None = None) -> int:
         """S5: point deletes, bucket-pruned like merge."""
