@@ -833,3 +833,59 @@ def test_confidence_floor_curve_empty_frame_raises(spark):
     )
     with pytest.raises(ValueError, match="no labeled rows"):
         confidence_floor_curve(model, all_null)
+
+
+def test_choose_floor_picks_highest_affordable():
+    """Pure curve arithmetic: the highest floor within the false-unknown
+    budget wins; an unaffordable budget raises with the best-available
+    number instead of silently over-quarantining."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        choose_floor,
+    )
+
+    curve = [
+        {"floor": 0.3, "unknown_rate": 0.00, "false_unknown_rate": 0.00, "accepted_error_rate": 0.09},
+        {"floor": 0.5, "unknown_rate": 0.03, "false_unknown_rate": 0.02, "accepted_error_rate": 0.06},
+        {"floor": 0.7, "unknown_rate": 0.06, "false_unknown_rate": 0.04, "accepted_error_rate": 0.04},
+        {"floor": 0.9, "unknown_rate": 0.16, "false_unknown_rate": 0.09, "accepted_error_rate": 0.03},
+    ]
+    assert choose_floor(curve, max_false_unknown=0.05) == 0.7
+    assert choose_floor(curve, max_false_unknown=0.02) == 0.5
+    assert choose_floor(curve, max_false_unknown=0.5) == 0.9
+    with pytest.raises(ValueError, match="no measured floor"):
+        choose_floor(curve[3:], max_false_unknown=0.01)
+    with pytest.raises(ValueError, match="empty"):
+        choose_floor([])
+
+
+def test_choose_floor_on_measured_curve(spark):
+    """End to end on the ambiguous-mix fixture (the case the floor
+    exists for): the chosen floor's own curve row honors the budget, and
+    it actually buys error reduction over the no-floor row."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        calibrate_language_id,
+        choose_floor,
+        confidence_floor_curve,
+    )
+
+    corpus = {**REAL, **REAL_NONLATIN}
+
+    def trunc(idx):
+        rows = []
+        for lang, sents in corpus.items():
+            for i in idx:
+                if i < len(sents):
+                    rows.append((lang, " ".join(sents[i].split()[:2])))
+        return spark.createDataFrame(rows, "lang string, text string")
+
+    model = fit_language_id(_real_df(spark, range(9), corpus), dims=8192, reg=1e-4)
+    cal = calibrate_language_id(
+        model, _real_df(spark, range(9, 11), corpus).unionByName(trunc(range(9, 11)))
+    )
+    test = _real_df(spark, range(11, 13), corpus).unionByName(trunc(range(11, 13)))
+    curve = confidence_floor_curve(cal, test, floors=(0.05, 0.3, 0.6, 0.9))
+    floor = choose_floor(curve, max_false_unknown=0.1)
+    row = next(c for c in curve if c["floor"] == floor)
+    base = next(c for c in curve if c["floor"] == 0.05)
+    assert row["false_unknown_rate"] <= 0.1
+    assert row["accepted_error_rate"] <= base["accepted_error_rate"]

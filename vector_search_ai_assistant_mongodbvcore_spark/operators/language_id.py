@@ -467,6 +467,32 @@ def confidence_floor_curve(
     ]
 
 
+def choose_floor(curve: "list[dict]", max_false_unknown: float = 0.05) -> float:
+    """The deployer's last step: from a confidence_floor_curve, the
+    HIGHEST floor whose false_unknown_rate stays within budget — the
+    floor that buys the most residual-error reduction the quarantine
+    budget allows (accepted_error_rate is monotonically non-increasing
+    in the floor, so among the affordable floors the highest is the
+    best). Raises when even the lowest measured floor overshoots the
+    budget (the model/budget pair needs recalibration or a wider curve —
+    silently returning an over-budget floor would quarantine correct
+    predictions past what the caller said they can afford). Feed the
+    result to min_confidence / min_lang_confidence on a model carrying
+    the SAME calibration the curve was measured with."""
+    if not curve:
+        raise ValueError("choose_floor: empty curve")
+    ok = [c for c in curve if c["false_unknown_rate"] <= max_false_unknown]
+    if not ok:
+        lo = min(curve, key=lambda c: c["false_unknown_rate"])
+        raise ValueError(
+            f"no measured floor meets max_false_unknown={max_false_unknown}: "
+            f"the best is {lo['false_unknown_rate']:.4f} at floor "
+            f"{lo['floor']} — widen the curve's floors downward or raise "
+            "the budget"
+        )
+    return float(max(ok, key=lambda c: c["floor"])["floor"])
+
+
 def predict_language_col(
     model: dict,
     col: Column | str,
