@@ -835,9 +835,11 @@ def test_confidence_floor_curve_empty_frame_raises(spark):
         confidence_floor_curve(model, all_null)
 
 
-def test_choose_floor_picks_highest_affordable():
-    """Pure curve arithmetic: the highest floor within the false-unknown
-    budget wins; an unaffordable budget raises with the best-available
+def test_choose_floor_picks_lowest_error_affordable():
+    """Pure curve arithmetic: among the floors within the false-unknown
+    budget, the lowest measured accepted-error wins (highest floor as
+    tiebreak); a dominated high floor is never chosen even when
+    affordable; an unaffordable budget raises with the best-available
     number instead of silently over-quarantining."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
         choose_floor,
@@ -852,6 +854,19 @@ def test_choose_floor_picks_highest_affordable():
     assert choose_floor(curve, max_false_unknown=0.05) == 0.7
     assert choose_floor(curve, max_false_unknown=0.02) == 0.5
     assert choose_floor(curve, max_false_unknown=0.5) == 0.9
+    # a measured curve need not be monotone: the overreach regime puts
+    # MORE residual error at the higher floor — it must lose even when
+    # its false-unknown rate fits the budget
+    overreach = curve[:3] + [
+        {"floor": 0.9, "unknown_rate": 0.20, "false_unknown_rate": 0.05, "accepted_error_rate": 0.08},
+    ]
+    assert choose_floor(overreach, max_false_unknown=0.05) == 0.7
+    # tiebreak on equal error: the higher floor
+    tie = [
+        {"floor": 0.4, "unknown_rate": 0.0, "false_unknown_rate": 0.0, "accepted_error_rate": 0.05},
+        {"floor": 0.6, "unknown_rate": 0.0, "false_unknown_rate": 0.0, "accepted_error_rate": 0.05},
+    ]
+    assert choose_floor(tie) == 0.6
     with pytest.raises(ValueError, match="no measured floor"):
         choose_floor(curve[3:], max_false_unknown=0.01)
     with pytest.raises(ValueError, match="empty"):

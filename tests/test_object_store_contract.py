@@ -371,12 +371,14 @@ def test_managed_table_runs_on_abfs_adapter_stub(spark, tmp_path):
     assert t.read(version=0).count() == 3
 
 
-def test_store_from_url_selects_backends():
+def test_store_from_url_selects_backends(monkeypatch):
     """The deployment seam: scheme -> adapter, loud on anything else.
     memory:// returns the PROCESS-SHARED store (same object every call —
     two tables wired from config share one pointer universe, like the
     default committer); cloud schemes construct the gated adapters (here
-    surfacing their install guidance, since the SDKs are absent)."""
+    surfacing their install guidance, since the SDKs are absent); the
+    canonical Hadoop-style abfs://container@account... authority is
+    rejected with the fix, never misparsed as a container name."""
     from vector_search_ai_assistant_mongodbvcore_spark.sources.object_store import (
         store_from_url,
     )
@@ -389,6 +391,11 @@ def test_store_from_url_selects_backends():
     for bad in ("memory://extra", "gs://bucket", "s3://", "plainstring"):
         with pytest.raises(ValueError):
             store_from_url(bad)
+    # unknown scheme diagnosed as such even with an empty authority
+    with pytest.raises(ValueError, match="unknown pointer-store scheme"):
+        store_from_url("gs://")
+    with pytest.raises(ValueError, match="BARE container"):
+        store_from_url("abfs://cont@acct.dfs.core.windows.net/tables")
 
     try:
         import boto3  # noqa: F401
@@ -398,10 +405,9 @@ def test_store_from_url_selects_backends():
     except ImportError:
         with pytest.raises(ImportError, match=r"\[s3\]"):
             store_from_url("s3://bkt/pre/fix")
-    try:
-        import azure.storage.blob  # noqa: F401
-    except ImportError:
-        with pytest.raises((ImportError, ValueError)):
-            # ImportError without the SDK; ValueError (missing conn
-            # string) when the SDK is present but unconfigured
-            store_from_url("abfs://cont")
+    # deterministic regardless of ambient Azure config: without the env
+    # connection string the adapter raises ValueError (SDK present) or
+    # ImportError (SDK absent)
+    monkeypatch.delenv("AZURE_STORAGE_CONNECTION_STRING", raising=False)
+    with pytest.raises((ImportError, ValueError)):
+        store_from_url("abfs://cont")

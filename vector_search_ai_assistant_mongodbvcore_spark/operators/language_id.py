@@ -469,16 +469,21 @@ def confidence_floor_curve(
 
 def choose_floor(curve: "list[dict]", max_false_unknown: float = 0.05) -> float:
     """The deployer's last step: from a confidence_floor_curve, the
-    HIGHEST floor whose false_unknown_rate stays within budget — the
-    floor that buys the most residual-error reduction the quarantine
-    budget allows (accepted_error_rate is monotonically non-increasing
-    in the floor, so among the affordable floors the highest is the
-    best). Raises when even the lowest measured floor overshoots the
-    budget (the model/budget pair needs recalibration or a wider curve —
-    silently returning an over-budget floor would quarantine correct
-    predictions past what the caller said they can afford). Feed the
-    result to min_confidence / min_lang_confidence on a model carrying
-    the SAME calibration the curve was measured with."""
+    floor with the LOWEST accepted_error_rate among those whose
+    false_unknown_rate stays within budget (highest floor as the
+    tiebreak) — the affordable floor that buys the most residual-error
+    reduction. On an ideally calibrated curve accepted error is
+    non-increasing in the floor, but a MEASURED curve need not be
+    monotone (the overreach regime: a high floor quarantining
+    mostly-correct predictions can carry MORE residual error than a
+    lower one — DATACARD.md's 0.9 row), so the selection minimizes the
+    measured error directly instead of assuming monotonicity. Raises
+    when even the lowest measured floor overshoots the budget (the
+    model/budget pair needs recalibration or a wider curve — silently
+    returning an over-budget floor would quarantine correct predictions
+    past what the caller said they can afford). Feed the result to
+    min_confidence / min_lang_confidence on a model carrying the SAME
+    calibration the curve was measured with."""
     if not curve:
         raise ValueError("choose_floor: empty curve")
     ok = [c for c in curve if c["false_unknown_rate"] <= max_false_unknown]
@@ -490,7 +495,8 @@ def choose_floor(curve: "list[dict]", max_false_unknown: float = 0.05) -> float:
             f"{lo['floor']} — widen the curve's floors downward or raise "
             "the budget"
         )
-    return float(max(ok, key=lambda c: c["floor"])["floor"])
+    best = min(ok, key=lambda c: (c["accepted_error_rate"], -c["floor"]))
+    return float(best["floor"])
 
 
 def predict_language_col(

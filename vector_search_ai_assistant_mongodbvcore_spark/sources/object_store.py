@@ -58,6 +58,7 @@ Error mapping (the part a naive adapter gets wrong):
 from __future__ import annotations
 
 from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+    _SHARED_MEMORY_STORE,
     PreconditionFailed,
 )
 
@@ -95,25 +96,34 @@ def store_from_url(url: str):
             "s3://bucket[/prefix] abfs://container[/prefix]"
         )
     scheme = scheme.lower()
+    if scheme not in ("memory", "s3", "abfs", "az"):
+        # scheme first: 'gs://' must say "unknown scheme", not "missing
+        # bucket" (which would imply gs just needs a bucket)
+        raise ValueError(
+            f"{url!r}: unknown pointer-store scheme {scheme!r} "
+            "(memory | s3 | abfs)"
+        )
     if scheme == "memory":
         if rest:
             raise ValueError(f"{url!r}: memory:// takes no path")
-        from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
-            _SHARED_MEMORY_STORE,
-        )
-
         return _SHARED_MEMORY_STORE
     container, _, prefix = rest.partition("/")
     if not container:
         raise ValueError(f"{url!r}: missing bucket/container")
+    if "@" in container:
+        # the canonical Hadoop/Azure form abfs://container@account.dfs.
+        # core.windows.net/path would silently parse its whole authority
+        # as the container name and fail far from the config with an
+        # Azure InvalidResourceName — reject it here with the fix
+        raise ValueError(
+            f"{url!r}: pass the BARE container/bucket name — the account "
+            "comes from AZURE_STORAGE_CONNECTION_STRING / ambient AWS "
+            "config, not the URL (got an '@'-qualified Hadoop-style "
+            "authority)"
+        )
     if scheme == "s3":
         return S3ConditionalStore(container, prefix)
-    if scheme in ("abfs", "az"):
-        return AzureBlobConditionalStore(container, prefix)
-    raise ValueError(
-        f"{url!r}: unknown pointer-store scheme {scheme!r} "
-        "(memory | s3 | abfs)"
-    )
+    return AzureBlobConditionalStore(container, prefix)
 
 
 class S3ConditionalStore:
