@@ -492,7 +492,7 @@ def test_language_export_stream_matches_batch(spark, tmp_path):
         q = start_language_export_stream(
             stream, model, out_s, ckpt, files_per_lang=2, salt_col="doc_id"
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "export stream did not finish in 180s"
 
     run()
     streamed = spark.read.parquet(out_s)
@@ -543,7 +543,7 @@ def test_language_export_stream_quarantines_below_floor(spark, tmp_path):
         min_confidence=1.1,
         languages=("en",),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "export stream did not finish in 180s"
     assert os.path.isdir(f"{out}/lang_pred=unknown")
     got = spark.read.parquet(out)
     assert got.count() == n_en + n_de

@@ -681,7 +681,7 @@ def remove_duplicated_spans(
     ONE shared ng-keyed exchange:
 
       toks --repartition(ng)--> groupBy(ng, id):  min(pos), count   [hash]
-                            \-> groupBy(ng):      min(id),          [hash]
+                             -> groupBy(ng):      min(id),          [hash]
                                                   min_by(minpos, id),
                                                   sum(count) > 1
       join-back: the SAME repartitioned frame probes a SHUFFLE HASH

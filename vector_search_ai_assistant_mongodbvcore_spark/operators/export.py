@@ -464,15 +464,30 @@ def read_language_partition(
     reader = spark.read if schema is None else spark.read.schema(schema)
     out = reader.parquet(exported_dir).filter(F.col(lang_col_name) == lang)
     drop_cols = [lang_col_name]
-    lang_dirs = [
-        e
-        for e in os.listdir(exported_dir)
-        if e.startswith(f"{lang_col_name}=")
-        and os.path.isdir(os.path.join(exported_dir, e))
-    ]
-    if lang_dirs and any(
-        e.startswith("export_batch=")
-        for e in os.listdir(os.path.join(exported_dir, lang_dirs[0]))
-    ):
-        drop_cols.append("export_batch")
+    # The layout sniff is best-effort local-FS only: on a path Spark can
+    # read but os cannot (file:/s3a:/hdfs: URIs, remote mounts) listdir
+    # raises OSError and the reader stays pure-Spark — the batch tree is
+    # then read as-is (a streamed tree on such a store keeps its
+    # bookkeeping column; callers there should pass a schema without it).
+    try:
+        lang_dirs = [
+            e
+            for e in os.listdir(exported_dir)
+            if e.startswith(f"{lang_col_name}=")
+            and os.path.isdir(os.path.join(exported_dir, e))
+        ]
+        if lang_dirs:
+            if any(
+                e.startswith("export_batch=")
+                for e in os.listdir(os.path.join(exported_dir, lang_dirs[0]))
+            ):
+                drop_cols.append("export_batch")
+        elif schema is not None and "export_batch" in (schema.fieldNames()):
+            # Data-less tree read via the schema escape hatch: the only way
+            # export_batch enters the supplied schema is a streamed tree's
+            # bookkeeping (the streaming writer rejects data columns of
+            # that name), so drop it to keep the read schema-stable.
+            drop_cols.append("export_batch")
+    except OSError:
+        pass
     return out.drop(*drop_cols)
