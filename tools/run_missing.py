@@ -15,7 +15,7 @@ import __spark_entry__ as E
 
 NAMES = sys.argv[1:] or [
     "summarize_labels",
-    "corpus_enrichment",
+    "corpus_binary_enrichment",
     "chat_turn",
 ]
 
