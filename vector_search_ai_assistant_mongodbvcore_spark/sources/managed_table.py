@@ -66,18 +66,36 @@ retention for concurrent readers.
 from __future__ import annotations
 
 import base64
-import glob
 import hashlib
 import json
 import math
 import os
-import shutil
 import time
 import uuid
 from functools import lru_cache, reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
+    LocalDataPlane,
+)
+
+# default DATA plane (sources/dataplane.py — the seam object-store
+# deployments swap; see its module docstring). Tests patch this module
+# global to run whole suites against EmulatedObjectDataPlane.
+_DEFAULT_DATAPLANE = LocalDataPlane()
+
+
+def _resolve_plane(dataplane, committer):
+    """Explicit dataplane > the committer's bound plane > module default.
+    ConditionalPutCommitter carries an optional `dataplane` so one
+    committer object fully describes a storage universe (pointer store +
+    data plane) and every table handle built on it inherits both."""
+    if dataplane is not None:
+        return dataplane
+    p = getattr(committer, "dataplane", None)
+    return p if p is not None else _DEFAULT_DATAPLANE
 
 
 class CommitConflict(RuntimeError):
@@ -362,7 +380,7 @@ class DanglingPointerError(RuntimeError):
     and check observe the same filesystem."""
 
 
-def _pointer_dangles(table_path: str, doc: "dict | None") -> bool:
+def _pointer_dangles(table_path: str, doc: "dict | None", plane=None) -> bool:
     """True when `doc` points at a table whose retained artifacts are ALL
     gone from the filesystem. Every retained name across the rolling
     maps is checked — ManagedTable's data_dirs, BucketedTable's
@@ -390,13 +408,14 @@ def _pointer_dangles(table_path: str, doc: "dict | None") -> bool:
         f"manifest_{v}.json",
         f"filestats_{v}.json",
     ]
-    return not any(os.path.exists(os.path.join(table_path, n)) for n in names)
+    plane = plane if plane is not None else _DEFAULT_DATAPLANE
+    return not any(plane.exists(os.path.join(table_path, n)) for n in names)
 
 
-def _raise_if_dangling(table_path: str, doc: "dict | None") -> None:
+def _raise_if_dangling(table_path: str, doc: "dict | None", plane=None) -> None:
     """Shared guard for the two places the pointer is consulted (read
     and write-transaction entry) — one message, impossible to drift."""
-    if _pointer_dangles(table_path, doc):
+    if _pointer_dangles(table_path, doc, plane):
         raise DanglingPointerError(
             f"{table_path}: pointer at version {doc.get('version')} "
             "but none of its retained data dirs exist — the table "
@@ -546,7 +565,10 @@ class PosixCommitter:
         except FileNotFoundError:
             return None
 
-    def transaction(self, table_path: str) -> _PosixTxn:
+    def transaction(self, table_path: str, plane=None) -> _PosixTxn:
+        # the POSIX committer's publish is os.rename by definition (its
+        # lock protocol is POSIX-only); the plane arg exists for
+        # signature parity and is deliberately unused
         return _PosixTxn(table_path)
 
 
@@ -556,9 +578,12 @@ class _CondPutTxn:
     point, so two racing attempts both run to swap() and exactly one
     wins (the other gets PreconditionFailed -> CommitConflict)."""
 
-    def __init__(self, store: MemoryConditionalStore, table_path: str):
+    def __init__(
+        self, store: MemoryConditionalStore, table_path: str, plane=None
+    ):
         self.path = table_path
         self._store = store
+        self._plane = plane if plane is not None else _DEFAULT_DATAPLANE
         self._key = os.path.join(table_path, "_VERSION")
         self.doc: "dict | None" = None
         self._etag: "str | None" = None
@@ -570,15 +595,16 @@ class _CondPutTxn:
         # a writer must not resume a dead table's version history
         # (ADVICE r11, low) — same detection as read_pointer, at the
         # one other place the pointer is consulted
-        _raise_if_dangling(self.path, self.doc)
+        _raise_if_dangling(self.path, self.doc, self._plane)
         return self
 
     def publish(self, staging: str, final_name: str) -> str:
-        # local rename stands in for the object-store copy; atomicity is
-        # NOT required — the name is attempt-unique and unreachable until
-        # swap() lands the pointer that references it
+        # the data plane moves the tree (per-object copy+delete on an
+        # object store); atomicity is NOT required — the name is
+        # attempt-unique and unreachable until swap() lands the pointer
+        # that references it
         final = os.path.join(self.path, final_name)
-        os.rename(staging, final)
+        self._plane.publish(staging, final)
         return final
 
     def swap(self, doc: dict) -> None:
@@ -721,20 +747,32 @@ class ConditionalPutCommitter:
     simply skipped until a later pass sees it — so an eventually-
     consistent store only DELAYS reclamation, never corrupts it
     (MemoryConditionalStore(list_lag=True) models the anomaly for the
-    pointer plane; the FS tests monkeypatch os.listdir for the data
-    plane)."""
+    pointer plane; EmulatedObjectDataPlane(list_lag=True) models it for
+    the data plane)."""
 
-    def __init__(self, store: "MemoryConditionalStore | None" = None):
+    def __init__(
+        self,
+        store: "MemoryConditionalStore | None" = None,
+        dataplane=None,
+    ):
         self.store = store if store is not None else _SHARED_MEMORY_STORE
+        # optional bound data plane: one committer object then describes
+        # the whole storage universe (pointer store + data plane), and
+        # every table handle constructed on it inherits both — the
+        # all-cloud topology is ConditionalPutCommitter(s3_store,
+        # object_plane). None = tables resolve _DEFAULT_DATAPLANE.
+        self.dataplane = dataplane
 
     def read_pointer(self, table_path: str) -> "dict | None":
         data, _ = self.store.get(os.path.join(table_path, "_VERSION"))
         doc = json.loads(data) if data is not None else None
-        _raise_if_dangling(table_path, doc)
+        _raise_if_dangling(table_path, doc, self.dataplane)
         return doc
 
-    def transaction(self, table_path: str) -> _CondPutTxn:
-        return _CondPutTxn(self.store, table_path)
+    def transaction(self, table_path: str, plane=None) -> _CondPutTxn:
+        return _CondPutTxn(
+            self.store, table_path, plane if plane is not None else self.dataplane
+        )
 
 
 _DEFAULT_COMMITTER = PosixCommitter()
@@ -822,27 +860,22 @@ def _staging_dir(table_path: str) -> str:
     return os.path.join(table_path, f"_staging_{uuid.uuid4().hex[:12]}")
 
 
-def _newest_mtime_under(root: str) -> float:
-    """Newest mtime anywhere under `root` (the root itself included).
-    During a Spark parquet write the staging ROOT's mtime is set at job
-    start — the data lands under _temporary/ until commit — so staleness
-    keyed on the root alone would sweep a >TTL in-flight write out from
-    under its writer. Task files keep their mtimes fresh for the whole
-    write, so the deep maximum is the honest liveness signal."""
-    newest = 0.0
-    try:
-        newest = os.path.getmtime(root)
-    except FileNotFoundError:
-        return newest
-    for dirpath, _dirnames, filenames in os.walk(root):
-        for name in filenames:
-            try:
-                m = os.path.getmtime(os.path.join(dirpath, name))
-            except FileNotFoundError:
-                continue
-            if m > newest:
-                newest = m
-    return newest
+def _rel(path: str, root: str) -> str:
+    """Path of `path` relative to its prefix `root` — a pure string strip,
+    NOT os.path.relpath (whose normalization collapses the // in
+    s3a://bucket URIs and would corrupt object-store table paths)."""
+    root = root.rstrip("/")
+    if not path.startswith(root + "/"):
+        raise ValueError(f"{path!r} not under {root!r}")
+    return path[len(root) + 1 :]
+
+
+def _newest_mtime_under(root: str, plane=None) -> float:
+    """Newest mtime anywhere under `root` — delegates to the data plane
+    (object stores report per-object Last-Modified; see
+    LocalDataPlane.newest_mtime for why the DEEP maximum, not the
+    root's, is the staging-liveness signal)."""
+    return (plane if plane is not None else _DEFAULT_DATAPLANE).newest_mtime(root)
 
 
 def _post_commit_maintenance(table) -> None:
@@ -860,19 +893,21 @@ def _post_commit_maintenance(table) -> None:
     except Exception:
         pass
     try:
-        _sweep_stale_staging(table.path)
+        _sweep_stale_staging(table.path, table.plane)
     except Exception:
         pass
 
 
-def _sweep_stale_staging(table_path: str) -> None:
+def _sweep_stale_staging(table_path: str, plane=None) -> None:
     """Remove staging dirs orphaned by crashed writers. Age-gated by
     _STAGING_TTL_SEC on the NEWEST mtime under the dir (not the root's —
     see _newest_mtime_under) so an IN-FLIGHT writer's staging (written,
     not yet renamed under the lock) is never swept by a concurrent
-    committer, even when the write itself runs longer than the TTL."""
+    committer, even when the write itself runs longer than the TTL.
+    LIST is a hint: a lagging listing only delays the sweep."""
+    plane = plane if plane is not None else _DEFAULT_DATAPLANE
     try:
-        names = os.listdir(table_path)
+        names = plane.list_names(table_path)
     except FileNotFoundError:
         return
     now = time.time()
@@ -881,8 +916,8 @@ def _sweep_stale_staging(table_path: str) -> None:
             continue
         full = os.path.join(table_path, name)
         try:
-            if now - _newest_mtime_under(full) > _STAGING_TTL_SEC:
-                shutil.rmtree(full, ignore_errors=True)
+            if now - _newest_mtime_under(full, plane) > _STAGING_TTL_SEC:
+                plane.remove_tree(full)
         except FileNotFoundError:
             pass
 
@@ -994,18 +1029,29 @@ def _bloom_may_contain(bloom: dict, val) -> bool:
 
 
 def _collect_parquet_stats(
-    files: list[str], bloom_cols: "tuple[str, ...] | list[str]" = ()
+    files: list[str],
+    bloom_cols: "tuple[str, ...] | list[str]" = (),
+    plane=None,
 ) -> dict[str, dict]:
     """Aggregate footer row-group stats to per-file per-column min/max;
     `bloom_cols` additionally builds a per-file Bloom filter per named
     column (one narrow column read per file — commit-time cost is O(data
-    of the indexed columns), the point Delta's bloom index pays too)."""
+    of the indexed columns), the point Delta's bloom index pays too).
+    `plane.open_parquet_input` maps each path to whatever ParquetFile
+    can open — a local path as-is, a seekable ranged-GET reader on an
+    object-store plane (footer reads stay O(footer), never a full
+    object download)."""
     import pyarrow.compute as pa_pc
     import pyarrow.parquet as pa_pq
 
+    opener = (
+        plane.open_parquet_input
+        if plane is not None and hasattr(plane, "open_parquet_input")
+        else (lambda p: p)
+    )
     out: dict[str, dict] = {}
     for path in files:
-        md = pa_pq.ParquetFile(path).metadata
+        md = pa_pq.ParquetFile(opener(path)).metadata
         cols: dict[str, dict] = {}
         unusable: set[str] = set()
         for rg in range(md.num_row_groups):
@@ -1051,7 +1097,7 @@ def _collect_parquet_stats(
             "cols": {k: v for k, v in cols.items() if k not in unusable},
         }
         if bloom_cols:
-            pf = pa_pq.ParquetFile(path)
+            pf = pa_pq.ParquetFile(opener(path))
             top_level = {f.name for f in pf.schema_arrow}
             avail = [c for c in bloom_cols if c in top_level]
             blooms: dict[str, dict] = {}
@@ -1188,12 +1234,14 @@ class ManagedTable:
         path: str,
         bloom_cols: "tuple[str, ...] | None" = None,
         committer=None,
+        dataplane=None,
     ):
         self.spark = spark
         self.path = path
         self.bloom_cols = None if bloom_cols is None else tuple(bloom_cols)
         self.committer = committer if committer is not None else _DEFAULT_COMMITTER
-        os.makedirs(path, exist_ok=True)
+        self.plane = _resolve_plane(dataplane, self.committer)
+        self.plane.makedirs(path)
 
     # ---- commit log -----------------------------------------------------
     def _version_doc(self) -> dict:
@@ -1241,12 +1289,14 @@ class ManagedTable:
             if self.bloom_cols is None
             else list(self.bloom_cols)
         )
-        staged_stats = _collect_parquet_stats(self._version_files(staging), bloom_cols)
+        staged_stats = _collect_parquet_stats(
+            self._version_files(staging), bloom_cols, plane=self.plane
+        )
         attempt = uuid.uuid4().hex[:8]
         published: "str | None" = None
         stats_path: "str | None" = None
         try:
-            with self.committer.transaction(self.path) as txn:
+            with self.committer.transaction(self.path, self.plane) as txn:
                 cur_doc = txn.doc or {"version": -1}
                 cur = cur_doc["version"]
                 if expected is not None and cur != expected:
@@ -1263,8 +1313,7 @@ class ManagedTable:
                 }
                 stats_name = f"filestats_{new_v}_u{attempt}.json"
                 stats_path = os.path.join(self.path, stats_name)
-                with open(stats_path, "w") as f:
-                    json.dump(stats, f)
+                self.plane.write_text(stats_path, json.dumps(stats))
                 # rolling txn stamps: which multi-table transaction each
                 # version belongs to (TransactionalWriter.consistent_read
                 # walks these to pin a torn-free snapshot pair)
@@ -1296,17 +1345,17 @@ class ManagedTable:
             # landing between a successful swap and the line above would
             # otherwise delete data the committed pointer names
             if staging is not None:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.plane.remove_tree(staging)
             if published is not None or stats_path is not None:
                 doc = self.committer.read_pointer(self.path) or {}
                 referenced = set(doc.get("data_dirs", {}).values()) | set(
                     doc.get("stats_files", {}).values()
                 )
                 if published is not None and os.path.basename(published) not in referenced:
-                    shutil.rmtree(published, ignore_errors=True)
+                    self.plane.remove_tree(published)
                 if stats_path is not None and os.path.basename(stats_path) not in referenced:
                     try:
-                        os.remove(stats_path)
+                        self.plane.remove_file(stats_path)
                     except FileNotFoundError:
                         pass
         _post_commit_maintenance(self)
@@ -1320,31 +1369,31 @@ class ManagedTable:
         )
         return os.path.join(self.path, name)
 
-    @staticmethod
-    def _version_files(data_dir: str) -> list[str]:
-        return sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    def _version_files(self, data_dir: str) -> list[str]:
+        return self.plane.list_parquet(data_dir)
 
     def _filestats(self, version: int) -> dict[str, dict]:
         try:
-            with open(self._stats_file(version)) as f:
-                return json.load(f)
+            return json.loads(self.plane.read_text(self._stats_file(version)))
         except FileNotFoundError:
             return {}  # pre-stats version: no pruning, full correctness
 
     def _vacuum(self, keep: int = 2) -> None:
         # every delete tolerates a concurrent vacuumer having won the
         # race to the same stale file (routine under the lock-free
-        # ConditionalPutCommitter) — see _post_commit_maintenance
+        # ConditionalPutCommitter) — see _post_commit_maintenance;
+        # the plane's LIST is a hint (a lagging listing delays the
+        # vacuum to a later pass, never corrupts it)
         cur = self.current_version()
-        for name in os.listdir(self.path):
+        for name in self.plane.list_names(self.path):
             v = _parse_versioned_name(name, "v_")
             if v is not None and v <= cur - keep:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                self.plane.remove_tree(os.path.join(self.path, name))
                 continue
             v = _parse_versioned_name(name, "filestats_", ".json")
             if v is not None and v <= cur - keep:
                 try:
-                    os.remove(os.path.join(self.path, name))
+                    self.plane.remove_file(os.path.join(self.path, name))
                 except FileNotFoundError:
                     pass
 
@@ -1376,7 +1425,7 @@ class ManagedTable:
         if not 0 <= v <= cur:
             raise ValueError(f"version {v} out of range [0, {cur}]")
         d = self._data_dir(v)
-        if not os.path.exists(d):
+        if not self.plane.exists(d):
             raise FileNotFoundError(
                 f"version {v} was vacuumed (oldest retained snapshot wins); "
                 f"current={cur}"
@@ -1535,6 +1584,7 @@ class BucketedTable:
         n_buckets: int = 16,
         bloom_cols: "tuple[str, ...] | None" = None,
         committer=None,
+        dataplane=None,
     ):
         self.spark = spark
         self.path = path
@@ -1545,7 +1595,8 @@ class BucketedTable:
         # an explicit () clears the declaration
         self.bloom_cols = None if bloom_cols is None else tuple(bloom_cols)
         self.committer = committer if committer is not None else _DEFAULT_COMMITTER
-        os.makedirs(path, exist_ok=True)
+        self.plane = _resolve_plane(dataplane, self.committer)
+        self.plane.makedirs(path)
 
     # ---- commit log -----------------------------------------------------
     def _version_doc(self) -> dict:
@@ -1561,8 +1612,7 @@ class BucketedTable:
         doc = self._version_doc()
         v = doc["version"] if version is None else version
         name = doc.get("manifests", {}).get(str(v)) or f"manifest_{v}.json"
-        with open(os.path.join(self.path, name)) as f:
-            return json.load(f)
+        return json.loads(self.plane.read_text(os.path.join(self.path, name)))
 
     def _manifest(self, version: int | None = None) -> dict[str, list[str]]:
         return self._manifest_doc(version)["buckets"]
@@ -1592,7 +1642,7 @@ class BucketedTable:
             writer = writer.option("maxRecordsPerFile", per_file)
         writer.partitionBy(self.BUCKET_COL).parquet(staging)
         parts = {}
-        for name in os.listdir(staging):
+        for name in self.plane.list_names(staging):
             if name.startswith(f"{self.BUCKET_COL}="):
                 parts[int(name.split("=", 1)[1])] = name
         return staging, parts
@@ -1634,7 +1684,7 @@ class BucketedTable:
                     )
                 except SchemaEvolutionError:
                     if staging is not None:
-                        shutil.rmtree(staging, ignore_errors=True)
+                        self.plane.remove_tree(staging)
                     raise
             if self.bloom_cols is not None:
                 bloom_cols = list(self.bloom_cols)
@@ -1657,14 +1707,15 @@ class BucketedTable:
         staged_stats: dict[str, dict] = {}
         if staging is not None:
             staged_stats = _collect_parquet_stats(
-                sorted(glob.glob(os.path.join(staging, "*", "*.parquet"))),
+                self.plane.list_parquet_partitions(staging),
                 bloom_cols,
+                plane=self.plane,
             )
         attempt = uuid.uuid4().hex[:8]
         published: "str | None" = None
         cleanup_files: list[str] = []
         try:
-            with self.committer.transaction(self.path) as txn:
+            with self.committer.transaction(self.path, self.plane) as txn:
                 cur_doc = txn.doc or {"version": -1}
                 cur = cur_doc["version"]
                 if cur != expected:
@@ -1677,7 +1728,7 @@ class BucketedTable:
                     final = txn.publish(staging, f"v_{version}_u{attempt}")
                     published = final
                     remapped = {
-                        os.path.join(final, os.path.relpath(p0, staging)): s0
+                        os.path.join(final, _rel(p0, staging)): s0
                         for p0, s0 in staged_stats.items()
                     }
                     staging = None
@@ -1685,7 +1736,7 @@ class BucketedTable:
                 stats: dict[str, dict] = {}
                 for dirs in buckets.values():
                     for d in dirs:
-                        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                        for f in self.plane.list_parquet(d):
                             if f in prev:
                                 stats[f] = prev[f]
                             elif f in remapped:
@@ -1693,26 +1744,30 @@ class BucketedTable:
                             else:
                                 # a carried dir predating the stats doc
                                 # (legacy version): footer-read it now
-                                stats[f] = _collect_parquet_stats([f], bloom_cols)[f]
+                                stats[f] = _collect_parquet_stats(
+                                    [f], bloom_cols, plane=self.plane
+                                )[f]
                 stats_name = f"filestats_{version}_u{attempt}.json"
                 manifest_name = f"manifest_{version}_u{attempt}.json"
                 cleanup_files = [
                     os.path.join(self.path, stats_name),
                     os.path.join(self.path, manifest_name),
                 ]
-                with open(os.path.join(self.path, stats_name), "w") as f:
-                    json.dump(stats, f)
-                with open(os.path.join(self.path, manifest_name), "w") as f:
-                    json.dump(
+                self.plane.write_text(
+                    os.path.join(self.path, stats_name), json.dumps(stats)
+                )
+                self.plane.write_text(
+                    os.path.join(self.path, manifest_name),
+                    json.dumps(
                         {
                             "buckets": buckets,
                             "op": op,
                             "ts": time.time(),
                             "schema": schema_json,
                             "bloom_cols": bloom_cols,
-                        },
-                        f,
-                    )
+                        }
+                    ),
+                )
                 # rolling txn stamps: same contract as ManagedTable._commit
                 # (txn_applied reconciles ambiguous outcomes through them)
                 txns = _trim_version_map(cur_doc.get("txns", {}), version)
@@ -1738,7 +1793,7 @@ class BucketedTable:
                 cleanup_files = []  # committed: owned by the table
         finally:
             if staging is not None:
-                shutil.rmtree(staging, ignore_errors=True)
+                self.plane.remove_tree(staging)
             if published is not None or cleanup_files:
                 # verify against the live pointer before deleting: an
                 # async exception between a successful swap and the
@@ -1751,12 +1806,12 @@ class BucketedTable:
                     "manifests"
                 ][str(version)] in {os.path.basename(p) for p in cleanup_files}
                 if published is not None and not committed_here:
-                    shutil.rmtree(published, ignore_errors=True)
+                    self.plane.remove_tree(published)
                 for p in cleanup_files:
                     if os.path.basename(p) in referenced:
                         continue
                     try:
-                        os.remove(p)
+                        self.plane.remove_file(p)
                     except FileNotFoundError:
                         pass
         _post_commit_maintenance(self)
@@ -1770,8 +1825,7 @@ class BucketedTable:
 
     def _filestats(self, version: int) -> dict[str, dict]:
         try:
-            with open(self._stats_file(version)) as f:
-                return json.load(f)
+            return json.loads(self.plane.read_text(self._stats_file(version)))
         except FileNotFoundError:
             return {}  # pre-stats version: no pruning, full correctness
 
@@ -1783,14 +1837,14 @@ class BucketedTable:
             try:
                 for dirs in self._manifest(v).values():
                     for d in dirs:
-                        live.add(os.path.normpath(d).split(f"{os.sep}{self.BUCKET_COL}=")[0])
+                        live.add(d.rstrip("/").split(f"/{self.BUCKET_COL}=")[0])
             except FileNotFoundError:
                 continue
-        for name in os.listdir(self.path):
+        for name in self.plane.list_names(self.path):
             full = os.path.join(self.path, name)
             v = _parse_versioned_name(name, "v_")
             if v is not None and v <= cur - keep and full not in live:
-                shutil.rmtree(full, ignore_errors=True)
+                self.plane.remove_tree(full)
                 continue
             v = _parse_versioned_name(name, "manifest_", ".json")
             if v is None:
@@ -1799,7 +1853,7 @@ class BucketedTable:
                 # tolerate a concurrent vacuumer winning the race to the
                 # same stale file — see _post_commit_maintenance
                 try:
-                    os.remove(full)
+                    self.plane.remove_file(full)
                 except FileNotFoundError:
                     pass
 
@@ -1873,7 +1927,7 @@ class BucketedTable:
             dirs = list(buckets.get(str(self._bucket_for_values(doc, eq)), []))
         else:
             dirs = [d for ds in buckets.values() for d in ds]
-        files = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+        files = [f for d in dirs for f in self.plane.list_parquet(d)]
         return _prune_files(files, self._filestats(version), checked)
 
     def pruned_files(self, filters, version: int | None = None) -> tuple[int, int]:
@@ -1881,7 +1935,7 @@ class BucketedTable:
         v = self.current_version() if version is None else version
         doc = self._manifest_doc(v)
         total = sum(
-            len(glob.glob(os.path.join(d, "*.parquet")))
+            len(self.plane.list_parquet(d))
             for dirs in doc["buckets"].values()
             for d in dirs
         )
@@ -2214,7 +2268,7 @@ class BucketedTable:
             affected = []
             for b, dirs in manifest.items():
                 files = [
-                    f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+                    f for d in dirs for f in self.plane.list_parquet(d)
                 ]
                 if any(
                     all(_file_may_match(stats.get(f), c, o, val) for c, o, val in checked)
@@ -2355,7 +2409,7 @@ class TransactionalWriter:
                 # out-of-protocol caveat).
                 for v in range(s_v - 1, max(-1, s_v - _DOC_MAP_KEEP) - 1, -1):
                     if s_txns.get(str(v)) is not None:
-                        if os.path.exists(self.sessions._data_dir(v, s_doc)):
+                        if self.sessions.plane.exists(self.sessions._data_dir(v, s_doc)):
                             s_v, s_txn = v, s_txns[str(v)]
                         break
             m_doc = self.messages._version_doc()
@@ -2383,7 +2437,7 @@ class TransactionalWriter:
                     hit = v
                     break
             if hit is not None:
-                if not os.path.exists(self.messages._data_dir(hit, m_doc)):
+                if not self.messages.plane.exists(self.messages._data_dir(hit, m_doc)):
                     # the matching messages snapshot is ALREADY vacuumed
                     # (out-of-protocol maintenance pushed it past the
                     # horizon while its stamp survived in the rolling
