@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import FatalTransportError
 from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import _encode_py
 
 # OpenAiService.cs:27-37 — system prompt for the chat completion; documents
@@ -116,7 +117,7 @@ class _RemoteChatSource:
         for attempt in range(self.max_retries):
             try:
                 return self._call_api(system, user)
-            except NotImplementedError:
+            except (NotImplementedError, FatalTransportError):
                 raise
             except Exception:
                 if attempt == self.max_retries - 1:

@@ -37,6 +37,16 @@ from pyspark.sql.types import ArrayType, FloatType, IntegerType, StructField, St
 
 DEFAULT_DIMS = 1536
 
+
+class FatalTransportError(RuntimeError):
+    """A transport error retrying cannot fix (auth failure, bad request,
+    content filter): the retry loops re-raise it immediately instead of
+    burning the x10 exponential budget on a deterministic failure. The
+    reference's Polly policy retries blindly (OpenAiService.cs:97-105);
+    distinguishing fatal from transient is the one deliberate deviation —
+    a 401 retried 10 times with exponential sleeps is ~34 minutes of
+    guaranteed-failing wait per PARTITION at base_delay 2s."""
+
 # (array<float> vector, int token_count) — the reference's embedding API
 # returns BOTH the vector and the usage token count (OpenAiService.cs:142),
 # which feeds the session token rollup (ChatService.cs:130, :313-316).
@@ -180,7 +190,7 @@ class RemoteEmbedder:
                     vectors, counts = result
                     return np.asarray(vectors), np.asarray(counts, dtype=np.int32)
                 return np.asarray(result), None
-            except NotImplementedError:
+            except (NotImplementedError, FatalTransportError):
                 raise
             except Exception:
                 if attempt == self.max_retries - 1:
