@@ -122,3 +122,177 @@ def test_sample_frames_without_kernel_is_honest_stub(spark):
     )
     with pytest.raises(Exception, match="No video codec"):
         sample_frames(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs (round 13): genuine PNG images and WAV audio through
+# the same Spark plumbing — no fakes, no PIL, public-spec code only.
+
+
+def _gradient_png(w=32, h=16):
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import png_encode
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8) * (255 // max(1, w - 1))
+    img[:, :, 1] = (np.arange(h, dtype=np.uint8) * (255 // max(1, h - 1)))[:, None]
+    img[:, :, 2] = 200
+    return img, png_encode(img)
+
+
+def _sine_wav(rate=8000, seconds=0.25, freq=440):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return samples, buf.getvalue()
+
+
+def test_png_roundtrip_all_filter_types():
+    """png_decode handles every spec filter: round-trip our encoder
+    (filter 0) AND a hand-filtered stream exercising Sub/Up/Average/Paeth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    img, payload = _gradient_png()
+    assert np.array_equal(png_decode(payload), img)
+    # grayscale + RGBA shapes
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(png_decode(png_encode(g))[:, :, 0], g)
+    # hand-build a stream using filters 1-4 (one per scanline)
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    c = 3
+    stride = 5 * c
+
+    def paeth(x, b_, cc):
+        p = x + b_ - cc
+        pa, pb, pc = abs(p - x), abs(p - b_), abs(p - cc)
+        return x if pa <= pb and pa <= pc else (b_ if pb <= pc else cc)
+
+    flat = a.reshape(4, stride).astype(int)
+    lines = []
+    for y, f in enumerate((1, 2, 3, 4)):
+        cur, prev = flat[y], (flat[y - 1] if y else [0] * stride)
+        enc = []
+        for x in range(stride):
+            left = cur[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            pred = {1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[f]
+            enc.append((cur[x] - pred) & 0xFF)
+        lines.append(bytes([f]) + bytes(enc))
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    stream = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(stream), a)
+
+
+def test_real_png_flows_through_extract_features(spark):
+    """A genuine PNG through the Spark mapInPandas path: the feature the
+    executor computes equals the numpy truth computed locally."""
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        extract_features,
+        png_image_decoder,
+        stdlib_media_decoder,
+    )
+
+    img, payload = _gradient_png()
+    _, wav = _sine_wav()
+    media = spark.createDataFrame(
+        [("img1", bytearray(payload)), ("aud1", bytearray(wav)), ("junk", bytearray(b"not media"))],
+        "media_id string, payload binary",
+    )
+    out = {r.media_id: r for r in extract_features(media, decoder=stdlib_media_decoder).collect()}
+    assert out["img1"].decode_ok and out["aud1"].decode_ok
+    assert not out["junk"].decode_ok  # quarantined, row kept
+    want = png_image_decoder(payload)
+    assert np.allclose(out["img1"].feature, want)
+    assert list(want[:3]) == [16.0, 32.0, 3.0]  # h, w, channels for real
+    assert out["aud1"].feature[1] == 8000.0  # sample rate decoded for real
+
+
+def test_real_png_resize_through_spark(spark):
+    """resize_media with the real PNG kernel: output payloads are valid
+    PNGs of the target size whose pixels are the nearest-neighbor gather
+    of the source."""
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        png_decode,
+        png_resizer,
+        resize_media,
+    )
+
+    img, payload = _gradient_png(w=32, h=16)
+    media = spark.createDataFrame([("m1", bytearray(payload))], "media_id string, payload binary")
+    out = resize_media(media, width=8, height=4, resizer=png_resizer).collect()[0]
+    assert out.resize_ok and (out.width, out.height) == (8, 4)
+    got = png_decode(bytes(out.payload))
+    ys = (np.arange(4) * 16 // 4).clip(0, 15)
+    xs = (np.arange(8) * 32 // 8).clip(0, 31)
+    assert np.array_equal(got, img[ys][:, xs])
+
+
+def test_wav_decoder_matches_source_samples():
+    import numpy as np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import (
+        wav_audio_decoder,
+    )
+
+    samples, wav = _sine_wav(rate=16000, seconds=0.1)
+    f = wav_audio_decoder(wav)
+    assert f[0] == 1 and f[1] == 16000 and f[2] == len(samples)
+    assert f[4] == pytest.approx(samples.astype("float32").mean())
+    assert f[7] == pytest.approx(samples.max())
+
+
+def test_png_decoder_honest_about_exotic_variants():
+    import struct
+    import zlib
+
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.multimodal import png_decode
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    # palette (color type 3) PNG header -> NotImplementedError, not junk
+    stream = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color types"):
+        png_decode(stream)
+    with pytest.raises(ValueError):
+        png_decode(b"GIF89a not a png")
