@@ -138,7 +138,7 @@ def main() -> None:
             }
         )
     )
-    _append_history(total, timings, sf_val)
+    _append_history(total, timings, sf_val, sql_serves)
     spark.stop()
 
 
@@ -224,7 +224,7 @@ def _bench_sql_serves(spark, q) -> dict:
     return out
 
 
-def _append_history(total: float, timings: dict, sf) -> None:
+def _append_history(total: float, timings: dict, sf, sql_serves=None) -> None:
     """Append one row per bench run to BENCH_HISTORY.md (judge r9
     directive #9): the warmed protocol makes rounds comparable, so a
     regression is visible as a table diff instead of a JSON archaeology
@@ -245,11 +245,19 @@ def _append_history(total: float, timings: dict, sf) -> None:
                 "# BENCH_HISTORY — per-run totals at sf0.1 (warmed protocol, r9+)\n\n"
                 "Appended by bench.py on every sf0.1 run; totals are the sum of\n"
                 "timed passes after one untimed warm pass per query.\n\n"
-                "| when (UTC) | queries | total (s) | top-5 slowest |\n"
-                "|---|---|---|---|\n"
+                "| when (UTC) | queries | total (s) | top-5 slowest | sql serves (s) |\n"
+                "|---|---|---|---|---|\n"
             )
         top = ", ".join(f"{n} {t:.2f}" for n, t in slowest)
-        f.write(f"| {stamp} | {len(timings)} | {total:.3f} | {top} |\n")
+        serves = (
+            ", ".join(
+                f"{n} {t:.2f}"
+                for n, t in sorted((sql_serves or {}).items())
+                if isinstance(t, (int, float))  # skip the *_samples lists
+            )
+            or "—"
+        )
+        f.write(f"| {stamp} | {len(timings)} | {total:.3f} | {top} | {serves} |\n")
 
 
 if __name__ == "__main__":
