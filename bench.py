@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "summarize_labels",
     "rolling_fingerprints",
     "build_prompts_trim",
+    "corpus_enrichment",
 ]
 
 

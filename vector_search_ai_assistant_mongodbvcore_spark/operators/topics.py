@@ -110,12 +110,16 @@ def assign_topics_col(
     the dot by |x| AFTER the fold keeps one norm computation per row."""
     from pyspark.sql import Column as _Col
 
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.language_id import (
+        _fast_array_lit,
+    )
+
     v = (F.col(col) if isinstance(col, str) else col).cast("array<double>")
 
     def pick(x: _Col) -> _Col:
         dots = [
             F.aggregate(
-                F.zip_with(x, F.lit([float(a) for a in c]), lambda p, q: p * q),
+                F.zip_with(x, _fast_array_lit([float(a) for a in c]), lambda p, q: p * q),
                 F.lit(0.0),
                 lambda acc, d: acc + d,
             )
