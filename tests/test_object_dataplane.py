@@ -100,21 +100,32 @@ def test_writer_dying_mid_publish_leaves_committed_data_intact(spark, tmp_path):
 
 def test_vacuum_faults_never_break_commits(spark, tmp_path):
     """A delete fault during post-swap vacuum must not surface (the swap
-    already made the commit durable) and the next clean pass reclaims."""
+    already made the commit durable); the faulted objects SURVIVE as
+    debris (the emulation must not let an ignore_errors rmtree delete
+    what the injected DELETE 'failed' to — r13 review finding) and the
+    next clean pass reclaims them."""
     path = str(tmp_path / "t")
     plane = EmulatedObjectDataPlane(fault_hook=_DieAfter("delete", 2))
     t = ManagedTable(spark, path, committer=_universe(plane))
     for i in range(5):
         t.append(_df(spark, [(i, "x")]))  # post-commit vacuums hit faults
     assert t.read().count() == 5
+
+    def stale_files():
+        out = []
+        for n in os.listdir(path):
+            v = mt._parse_versioned_name(n, "v_")
+            if v is not None and v <= t.current_version() - 2:
+                full = os.path.join(path, n)
+                if not os.path.isdir(full) or any(os.scandir(full)):
+                    out.append(n)
+        return out
+
+    # the injected faults left REAL debris behind (files, not just husks)
+    assert stale_files(), "delete faults left no debris — injection neutralized"
     plane.fault_hook = None  # faults clear; next commit's vacuum reclaims
     t.append(_df(spark, [(99, "x")]))
-    stale = [
-        n for n in os.listdir(path)
-        if mt._parse_versioned_name(n, "v_") is not None
-        and mt._parse_versioned_name(n, "v_") <= t.current_version() - 2
-    ]
-    assert stale == [], stale
+    assert stale_files() == []
 
 
 def test_lagging_list_only_delays_reclamation(spark, tmp_path, monkeypatch):
@@ -159,3 +170,43 @@ def test_explicit_table_plane_overrides_committer_plane(spark, tmp_path):
     assert t.plane is sentinel
     t2 = ManagedTable(spark, str(tmp_path / "t2"), committer=_universe())
     assert isinstance(t2.plane, EmulatedObjectDataPlane)
+
+
+def test_bucketed_commit_survives_lagging_list(spark, tmp_path):
+    """The r13 review's data-loss scenario: under list_lag=True the
+    commit path's staging discovery must STILL see every just-written
+    bucket (list_names_fresh is read-own-writes by contract) — a stale
+    listing here would commit a manifest missing buckets."""
+    t = BucketedTable(
+        spark, str(tmp_path / "bt"), bucket_by=["id"], n_buckets=4,
+        committer=_universe(EmulatedObjectDataPlane(list_lag=True)),
+    )
+    t.overwrite(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    assert t.read().count() == 40  # every bucket present in the manifest
+    t.merge(_df(spark, [(1, "updated"), (100, "new")]))
+    rows = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert (1, "updated") in rows and (100, "new") in rows and len(rows) == 41
+
+
+def test_write_text_crash_tmp_is_sweepable(tmp_path, monkeypatch):
+    """A writer dying between the tmp write and the replace leaves a
+    _staging_-named artifact the TTL sweep reclaims — not a forever-leak
+    (r13 review finding on the old <name>.tmp_<hex> naming)."""
+    import time as _time
+
+    d = str(tmp_path)
+    plane = EmulatedObjectDataPlane()
+    orig_replace = os.replace
+    monkeypatch.setattr(os, "replace", lambda *a: (_ for _ in ()).throw(OSError("died")))
+    with pytest.raises(OSError):
+        plane.write_text(os.path.join(d, "filestats_3_uab.json"), "{}")
+    monkeypatch.setattr(os, "replace", orig_replace)
+    debris = [n for n in os.listdir(d) if n.startswith("_staging_")]
+    assert debris, "crash tmp is not a _staging_ artifact"
+    # age it past the TTL and run the sweep — gone
+    old = _time.time() - 10
+    for n in debris:
+        os.utime(os.path.join(d, n), (old, old))
+    monkeypatch.setattr(mt, "_STAGING_TTL_SEC", 1.0)
+    mt._sweep_stale_staging(d, plane)
+    assert not [n for n in os.listdir(d) if n.startswith("_staging_")]

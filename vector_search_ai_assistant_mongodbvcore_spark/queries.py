@@ -50,6 +50,16 @@ _QV_IVF = [round(float(x), 6) for x in np.random.RandomState(11).randn(64)]
 _STOPWORDS_SQL = "['" + "','".join(TX.STOPWORDS_EN) + "']"
 
 
+def _default_sf_dir() -> str:
+    """The gate corpus a lazy oracle fits on when resolved with no
+    argument (the driver's zero-arg oracle_sql() call): the driver's
+    sf0.01, overridable via CHECK_SF_DIR for a local gate pointed
+    elsewhere. ONE definition — every data-dependent oracle must bind
+    the same corpus as its Spark query or it reports a false engine
+    mismatch."""
+    return os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _vec_sql(v: list[float]) -> str:
     return "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
 
@@ -950,7 +960,7 @@ def _lang_pred_oracle(sf_dir: "str | None" = None) -> str:
     sf0.01, overridable via CHECK_SF_DIR for a local gate pointed
     elsewhere."""
     if sf_dir is None:
-        sf_dir = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+        sf_dir = _default_sf_dir()
     m = _lang_pred_model(os.path.join(sf_dir, "documents.parquet"))
     n_classes = len(m["classes"])
     lo, hi = m["ngram_range"]
@@ -2472,7 +2482,7 @@ def _corpus_enrichment_oracle(sf_dir: "str | None" = None) -> str:
     most-frequent-count trick and regex alternation as the green
     text_stats/cleaned_corpus oracles)."""
     if sf_dir is None:
-        sf_dir = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+        sf_dir = _default_sf_dir()
     cents = _topics_centroids(os.path.join(sf_dir, "embeddings.parquet"))
     scores = ",".join(
         "CASE WHEN nrm = 0 THEN 0.0 ELSE list_dot_product(v, "

@@ -31,6 +31,10 @@ store:
     list_names(path) -> [name]     one-level LIST; a HINT only — both
                                    reclaimers (vacuum, staging sweep)
                                    tolerate lagging/stale listings
+    list_names_fresh(path)         read-own-writes LIST for the COMMIT
+                                   path (a writer listing its own just-
+                                   written staging): never stale — true
+                                   of modern S3/Azure LIST and POSIX
     list_parquet(dir)              sorted *.parquet under dir
     list_parquet_partitions(dir)   sorted */*.parquet (bucketed layout)
     read_text(path) -> str         GET (FileNotFoundError when absent)
@@ -92,6 +96,14 @@ class LocalDataPlane:
         os.rename(staging, final)
 
     def remove_tree(self, path: str) -> None:
+        if os.path.isfile(path):
+            # bare-object case (object stores have no dir/file split;
+            # the sweep may hand us a torn single-file artifact)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return
         shutil.rmtree(path, ignore_errors=True)
 
     def remove_file(self, path: str) -> None:
@@ -99,6 +111,13 @@ class LocalDataPlane:
 
     def list_names(self, path: str) -> "list[str]":
         return os.listdir(path)
+
+    def list_names_fresh(self, path: str) -> "list[str]":
+        """Read-own-writes listing for the COMMIT path: a writer listing
+        the staging tree IT just wrote must see every object (true of
+        modern S3/Azure LIST and any POSIX fs). list_names stays the
+        hint-grade listing reclaimers use — only that one may lag."""
+        return self.list_names(path)
 
     def list_parquet(self, d: str) -> "list[str]":
         return sorted(glob.glob(os.path.join(d, "*.parquet")))
@@ -112,8 +131,13 @@ class LocalDataPlane:
 
     def write_text(self, path: str, data: str) -> None:
         # tmp + replace: even the local plane gives readers the atomic
-        # single-object-put guarantee the protocol documents
-        tmp = f"{path}.tmp_{uuid.uuid4().hex[:8]}"
+        # single-object-put guarantee the protocol documents. The tmp
+        # name is a _staging_ artifact so a writer dying mid-put leaves
+        # debris the TTL sweep reclaims (a bare suffix-named tmp would
+        # match no vacuum/sweep pattern and leak forever).
+        tmp = os.path.join(
+            os.path.dirname(path), f"_staging_put_{uuid.uuid4().hex[:8]}"
+        )
         with open(tmp, "w") as f:
             f.write(data)
         os.replace(tmp, path)
@@ -148,6 +172,15 @@ class LocalDataPlane:
                 if m > newest:
                     newest = m
         return newest
+
+
+def _remove_empty_dirs(root: str) -> None:
+    """Bottom-up removal of empty directories only — files survive."""
+    for dirpath, _dirnames, _filenames in sorted(os.walk(root), reverse=True):
+        try:
+            os.rmdir(dirpath)
+        except OSError:
+            pass
 
 
 class EmulatedObjectDataPlane(LocalDataPlane):
@@ -204,7 +237,7 @@ class EmulatedObjectDataPlane(LocalDataPlane):
                     os.remove(src)
                 except OSError:
                     pass
-        shutil.rmtree(staging, ignore_errors=True)
+        _remove_empty_dirs(staging)
 
     def remove_tree(self, path: str) -> None:
         """Delete every object under the prefix, one DELETE at a time
@@ -213,6 +246,13 @@ class EmulatedObjectDataPlane(LocalDataPlane):
         replaces: call sites are cleanup/vacuum paths where a transient
         per-object failure (or a concurrent deleter winning the race)
         must only delay reclamation to a later pass, never surface."""
+        if os.path.isfile(path):
+            try:
+                self._fault("delete", path)
+                os.remove(path)
+            except OSError:
+                pass
+            return
         try:
             walk = list(os.walk(path))
         except OSError:
@@ -225,7 +265,10 @@ class EmulatedObjectDataPlane(LocalDataPlane):
                     os.remove(p)
                 except OSError:
                     pass
-        shutil.rmtree(path, ignore_errors=True)  # clear empty dir husks
+        # clear only EMPTY dir husks: a file whose DELETE faulted must
+        # survive as debris for a later pass (an ignore_errors rmtree
+        # here would silently delete it and neutralize fault injection)
+        _remove_empty_dirs(path)
 
     def remove_file(self, path: str) -> None:
         self._fault("delete", path)
@@ -238,6 +281,13 @@ class EmulatedObjectDataPlane(LocalDataPlane):
         stale = self._lag_snapshots.get(path, [])
         self._lag_snapshots[path] = fresh
         return stale
+
+    def list_names_fresh(self, path: str) -> "list[str]":
+        """Never lags, even under list_lag=True: the commit path's
+        staging listing is read-own-writes by contract (see
+        LocalDataPlane.list_names_fresh) — only the reclaimers' hint
+        listing models eventual consistency."""
+        return os.listdir(path)
 
     def write_text(self, path: str, data: str) -> None:
         self._fault("put", path)

@@ -1641,8 +1641,23 @@ class BucketedTable:
         if per_file is not None:
             writer = writer.option("maxRecordsPerFile", per_file)
         writer.partitionBy(self.BUCKET_COL).parquet(staging)
+        # read-own-writes listing (list_names_fresh, never the lag-prone
+        # hint listing): this discovery is CORRECTNESS-critical — a stale
+        # snapshot here would commit a manifest missing just-written
+        # buckets (r13 review finding). The emptiness guard backstops a
+        # broken plane: Spark always writes at least a _SUCCESS marker,
+        # so a listing that sees NOTHING is a consistency fault, not an
+        # empty input (an empty df still yields no bucket dirs but a
+        # non-empty listing).
+        names = self.plane.list_names_fresh(staging)
+        if not names:
+            raise RuntimeError(
+                f"{staging}: staging listing is empty right after the "
+                "write — the data plane's listing is not read-own-writes "
+                "consistent; refusing to commit a possibly-empty manifest"
+            )
         parts = {}
-        for name in self.plane.list_names(staging):
+        for name in names:
             if name.startswith(f"{self.BUCKET_COL}="):
                 parts[int(name.split("=", 1)[1])] = name
         return staging, parts

@@ -610,6 +610,11 @@ class S3DataPlane:
                 return sorted(names)
             token = resp.get("NextContinuationToken")
 
+    def list_names_fresh(self, path: str) -> "list[str]":
+        # S3 LIST is strongly consistent (read-own-writes) since 2020 —
+        # the commit path's staging discovery relies on exactly that
+        return self.list_names(path)
+
     def list_parquet(self, d: str) -> "list[str]":
         b, k = self._parse(d)
         scheme = d.partition("://")[0]
@@ -749,7 +754,9 @@ class AzureBlobDataPlane:
         except Exception as e:  # noqa: BLE001
             if not self._is_missing(e):
                 raise
-        return bool(self._list_keys(k + "/")[:1])
+        # one page, one item — never materialize the full prefix listing
+        # (exists() sits on the per-commit dangling-pointer hot path)
+        return next(iter(self._c.list_blobs(name_starts_with=k + "/")), None) is not None
 
     def publish(self, staging: str, final: str) -> None:
         src, dst = self._parse(staging), self._parse(final)
@@ -803,6 +810,10 @@ class AzureBlobDataPlane:
             rest = key[len(prefix):]
             names.add(rest.partition("/")[0])
         return sorted(n for n in names if n)
+
+    def list_names_fresh(self, path: str) -> "list[str]":
+        # Azure Blob LIST is strongly consistent — see the S3 twin
+        return self.list_names(path)
 
     def _uri(self, key: str, like: str) -> str:
         return f"{like.partition('://')[0]}://{self.container}/{key}"
@@ -874,17 +885,23 @@ def dataplane_from_url(url: str):
 
     scheme, sep, rest = url.partition("://")
     scheme = scheme.lower()
-    if not sep or scheme not in ("local", "object", "s3", "abfs", "az"):
+    # accept exactly the scheme sets the planes themselves accept in
+    # table paths (r13 review finding: rejecting abfss:// here while
+    # AzureBlobDataPlane serves abfss:// paths split the seam in two)
+    if not sep or scheme not in (
+        ("local", "object") + S3DataPlane._SCHEMES + AzureBlobDataPlane._SCHEMES
+    ):
         raise ValueError(
-            f"{url!r}: expected local:// | object:// | s3://bucket | "
-            "abfs://container"
+            f"{url!r}: expected local:// | object:// | s3:// | "
+            "abfs://container (or any scheme alias the planes accept: "
+            f"{S3DataPlane._SCHEMES + AzureBlobDataPlane._SCHEMES})"
         )
     if scheme == "local":
         return LocalDataPlane()
     if scheme == "object":
         return EmulatedObjectDataPlane()
     container = rest.partition("/")[0]
-    if scheme == "s3":
+    if scheme in S3DataPlane._SCHEMES:
         if container:
             raise ValueError(
                 f"{url!r}: S3DataPlane binds no bucket — table paths carry "
