@@ -504,3 +504,37 @@ def test_eviction_zero_misses_within_horizon(spark, tmp_path):
     # zero misses at gap <= H; guaranteed misses beyond
     assert not dup_survived[1] and not dup_survived[2]
     assert dup_survived[3] and dup_survived[4]
+
+
+def test_neardup_stream_on_object_store_universe(spark, tmp_path, monkeypatch):
+    """The streaming band-key store end-to-end in the ALL-OBJECT-STORE
+    universe (r13 data plane): conditional-put pointer + per-object
+    copy+delete data plane — the stream==batch survivor set is identical
+    to the POSIX run, proving the near-real-time tier needs no shared
+    POSIX mount."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as MT
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
+        EmulatedObjectDataPlane,
+    )
+
+    monkeypatch.setattr(
+        MT,
+        "_DEFAULT_COMMITTER",
+        MT.ConditionalPutCommitter(
+            MT.MemoryConditionalStore(), EmulatedObjectDataPlane()
+        ),
+    )
+    store = open_neardup_store(spark, str(tmp_path / "store"), n_buckets=4)
+    got: set[int] = set()
+    for bid, rows in enumerate((B1, B2, B3)):
+        kept = neardup_filter_batch(spark.createDataFrame(rows, SCHEMA), store, bid, **MH)
+        got |= {r["doc_id"] for r in kept.collect()}
+    assert got == _batch_greedy_ids(spark)
+    # replay stays idempotent across the object-plane merge path too
+    replay = {
+        r["doc_id"]
+        for r in neardup_filter_batch(
+            spark.createDataFrame(B3, SCHEMA), store, 2, **MH
+        ).collect()
+    }
+    assert replay <= got and store.read().count() > 0
