@@ -142,11 +142,19 @@ def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out optimization, never correctness: only queries whose results
     are ROW-ORDER-INDEPENDENT use this (no sampling, no positional
     ids)."""
-    docs = _tables(spark, sf_dir)["documents"]
-    cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= cores:
-        return docs
-    return docs.repartition(cores)
+    per_session = _TABLES_CACHE.setdefault(spark, {})
+    key = f"_fanned::{sf_dir}"
+    cached = per_session.get(key)
+    if cached is None:
+        docs = _tables(spark, sf_dir)["documents"]
+        cores = spark.sparkContext.defaultParallelism
+        # the .rdd conversion builds a Python-side plan (~0.1-0.3 s of
+        # driver work) — memoized with the table handles (same
+        # immutability argument; the gate alone constructs this 20+
+        # times per session)
+        cached = docs if docs.rdd.getNumPartitions() >= cores else docs.repartition(cores)
+        per_session[key] = cached
+    return cached
 
 
 def _cache_dir(sf_dir: str, name: str) -> str:
