@@ -99,17 +99,28 @@ def data_fingerprint(df: DataFrame) -> dict:
 
 
 class IvfIndex:
-    """IVF-flat index materialized as centroid-partitioned parquet."""
+    """IVF-flat index materialized as centroid-partitioned parquet.
 
-    def __init__(self, spark: SparkSession, path: str):
+    `dataplane` (r13): metadata/centroid objects and partition cleanup
+    route through the sources/dataplane.py seam, so the index tablespace
+    lives on the same storage universe as the tables (None = the module
+    default the table layer resolves — patched in the object-universe
+    test fixtures)."""
+
+    def __init__(self, spark: SparkSession, path: str, dataplane=None):
+        from vector_search_ai_assistant_mongodbvcore_spark.sources import (
+            managed_table as _mt,
+        )
+
         self.spark = spark
         self.path = path
+        self.plane = dataplane if dataplane is not None else _mt._DEFAULT_DATAPLANE
 
     # ---- build -----------------------------------------------------------
     def exists(self) -> bool:
         """V5: index-exists check (the reference lists indexes and builds
         only when `vectorSearchIndex` is absent, MongoDbService.cs:76-113)."""
-        return os.path.exists(os.path.join(self.path, "meta.json"))
+        return self.plane.exists(os.path.join(self.path, "meta.json"))
 
     def build_if_absent(self, df: DataFrame, **build_kwargs) -> "IvfIndex":
         """Create-if-missing OR stale, mirroring
@@ -196,34 +207,39 @@ class IvfIndex:
             "overwrite"
         ).partitionBy("centroid_id").parquet(os.path.join(self.path, "data"))
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-        np.save(os.path.join(self.path, "centroids.npy"), centroids)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            meta = {
-                "num_lists": num_lists,
-                "vector_col": vector_col,
-                "seed": seed,
-                "quantized": quantize,
-                "fingerprint": data_fingerprint(df),
-            }
-            if id_col in df.columns:
-                # the unique id the index shortlists and reranks by — the
-                # raw-SQL serve validates the SELECT's bare identifier
-                # against this (a non-unique column as the shortlist /
-                # semi-join rerank key would inflate or collapse the
-                # candidate set beyond the documented recall contract).
-                # Recorded ONLY when the column is real: `id_col` has a
-                # default ("vec_id"), and stamping that default onto a
-                # table keyed differently would poison every meta-driven
-                # consumer (apply_index_changes keys remove/add off the
-                # stored id; the SQL serve would decline or, worse,
-                # validate against a phantom). Absent id_col => quantized
-                # SQL serving declines to the full scan, and incremental
-                # maintenance falls back to its per-call id column —
-                # both the safe directions.
-                meta["id_col"] = id_col
-            if pq_model is not None:
-                meta["pq_model"] = pq_model
-            json.dump(meta, f)
+        import io as _io
+
+        buf = _io.BytesIO()
+        np.save(buf, centroids)
+        self.plane.write_bytes(os.path.join(self.path, "centroids.npy"), buf.getvalue())
+        meta = {
+            "num_lists": num_lists,
+            "vector_col": vector_col,
+            "seed": seed,
+            "quantized": quantize,
+            "fingerprint": data_fingerprint(df),
+        }
+        if id_col in df.columns:
+            # the unique id the index shortlists and reranks by — the
+            # raw-SQL serve validates the SELECT's bare identifier
+            # against this (a non-unique column as the shortlist /
+            # semi-join rerank key would inflate or collapse the
+            # candidate set beyond the documented recall contract).
+            # Recorded ONLY when the column is real: `id_col` has a
+            # default ("vec_id"), and stamping that default onto a
+            # table keyed differently would poison every meta-driven
+            # consumer (apply_index_changes keys remove/add off the
+            # stored id; the SQL serve would decline or, worse,
+            # validate against a phantom). Absent id_col => quantized
+            # SQL serving declines to the full scan, and incremental
+            # maintenance falls back to its per-call id column —
+            # both the safe directions.
+            meta["id_col"] = id_col
+        if pq_model is not None:
+            meta["pq_model"] = pq_model
+        self.plane.write_text(
+            os.path.join(self.path, "meta.json"), json.dumps(meta)
+        )
         return self
 
     # ---- incremental maintenance ----------------------------------------
@@ -336,8 +352,8 @@ class IvfIndex:
         alive = {r["centroid_id"] for r in survivors.select("centroid_id").distinct().collect()}
         for c in touched:
             if c not in alive:
-                shutil.rmtree(
-                    os.path.join(data_dir, f"centroid_id={c}"), ignore_errors=True
+                self.plane.remove_tree(
+                    os.path.join(data_dir, f"centroid_id={c}")
                 )
         self.spark.catalog.refreshByPath(data_dir)
         return self
@@ -355,15 +371,19 @@ class IvfIndex:
             os.path.join(self.path, "data"),
             ["centroid_id"],
             max_files_per_partition,
+            plane=self.plane,
         )
 
     # ---- search ----------------------------------------------------------
     def _centroids(self) -> np.ndarray:
-        return np.load(os.path.join(self.path, "centroids.npy"))
+        import io as _io
+
+        return np.load(
+            _io.BytesIO(self.plane.read_bytes(os.path.join(self.path, "centroids.npy")))
+        )
 
     def meta(self) -> dict:
-        with open(os.path.join(self.path, "meta.json")) as f:
-            return json.load(f)
+        return json.loads(self.plane.read_text(os.path.join(self.path, "meta.json")))
 
     def nearest_centroids(self, query: list[float], n_probe: int) -> list[int]:
         c = self._centroids()

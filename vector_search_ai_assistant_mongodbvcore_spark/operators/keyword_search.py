@@ -224,9 +224,17 @@ class Bm25Index:
     postings and the id-buckets holding their doc rows (dynamic partition
     overwrite), df decrements via the atomic terms swap."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, dataplane=None):
+        from vector_search_ai_assistant_mongodbvcore_spark.sources import (
+            managed_table as _mt,
+        )
+
         self.spark = spark
         self.path = path
+        # r13: metadata + terms-table rotation run on the data-plane seam
+        # (see _swap_terms — the old rename-rename rotation was the one
+        # POSIX-only primitive left in the index tablespace)
+        self.plane = dataplane if dataplane is not None else _mt._DEFAULT_DATAPLANE
 
     # ---- bucket hash (portable Python/Catalyst pair) ---------------------
     @staticmethod
@@ -245,14 +253,23 @@ class Bm25Index:
     def exists(self) -> bool:
         import os
 
-        return os.path.exists(os.path.join(self.path, "meta.json"))
+        return self.plane.exists(os.path.join(self.path, "meta.json"))
 
     def meta(self) -> dict:
         import json
         import os
 
-        with open(os.path.join(self.path, "meta.json")) as f:
-            return json.load(f)
+        return json.loads(self.plane.read_text(os.path.join(self.path, "meta.json")))
+
+    def _terms_dir(self, meta: "dict | None" = None) -> str:
+        """Current terms-table dir, resolved through the meta pointer —
+        attempt-unique names since r13 ("terms" is the legacy default, so
+        pre-r13 index dirs keep reading). Every terms read goes through
+        here; _swap_terms writes a NEW name and flips the pointer."""
+        import os
+
+        meta = self.meta() if meta is None else meta
+        return os.path.join(self.path, meta.get("terms_dir", "terms"))
 
     def build_if_absent(self, docs: DataFrame, **kwargs) -> "Bm25Index":
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
@@ -270,6 +287,7 @@ class Bm25Index:
     ) -> "Bm25Index":
         import json
         import os
+        import uuid
 
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import data_fingerprint
 
@@ -278,23 +296,27 @@ class Bm25Index:
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
         self._write_doc_rows(dl, id_col, n_buckets, mode="overwrite")
-        dfreq.write.mode("overwrite").parquet(os.path.join(self.path, "terms"))
+        terms_name = f"terms_{uuid.uuid4().hex[:8]}"
+        dfreq.write.mode("overwrite").parquet(os.path.join(self.path, terms_name))
         row = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
         ).collect()[0]
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(
+        self.plane.makedirs(self.path)
+        self.plane.write_text(
+            os.path.join(self.path, "meta.json"),
+            json.dumps(
                 {
                     "n_docs": int(row["n_docs"]),
                     "total_tokens": int(row["total_tokens"] or 0),
                     "n_buckets": n_buckets,
                     "id_col": id_col,
                     "text_col": text_col,
+                    "terms_dir": terms_name,
                     "fingerprint": data_fingerprint(docs),
-                },
-                f,
-            )
+                }
+            ),
+        )
+        self._sweep_orphan_terms(terms_name)
         return self
 
     def _write_doc_rows(self, dl: DataFrame, id_col: str, n_buckets: int, mode: str):
@@ -311,33 +333,44 @@ class Bm25Index:
         import os
 
         docs_dir = os.path.join(self.path, "docs")
-        if not os.path.exists(docs_dir):
+        if not self.plane.exists(docs_dir):
             raise ValueError(
                 f"{self.path} predates the docs/ table (indexed-id set); "
                 "rebuild the index to enable duplicate guards and removes"
             )
         return self.spark.read.parquet(docs_dir)
 
-    def _swap_terms(self, merged: DataFrame) -> None:
-        """Replace the terms table via tmp-write + rename ordering: the new
-        table is fully written before the old name is touched, so a crash
-        leaves either the old or the new table under `terms`, never a
-        half-written one (the remaining rename-rename window is the local-FS
-        stand-in for a catalog pointer swap in a real deployment)."""
+    def _swap_terms(self, merged: DataFrame, meta: dict) -> None:
+        """Replace the terms table the MVCC way (r13 — the old
+        rename-rename rotation was the index tablespace's one remaining
+        POSIX-only primitive): write the new table under an ATTEMPT-UNIQUE
+        name, record it in `meta` (the caller's meta.json put is the
+        atomic pointer flip), then best-effort reclaim superseded
+        `terms_*` dirs. A crash before the meta put leaves an orphan dir
+        no reader resolves (swept on the next successful swap/build); a
+        crash after it leaves only the old dir as debris. NOTE: `meta` is
+        MUTATED — the caller must persist it for the swap to take effect.
+        No rename anywhere, so the rotation is object-store clean."""
         import os
-        import shutil
+        import uuid as _uuid
 
-        terms_dir = os.path.join(self.path, "terms")
-        tmp = terms_dir + "_next"
-        old = terms_dir + "_old"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(terms_dir, old)
-        os.rename(tmp, terms_dir)
-        shutil.rmtree(old)
+        new_name = f"terms_{_uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, new_name))
+        meta["terms_dir"] = new_name
+
+    def _sweep_orphan_terms(self, current: str) -> None:
+        """Best-effort reclaim of every terms table except the live one —
+        superseded tables and crashed attempts alike (the legacy bare
+        `terms` dir included once a named table took over)."""
+        import os
+
+        try:
+            names = self.plane.list_names(self.path)
+        except FileNotFoundError:
+            return
+        for n in names:
+            if (n == "terms" or n.startswith("terms_")) and n != current:
+                self.plane.remove_tree(os.path.join(self.path, n))
 
     def _doc_facts(self, docs, text_col: str, id_col: str, n_buckets: int):
         """(postings tf+dl rows with bucket, per-doc dl, per-term df) from
@@ -423,18 +456,21 @@ class Bm25Index:
         ).parquet(os.path.join(self.path, "postings"))
         self._write_doc_rows(dl, id_col, n_buckets, mode="append")
 
-        old = self.spark.read.parquet(os.path.join(self.path, "terms"))
+        old = self.spark.read.parquet(self._terms_dir(meta))
         merged = (
             old.unionByName(dfreq)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
-        self._swap_terms(merged)
+        prev_terms = meta.get("terms_dir", "terms")
+        self._swap_terms(merged, meta)
 
         meta["n_docs"] = int(meta["n_docs"]) + int(row["n_docs"])
         meta["total_tokens"] = int(meta["total_tokens"]) + int(row["total_tokens"] or 0)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        self.plane.write_text(
+            os.path.join(self.path, "meta.json"), json.dumps(meta)
+        )
+        self._sweep_orphan_terms(meta["terms_dir"])
         return self
 
     def compact(self, max_files_per_partition: int = 8) -> int:
@@ -455,12 +491,14 @@ class Bm25Index:
             os.path.join(self.path, "postings"),
             ["bucket"],
             max_files_per_partition,
+            plane=self.plane,
         )
         n += compact_partitioned_dir(
             self.spark,
             os.path.join(self.path, "docs"),
             ["id_bucket"],
             max_files_per_partition,
+            plane=self.plane,
         )
         return n
 
@@ -532,7 +570,7 @@ class Bm25Index:
         ).localCheckpoint(eager=True)
         self._cow_partitions(docs_dir, doc_survivors, "id_bucket", id_buckets)
 
-        old = spark.read.parquet(os.path.join(self.path, "terms"))
+        old = spark.read.parquet(self._terms_dir(meta))
         merged = (
             old.join(F.broadcast(dec), "term", "left")
             .select(
@@ -541,12 +579,14 @@ class Bm25Index:
             )
             .filter(F.col("df") > 0)
         )
-        self._swap_terms(merged)
+        self._swap_terms(merged, meta)
 
         meta["n_docs"] = int(meta["n_docs"]) - int(gone["n"])
         meta["total_tokens"] = int(meta["total_tokens"]) - int(gone["toks"] or 0)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        self.plane.write_text(
+            os.path.join(self.path, "meta.json"), json.dumps(meta)
+        )
+        self._sweep_orphan_terms(meta["terms_dir"])
         return self
 
     def _cow_partitions(
@@ -573,7 +613,7 @@ class Bm25Index:
         alive = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
         for b in touched:
             if b not in alive:
-                shutil.rmtree(os.path.join(path, f"{part_col}={b}"), ignore_errors=True)
+                self.plane.remove_tree(os.path.join(path, f"{part_col}={b}"))
         # drop the now-stale cached file listing for the rewritten path
         self.spark.catalog.refreshByPath(path)
 
@@ -608,7 +648,7 @@ class Bm25Index:
             .filter(F.col("term").isin(terms))
         )
         dfreq = (
-            self.spark.read.parquet(os.path.join(self.path, "terms"))
+            self.spark.read.parquet(self._terms_dir(meta))
             .filter(F.col("term").isin(terms))
         )
         scan = scan.join(F.broadcast(dfreq), "term")

@@ -275,9 +275,16 @@ class LshIndex:
     at 100 TB, partition count = tables * 2^bits — size `bits` so each
     bucket holds many files' worth of rows, not the other way around."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, dataplane=None):
+        from vector_search_ai_assistant_mongodbvcore_spark.sources import (
+            managed_table as _mt,
+        )
+
         self.spark = spark
         self.path = path
+        # r13: metadata + partition cleanup run on the data-plane seam
+        # so the index tablespace shares the tables' storage universe
+        self.plane = dataplane if dataplane is not None else _mt._DEFAULT_DATAPLANE
 
     def _meta_file(self) -> str:
         import os
@@ -285,9 +292,7 @@ class LshIndex:
         return os.path.join(self.path, "meta.json")
 
     def exists(self) -> bool:
-        import os
-
-        return os.path.exists(self._meta_file())
+        return self.plane.exists(self._meta_file())
 
     def build_if_absent(self, df: DataFrame, **build_kwargs) -> "LshIndex":
         """Create-if-missing OR stale (stored data fingerprint no longer
@@ -348,8 +353,9 @@ class LshIndex:
             data_fingerprint,
         )
 
-        with open(self._meta_file(), "w") as f:
-            json.dump(
+        self.plane.write_text(
+            self._meta_file(),
+            json.dumps(
                 {
                     "dims": dims,
                     "bits": bits,
@@ -359,16 +365,15 @@ class LshIndex:
                     "seed": seed,
                     "quantized": quantize,
                     "fingerprint": data_fingerprint(df),
-                },
-                f,
-            )
+                }
+            ),
+        )
         return self
 
     def meta(self) -> dict:
         import json
 
-        with open(self._meta_file()) as f:
-            return json.load(f)
+        return json.loads(self.plane.read_text(self._meta_file()))
 
     def add_documents(self, df: DataFrame, on_duplicate: str = "error") -> "LshIndex":
         """Absorb new vectors near-real-time — the ANN twin of the
@@ -475,9 +480,8 @@ class LshIndex:
         }
         for t, b in touched:
             if (t, b) not in alive:
-                shutil.rmtree(
-                    os.path.join(data_dir, f"table={t}", f"bucket={b}"),
-                    ignore_errors=True,
+                self.plane.remove_tree(
+                    os.path.join(data_dir, f"table={t}", f"bucket={b}")
                 )
         self.spark.catalog.refreshByPath(data_dir)
         return self
@@ -503,6 +507,7 @@ class LshIndex:
             _os.path.join(self.path, "data"),
             ["table", "bucket"],
             max_files_per_partition,
+            plane=self.plane,
         )
 
     def search(

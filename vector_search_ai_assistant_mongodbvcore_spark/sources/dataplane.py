@@ -37,8 +37,10 @@ store:
                                    of modern S3/Azure LIST and POSIX
     list_parquet(dir)              sorted *.parquet under dir
     list_parquet_partitions(dir)   sorted */*.parquet (bucketed layout)
-    read_text(path) -> str         GET (FileNotFoundError when absent)
-    write_text(path, data)         atomic single-object PUT (a reader
+    list_parquet_at_depth(dir, n)  sorted parquet exactly n levels down
+                                   (hive trees with n partition columns)
+    read_text / read_bytes         GET (FileNotFoundError when absent)
+    write_text / write_bytes       atomic single-object PUT (a reader
                                    never observes a partial object)
     newest_mtime(root) -> float    max Last-Modified under a prefix
                                    (staging-sweep liveness signal)
@@ -125,11 +127,27 @@ class LocalDataPlane:
     def list_parquet_partitions(self, d: str) -> "list[str]":
         return sorted(glob.glob(os.path.join(d, "*", "*.parquet")))
 
+    def list_parquet_at_depth(self, d: str, depth: int) -> "list[str]":
+        """Sorted *.parquet exactly `depth` directory levels under `d`
+        (depth 0 = directly under; depth len(partition_cols) = the leaf
+        files of a hive-partitioned tree) — the index tablespace's
+        partition-file-count listing."""
+        return sorted(
+            glob.glob(os.path.join(d, *(["*"] * depth), "*.parquet"))
+        )
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
 
     def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
         # tmp + replace: even the local plane gives readers the atomic
         # single-object-put guarantee the protocol documents. The tmp
         # name is a _staging_ artifact so a writer dying mid-put leaves
@@ -138,7 +156,7 @@ class LocalDataPlane:
         tmp = os.path.join(
             os.path.dirname(path), f"_staging_put_{uuid.uuid4().hex[:8]}"
         )
-        with open(tmp, "w") as f:
+        with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
 
@@ -289,6 +307,6 @@ class EmulatedObjectDataPlane(LocalDataPlane):
         listing models eventual consistency."""
         return os.listdir(path)
 
-    def write_text(self, path: str, data: str) -> None:
+    def write_bytes(self, path: str, data: bytes) -> None:
         self._fault("put", path)
-        super().write_text(path, data)
+        super().write_bytes(path, data)

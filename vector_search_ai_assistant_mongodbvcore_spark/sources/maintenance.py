@@ -27,27 +27,37 @@ concurrency for stores that need compaction to race writers safely.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["partition_file_counts", "compact_partitioned_dir"]
 
 
-def partition_file_counts(data_dir: str, partition_cols: "list[str]") -> dict:
+def _plane(plane):
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as _mt
+
+    return plane if plane is not None else _mt._DEFAULT_DATAPLANE
+
+
+def partition_file_counts(
+    data_dir: str, partition_cols: "list[str]", plane=None
+) -> dict:
     """{partition-value-tuple: parquet-file count} for a hive-partitioned
     dir — the observability hook the bounded-file-count tests assert on.
     Values are the RAW directory strings (e.g. '3', 'north'), exactly as
-    written in the partition path."""
-    pattern = os.path.join(
-        data_dir, *[f"{c}=*" for c in partition_cols], "*.parquet"
-    )
+    written in the partition path. Listing goes through the data plane
+    (r13), so the index tablespace counts files on an object store the
+    same way; non-matching dirs (non-`col=` segments) are skipped."""
+    plane = _plane(plane)
+    root = data_dir.rstrip("/")
     counts: dict[tuple, int] = {}
-    for f in glob.glob(pattern):
-        rel = os.path.relpath(os.path.dirname(f), data_dir)
-        key = tuple(seg.split("=", 1)[1] for seg in rel.split(os.sep))
+    for f in plane.list_parquet_at_depth(root, len(partition_cols)):
+        segs = f[len(root) + 1 :].split("/")[:-1]
+        if len(segs) != len(partition_cols) or not all(
+            seg.startswith(f"{c}=") for seg, c in zip(segs, partition_cols)
+        ):
+            continue
+        key = tuple(seg.split("=", 1)[1] for seg in segs)
         counts[key] = counts.get(key, 0) + 1
     return counts
 
@@ -57,6 +67,7 @@ def compact_partitioned_dir(
     data_dir: str,
     partition_cols: "list[str]",
     max_files: int = 8,
+    plane=None,
 ) -> int:
     """Rewrite every partition of `data_dir` whose parquet-file count is
     >= max_files down to a repartition(1)-per-partition file set; returns
@@ -67,7 +78,7 @@ def compact_partitioned_dir(
     overwrite leaves the rest byte-identical."""
     if max_files <= 1:
         raise ValueError(f"max_files must be > 1, got {max_files}")
-    fat = [k for k, n in partition_file_counts(data_dir, partition_cols).items()
+    fat = [k for k, n in partition_file_counts(data_dir, partition_cols, plane).items()
            if n >= max_files]
     if not fat:
         return 0

@@ -625,16 +625,19 @@ class S3DataPlane:
         )
 
     def list_parquet_partitions(self, d: str) -> "list[str]":
+        return self.list_parquet_at_depth(d, 1)
+
+    def list_parquet_at_depth(self, d: str, depth: int) -> "list[str]":
         b, k = self._parse(d)
         scheme = d.partition("://")[0]
         return sorted(
             f"{scheme}://{b}/{key}"
             for key in self._list_keys(b, k + "/")
             if key.endswith(".parquet")
-            and key[len(k) + 1 :].count("/") == 1
+            and key[len(k) + 1 :].count("/") == depth
         )
 
-    def read_text(self, path: str) -> str:
+    def read_bytes(self, path: str) -> bytes:
         b, k = self._parse(path)
         try:
             resp = self._c.get_object(Bucket=b, Key=k)
@@ -642,11 +645,17 @@ class S3DataPlane:
             if _s3_status(e) == 404 or _s3_code(e) in ("NoSuchKey", "404"):
                 raise FileNotFoundError(path) from e
             raise
-        return resp["Body"].read().decode("utf-8")
+        return resp["Body"].read()
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        b, k = self._parse(path)
+        self._c.put_object(Bucket=b, Key=k, Body=data)
 
     def write_text(self, path: str, data: str) -> None:
-        b, k = self._parse(path)
-        self._c.put_object(Bucket=b, Key=k, Body=data.encode("utf-8"))
+        self.write_bytes(path, data.encode("utf-8"))
 
     def newest_mtime(self, root: str) -> float:
         b, k = self._parse(root)
@@ -827,25 +836,34 @@ class AzureBlobDataPlane:
         )
 
     def list_parquet_partitions(self, d: str) -> "list[str]":
+        return self.list_parquet_at_depth(d, 1)
+
+    def list_parquet_at_depth(self, d: str, depth: int) -> "list[str]":
         k = self._parse(d)
         return sorted(
             self._uri(key, d)
             for key in self._list_keys(k + "/")
-            if key.endswith(".parquet") and key[len(k) + 1 :].count("/") == 1
+            if key.endswith(".parquet") and key[len(k) + 1 :].count("/") == depth
         )
 
-    def read_text(self, path: str) -> str:
+    def read_bytes(self, path: str) -> bytes:
         k = self._parse(path)
         try:
-            return self._c.get_blob_client(k).download_blob().readall().decode("utf-8")
+            return self._c.get_blob_client(k).download_blob().readall()
         except Exception as e:  # noqa: BLE001
             if self._is_missing(e):
                 raise FileNotFoundError(path) from e
             raise
 
-    def write_text(self, path: str, data: str) -> None:
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
         k = self._parse(path)
-        self._c.get_blob_client(k).upload_blob(data.encode("utf-8"), overwrite=True)
+        self._c.get_blob_client(k).upload_blob(data, overwrite=True)
+
+    def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
 
     def newest_mtime(self, root: str) -> float:
         k = self._parse(root)
