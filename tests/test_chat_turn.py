@@ -147,3 +147,48 @@ def test_rerank_disabled_matches_reference_shape(spark, world):
     )
 
     assert captured[0] == SYSTEM_PROMPT_RETAIL_ASSISTANT + expected
+
+
+def test_full_turn_on_object_store_universe(spark, tmp_path, monkeypatch):
+    """The whole imperative lifecycle (§3.1: embed -> search -> window ->
+    trim -> complete -> persist -> rollup) in the ALL-OBJECT-STORE
+    universe (r13): the SessionStore's ManagedTables commit via
+    conditional-put + per-object copy publish — no POSIX rename or lock
+    anywhere in the reference's hot path."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as MT
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
+        EmulatedObjectDataPlane,
+    )
+
+    monkeypatch.setattr(
+        MT,
+        "_DEFAULT_COMMITTER",
+        MT.ConditionalPutCommitter(
+            MT.MemoryConditionalStore(), EmulatedObjectDataPlane()
+        ),
+    )
+    emb = HashNgramEmbedder(dims=64)
+    corpus = ingest_and_vectorize(
+        spark.createDataFrame(PRODUCTS, "id string, name string, description string"),
+        embedder=emb,
+    )
+    store = SessionStore(spark, str(tmp_path / "sess"))
+    completer = RemoteCompleter(transport=fake_completion_transport)
+    summarizer = RemoteSummarizer(transport=fake_summarize_transport)
+    sid = store.create_session()
+    chat_turn(
+        spark, store, corpus, sid, "do you have socks?",
+        emb, completer, k=2, vector_col="vector", id_cols=("id", "name"),
+    )
+    msgs = store.get_messages(sid).orderBy("ts").collect()
+    assert [m["sender"] for m in msgs] == ["User", "Assistant"]
+    assert store.first_exchange_sessions().count() == 1
+    summarize_session_name(store, summarizer, sid, msgs[0]["text"])
+    assert store.list_sessions().first().name not in ("", "New Chat")
+    # second turn sees history, rollup accumulates
+    chat_turn(
+        spark, store, corpus, sid, "and bikes?",
+        emb, completer, k=2, vector_col="vector", id_cols=("id", "name"),
+    )
+    assert store.get_messages(sid).count() == 4
+    assert store.list_sessions().first().tokens_used > 0

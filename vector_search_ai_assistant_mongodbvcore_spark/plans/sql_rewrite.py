@@ -215,8 +215,16 @@ class VectorSqlSession:
                     "AS score FROM embeddings ORDER BY score DESC LIMIT 10")
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, dataplane=None):
+        from vector_search_ai_assistant_mongodbvcore_spark.sources import (
+            managed_table as _mt,
+        )
+
         self.spark = spark
+        # r13: register_auto's meta sniff + the served index objects go
+        # through the data-plane seam, so raw-SQL serving works against
+        # an object-store index tablespace too
+        self.plane = dataplane if dataplane is not None else _mt._DEFAULT_DATAPLANE
         self._indexes: dict[str, tuple[str, int, "DataFrame | None"]] = {}
         self._lsh: dict[str, tuple[str, "DataFrame | None"]] = {}
         self._bm25: dict[str, str] = {}
@@ -318,8 +326,7 @@ class VectorSqlSession:
         import json
 
         try:
-            with open(os.path.join(index_path, "meta.json")) as f:
-                m = json.load(f)
+            m = json.loads(self.plane.read_text(os.path.join(index_path, "meta.json")))
         except FileNotFoundError:
             raise ValueError(
                 f"{index_path}: no meta.json — not a materialized index dir"
@@ -439,7 +446,7 @@ class VectorSqlSession:
         vec_col, vec_lit, _round_d, _alias = hits[0]
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
-        idx = IvfIndex(self.spark, index_path)
+        idx = IvfIndex(self.spark, index_path, dataplane=self.plane)
         if not idx.exists() or idx.meta().get("quantized"):
             return None  # quantized serving runs through IvfIndex.search
         if idx.meta().get("vector_col") != vec_col:
@@ -659,7 +666,7 @@ class VectorSqlSession:
             tokenize_query,
         )
 
-        idx = Bm25Index(self.spark, index_path)
+        idx = Bm25Index(self.spark, index_path, dataplane=self.plane)
         if not idx.exists():
             return None
         meta = idx.meta()
@@ -832,7 +839,7 @@ class VectorSqlSession:
             )
 
             index_path, exact = lsh_reg
-            idx = LshIndex(self.spark, index_path)
+            idx = LshIndex(self.spark, index_path, dataplane=self.plane)
             if not idx.exists():
                 return None
             m = idx.meta()
@@ -851,7 +858,7 @@ class VectorSqlSession:
             from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
             index_path, n_probe, exact = ivf_reg
-            idx = IvfIndex(self.spark, index_path)
+            idx = IvfIndex(self.spark, index_path, dataplane=self.plane)
             if not idx.exists():
                 return None
             m = idx.meta()
