@@ -31,6 +31,7 @@ than throughput.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 from typing import Iterator
@@ -207,9 +208,7 @@ class IvfIndex:
             "overwrite"
         ).partitionBy("centroid_id").parquet(os.path.join(self.path, "data"))
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-        import io as _io
-
-        buf = _io.BytesIO()
+        buf = io.BytesIO()
         np.save(buf, centroids)
         self.plane.write_bytes(os.path.join(self.path, "centroids.npy"), buf.getvalue())
         meta = {
@@ -376,10 +375,8 @@ class IvfIndex:
 
     # ---- search ----------------------------------------------------------
     def _centroids(self) -> np.ndarray:
-        import io as _io
-
         return np.load(
-            _io.BytesIO(self.plane.read_bytes(os.path.join(self.path, "centroids.npy")))
+            io.BytesIO(self.plane.read_bytes(os.path.join(self.path, "centroids.npy")))
         )
 
     def meta(self) -> dict:
