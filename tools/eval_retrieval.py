@@ -165,9 +165,90 @@ def main() -> None:
         "the gap between pq_adc and pq_rerank is what the exact rerank",
         "recovers.",
     ]
+    lines += _ann_vs_exact_section(spark, corpus, emb, queries)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EVAL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     spark.stop()
+
+
+
+
+def _ann_vs_exact_section(spark, corpus, emb, queries) -> "list[str]":
+    """Recall@10 of every ANN serving path VS THE EXACT top-10 — the
+    index-approximation metric the known-item task can't isolate (task
+    scores are capped by corpus ambiguity; overlap-with-exact is capped
+    only by the index). Round 13: the recorded evidence the env-gated
+    HNSW kernel can't produce in this container, produced for the
+    kernels that CAN run (IVF multi-probe curve, LSH, PQ-ADC)."""
+    import shutil
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import pq as PQ
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+        vector_search,
+    )
+
+    K = 10
+    emb_tbl = corpus.select(F.col("doc_id").alias("vec_id"), "embedding").cache()
+    emb_tbl.count()
+    for p in ("/tmp/eval_ivf", "/tmp/eval_lsh"):
+        shutil.rmtree(p, ignore_errors=True)
+    ivf = IvfIndex(spark, "/tmp/eval_ivf").build(
+        emb_tbl, vector_col="embedding", num_lists=4, seed=42, fit_fraction=0.5
+    )
+    lsh = LshIndex(spark, "/tmp/eval_lsh").build(
+        emb_tbl, dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
+    )
+    pq_model = PQ.fit_pq(emb_tbl, vector_col="embedding", id_col="vec_id", m=16, bits=6, seed=7)
+    encoded = PQ.encode_pq(emb_tbl, pq_model, vector_col="embedding", id_col="vec_id").cache()
+    encoded.count()
+
+    systems = {f"ivf nProbe={p}": p for p in (1, 2, 4)}
+    overlaps: "dict[str, list[float]]" = {name: [] for name in systems}
+    overlaps["lsh (4x4-bit tables)"] = []
+    overlaps["pq_adc (16x6-bit)"] = []
+    for _qid, qtext in queries:
+        qv = [float(x) for x in emb.embed_numpy([qtext])[0]]
+        exact = {r.vec_id for r in vector_search(emb_tbl, qv, k=K, vector_col="embedding", id_col="vec_id").collect()}
+        for name, n_probe in systems.items():
+            got = {r.vec_id for r in ivf.search(qv, k=K, n_probe=n_probe).collect()}
+            overlaps[name].append(len(got & exact) / K)
+        got = {r.vec_id for r in lsh.search(qv, k=K).collect()}
+        overlaps["lsh (4x4-bit tables)"].append(len(got & exact) / K)
+        got = {r.vec_id for r in PQ.adc_topk(encoded, pq_model, qv, k=K, id_col="vec_id").collect()}
+        overlaps["pq_adc (16x6-bit)"].append(len(got & exact) / K)
+
+    lines = [
+        "",
+        "## ANN recall vs exact (round 13)",
+        "",
+        f"Mean overlap of each approximate serving path's top-{K} with the",
+        f"EXACT cosine top-{K}, over the same {len(queries)} queries — the",
+        "pure index-approximation cost, no task ambiguity in the way.",
+        "IVF numLists=4 (the engine's registered config; nProbe=4 probes",
+        "every list, so its 1.000 row is the built-in exactness check).",
+        "",
+        "| system | recall@10 vs exact |",
+        "|---|---|",
+    ]
+    for name, vals in overlaps.items():
+        lines.append(f"| {name} | {sum(vals) / len(vals):.3f} |")
+        print(lines[-1], file=_sys.stderr)
+    lines += [
+        "",
+        "Reading: the IVF multi-probe curve is the tunable recall/cost",
+        "trade (each probe adds ~1/numLists of the corpus to the scan);",
+        "LSH recall reflects 4 tables x 16 buckets on a 64-dim space —",
+        "raise `tables` (or lower `bits`) to buy recall with scan width;",
+        "PQ-ADC's gap is the quantization cost its exact-rerank tier",
+        "(pq_rerank above) recovers. The env-gated HNSW kernel records",
+        "its curve the same way where hnswlib is installed.",
+    ]
+    return lines
 
 
 if __name__ == "__main__":
