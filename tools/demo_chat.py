@@ -1,0 +1,135 @@
+"""One-command replay of the reference's demo lifecycle, Spark-first:
+
+  1. serve the retail JSON over localhost HTTP (standing in for the
+     public blob container the reference downloads from,
+     Vectorize/IngestAndVectorize.cs:58-78)
+  2. ingest_from_url -> declared schemas (S1/S2)
+  3. ingest_and_vectorize: ONE Arrow-batched embedding pass (replaces
+     the reference's per-document HTTPS loop)
+  4. build the IVF vector index (the reference's default index kind,
+     Search/appsettings.json:24)
+  5. a SessionStore chat: two turns + first-exchange summarize-rename
+     (ChatService.cs:119-165, :273-282), retrieval served from the index
+
+Transports are the deterministic fakes so the demo is hermetic; the
+production swap-in is functions/openai_transport.AzureOpenAITransport
+(embedding_transport / completion_transport) — same call sites, no other
+change. Storage defaults to POSIX; pass --object-store to run the whole
+demo on the conditional-put + object-data-plane universe instead.
+
+Usage: python tools/demo_chat.py [--object-store]
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import sys
+import tempfile
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PRODUCTS = [
+    {"id": "p1", "categoryId": "c1", "categoryName": "Bikes", "sku": "BK-T79",
+     "name": "Touring-1000 Blue", "description": "A comfortable touring bike built for long road trips", "price": 2384.07, "tags": []},
+    {"id": "p2", "categoryId": "c1", "categoryName": "Bikes", "sku": "BK-M68",
+     "name": "Mountain-200 Silver", "description": "A rugged mountain bike with front suspension", "price": 2319.99, "tags": []},
+    {"id": "p3", "categoryId": "c2", "categoryName": "Socks", "sku": "SO-R809",
+     "name": "Racing Socks, L", "description": "Lightweight racing socks that wick away moisture", "price": 8.99, "tags": []},
+    {"id": "p4", "categoryId": "c3", "categoryName": "Helmets", "sku": "HL-U509",
+     "name": "Sport-100 Helmet", "description": "A sturdy universal fit helmet for safety", "price": 34.99, "tags": []},
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark import get_spark
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.completion import (
+        RemoteCompleter, RemoteSummarizer,
+        fake_completion_transport, fake_summarize_transport,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.embedder import HashNgramEmbedder
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.chat import (
+        chat_turn, summarize_session_name,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sessions import SessionStore
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import (
+        ingest_and_vectorize, ingest_from_url,
+    )
+
+    if "--object-store" in sys.argv:
+        from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
+        from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
+            EmulatedObjectDataPlane,
+        )
+
+        mt._DEFAULT_COMMITTER = mt.ConditionalPutCommitter(
+            mt.MemoryConditionalStore(), EmulatedObjectDataPlane()
+        )
+        print("[storage] conditional-put pointer + object data plane")
+
+    spark = get_spark(app_name="vsai-demo", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="vsai_demo_")
+
+    # 1. the "blob container": localhost HTTP serving the retail JSON
+    serve = os.path.join(work, "container")
+    os.makedirs(serve)
+    with open(os.path.join(serve, "products.json"), "w") as f:
+        json.dump(PRODUCTS, f)
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(*a, directory=serve, **k)  # noqa: E731
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # 2. ingest with declared schemas
+        got = ingest_from_url(spark, url, blob_ids=("products.json",),
+                              dest_dir=os.path.join(work, "dl"))
+        products = got["products"]
+        print(f"[ingest] {products.count()} products from {url} (declared schema)")
+
+        # 3. one Arrow-batched embedding pass
+        emb = HashNgramEmbedder(dims=256)
+        corpus = ingest_and_vectorize(products, embedder=emb, usage_col="embed_tokens")
+        tok = corpus.agg(F.sum("embed_tokens")).first()[0]
+        corpus = corpus.cache()
+        print(f"[vectorize] {corpus.count()} vectors, {tok} embedding tokens, one batch pass")
+
+        # 4. the reference's default index kind
+        emb_tbl = corpus.select(F.col("id").alias("vec_id"), F.col("vector").alias("embedding"))
+        IvfIndex(spark, os.path.join(work, "ivf")).build(
+            emb_tbl, vector_col="embedding", num_lists=2, seed=42, id_col="vec_id"
+        )
+        print("[index] IVF built (numLists=2)")
+
+        # 5. the chat lifecycle
+        store = SessionStore(spark, os.path.join(work, "sessions"))
+        completer = RemoteCompleter(transport=fake_completion_transport)
+        summarizer = RemoteSummarizer(transport=fake_summarize_transport)
+        sid = store.create_session()
+        for question in ("What kind of socks do you have?",
+                         "And do you sell bikes for long trips?"):
+            chat_turn(spark, store, corpus, sid, question, emb, completer,
+                      k=2, vector_col="vector", id_cols=("id", "name"))
+            if store.first_exchange_sessions().count() == 1:
+                texts = [r["text"] for r in store.get_messages(sid).select("text").collect()]
+                summarize_session_name(store, summarizer, sid, "\n".join(texts))
+        sess = store.list_sessions().first()
+        print(f"[chat] session {sid[:8]}… renamed to {sess.name!r}, "
+              f"tokens_used={sess.tokens_used}")
+        for m in store.get_messages(sid).orderBy("ts").collect():
+            head = " ".join((m["text"] or "").split())[:88]
+            print(f"  {m['sender']:>9}: {head}")
+        print("[demo] OK — swap fake transports for "
+              "AzureOpenAITransport.from_env() to go live")
+    finally:
+        httpd.shutdown()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
