@@ -7,9 +7,12 @@
   3. ingest_and_vectorize: ONE Arrow-batched embedding pass (replaces
      the reference's per-document HTTPS loop)
   4. build the IVF vector index (the reference's default index kind,
-     Search/appsettings.json:24)
+     Search/appsettings.json:24) and serve one partition-pruned top-k
+     from it
   5. a SessionStore chat: two turns + first-exchange summarize-rename
-     (ChatService.cs:119-165, :273-282), retrieval served from the index
+     (ChatService.cs:119-165, :273-282); chat retrieval runs the
+     engine's exact top-k serving path (the registered chat_turn
+     configuration)
 
 Transports are the deterministic fakes so the demo is hermetic; the
 production swap-in is functions/openai_transport.AzureOpenAITransport
@@ -67,9 +70,13 @@ def main() -> None:
             EmulatedObjectDataPlane,
         )
 
+        plane = EmulatedObjectDataPlane()
         mt._DEFAULT_COMMITTER = mt.ConditionalPutCommitter(
-            mt.MemoryConditionalStore(), EmulatedObjectDataPlane()
+            mt.MemoryConditionalStore(), plane
         )
+        # the INDEX classes resolve the module default directly, so patch
+        # it too — otherwise the index tablespace silently stays POSIX
+        mt._DEFAULT_DATAPLANE = plane
         print("[storage] conditional-put pointer + object data plane")
 
     spark = get_spark(app_name="vsai-demo", cpus=8)
@@ -101,10 +108,13 @@ def main() -> None:
 
         # 4. the reference's default index kind
         emb_tbl = corpus.select(F.col("id").alias("vec_id"), F.col("vector").alias("embedding"))
-        IvfIndex(spark, os.path.join(work, "ivf")).build(
+        ivf = IvfIndex(spark, os.path.join(work, "ivf")).build(
             emb_tbl, vector_col="embedding", num_lists=2, seed=42, id_col="vec_id"
         )
-        print("[index] IVF built (numLists=2)")
+        probe = [float(x) for x in emb.embed_numpy(["lightweight socks"])[0]]
+        hit = ivf.search(probe, k=1, n_probe=1).first()
+        print(f"[index] IVF built (numLists=2); pruned top-1 for "
+              f"'lightweight socks' -> {hit.vec_id} (score {hit.score:.3f})")
 
         # 5. the chat lifecycle
         store = SessionStore(spark, os.path.join(work, "sessions"))

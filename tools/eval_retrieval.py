@@ -165,7 +165,7 @@ def main() -> None:
         "the gap between pq_adc and pq_rerank is what the exact rerank",
         "recovers.",
     ]
-    lines += _ann_vs_exact_section(spark, corpus, emb, queries)
+    lines += _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EVAL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     spark.stop()
@@ -173,7 +173,7 @@ def main() -> None:
 
 
 
-def _ann_vs_exact_section(spark, corpus, emb, queries) -> "list[str]":
+def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "list[str]":
     """Recall@10 of every ANN serving path VS THE EXACT top-10 — the
     index-approximation metric the known-item task can't isolate (task
     scores are capped by corpus ambiguity; overlap-with-exact is capped
@@ -203,9 +203,12 @@ def _ann_vs_exact_section(spark, corpus, emb, queries) -> "list[str]":
     lsh = LshIndex(spark, "/tmp/eval_lsh").build(
         emb_tbl, dims=64, bits=4, tables=4, vector_col="embedding", id_col="vec_id"
     )
-    pq_model = PQ.fit_pq(emb_tbl, vector_col="embedding", id_col="vec_id", m=16, bits=6, seed=7)
-    encoded = PQ.encode_pq(emb_tbl, pq_model, vector_col="embedding", id_col="vec_id").cache()
-    encoded.count()
+    # reuse main()'s fitted PQ model + encoded codes (identical config;
+    # only the id alias differs) instead of re-paying the KMeans fit +
+    # full-corpus encode — the eval's most expensive stage
+    from pyspark.sql import functions as _F
+
+    encoded = encoded.withColumnRenamed("doc_id", "vec_id")
 
     systems = {f"ivf nProbe={p}": p for p in (1, 2, 4)}
     overlaps: "dict[str, list[float]]" = {name: [] for name in systems}

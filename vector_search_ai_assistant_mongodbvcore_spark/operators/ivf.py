@@ -322,8 +322,6 @@ class IvfIndex:
         overwrite; an emptied partition is dropped). Unknown ids are
         ignored; search() afterwards == a fresh build over the survivors
         with the same centroids."""
-        import shutil
-
         ids = list(ids)
         if not ids:
             return self

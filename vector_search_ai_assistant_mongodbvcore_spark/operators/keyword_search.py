@@ -407,7 +407,7 @@ class Bm25Index:
                                     ids; saves the id-bucket read)
           * new (term, doc, tf, dl) rows APPEND into their buckets
           * the terms table merges df counts and atomically swaps
-            (tmp-write + rename ordering, see _swap_terms)
+            (attempt-unique write + meta-pointer flip, see _swap_terms)
           * n_docs/total_tokens accumulate in meta (avgdl stays exact)
 
         After add_documents, search() results are IDENTICAL to a fresh
@@ -462,7 +462,6 @@ class Bm25Index:
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
-        prev_terms = meta.get("terms_dir", "terms")
         self._swap_terms(merged, meta)
 
         meta["n_docs"] = int(meta["n_docs"]) + int(row["n_docs"])
@@ -596,7 +595,6 @@ class Bm25Index:
         overwrite rewrites the partitions present in `survivors`; touched
         partitions with NO survivors are deleted outright."""
         import os
-        import shutil
 
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = self.spark.conf.get(key, None)

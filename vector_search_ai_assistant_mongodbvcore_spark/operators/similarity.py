@@ -440,7 +440,6 @@ class LshIndex:
         Cost is O(touched partitions' rows) — each id occupies `tables`
         partitions — never a full-index rewrite."""
         import os
-        import shutil
 
         ids = list(ids)
         if not ids:
