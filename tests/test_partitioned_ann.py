@@ -52,12 +52,21 @@ def test_global_merge_is_take_ordered(spark, tables):
     assert rep.take_ordered and rep.global_sorts == 0
 
 
-def test_hnsw_factory_is_honest_stub(spark, tables):
+def test_hnsw_factory_serves_via_numpy_graph_and_strict_mode_raises(spark, tables):
+    # default: the numpy HNSW kernel serves real results on the testdata
     out = partitioned_ann_topk(
         tables["embeddings"], [0.1] * 64, k=5, index_factory=hnsw_index_factory()
     )
-    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
-        out.collect()
+    assert out.count() == 5
+    # strict native-only mode stays an honest env-gated seam
+    strict = partitioned_ann_topk(
+        tables["embeddings"], [0.1] * 64, k=5, index_factory=hnsw_index_factory(fallback=False)
+    )
+    try:
+        import hnswlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+            strict.collect()
 
 
 def test_k_exceeding_partition_sizes(spark):

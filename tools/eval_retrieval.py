@@ -177,9 +177,10 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
     """Recall@10 of every ANN serving path VS THE EXACT top-10 — the
     index-approximation metric the known-item task can't isolate (task
     scores are capped by corpus ambiguity; overlap-with-exact is capped
-    only by the index). Round 13: the recorded evidence the env-gated
-    HNSW kernel can't produce in this container, produced for the
-    kernels that CAN run (IVF multi-probe curve, LSH, PQ-ADC)."""
+    only by the index). Round 14: the HNSW graph kernel now records its
+    row too — the pure-numpy kernel (operators/hnsw.py) at the
+    reference's m=16/efConstruction=64, the same parameters the hnswlib
+    factory uses when the native extra is installed."""
     import shutil
     import sys as _sys
 
@@ -210,10 +211,27 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
 
     encoded = encoded.withColumnRenamed("doc_id", "vec_id")
 
+    # HNSW: one local graph over the full corpus (the per-partition build
+    # partitioned_ann uses, degenerate P=1 so recall reflects the graph,
+    # not the partition merge) at the reference's parameters
+    import numpy as _np
+
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import NumpyHNSW
+
+    emb_rows = emb_tbl.collect()
+    hnsw_ids = _np.array([r.vec_id for r in emb_rows])
+    hnsw = NumpyHNSW(
+        _np.array([list(r.embedding) for r in emb_rows], dtype=_np.float64),
+        m=16,
+        ef_construction=64,
+        ef_search=64,
+    )
+
     systems = {f"ivf nProbe={p}": p for p in (1, 2, 4)}
     overlaps: "dict[str, list[float]]" = {name: [] for name in systems}
     overlaps["lsh (4x4-bit tables)"] = []
     overlaps["pq_adc (16x6-bit)"] = []
+    overlaps["hnsw (m=16, efC=64, efS=64)"] = []
     for _qid, qtext in queries:
         qv = [float(x) for x in emb.embed_numpy([qtext])[0]]
         exact = {r.vec_id for r in vector_search(emb_tbl, qv, k=K, vector_col="embedding", id_col="vec_id").collect()}
@@ -224,10 +242,14 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
         overlaps["lsh (4x4-bit tables)"].append(len(got & exact) / K)
         got = {r.vec_id for r in PQ.adc_topk(encoded, pq_model, qv, k=K, id_col="vec_id").collect()}
         overlaps["pq_adc (16x6-bit)"].append(len(got & exact) / K)
+        hidx, _ = hnsw.search(_np.asarray(qv), K)
+        overlaps["hnsw (m=16, efC=64, efS=64)"].append(
+            len(set(hnsw_ids[hidx].tolist()) & exact) / K
+        )
 
     lines = [
         "",
-        "## ANN recall vs exact (round 13)",
+        "## ANN recall vs exact (round 14)",
         "",
         f"Mean overlap of each approximate serving path's top-{K} with the",
         f"EXACT cosine top-{K}, over the same {len(queries)} queries — the",
@@ -248,8 +270,10 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
         "LSH recall reflects 4 tables x 16 buckets on a 64-dim space —",
         "raise `tables` (or lower `bits`) to buy recall with scan width;",
         "PQ-ADC's gap is the quantization cost its exact-rerank tier",
-        "(pq_rerank above) recovers. The env-gated HNSW kernel records",
-        "its curve the same way where hnswlib is installed.",
+        "(pq_rerank above) recovers; the hnsw row is the pure-numpy",
+        "graph kernel (operators/hnsw.py) at the reference's",
+        "m=16/efConstruction=64 — hnswlib slots into the same factory",
+        "where the native extra is installed.",
     ]
     return lines
 

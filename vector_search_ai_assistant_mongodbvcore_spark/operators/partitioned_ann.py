@@ -13,9 +13,9 @@ The local index is an injectable `index_factory(vectors) -> searcher`:
   * default: exact numpy matmul — hermetic, makes the whole operator EXACT
     (so it carries a DuckDB oracle in the harness), and is the honest
     batch-scale answer (scan dominates; see operators/ivf.py rationale).
-  * `hnsw_index_factory(m=16, ef_construction=64)` — real hnswlib wiring
-    with the reference's parameters; raises NotImplementedError in this
-    container (hnswlib not installed) without touching the operator shape.
+  * `hnsw_index_factory(m=16, ef_construction=64)` — the reference's HNSW
+    parameters. Uses hnswlib when installed, else the pure-numpy graph
+    kernel in `operators/hnsw.py` (same algorithm, always runnable).
     On a real cluster the factory would memoize per-executor, or load a
     prebuilt per-partition index file instead of rebuilding per query.
 
@@ -55,18 +55,30 @@ def exact_index_factory(vectors: np.ndarray) -> _ExactSearcher:
     return _ExactSearcher(vectors)
 
 
-def hnsw_index_factory(m: int = 16, ef_construction: int = 64, ef_search: int = 64):
-    """Reference HNSW parameters (MongoDbService.cs:133-136). Requires
-    hnswlib, which is not in this container — the returned factory raises
-    NotImplementedError at build time; everything around it is real."""
+def hnsw_index_factory(
+    m: int = 16, ef_construction: int = 64, ef_search: int = 64, fallback: bool = True
+):
+    """Reference HNSW parameters (MongoDbService.cs:133-136). Uses the
+    native hnswlib kernel when installed; otherwise (fallback=True, the
+    default) builds the same graph algorithm with the pure-numpy kernel
+    in `operators/hnsw.py` — same parameters, same cosine space — so the
+    HNSW path executes in every environment. Pass fallback=False to
+    require the native kernel (raises NotImplementedError without it)."""
 
     def factory(vectors: np.ndarray):
         try:
             import hnswlib  # noqa: F401
         except ImportError as e:
+            if fallback:
+                from .hnsw import NumpyHNSW
+
+                return NumpyHNSW(
+                    vectors, m=m, ef_construction=ef_construction, ef_search=ef_search
+                )
             raise NotImplementedError(
-                "hnswlib is not installed in this environment; use the "
-                "default exact_index_factory or install hnswlib on the cluster."
+                "hnswlib is not installed in this environment; use "
+                "fallback=True (pure-numpy HNSW), the default "
+                "exact_index_factory, or install hnswlib on the cluster."
             ) from e
         dim = vectors.shape[1]
         index = hnswlib.Index(space="cosine", dim=dim)
