@@ -22,6 +22,15 @@ proved ±12% same-code drift between single samples, wide enough to smear
 round-over-round comparisons. `value` is the sum of medians; the raw
 samples ride along under "samples" so a judge can see the spread.
 
+Since r14 (judge r13 directive #4) the MIN of the three samples is
+persisted alongside: "value_min" (sum of per-query minima) and
+"queries_min". The median within one run still can't see MACHINE-LOAD
+drift between runs (BENCH_r13.json's recorded run read 22% above the
+same-code closing run hours apart); the min is the load-robust statistic
+— background load only ever ADDS wall time, so min-of-samples converges
+on the true plan cost and is the number to compare across runs.  Each
+BENCH_HISTORY row records the protocol that produced it.
+
 "sql_serves" (judge r11 directive #8) times the raw-SQL-served
 quantized-IVF and LSH top-k paths (plans/sql_rewrite whole-query serve,
 shortlist + exact rerank) — NOT registry slots (their bit-parity is
@@ -107,6 +116,7 @@ def main() -> None:
     # (+~18s observed at sf0.1) — the bench measures serving, not build.
     q.prewarm_indexes(spark, SF_DIR)
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -117,8 +127,10 @@ def main() -> None:
         timings[name], samples[name] = _median_of(
             lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         )
+        timings_min[name] = min(samples[name])
         total += timings[name]
     total = round(total, 3)
+    total_min = round(sum(timings_min.values()), 3)
     sql_serves = _bench_sql_serves(spark, q)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -132,15 +144,24 @@ def main() -> None:
                 "metric": "vsai_spark_headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "value_min": total_min,
                 "queries": timings,
+                "queries_min": timings_min,
                 "samples": samples,
                 "sql_serves": sql_serves,
+                "protocol": _PROTOCOL,
                 "sf": sf_val,
             }
         )
     )
-    _append_history(total, timings, sf_val, sql_serves)
+    _append_history(total, timings, sf_val, sql_serves, total_min)
     spark.stop()
+
+
+# recorded on every JSON line + history row so a reader knows which
+# timing discipline produced the numbers (r13 adjudicated an apparent
+# regression that was pure inter-run load drift)
+_PROTOCOL = "warm1+median3(+min3 since r14)"
 
 
 def _median_of(run, n: int = 3) -> "tuple[float, list[float]]":
@@ -225,7 +246,14 @@ def _bench_sql_serves(spark, q) -> dict:
     return out
 
 
-def _append_history(total: float, timings: dict, sf, sql_serves=None) -> None:
+_HISTORY_V2_HEADER = (
+    "| when (UTC) | queries | total (s) | total_min (s) | protocol | "
+    "top-5 slowest | sql serves (s) |\n"
+)
+
+
+def _append_history(total: float, timings: dict, sf, sql_serves=None,
+                    total_min: "float | None" = None) -> None:
     """Append one row per bench run to BENCH_HISTORY.md (judge r9
     directive #9): the warmed protocol makes rounds comparable, so a
     regression is visible as a table diff instead of a JSON archaeology
@@ -238,6 +266,10 @@ def _append_history(total: float, timings: dict, sf, sql_serves=None) -> None:
         return
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.md")
     new = not os.path.exists(path)
+    needs_v2 = new
+    if not new:
+        with open(path) as f:
+            needs_v2 = _HISTORY_V2_HEADER not in f.read()
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M")
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     with open(path, "a") as f:
@@ -245,9 +277,17 @@ def _append_history(total: float, timings: dict, sf, sql_serves=None) -> None:
             f.write(
                 "# BENCH_HISTORY — per-run totals at sf0.1 (warmed protocol, r9+)\n\n"
                 "Appended by bench.py on every sf0.1 run; totals are the sum of\n"
-                "timed passes after one untimed warm pass per query.\n\n"
-                "| when (UTC) | queries | total (s) | top-5 slowest | sql serves (s) |\n"
-                "|---|---|---|---|---|\n"
+                "timed passes after one untimed warm pass per query.\n"
+            )
+        if needs_v2:
+            # r14 protocol revision: totals gain the load-robust
+            # min-of-samples twin and an explicit protocol stamp —
+            # compare total_min across runs, total within a round
+            f.write(
+                "\n## r14+ (protocol-stamped rows; total_min is the "
+                "cross-run comparable)\n\n"
+                + _HISTORY_V2_HEADER
+                + "|---|---|---|---|---|---|---|\n"
             )
         top = ", ".join(f"{n} {t:.2f}" for n, t in slowest)
         serves = (
@@ -258,7 +298,11 @@ def _append_history(total: float, timings: dict, sf, sql_serves=None) -> None:
             )
             or "—"
         )
-        f.write(f"| {stamp} | {len(timings)} | {total:.3f} | {top} | {serves} |\n")
+        tmin = f"{total_min:.3f}" if total_min is not None else "—"
+        f.write(
+            f"| {stamp} | {len(timings)} | {total:.3f} | {tmin} | {_PROTOCOL} "
+            f"| {top} | {serves} |\n"
+        )
 
 
 if __name__ == "__main__":

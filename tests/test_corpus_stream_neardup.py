@@ -163,10 +163,12 @@ def test_post_dedup_stages_row_for_row_vs_batch(spark):
         pool,
         text_col="text",
         id_col="doc_id",
+        # Gopher rules replace the heuristic trio — pass the trio at its
+        # defaults so the engine's contradictory-kwargs warning stays quiet
         use_gopher_rules=True,
-        min_quality=None,
-        max_repeated_word_frac=None,
-        max_dup_line_frac=None,
+        min_quality=0.3,
+        max_repeated_word_frac=0.5,
+        max_dup_line_frac=0.5,
         quality_model=None,
         min_classifier_prob=0.5,
         blocklist=None,

@@ -13,6 +13,9 @@
      (ChatService.cs:119-165, :273-282); chat retrieval runs the
      engine's exact top-k serving path (the registered chat_turn
      configuration)
+  6. the README.md:184-194 add/remove walkthrough: upsert 'Cosmic
+     Socks, M' (AddRemoveData.cs action=add) -> searchable, top-ranked;
+     delete it (action=remove) -> gone, original results restored
 
 Transports are the deterministic fakes so the demo is hermetic; the
 production swap-in is functions/openai_transport.AzureOpenAITransport
@@ -46,7 +49,13 @@ PRODUCTS = [
 ]
 
 
-def main() -> None:
+def main(argv=None, spark=None) -> dict:
+    """Run the lifecycle; returns the key outcomes so the pytest smoke
+    (tests/test_demo_chat.py) can assert them. `argv` defaults to
+    sys.argv; pass an injected `spark` to reuse a live session (it is
+    then NOT stopped here). Patched storage globals are restored on
+    exit, so back-to-back runs in one process are independent."""
+    argv = sys.argv if argv is None else argv
     from pyspark.sql import functions as F
 
     from vector_search_ai_assistant_mongodbvcore_spark import get_spark
@@ -60,12 +69,22 @@ def main() -> None:
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
     from vector_search_ai_assistant_mongodbvcore_spark.operators.sessions import SessionStore
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+        vector_search,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
     from vector_search_ai_assistant_mongodbvcore_spark.sources.ingest import (
         ingest_and_vectorize, ingest_from_url,
     )
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import (
+        apply_changes,
+    )
 
-    if "--object-store" in sys.argv:
-        from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
+    saved_committer, saved_plane = mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE
+    if "--object-store" in argv:
         from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
             EmulatedObjectDataPlane,
         )
@@ -79,8 +98,11 @@ def main() -> None:
         mt._DEFAULT_DATAPLANE = plane
         print("[storage] conditional-put pointer + object data plane")
 
-    spark = get_spark(app_name="vsai-demo", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(app_name="vsai-demo", cpus=8)
+        spark.sparkContext.setLogLevel("ERROR")
+    result: dict = {}
     work = tempfile.mkdtemp(prefix="vsai_demo_")
 
     # 1. the "blob container": localhost HTTP serving the retail JSON
@@ -97,7 +119,8 @@ def main() -> None:
         got = ingest_from_url(spark, url, blob_ids=("products.json",),
                               dest_dir=os.path.join(work, "dl"))
         products = got["products"]
-        print(f"[ingest] {products.count()} products from {url} (declared schema)")
+        result["ingested"] = products.count()
+        print(f"[ingest] {result['ingested']} products from {url} (declared schema)")
 
         # 3. one Arrow-batched embedding pass
         emb = HashNgramEmbedder(dims=256)
@@ -113,6 +136,7 @@ def main() -> None:
         )
         probe = [float(x) for x in emb.embed_numpy(["lightweight socks"])[0]]
         hit = ivf.search(probe, k=1, n_probe=1).first()
+        result["ivf_top1"] = hit.vec_id
         print(f"[index] IVF built (numLists=2); pruned top-1 for "
               f"'lightweight socks' -> {hit.vec_id} (score {hit.score:.3f})")
 
@@ -129,16 +153,55 @@ def main() -> None:
                 texts = [r["text"] for r in store.get_messages(sid).select("text").collect()]
                 summarize_session_name(store, summarizer, sid, "\n".join(texts))
         sess = store.list_sessions().first()
+        result["session_name"] = sess.name
+        result["tokens_used"] = sess.tokens_used
+        result["n_messages"] = store.get_messages(sid).count()
         print(f"[chat] session {sid[:8]}… renamed to {sess.name!r}, "
               f"tokens_used={sess.tokens_used}")
         for m in store.get_messages(sid).orderBy("ts").collect():
             head = " ".join((m["text"] or "").split())[:88]
             print(f"  {m['sender']:>9}: {head}")
+
+        # 6. README.md:184-194 — real-time add/remove (AddRemoveData.cs):
+        # upsert Cosmic Socks -> searchable + top-ranked; delete -> gone
+        catalog = ManagedTable(spark, os.path.join(work, "catalog"))
+        catalog.overwrite(
+            corpus.select("id", "categoryName", "name", "description", "vector")
+        )
+        cosmic_q = [float(x) for x in emb.embed_numpy(
+            ["limited edition cosmic print socks"])[0]]
+
+        def cosmic_names(k):
+            top = vector_search(catalog.read(), cosmic_q, k=k,
+                                vector_col="vector", id_col="id")
+            return [r.name for r in top.collect()]
+
+        change_schema = ("id string, categoryName string, name string, "
+                         "description string, _op string")
+        cosmic = ("p9", "Socks", "Cosmic Socks, M",
+                  "Limited edition cosmic print socks in medium", "upsert")
+        apply_changes(catalog, spark.createDataFrame([cosmic], change_schema),
+                      keys=["id"], embedder=emb, vector_col="vector")
+        result["cosmic_after_add"] = cosmic_names(k=2)[0]
+        print(f"[add]    upsert 'Cosmic Socks, M' -> top-1 for its query: "
+              f"{result['cosmic_after_add']!r}")
+        apply_changes(
+            catalog,
+            spark.createDataFrame([cosmic[:-1] + ("delete",)], change_schema),
+            keys=["id"], embedder=emb, vector_col="vector",
+        )
+        after_remove = cosmic_names(k=4)
+        result["cosmic_gone_after_remove"] = "Cosmic Socks, M" not in after_remove
+        print(f"[remove] delete it -> gone from top-{len(after_remove)}: "
+              f"{result['cosmic_gone_after_remove']}")
         print("[demo] OK — swap fake transports for "
               "AzureOpenAITransport.from_env() to go live")
+        return result
     finally:
         httpd.shutdown()
-        spark.stop()
+        mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE = saved_committer, saved_plane
+        if owns_spark:
+            spark.stop()
 
 
 if __name__ == "__main__":
