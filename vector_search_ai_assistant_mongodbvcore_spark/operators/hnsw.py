@@ -112,49 +112,62 @@ class NumpyHNSW:
 
     def _search_layer(self, q: np.ndarray, ep: int, ef: int, layer: int) -> list[tuple[float, int]]:
         """Beam search (paper Algorithm 2): returns <= ef (dist, node)
-        pairs, unsorted."""
-        d0 = self._dist_one(q, ep)
-        visited = {ep}
+        pairs, unsorted.  This is the build/search hot loop — visited is
+        a flat byte table, neighbor distances are one batched matvec per
+        expansion, comparisons run on unboxed floats."""
+        v = self._v
+        links = self._links
+        visited = bytearray(self._n)
+        visited[ep] = 1
+        d0 = 1.0 - float(v[ep] @ q)
         candidates = [(d0, ep)]  # min-heap by distance
         results = [(-d0, ep)]  # max-heap (neg dist) bounded to ef
         while candidates:
             c_d, c = heapq.heappop(candidates)
-            if c_d > -results[0][0] and len(results) >= ef:
+            worst = -results[0][0]
+            if c_d > worst and len(results) >= ef:
                 break
-            fresh = [e for e in self._links[c][layer] if e not in visited]
+            fresh = []
+            for e in links[c][layer]:
+                if not visited[e]:
+                    visited[e] = 1
+                    fresh.append(e)
             if not fresh:
                 continue
-            visited.update(fresh)
-            dists = self._dist_many(q, fresh)
-            worst = -results[0][0]
+            dists = (1.0 - v[fresh] @ q).tolist()
+            full = len(results) >= ef
             for e, d in zip(fresh, dists):
-                d = float(d)
-                if len(results) < ef or d < worst:
+                if not full or d < worst:
                     heapq.heappush(candidates, (d, e))
                     heapq.heappush(results, (-d, e))
                     if len(results) > ef:
                         heapq.heappop(results)
                     worst = -results[0][0]
+                    full = len(results) >= ef
         return [(-nd, e) for nd, e in results]
 
     def _select_heuristic(self, cand: list[tuple[float, int]], m: int) -> list[int]:
         """Paper Algorithm 4 (keepPrunedConnections=False): keep a
         candidate only if it is closer to the query point than to every
         already-selected neighbor — spreads links across directions
-        instead of clustering them."""
-        out: list[int] = []
-        for d_q, e in sorted(cand):
-            if len(out) >= m:
+        instead of clustering them.  The candidate-to-candidate distances
+        are one small (ef×ef) matmul, not per-candidate matvecs — this
+        sits in the insert hot loop (≈2× build wall)."""
+        if len(cand) <= 1:
+            return [e for _, e in cand]
+        order = sorted(range(len(cand)), key=lambda i: cand[i])
+        ids = np.fromiter((cand[i][1] for i in order), dtype=np.int64)
+        pair = 1.0 - self._v[ids] @ self._v[ids].T  # (ef, ef) — ef is small
+        out_pos: list[int] = []
+        for j in range(len(ids)):
+            if len(out_pos) >= m:
                 break
-            if not out:
-                out.append(e)
-                continue
-            d_sel = 1.0 - self._v[out] @ self._v[e]
-            if d_q < float(d_sel.min()):
-                out.append(e)
-        if not out:  # all pruned (degenerate duplicates) — keep nearest
-            out.append(min(cand)[1])
-        return out
+            d_q = cand[order[j]][0]
+            if not out_pos or d_q < pair[j, out_pos].min():
+                out_pos.append(j)
+        if not out_pos:  # all pruned (degenerate duplicates) — keep nearest
+            out_pos.append(0)
+        return [int(ids[j]) for j in out_pos]
 
     def _shrink(self, node: int, layer: int) -> None:
         cap = self._m0 if layer == 0 else self._m
