@@ -17,10 +17,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 @pytest.mark.parametrize("mode", ["posix", "object-store"])
 def test_demo_chat_lifecycle(spark, mode):
+    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
+
+    storage_defaults = (mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE)
     demo = importlib.import_module("demo_chat")
     argv = ["demo_chat.py"] + (["--object-store"] if mode == "object-store" else [])
     got = demo.main(argv=argv, spark=spark)
 
+    # --object-store patches the module storage defaults; main() must
+    # restore them so later tests in this process see POSIX again
+    assert (mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE) == storage_defaults
     assert got["ingested"] == 4  # the retail JSON over localhost HTTP
     assert got["ivf_top1"] == "p3"  # 'lightweight socks' -> Racing Socks
     assert got["session_name"] != ""  # first-exchange summarize-rename ran
@@ -29,14 +35,3 @@ def test_demo_chat_lifecycle(spark, mode):
     # README.md:184-194: add -> top-ranked for its query; remove -> gone
     assert got["cosmic_after_add"] == "Cosmic Socks, M"
     assert got["cosmic_gone_after_remove"] is True
-
-
-def test_demo_restores_storage_globals(spark):
-    """--object-store patches the module storage defaults; main() must
-    restore them so later tests in the same process see POSIX again."""
-    from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt
-
-    before = (mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE)
-    demo = importlib.import_module("demo_chat")
-    demo.main(argv=["demo_chat.py", "--object-store"], spark=spark)
-    assert (mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE) == before

@@ -83,38 +83,41 @@ def main(argv=None, spark=None) -> dict:
         apply_changes,
     )
 
+    # globals saved BEFORE the try so the finally restores them even if
+    # setup (Spark startup, port bind) dies between patch and work
     saved_committer, saved_plane = mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE
-    if "--object-store" in argv:
-        from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
-            EmulatedObjectDataPlane,
-        )
-
-        plane = EmulatedObjectDataPlane()
-        mt._DEFAULT_COMMITTER = mt.ConditionalPutCommitter(
-            mt.MemoryConditionalStore(), plane
-        )
-        # the INDEX classes resolve the module default directly, so patch
-        # it too — otherwise the index tablespace silently stays POSIX
-        mt._DEFAULT_DATAPLANE = plane
-        print("[storage] conditional-put pointer + object data plane")
-
     owns_spark = spark is None
-    if owns_spark:
-        spark = get_spark(app_name="vsai-demo", cpus=8)
-        spark.sparkContext.setLogLevel("ERROR")
+    httpd = None
     result: dict = {}
-    work = tempfile.mkdtemp(prefix="vsai_demo_")
-
-    # 1. the "blob container": localhost HTTP serving the retail JSON
-    serve = os.path.join(work, "container")
-    os.makedirs(serve)
-    with open(os.path.join(serve, "products.json"), "w") as f:
-        json.dump(PRODUCTS, f)
-    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(*a, directory=serve, **k)  # noqa: E731
-    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    threading.Thread(target=httpd.serve_forever, daemon=True).start()
-    url = f"http://127.0.0.1:{httpd.server_address[1]}"
     try:
+        if "--object-store" in argv:
+            from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
+                EmulatedObjectDataPlane,
+            )
+
+            plane = EmulatedObjectDataPlane()
+            mt._DEFAULT_COMMITTER = mt.ConditionalPutCommitter(
+                mt.MemoryConditionalStore(), plane
+            )
+            # the INDEX classes resolve the module default directly, so patch
+            # it too — otherwise the index tablespace silently stays POSIX
+            mt._DEFAULT_DATAPLANE = plane
+            print("[storage] conditional-put pointer + object data plane")
+
+        if owns_spark:
+            spark = get_spark(app_name="vsai-demo", cpus=8)
+            spark.sparkContext.setLogLevel("ERROR")
+        work = tempfile.mkdtemp(prefix="vsai_demo_")
+
+        # 1. the "blob container": localhost HTTP serving the retail JSON
+        serve = os.path.join(work, "container")
+        os.makedirs(serve)
+        with open(os.path.join(serve, "products.json"), "w") as f:
+            json.dump(PRODUCTS, f)
+        handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(*a, directory=serve, **k)  # noqa: E731
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
         # 2. ingest with declared schemas
         got = ingest_from_url(spark, url, blob_ids=("products.json",),
                               dest_dir=os.path.join(work, "dl"))
@@ -198,9 +201,10 @@ def main(argv=None, spark=None) -> dict:
               "AzureOpenAITransport.from_env() to go live")
         return result
     finally:
-        httpd.shutdown()
+        if httpd is not None:
+            httpd.shutdown()
         mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE = saved_committer, saved_plane
-        if owns_spark:
+        if owns_spark and spark is not None:
             spark.stop()
 
 
