@@ -31,6 +31,17 @@ same-code closing run hours apart); the min is the load-robust statistic
 on the true plan cost and is the number to compare across runs.  Each
 BENCH_HISTORY row records the protocol that produced it.
 
+The DEFAULT since r14 is the INTERLEAVED protocol: warm every query
+once, then 3 full passes over the list (one timed execution per query
+per pass) — same execution count as the old consecutive protocol, just
+reordered. Four r14 idle back-to-back consecutive-protocol runs measured
+this shared host swinging ±25% on minutes-long load regimes — longer
+than one query's 3 consecutive samples, so even their min carried a
+spike; interleaving spreads each query's samples across the whole run's
+regimes. Measured: back-to-back interleaved runs differ 0.6% on
+value_min (vs 10-24% consecutive). SPARK_GRAFT_BENCH_PASSES overrides
+the pass count; =0 restores the consecutive r12 protocol.
+
 "sql_serves" (judge r11 directive #8) times the raw-SQL-served
 quantized-IVF and LSH top-k paths (plans/sql_rewrite whole-query serve,
 shortlist + exact rerank) — NOT registry slots (their bit-parity is
@@ -118,18 +129,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        # warm pass (untimed): pages the input files, JITs the codegen,
-        # spins up any Python workers this query needs
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name], samples[name] = _median_of(
-            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        )
-        timings_min[name] = min(samples[name])
-        total += timings[name]
-    total = round(total, 3)
+
+    def _noop_run(name):
+        registry[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    if _PASSES:
+        # interleaved protocol (SPARK_GRAFT_BENCH_PASSES=N): warm every
+        # query once, then N full passes over the whole list, one timed
+        # execution per query per pass. Box-load swings on this shared
+        # host last minutes — consecutive samples all land inside one
+        # load regime, so their min still carries the spike; interleaving
+        # time-decorrelates each query's samples across the run.
+        for name in BENCH_QUERIES:
+            _noop_run(name)
+            samples[name] = []
+        for _ in range(_PASSES):
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                _noop_run(name)
+                samples[name].append(round(time.time() - t0, 3))
+        for name in BENCH_QUERIES:
+            ts = sorted(samples[name])
+            timings[name] = ts[len(ts) // 2]
+            timings_min[name] = ts[0]
+    else:
+        for name in BENCH_QUERIES:
+            # warm pass (untimed): pages the input files, JITs the codegen,
+            # spins up any Python workers this query needs
+            _noop_run(name)
+            timings[name], samples[name] = _median_of(lambda: _noop_run(name))
+            timings_min[name] = min(samples[name])
+    total = round(sum(timings.values()), 3)
     total_min = round(sum(timings_min.values()), 3)
     sql_serves = _bench_sql_serves(spark, q)
 
@@ -161,7 +191,12 @@ def main() -> None:
 # recorded on every JSON line + history row so a reader knows which
 # timing discipline produced the numbers (r13 adjudicated an apparent
 # regression that was pure inter-run load drift)
-_PROTOCOL = "warm1+median3(+min3 since r14)"
+_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+_PROTOCOL = (
+    f"warm1+interleaved{_PASSES}(median+min)"
+    if _PASSES
+    else "warm1+median3(+min3 since r14)"
+)
 
 
 def _median_of(run, n: int = 3) -> "tuple[float, list[float]]":
