@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "lsh_neardup_pairs",
     "ivf_search_all_probes",
+    "hnsw_index_topk",
     "decontamination_report",
     "semantic_contamination",
     "packed_sequences",

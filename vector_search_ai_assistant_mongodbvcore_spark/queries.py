@@ -2393,6 +2393,30 @@ def summarize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select("doc_id", summ.udf()(F.col("text")).alias("label"))
 
 
+@register("hnsw_index_topk", None)
+def hnsw_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 as a MATERIALIZED index (r14): build-once per-partition HNSW
+    graphs (reference `vector-hnsw`, m=16/efConstruction=64,
+    MongoDbService.cs:119-143) stored as one-row-per-segment parquet,
+    served by segment-local beam searches + an S×k TakeOrdered merge.
+    Unrecorded rows-only slot: the graph serving path is APPROXIMATE by
+    design (recall@10 vs exact = 0.993, EVAL.md), so no ANSI twin exists;
+    the exact partitioned_ann_topk slot above carries the oracle for the
+    shared merge machinery, and tests/test_hnsw_index.py pins recall,
+    lifecycle, and the crash-orphan sweep."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    t = _tables(spark, sf_dir)
+    idx = PartitionedHnswIndex(
+        spark, _cache_dir(sf_dir, "hnsw_embeddings")
+    ).build_if_absent(
+        t["embeddings"], vector_col="embedding", id_col="vec_id", shards=8
+    )
+    return idx.search(_QV_PANN, k=10)
+
+
 @register("chat_turn", None)
 def chat_turn_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.1 end-to-end: two full chat turns (embed -> top-k payload ->
@@ -2705,14 +2729,16 @@ _ORDER = [
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
     "corpus_enrichment",
     # unrecorded slots (>= 51): the zlib/binary legs with no ANSI twin,
-    # then the imperative lifecycle, deliberately last
+    # the approximate HNSW index serve, then the imperative lifecycle,
+    # deliberately last
     "corpus_binary_enrichment",
+    "hnsw_index_topk",
     "chat_turn",
 ]
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 52, len(_ORDER)
+assert len(_ORDER) == 53, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
@@ -2745,6 +2771,13 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     )
     Bm25Index(spark, _cache_dir(sf_dir, "bm25_documents")).build_if_absent(
         t["documents"]
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    PartitionedHnswIndex(spark, _cache_dir(sf_dir, "hnsw_embeddings")).build_if_absent(
+        t["embeddings"], vector_col="embedding", id_col="vec_id", shards=8
     )
 
 

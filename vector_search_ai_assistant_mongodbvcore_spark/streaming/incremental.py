@@ -125,7 +125,9 @@ def apply_index_changes(
     vector_col = m["vector_col"]
     # LshIndex records its id column in meta and keys remove/add off it;
     # IvfIndex takes id_col per call (duck-typed off the method signature,
-    # so the same foreachBatch body maintains either ANN index)
+    # so the same foreachBatch body maintains any ANN index —
+    # PartitionedHnswIndex rides it too: upserts become delta segments,
+    # deletes per-segment tombstones)
     stored_id = m.get("id_col", id_col)
     takes_id = "id_col" in inspect.signature(index.remove_documents).parameters
     id_kw = {"id_col": stored_id} if takes_id else {}
