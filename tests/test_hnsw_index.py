@@ -9,13 +9,11 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
     NumpyHNSW,
     PartitionedHnswIndex,
     _cached_segment,
-    _encode_segment,
 )
 
 
@@ -128,12 +126,18 @@ def test_tombstone_remove_and_upsert_readd(spark, tmp_path):
     )
     idx.remove_documents([500], id_col="vec_id")
     assert 500 not in {r.vec_id for r in idx.search(vec, k=10).collect()}
-    # re-add after remove (the upsert flow): served exactly once — the
-    # old copy stays tombstoned in its segment, the new one is live
+    # removing an id the index does not hold is a pure no-op: the
+    # streaming upsert flow (remove-then-add of new ids) must not grow
+    # tombstones
+    deleted_before = idx.meta()["deleted"]
+    idx.remove_documents([99999999], id_col="vec_id")
+    assert idx.meta()["deleted"] == deleted_before
+    # re-add after remove (the upsert flow): a tombstoned id is NOT
+    # "already indexed" — the default duplicate guard lets it back in,
+    # and it serves exactly once (old copy stays tombstoned)
     idx.add_documents(
         spark.createDataFrame([(500, vec)], "vec_id long, embedding array<float>"),
         id_col="vec_id",
-        on_duplicate="trust",
     )
     hits = [r.vec_id for r in idx.search(vec, k=10).collect()]
     assert hits.count(500) == 1 and hits[0] == 500
@@ -198,12 +202,24 @@ def test_crash_orphan_generation_swept_on_next_flip(spark, tmp_path):
 
 def test_segment_cache_returns_same_object():
     rng = np.random.default_rng(8)
-    payload = _encode_segment(
-        np.arange(20), NumpyHNSW(rng.normal(size=(20, 8)))
-    )
+    payload = NumpyHNSW(rng.normal(size=(20, 8))).to_bytes()
     a = _cached_segment("seg-test-cache", payload)
     b = _cached_segment("seg-test-cache", payload)
-    assert a[1] is b[1]  # deserialized once, served from the worker cache
+    assert a is b  # deserialized once, served from the worker cache
+
+
+def test_compact_rejects_positional_file_knob(spark, tmp_path):
+    """shards is keyword-only: a duck-typed caller passing IvfIndex's
+    positional max_files_per_partition must fail loudly, never silently
+    re-shard the index (the streaming sink duck-types the signature)."""
+    rng = np.random.default_rng(10)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = PartitionedHnswIndex(spark, str(tmp_path / "h")).build(df, shards=2)
+    with pytest.raises(TypeError):
+        idx.compact(8)
 
 
 def test_socks_e2e_served_from_streaming_maintained_hnsw_index(spark, tmp_path):

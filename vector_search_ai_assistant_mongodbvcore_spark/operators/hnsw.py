@@ -205,8 +205,12 @@ class NumpyHNSW:
 
     # -- public: the partitioned_ann index_factory searcher contract --
 
-    def search(self, q: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k by cosine similarity: (indices, similarities), best first."""
+    def search(
+        self, q: np.ndarray, k: int, ef_search: "int | None" = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k by cosine similarity: (indices, similarities), best
+        first.  `ef_search` overrides the instance beam width for THIS
+        call only (never mutates shared/cached instances)."""
         if self._n == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         k = min(int(k), self._n)
@@ -215,7 +219,7 @@ class NumpyHNSW:
         if nrm > 0.0:
             qn = qn / nrm
         ep = self._greedy_descend(qn, self._entry, self._top, 0)
-        ef = max(self.ef_search, k)
+        ef = max(self.ef_search if ef_search is None else int(ef_search), k)
         w = sorted(self._search_layer(qn, ep, ef, 0))[:k]
         idx = np.array([e for _, e in w], dtype=np.int64)
         sims = np.array([1.0 - d for d, _ in w], dtype=np.float64)
@@ -292,29 +296,23 @@ def numpy_hnsw_index_factory(
     return factory
 
 
-def _encode_segment(ids: np.ndarray, kernel: NumpyHNSW) -> bytes:
-    buf = io.BytesIO()
-    np.savez_compressed(buf, ids=ids, graph=np.frombuffer(kernel.to_bytes(), dtype=np.uint8))
-    return buf.getvalue()
-
-
-def _decode_segment(payload: bytes) -> "tuple[np.ndarray, NumpyHNSW]":
-    z = np.load(io.BytesIO(payload), allow_pickle=False)
-    return z["ids"], NumpyHNSW.from_bytes(z["graph"].tobytes())
-
-
 # Worker-local deserialization cache for serving: segment files are
 # attempt-unique (a rebuild/compact never reuses a segment_id), so the id
 # alone is a safe cache key. Bounded FIFO — executors serve many indexes.
-_SEGMENT_CACHE: "dict[str, tuple[np.ndarray, NumpyHNSW]]" = {}
+_SEGMENT_CACHE: "dict[str, NumpyHNSW]" = {}
 _SEGMENT_CACHE_MAX = 8
 
+# on-disk segment-schema version: bumped when the parquet layout changes
+# (v2 added the ids column) so build_if_absent rebuilds a stale cache
+# instead of serving rows the reader cannot decode
+_SEGMENT_LAYOUT = 2
 
-def _cached_segment(segment_id: str, payload: bytes) -> "tuple[np.ndarray, NumpyHNSW]":
+
+def _cached_segment(segment_id: str, payload: bytes) -> NumpyHNSW:
     hit = _SEGMENT_CACHE.get(segment_id)
     if hit is not None:
         return hit
-    got = _decode_segment(payload)
+    got = NumpyHNSW.from_bytes(payload)
     if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
         _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
     _SEGMENT_CACHE[segment_id] = got
@@ -380,7 +378,15 @@ class PartitionedHnswIndex:
             data_fingerprint,
         )
 
-        if not self.exists() or self.meta().get("fingerprint") != data_fingerprint(df):
+        if not self.exists():
+            self.build(df, **build_kwargs)
+            return self
+        m = self.meta()
+        stale = (
+            m.get("fingerprint") != data_fingerprint(df)
+            or m.get("layout") != _SEGMENT_LAYOUT  # older on-disk format
+        )
+        if stale:
             self.build(df, **build_kwargs)
         return self
 
@@ -390,11 +396,14 @@ class PartitionedHnswIndex:
         return os.path.join(self.path, "segments")
 
     def _build_segments_df(
-        self, df, vector_col: str, id_col: str, m: int, ef_construction: int,
-        ef_search: int, seed: int, shards: int,
+        self, df, vector_col: str, id_col: str, id_type: str, m: int,
+        ef_construction: int, ef_search: int, seed: int, shards: int,
     ):
-        """(segment_id, n, payload) frame: one HNSW graph per hash
-        partition, built and serialized executor-side."""
+        """(segment_id, n, ids, payload) frame: one HNSW graph per hash
+        partition, built and serialized executor-side.  The ids live in
+        their OWN parquet column so membership checks (duplicate guard,
+        tombstone targeting) are column-pruned scans that never decode a
+        graph."""
         import pandas as pd
 
         def build_shard(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -413,7 +422,8 @@ class PartitionedHnswIndex:
                 {
                     "segment_id": [uuid.uuid4().hex],
                     "n": [len(ids)],
-                    "payload": [_encode_segment(np.asarray(ids), kernel)],
+                    "ids": [ids],
+                    "payload": [kernel.to_bytes()],
                 }
             )
 
@@ -421,7 +431,10 @@ class PartitionedHnswIndex:
         from pyspark.sql import functions as F
 
         work = work.repartition(shards, F.col(id_col))
-        return work.mapInPandas(build_shard, "segment_id string, n long, payload binary")
+        return work.mapInPandas(
+            build_shard,
+            f"segment_id string, n long, ids array<{id_type}>, payload binary",
+        )
 
     def _write_generation(self, segments_df) -> "tuple[str, int, int]":
         """Write one attempt-unique generation dir; returns
@@ -461,13 +474,16 @@ class PartitionedHnswIndex:
             data_fingerprint,
         )
 
+        id_type = df.schema[id_col].dataType.simpleString()
         segments = self._build_segments_df(
-            df, vector_col, id_col, m, ef_construction, ef_search, seed, shards
+            df, vector_col, id_col, id_type, m, ef_construction, ef_search,
+            seed, shards,
         )
         gen, segs, _rows = self._write_generation(segments)
         self._write_meta(
             {
                 "kind": "vector-hnsw",
+                "layout": _SEGMENT_LAYOUT,
                 "m": m,
                 "ef_construction": ef_construction,
                 "ef_search": ef_search,
@@ -475,7 +491,7 @@ class PartitionedHnswIndex:
                 "seed": seed,
                 "vector_col": vector_col,
                 "id_col": id_col,
-                "id_type": df.schema[id_col].dataType.simpleString(),
+                "id_type": id_type,
                 "generations": [gen],
                 "n_segments": segs,
                 "deleted": {},
@@ -507,11 +523,12 @@ class PartitionedHnswIndex:
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     sid = row["segment_id"]
-                    ids, kernel = _cached_segment(sid, bytes(row["payload"]))
-                    if ef is not None:
-                        kernel.ef_search = ef
+                    kernel = _cached_segment(sid, bytes(row["payload"]))
+                    ids = row["ids"]
                     dead = deleted.get(sid, frozenset())
-                    idx, sims = kernel.search(q, k + len(dead))
+                    # tombstones are membership-checked at write time, so
+                    # len(dead) <= the segment's own row count
+                    idx, sims = kernel.search(q, k + len(dead), ef_search=ef)
                     keep_ids, keep_scores = [], []
                     for i, s in zip(idx, sims):
                         doc = ids[i]
@@ -523,32 +540,36 @@ class PartitionedHnswIndex:
                             break
                     yield pd.DataFrame({id_col: keep_ids, "score": keep_scores})
 
+        # no repartition: the build writes ~one parquet file per segment,
+        # so the scan already yields segment-aligned splits — an Exchange
+        # here would ship every graph payload across the cluster per query
         scan = self._segments_scan(meta)
         out_schema = f"{id_col} {meta['id_type']}, score double"
-        # one task per segment (count tracked in meta — no extra job)
-        local = scan.repartition(max(meta.get("n_segments", 1), 1)).mapInPandas(
-            serve, out_schema
-        )
+        local = scan.mapInPandas(serve, out_schema)
         return local.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
     # ---- near-real-time maintenance (apply_index_changes surface) --------
 
-    def _all_ids_df(self, meta: dict):
-        import pandas as pd
+    def _live_ids_df(self, meta: dict):
+        """Distinct ids currently SERVED (per-segment tombstones applied):
+        a column-pruned scan of the ids column — no graph decode."""
+        from pyspark.sql import functions as F
 
         id_col = meta["id_col"]
-
-        def ids_of(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-            for pdf in batches:
-                for _, row in pdf.iterrows():
-                    ids, _kernel = _cached_segment(
-                        row["segment_id"], bytes(row["payload"])
-                    )
-                    yield pd.DataFrame({id_col: list(ids)})
-
-        return self._segments_scan(meta).mapInPandas(
-            ids_of, f"{meta['id_col']} {meta['id_type']}"
+        exploded = self._segments_scan(meta).select(
+            "segment_id", F.explode("ids").alias(id_col)
         )
+        pairs = [
+            (sid, doc)
+            for sid, docs in meta.get("deleted", {}).items()
+            for doc in docs
+        ]
+        if pairs:
+            dead = self.spark.createDataFrame(
+                pairs, f"segment_id string, {id_col} {meta['id_type']}"
+            )
+            exploded = exploded.join(dead, ["segment_id", id_col], "left_anti")
+        return exploded.select(id_col).distinct()
 
     def add_documents(
         self, df, id_col: str, on_duplicate: str = "error"
@@ -563,7 +584,9 @@ class PartitionedHnswIndex:
             )
         meta = self.meta()
         if on_duplicate != "trust":
-            existing = self._all_ids_df(meta).withColumnRenamed(meta["id_col"], id_col)
+            # LIVE ids only: a tombstoned (removed) id is re-addable in
+            # every mode — the upsert contract remove_documents documents
+            existing = self._live_ids_df(meta).withColumnRenamed(meta["id_col"], id_col)
             dups = df.select(id_col).distinct().join(existing, id_col, "left_semi")
             if on_duplicate == "error":
                 offenders = [r[id_col] for r in dups.limit(10).collect()]
@@ -578,8 +601,9 @@ class PartitionedHnswIndex:
                     return self
         delta = df.withColumnRenamed(id_col, meta["id_col"])
         segments = self._build_segments_df(
-            delta, meta["vector_col"], meta["id_col"], meta["m"],
-            meta["ef_construction"], meta["ef_search"], meta["seed"], shards=1,
+            delta, meta["vector_col"], meta["id_col"], meta["id_type"],
+            meta["m"], meta["ef_construction"], meta["ef_search"],
+            meta["seed"], shards=1,
         )
         gen, segs, _rows = self._write_generation(segments)
         if segs == 0:  # empty batch: drop the empty generation dir
@@ -591,31 +615,43 @@ class PartitionedHnswIndex:
         return self
 
     def remove_documents(self, ids, id_col: "str | None" = None) -> "PartitionedHnswIndex":
-        """Tombstone the ids in every CURRENT segment (graphs stay
-        immutable; serve filters). A later re-add lands in a new segment
+        """Tombstone the ids in exactly the segments that HOLD them
+        (membership checked with a column-pruned scan — graphs stay
+        immutable, serve filters). Absent ids are a no-op, so the
+        streaming upsert flow (remove-then-add of mostly-new ids) never
+        grows the tombstone lists. A later re-add lands in a new segment
         the tombstones don't cover — exact upsert semantics."""
+        from pyspark.sql import functions as F
+
         ids = [i for i in ids]
         if not ids:
             return self
         meta = self.meta()
-        seg_ids = [
-            r["segment_id"]
-            for r in self._segments_scan(meta).select("segment_id").collect()
-        ]
+        hits = (
+            self._segments_scan(meta)
+            .select("segment_id", F.explode("ids").alias("_id"))
+            .filter(F.col("_id").isin(ids))
+            .distinct()
+            .collect()
+        )
+        if not hits:
+            return self
         deleted = meta.get("deleted", {})
-        for sid in seg_ids:
-            merged = set(deleted.get(sid, []))
-            merged.update(ids)
-            deleted[sid] = sorted(merged)
+        for r in hits:
+            merged = set(deleted.get(r["segment_id"], []))
+            merged.add(r["_id"])
+            deleted[r["segment_id"]] = sorted(merged)
         meta["deleted"] = deleted
         self._write_meta(meta)
         return self
 
-    def compact(self, shards: "int | None" = None) -> "PartitionedHnswIndex":
+    def compact(self, *, shards: "int | None" = None) -> "PartitionedHnswIndex":
         """Fold all segments + tombstones into `shards` fresh graphs
         (the delta/tombstone model's maintenance valve, like
         IvfIndex.compact): one new generation, tombstones reset, old
-        generations swept."""
+        generations swept.  `shards` is keyword-only: duck-typed callers
+        passing IvfIndex-style positional args (max_files_per_partition)
+        must fail loudly instead of silently re-sharding the index."""
         import pandas as pd
 
         meta = self.meta()
@@ -626,7 +662,8 @@ class PartitionedHnswIndex:
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     sid = row["segment_id"]
-                    ids, kernel = _cached_segment(sid, bytes(row["payload"]))
+                    kernel = _cached_segment(sid, bytes(row["payload"]))
+                    ids = row["ids"]
                     dead = deleted.get(sid, frozenset())
                     keep = [j for j, doc in enumerate(ids) if doc not in dead]
                     if not keep:
@@ -647,8 +684,8 @@ class PartitionedHnswIndex:
             alive_rows, f"{id_col} {meta['id_type']}, {vector_col} array<float>"
         )
         segments = self._build_segments_df(
-            alive, vector_col, id_col, meta["m"], meta["ef_construction"],
-            meta["ef_search"], meta["seed"],
+            alive, vector_col, id_col, meta["id_type"], meta["m"],
+            meta["ef_construction"], meta["ef_search"], meta["seed"],
             shards if shards is not None else meta["shards"],
         )
         gen, segs, _rows = self._write_generation(segments)

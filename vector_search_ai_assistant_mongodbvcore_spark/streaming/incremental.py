@@ -174,7 +174,16 @@ def start_index_change_stream(
     def _batch(df: DataFrame, epoch_id: int) -> None:
         apply_index_changes(index, df, id_col, embedder)
         if compact_every and (int(epoch_id) + 1) % compact_every == 0:
-            index.compact(max_files_per_partition)
+            import inspect
+
+            # duck-typed like apply_index_changes: file-count-driven
+            # compaction (IvfIndex/LshIndex) takes the threshold;
+            # segment-model compaction (PartitionedHnswIndex) folds
+            # everything and takes no per-partition file knob
+            if "max_files_per_partition" in inspect.signature(index.compact).parameters:
+                index.compact(max_files_per_partition)
+            else:
+                index.compact()
 
     return (
         stream.writeStream.foreachBatch(_batch)
