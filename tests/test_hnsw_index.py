@@ -200,6 +200,64 @@ def test_crash_orphan_generation_swept_on_next_flip(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_ef_search_override_never_mutates_the_kernel():
+    """The per-call ef_search must not leak into later searches on the
+    same (worker-cached) kernel instance — the exact regression the
+    r14 review fixed: a one-off low-ef query permanently degrading
+    recall for every later default query on that executor."""
+    rng = np.random.default_rng(11)
+    kernel = NumpyHNSW(rng.normal(size=(400, 16)), ef_search=64)
+    q = rng.normal(size=16)
+    before = kernel.search(q, 10)
+    kernel.search(q, 10, ef_search=1)  # degraded one-off
+    after = kernel.search(q, 10)  # default beam again
+    assert kernel.ef_search == 64
+    assert np.array_equal(before[0], after[0])
+    assert np.allclose(before[1], after[1])
+
+
+def test_pre_v2_layout_is_rejected_with_a_clear_error(spark, tmp_path):
+    """Data-touching paths on an older on-disk layout must name the fix
+    (rebuild), not die deep in a plan with an unresolved-column error;
+    build_if_absent rebuilds it automatically."""
+    import json
+    import os
+
+    rng = np.random.default_rng(12)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = PartitionedHnswIndex(spark, str(tmp_path / "h")).build(df, shards=1)
+    meta_path = os.path.join(str(tmp_path / "h"), "meta.json")
+    meta = json.loads(open(meta_path).read())
+    meta.pop("layout")  # simulate a pre-v2 index
+    open(meta_path, "w").write(json.dumps(meta))
+    with pytest.raises(ValueError, match="rebuild"):
+        idx.search([1.0] * 8, k=3)
+    with pytest.raises(ValueError, match="rebuild"):
+        idx.remove_documents([1], id_col="vec_id")
+    idx.build_if_absent(df)  # detects the stale layout and rebuilds
+    assert idx.meta()["layout"] == 2
+    assert idx.search([1.0] * 8, k=3).count() == 3
+
+
+def test_duplicate_build_rows_with_tombstone_still_serve_full_k(spark, tmp_path):
+    """Over-fetch counts dead ROWS, not distinct tombstoned ids: a
+    duplicated id whose tombstone covers several graph rows must not
+    crowd live candidates out of the per-segment shortlist."""
+    rng = np.random.default_rng(13)
+    target = [1.0] * 8
+    rows = [(7, target), (7, target), (7, target)]  # duplicated id, best match
+    rows += [(i, [float(x) for x in rng.normal(size=8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = PartitionedHnswIndex(spark, str(tmp_path / "h")).build(df, shards=1)
+    idx.remove_documents([7], id_col="vec_id")
+    got = idx.search(target, k=3).collect()
+    assert len(got) == 3  # all three dead rows over-fetched past
+    assert 7 not in {r.vec_id for r in got}
+
+
 def test_segment_cache_returns_same_object():
     rng = np.random.default_rng(8)
     payload = NumpyHNSW(rng.normal(size=(20, 8))).to_bytes()

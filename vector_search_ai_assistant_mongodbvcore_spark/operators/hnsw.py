@@ -373,6 +373,20 @@ class PartitionedHnswIndex:
     def _write_meta(self, meta: dict) -> None:
         self.plane.write_text(self._meta_path(), json.dumps(meta))
 
+    def _read_meta_for_rw(self) -> dict:
+        """meta() plus the layout gate every data-touching path needs: a
+        pre-v2 on-disk index (no ids column) would otherwise fail deep in
+        a plan with an unresolved-column error instead of naming the fix."""
+        meta = self.meta()
+        if meta.get("layout") != _SEGMENT_LAYOUT:
+            raise ValueError(
+                f"{self.path}: on-disk segment layout "
+                f"{meta.get('layout')!r} != current {_SEGMENT_LAYOUT} — "
+                f"rebuild the index (build() or build_if_absent(), which "
+                f"detects this and rebuilds automatically)"
+            )
+        return meta
+
     def build_if_absent(self, df, **build_kwargs) -> "PartitionedHnswIndex":
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import (
             data_fingerprint,
@@ -493,7 +507,6 @@ class PartitionedHnswIndex:
                 "id_col": id_col,
                 "id_type": id_type,
                 "generations": [gen],
-                "n_segments": segs,
                 "deleted": {},
                 "fingerprint": data_fingerprint(df),
             }
@@ -513,7 +526,7 @@ class PartitionedHnswIndex:
         import pandas as pd
         from pyspark.sql import functions as F
 
-        meta = self.meta()
+        meta = self._read_meta_for_rw()
         id_col = meta["id_col"]
         deleted = {sid: frozenset(ids) for sid, ids in meta["deleted"].items() if ids}
         q = np.asarray([float(x) for x in query], dtype=np.float64)
@@ -526,9 +539,16 @@ class PartitionedHnswIndex:
                     kernel = _cached_segment(sid, bytes(row["payload"]))
                     ids = row["ids"]
                     dead = deleted.get(sid, frozenset())
-                    # tombstones are membership-checked at write time, so
-                    # len(dead) <= the segment's own row count
-                    idx, sims = kernel.search(q, k + len(dead), ef_search=ef)
+                    # over-fetch by the segment's dead ROW count (an id
+                    # can occupy several graph rows if the source held
+                    # duplicates — counting distinct tombstones would
+                    # under-fetch and drop a deserving live candidate)
+                    n_dead_rows = (
+                        int(np.isin(np.asarray(ids), list(dead)).sum())
+                        if dead
+                        else 0
+                    )
+                    idx, sims = kernel.search(q, k + n_dead_rows, ef_search=ef)
                     keep_ids, keep_scores = [], []
                     for i, s in zip(idx, sims):
                         doc = ids[i]
@@ -551,8 +571,9 @@ class PartitionedHnswIndex:
     # ---- near-real-time maintenance (apply_index_changes surface) --------
 
     def _live_ids_df(self, meta: dict):
-        """Distinct ids currently SERVED (per-segment tombstones applied):
-        a column-pruned scan of the ids column — no graph decode."""
+        """Ids currently SERVED (per-segment tombstones applied): a
+        column-pruned scan of the ids column — no graph decode.  May
+        contain duplicates; consumers are join-based and don't care."""
         from pyspark.sql import functions as F
 
         id_col = meta["id_col"]
@@ -569,7 +590,9 @@ class PartitionedHnswIndex:
                 pairs, f"segment_id string, {id_col} {meta['id_type']}"
             )
             exploded = exploded.join(dead, ["segment_id", id_col], "left_anti")
-        return exploded.select(id_col).distinct()
+        # no distinct(): the only consumers are semi/anti joins, which are
+        # duplicate-insensitive — a dedup here would be a wasted shuffle
+        return exploded.select(id_col)
 
     def add_documents(
         self, df, id_col: str, on_duplicate: str = "error"
@@ -582,7 +605,7 @@ class PartitionedHnswIndex:
             raise ValueError(
                 f"on_duplicate must be error|skip|trust, got {on_duplicate!r}"
             )
-        meta = self.meta()
+        meta = self._read_meta_for_rw()
         if on_duplicate != "trust":
             # LIVE ids only: a tombstoned (removed) id is re-addable in
             # every mode — the upsert contract remove_documents documents
@@ -610,7 +633,6 @@ class PartitionedHnswIndex:
             self.plane.remove_tree(os.path.join(self._segments_root(), gen))
             return self
         meta["generations"] = meta["generations"] + [gen]
-        meta["n_segments"] = meta.get("n_segments", 0) + segs
         self._write_meta(meta)
         return self
 
@@ -626,7 +648,7 @@ class PartitionedHnswIndex:
         ids = [i for i in ids]
         if not ids:
             return self
-        meta = self.meta()
+        meta = self._read_meta_for_rw()
         hits = (
             self._segments_scan(meta)
             .select("segment_id", F.explode("ids").alias("_id"))
@@ -654,7 +676,7 @@ class PartitionedHnswIndex:
         must fail loudly instead of silently re-sharding the index."""
         import pandas as pd
 
-        meta = self.meta()
+        meta = self._read_meta_for_rw()
         id_col, vector_col = meta["id_col"], meta["vector_col"]
         deleted = {sid: frozenset(v) for sid, v in meta.get("deleted", {}).items()}
 
@@ -690,7 +712,6 @@ class PartitionedHnswIndex:
         )
         gen, segs, _rows = self._write_generation(segments)
         meta["generations"] = [gen]
-        meta["n_segments"] = segs
         meta["deleted"] = {}
         if shards is not None:
             meta["shards"] = shards
