@@ -226,12 +226,25 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
         ef_construction=64,
         ef_search=64,
     )
+    # ... and the SERVED path: the materialized segment index (per-
+    # partition graphs + S×k TakeOrdered merge) — segment-local searches
+    # can only raise recall vs the single global graph above, and this
+    # measures the path hnsw_index_topk actually executes
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    shutil.rmtree("/tmp/eval_hnsw_idx", ignore_errors=True)
+    hnsw_idx = PartitionedHnswIndex(spark, "/tmp/eval_hnsw_idx").build(
+        emb_tbl, vector_col="embedding", id_col="vec_id", shards=8
+    )
 
     systems = {f"ivf nProbe={p}": p for p in (1, 2, 4)}
     overlaps: "dict[str, list[float]]" = {name: [] for name in systems}
     overlaps["lsh (4x4-bit tables)"] = []
     overlaps["pq_adc (16x6-bit)"] = []
     overlaps["hnsw (m=16, efC=64, efS=64)"] = []
+    overlaps["hnsw index (8 segments, served)"] = []
     for _qid, qtext in queries:
         qv = [float(x) for x in emb.embed_numpy([qtext])[0]]
         exact = {r.vec_id for r in vector_search(emb_tbl, qv, k=K, vector_col="embedding", id_col="vec_id").collect()}
@@ -246,6 +259,8 @@ def _ann_vs_exact_section(spark, corpus, emb, queries, pq_model, encoded) -> "li
         overlaps["hnsw (m=16, efC=64, efS=64)"].append(
             len(set(hnsw_ids[hidx].tolist()) & exact) / K
         )
+        got = {r.vec_id for r in hnsw_idx.search(qv, k=K).collect()}
+        overlaps["hnsw index (8 segments, served)"].append(len(got & exact) / K)
 
     lines = [
         "",
