@@ -914,3 +914,149 @@ def test_register_auto_sniffs_index_kind(spark, tables, tmp_path):
     assert "PartitionFilters" in plan_report(vs2.sql(_strict_topk_sql(q, k=5))).raw
     with pytest.raises(ValueError, match="no meta.json"):
         VectorSqlSession(spark).register_auto("documents", str(tmp_path))
+
+
+# ===========================================================================
+# HNSW whole-query serve (r14)
+# ===========================================================================
+
+
+@pytest.fixture()
+def hnswsql(spark, tables, tmp_path):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    PartitionedHnswIndex(spark, str(tmp_path / "hnsw")).build(
+        tables["embeddings"], vector_col="embedding", id_col="vec_id", shards=4
+    )
+    vs = VectorSqlSession(spark)
+    vs.register_hnsw_index("embeddings", str(tmp_path / "hnsw"))
+    return vs
+
+
+def test_hnsw_raw_sql_serves_and_matches_index(hnswsql, spark, tmp_path):
+    """An HNSW registration serves the strict top-k shape whole through
+    PartitionedHnswIndex.search — segment-local graph beam searches, no
+    scan of the raw table — with bit parity against the engine path."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    q = _qvec()
+    df = hnswsql.sql(_strict_topk_sql(q))
+    raw = plan_report(df).raw
+    # the serve is the segments scan + MapInPandas beam, not the raw view
+    assert "MapInPandas" in raw
+    assert "segments" in raw and "embeddings.parquet" not in raw
+    assert df.columns == ["vec_id", "score"]
+    got = [(r["vec_id"], r["score"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in PartitionedHnswIndex(spark, str(tmp_path / "hnsw"))
+        .search(q, k=10, round_scores=4)
+        .collect()
+    ]
+    assert got == want  # bit parity with PartitionedHnswIndex.search
+
+
+def test_hnsw_projection_order_and_alias_respected(hnswsql):
+    q = _qvec()
+    sql = (
+        "SELECT round(cosine_sim(embedding, "
+        + _arr_sql(q)
+        + "), 4) AS sim, vec_id FROM embeddings ORDER BY sim DESC LIMIT 5"
+    )
+    df = hnswsql.sql(sql)
+    assert df.columns == ["sim", "vec_id"]
+    assert "MapInPandas" in plan_report(df).raw
+    assert df.count() == 5
+
+
+def test_hnsw_unrecognized_shape_passes_through(hnswsql):
+    """Shapes outside the strict two-projection contract fall back to the
+    correct (unpruned) full scan — same conservatism as the other legs."""
+    q = _qvec()
+    extra_col = (
+        "SELECT vec_id, label, cosine_sim(embedding, "
+        + _arr_sql(q)
+        + ") AS score FROM embeddings ORDER BY score DESC LIMIT 5"
+    )
+    df = hnswsql.sql(extra_col)
+    assert "MapInPandas" not in plan_report(df).raw  # full scan
+    assert df.count() == 5
+    foreign_tb = (
+        "SELECT vec_id, round(cosine_sim(embedding, "
+        + _arr_sql(q)
+        + "), 4) AS score FROM embeddings ORDER BY score DESC, label LIMIT 5"
+    )
+    assert "MapInPandas" not in plan_report(hnswsql.sql(foreign_tb)).raw
+    wrong_id = (
+        "SELECT label, round(cosine_sim(embedding, "
+        + _arr_sql(q)
+        + "), 4) AS score FROM embeddings ORDER BY score DESC LIMIT 5"
+    )
+    assert "MapInPandas" not in plan_report(hnswsql.sql(wrong_id)).raw
+
+
+def test_hnsw_registration_exclusive_with_other_vector_paths(spark, tables, tmp_path):
+    """One vector access path per table, all three kinds pairwise."""
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    vs = VectorSqlSession(spark)
+    vs.register_hnsw_index("embeddings", str(tmp_path / "h_x"))
+    with pytest.raises(ValueError, match="already has an HNSW registration"):
+        vs.register_index("embeddings", str(tmp_path / "i_x"), n_probe=1)
+    with pytest.raises(ValueError, match="already has an HNSW registration"):
+        vs.register_lsh_index("embeddings", str(tmp_path / "l_x"))
+    vs2 = VectorSqlSession(spark)
+    vs2.register_index("embeddings", str(tmp_path / "i_y"), n_probe=1)
+    with pytest.raises(ValueError, match="already has an IVF registration"):
+        vs2.register_hnsw_index("embeddings", str(tmp_path / "h_y"))
+    vs3 = VectorSqlSession(spark)
+    vs3.register_lsh_index("embeddings", str(tmp_path / "l_z"))
+    with pytest.raises(ValueError, match="already has an LSH registration"):
+        vs3.register_hnsw_index("embeddings", str(tmp_path / "h_z"))
+
+
+def test_register_auto_sniffs_hnsw(hnswsql, spark, tables, tmp_path):
+    """register_auto discriminates the HNSW meta (kind == 'vector-hnsw')
+    and the resulting registration actually serves."""
+    vs = VectorSqlSession(spark)
+    assert vs.register_auto("embeddings", str(tmp_path / "hnsw"), ef_search=64) == "hnsw"
+    df = vs.sql(_strict_topk_sql(_qvec(), k=5))
+    assert "MapInPandas" in plan_report(df).raw
+    assert df.count() == 5
+
+
+def test_hybrid_cte_with_hnsw_vector_leg(hnswsql, spark, tables, tmp_path):
+    """CTE composition extends to the HNSW serve: a hybrid whose vector
+    leg is HNSW-served and whose keyword leg is BM25-served gets both
+    index access paths in one query."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+    )
+
+    docs = tables["documents"]
+    docs.createOrReplaceTempView("documents")
+    Bm25Index(spark, str(tmp_path / "bm25_h")).build(docs)
+    hnswsql.register_bm25_index("documents", str(tmp_path / "bm25_h"))
+    q = _qvec()
+    sql = f"""
+    WITH kw_top AS (
+      SELECT doc_id, round(bm25_score(text, '{_HQ}'), 4) AS s
+      FROM documents ORDER BY s DESC, doc_id LIMIT 10
+    ),
+    vec_top AS (
+      SELECT vec_id, round(cosine_sim(embedding, {_arr_sql(q)}), 4) AS s
+      FROM embeddings ORDER BY s DESC, vec_id LIMIT 10
+    )
+    SELECT kw_top.doc_id, kw_top.s AS kw_s, vec_top.s AS vec_s
+    FROM kw_top FULL OUTER JOIN vec_top ON kw_top.doc_id = vec_top.vec_id
+    ORDER BY coalesce(kw_top.s, 0) + coalesce(vec_top.s, 0) DESC LIMIT 10
+    """
+    df = hnswsql.sql(sql)
+    raw = plan_report(df).raw
+    assert "bucket" in raw  # the BM25 leg's partition filter
+    assert "MapInPandas" in raw  # the HNSW leg's segment beam serve
+    assert df.count() == 10

@@ -520,9 +520,21 @@ class PartitionedHnswIndex:
         dirs = [os.path.join(self._segments_root(), g) for g in meta["generations"]]
         return self.spark.read.parquet(*dirs)
 
-    def search(self, query, k: int = 10, ef_search: "int | None" = None):
+    def search(
+        self,
+        query,
+        k: int = 10,
+        ef_search: "int | None" = None,
+        round_scores: "int | None" = None,
+    ):
         """Global top-k by cosine similarity: segment-local beam searches
-        -> TakeOrderedAndProject merge of the S×k candidates."""
+        -> TakeOrderedAndProject merge of the S×k candidates.
+
+        `round_scores` quantizes scores BEFORE the global merge (with the
+        id tiebreak) — the same contract as IvfIndex/LshIndex serving, so
+        the raw-SQL `round(cosine_sim(...), d)` shape ranks identically on
+        every access path. The segment-LOCAL cut stays unrounded (it is
+        already approximate by beam construction)."""
         import pandas as pd
         from pyspark.sql import functions as F
 
@@ -555,7 +567,11 @@ class PartitionedHnswIndex:
                         if doc in dead:
                             continue
                         keep_ids.append(doc)
-                        keep_scores.append(float(s))
+                        keep_scores.append(
+                            round(float(s), round_scores)
+                            if round_scores is not None
+                            else float(s)
+                        )
                         if len(keep_ids) >= k:
                             break
                     yield pd.DataFrame({id_col: keep_ids, "score": keep_scores})

@@ -67,6 +67,13 @@ contract), and `register_lsh_index` serves the same shape from the
 the `lsh_ann_topk` engine path). One vector registration per table —
 a second one raises rather than leave the access path ambiguous.
 
+Round 14 adds the HNSW leg: `register_hnsw_index` serves the same
+strict shape whole through `PartitionedHnswIndex.search` (segment-local
+graph beam searches merged by one S×k TakeOrdered — the raw-SQL twin of
+the `hnsw_index_topk` engine path). HNSW scores its candidates with
+exact cosine, so unlike quantized IVF/LSH it needs no exact_source
+rerank; the registered approximation is candidate recall only.
+
 Round 10 (judge r9 directive #4) adds the KEYWORD leg and composition:
 
   * `register_bm25_index(table, path)` + the top-k shape
@@ -227,6 +234,7 @@ class VectorSqlSession:
         self.plane = dataplane if dataplane is not None else _mt._DEFAULT_DATAPLANE
         self._indexes: dict[str, tuple[str, int, "DataFrame | None"]] = {}
         self._lsh: dict[str, tuple[str, "DataFrame | None"]] = {}
+        self._hnsw: dict[str, tuple[str, "int | None"]] = {}
         self._bm25: dict[str, str] = {}
         self._embedders: set[str] = set()
         register_cosine_sql(spark)
@@ -280,9 +288,10 @@ class VectorSqlSession:
         over an existing LSH registration raises rather than serve an
         ambiguous access path."""
         key = table.lower()
-        if key in self._lsh:
+        if key in self._lsh or key in self._hnsw:
+            other = "an LSH" if key in self._lsh else "an HNSW"
             raise ValueError(
-                f"table {table!r} already has an LSH registration — one "
+                f"table {table!r} already has {other} registration — one "
                 "vector access path per table (unregister or use a view)"
             )
         self._indexes[key] = (index_path, n_probe, exact_source)
@@ -307,22 +316,55 @@ class VectorSqlSession:
         serve declines to the correct full scan. Same
         one-registration-per-table rule as register_index."""
         key = table.lower()
-        if key in self._indexes:
+        if key in self._indexes or key in self._hnsw:
+            other = "an IVF" if key in self._indexes else "an HNSW"
             raise ValueError(
-                f"table {table!r} already has an IVF registration — one "
+                f"table {table!r} already has {other} registration — one "
                 "vector access path per table (unregister or use a view)"
             )
         self._lsh[key] = (index_path, exact_source)
 
+    def register_hnsw_index(
+        self,
+        table: str,
+        index_path: str,
+        ef_search: "int | None" = None,
+    ) -> None:
+        """Declare that vector top-k queries against `table` are served
+        by the PartitionedHnswIndex at `index_path`: the recognized
+        strict top-k shape (SELECT <id>, [round(]cosine_sim(<vcol>,
+        <probe>)[, d)] AS s FROM <table> ORDER BY s DESC[, <id>] LIMIT k)
+        is served through PartitionedHnswIndex.search — segment-local
+        beam searches merged by one S×k TakeOrdered, no Exchange, no
+        full-table scan. HNSW is approximate in CANDIDATE RECALL by
+        construction (the graph beam may miss a true neighbor — the
+        reference's own `vector-hnsw` contract, MongoDbService.cs:119-143);
+        registering IS the opt-in to that recall, exactly like
+        register_lsh_index. Scores on the served candidates are exact
+        cosine (the graph kernel computes true similarities on every
+        visited node), so no exact_source rerank is needed — there is no
+        quantization error to undo. `ef_search` overrides the beam width
+        stored at build time for every serve through this registration.
+        Same one-vector-registration-per-table rule as the other two."""
+        key = table.lower()
+        if key in self._indexes or key in self._lsh:
+            other = "an IVF" if key in self._indexes else "an LSH"
+            raise ValueError(
+                f"table {table!r} already has {other} registration — one "
+                "vector access path per table (unregister or use a view)"
+            )
+        self._hnsw[key] = (index_path, ef_search)
+
     def register_auto(self, table: str, index_path: str, **kwargs) -> str:
         """Sniff the index KIND from the dir's meta.json and route to
-        the matching register_* call; returns 'ivf' | 'lsh' | 'bm25'.
-        The discriminating fields are each builder's own schema
-        (IvfIndex: num_lists; LshIndex: tables+bits; Bm25Index:
-        n_buckets) — an unrecognizable dir raises rather than guess an
-        access path. kwargs pass through (n_probe / exact_source for
-        IVF, exact_source for LSH); the one-vector-registration-per-
-        table rule applies unchanged."""
+        the matching register_* call; returns 'ivf' | 'lsh' | 'hnsw' |
+        'bm25'. The discriminating fields are each builder's own schema
+        (IvfIndex: num_lists; LshIndex: tables+bits; HNSW: kind ==
+        'vector-hnsw'; Bm25Index: n_buckets) — an unrecognizable dir
+        raises rather than guess an access path. kwargs pass through
+        (n_probe / exact_source for IVF, exact_source for LSH,
+        ef_search for HNSW); the one-vector-registration-per-table rule
+        applies unchanged."""
         import json
 
         try:
@@ -337,6 +379,9 @@ class VectorSqlSession:
         if "tables" in m and "bits" in m:
             self.register_lsh_index(table, index_path, **kwargs)
             return "lsh"
+        if m.get("kind") == "vector-hnsw":
+            self.register_hnsw_index(table, index_path, **kwargs)
+            return "hnsw"
         if "n_buckets" in m:
             if kwargs:
                 raise TypeError(
@@ -766,13 +811,14 @@ class VectorSqlSession:
         """Whole-query serve for vector indexes whose stored scoring
         column differs from the table's (quantized int8/PQ IVF) or whose
         layout is not a column-compatible pruned view (LSH's
-        (table, bucket)-partitioned copies): the recognized STRICT top-k
-        shape
+        (table, bucket)-partitioned copies; HNSW's serialized segment
+        graphs): the recognized STRICT top-k shape
             SELECT <id>, [round(]cosine_sim(<vcol>, <literal>)[, <d>)] AS s
             FROM <table> ORDER BY s DESC[, <id>] LIMIT k
         returns the index's own search() result (IvfIndex.search with the
         registered exact_source rerank / LshIndex.search — r10 directive
-        #2), columns named and ordered as the user's SELECT list. Same
+        #2 — / PartitionedHnswIndex.search, r14), columns named and
+        ordered as the user's SELECT list. Same
         conservatism as the other rules: one FROM, no derived table, no
         aggregation/window/WHERE/JOIN, the ORDER BY alias resolving to
         the one cosine_sim projection, any tiebreak only on the id column
@@ -796,7 +842,8 @@ class VectorSqlSession:
         table = fm.group("table").lower()
         lsh_reg = self._lsh.get(table)
         ivf_reg = self._indexes.get(table)
-        if lsh_reg is None and ivf_reg is None:
+        hnsw_reg = self._hnsw.get(table)
+        if lsh_reg is None and ivf_reg is None and hnsw_reg is None:
             return None
         if len(_FROM_RE.findall(masked)) != 1:
             return None
@@ -854,6 +901,29 @@ class VectorSqlSession:
                 # is not) — without an exact_source rerank, decline to
                 # the correct full scan
                 return None
+        elif hnsw_reg is not None:
+            from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+                _SEGMENT_LAYOUT,
+                PartitionedHnswIndex,
+            )
+
+            index_path, ef_search = hnsw_reg
+            idx = PartitionedHnswIndex(self.spark, index_path, dataplane=self.plane)
+            if not idx.exists():
+                return None
+            m = idx.meta()
+            if m.get("layout") != _SEGMENT_LAYOUT:
+                # a pre-current on-disk segment format would raise deep in
+                # the serve — decline to the correct full scan instead
+                return None
+            if vec_col.lower() != str(m.get("vector_col", "")).lower():
+                return None
+            if user_id.lower() != str(m.get("id_col", "")).lower():
+                return None
+            # no quantization gate: HNSW candidates carry EXACT cosine
+            # scores (the graph kernel scores every visited node against
+            # the true vectors) — approximation lives only in candidate
+            # recall, which registering opted into
         else:
             from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
@@ -891,6 +961,8 @@ class VectorSqlSession:
             return None
         if lsh_reg is not None:
             out = idx.search(qvec, k=k, round_scores=round_d, exact_source=exact)
+        elif hnsw_reg is not None:
+            out = idx.search(qvec, k=k, ef_search=ef_search, round_scores=round_d)
         else:
             out = idx.search(
                 qvec,
