@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "vocab_top_terms",
     "domain_audit",
+    "distinct_cardinality_kmv",
+    "data_quality_report",
     "source_capped_sample",
     "summarize_labels",
     "rolling_fingerprints",
@@ -213,9 +215,13 @@ def _median_of(run, n: int = 3) -> "tuple[float, list[float]]":
 def _bench_sql_serves(spark, q) -> dict:
     """Median-of-3 timings for the raw-SQL-served vector paths: the
     quantized (int8) IVF whole-query serve with mandatory exact rerank,
-    and the LSH whole-query serve. Indexes build OFFLINE (cached under
-    the engine's index tablespace, exactly like prewarm_indexes) so the
-    rows measure serving, not build."""
+    the LSH whole-query serve, and (r14) the HNSW segment-beam serve.
+    Indexes build OFFLINE (cached under the engine's index tablespace,
+    exactly like prewarm_indexes) so the rows measure serving, not
+    build."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
     from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
     from vector_search_ai_assistant_mongodbvcore_spark.plans.sql_rewrite import (
@@ -232,6 +238,9 @@ def _bench_sql_serves(spark, q) -> dict:
         emb, dims=len(q._QV_ANN), bits=q._LSH_ANN_BITS, tables=q._LSH_ANN_TABLES,
         vector_col="embedding", id_col="vec_id",
     )
+    PartitionedHnswIndex(spark, q._cache_dir(SF_DIR, "hnsw_embeddings")).build_if_absent(
+        emb, vector_col="embedding", id_col="vec_id", shards=8
+    )
     emb.createOrReplaceTempView("embeddings")
     vec_lit = "array(" + ", ".join(f"{float(x)!r}D" for x in q._QV_ANN) + ")"
     sql = (
@@ -240,7 +249,7 @@ def _bench_sql_serves(spark, q) -> dict:
     )
 
     out: dict[str, float] = {}
-    for name, register in (
+    for name, register, serve_marker in (
         (
             "ivf_quantized_sql_topk",
             lambda vs: vs.register_index(
@@ -249,12 +258,23 @@ def _bench_sql_serves(spark, q) -> dict:
                 n_probe=4,
                 exact_source=emb,
             ),
+            "PartitionFilters",
         ),
         (
             "lsh_sql_topk",
             lambda vs: vs.register_lsh_index(
                 "embeddings", q._cache_dir(SF_DIR, "lsh_embeddings")
             ),
+            "PartitionFilters",
+        ),
+        (
+            # the HNSW serve has no partition filter — its plan marker is
+            # the segment-local MapInPandas beam search
+            "hnsw_sql_topk",
+            lambda vs: vs.register_hnsw_index(
+                "embeddings", q._cache_dir(SF_DIR, "hnsw_embeddings")
+            ),
+            "MapInPandas",
         ),
     ):
         vs = VectorSqlSession(spark)
@@ -268,7 +288,7 @@ def _bench_sql_serves(spark, q) -> dict:
         )
 
         served = vs.sql(sql)
-        if "PartitionFilters" not in plan_report(served).raw:
+        if serve_marker not in plan_report(served).raw:
             raise RuntimeError(
                 f"{name}: the SQL serve declined to a full scan — fix the "
                 "registration/index before recording a bench row"

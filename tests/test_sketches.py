@@ -1,0 +1,134 @@
+"""KMV distinct-cardinality sketch (operators/sketches.py): estimator
+accuracy, the lossless per-partition reduce, the exact-below-k regime,
+NULL semantics, merge composability, and DuckDB bit-parity of the
+portable hash + estimator arithmetic."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_hash,
+    kmv_merge,
+    kmv_profile,
+    kmv_smallest,
+)
+
+
+def test_hash_matches_duckdb_bit_for_bit(spark):
+    """The 60-bit portable hash: Spark conv(substr(md5)) == DuckDB
+    CAST('0x' || substr(md5) AS UBIGINT) on the same rendered values."""
+    vals = ["hello", "a", "", "42", "naïve ünïcode", "multi word text"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", kmv_hash(F.col("v")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5('kmv:' || ?), 1, 15) AS UBIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_below_k_regime_is_exact(spark):
+    """Cardinality < k: the sketch IS the distinct set, the estimate is
+    the exact count as an integral double."""
+    df = spark.range(0, 1000).select((F.col("id") % 37).alias("v"))
+    est = kmv_distinct(df, "v", k=256).collect()[0]["approx_distinct"]
+    assert est == 37.0
+
+
+def test_estimator_within_error_bound(spark):
+    """Sketch regime: n distinct >> k. The (k-1)/U_(k) estimator has
+    stddev ~ n/sqrt(k-2) (~6.3% at k=256); the fixed hash makes the
+    realized error deterministic — assert a 4-sigma envelope so the
+    test pins accuracy without pinning one magic value."""
+    n = 20_000
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    est = kmv_distinct(df, "v", k=256).collect()[0]["approx_distinct"]
+    assert abs(est - n) / n < 4 / (254**0.5)  # < ~25%
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    """The sketch sees hashes, not rows: massive duplication of the same
+    values yields the identical sketch and estimate."""
+    base = spark.range(0, 5000).select(F.col("id").alias("v"))
+    dup = base.unionByName(base).unionByName(base)
+    e1 = kmv_distinct(base, "v", k=128).collect()[0]["approx_distinct"]
+    e2 = kmv_distinct(dup, "v", k=128).collect()[0]["approx_distinct"]
+    assert e1 == e2
+
+
+def test_partition_reduce_is_lossless(spark):
+    """kmv_smallest's per-partition bounded reduce must equal the plain
+    global DISTINCT-sort-limit over the hashed column, for any
+    partitioning of the input."""
+    df = spark.range(0, 8000).select(F.col("id").alias("v"))
+    for parts in (1, 7, 32):
+        sk = kmv_smallest(df.repartition(parts), "v", k=64)
+        plain = (
+            df.select(kmv_hash(F.col("v")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(64)
+        )
+        assert [r["h"] for r in sk.collect()] == [r["h"] for r in plain.collect()]
+
+
+def test_nulls_are_excluded(spark):
+    """COUNT(DISTINCT) semantics: NULL never contributes a hash."""
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,), ("a",)], "v string"
+    )
+    est = kmv_distinct(df, "v", k=16).collect()[0]["approx_distinct"]
+    assert est == 2.0
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """KMV composability: merging two datasets' sketches equals the
+    sketch of their union — the property that lets per-shard profiling
+    answer union cardinalities without a rescan."""
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("v"))
+    merged = kmv_merge([kmv_smallest(a, "v", k=64), kmv_smallest(b, "v", k=64)], k=64)
+    whole = kmv_smallest(a.unionByName(b), "v", k=64)
+    assert [r["h"] for r in merged.collect()] == [r["h"] for r in whole.collect()]
+
+
+def test_k_below_two_raises(spark):
+    df = spark.range(3).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_smallest(df, "v", k=1)
+
+
+def test_profile_row_shape_and_exact_column(spark, tables):
+    """kmv_profile: entity label, estimate, exact count, relative error —
+    and the exact column agrees with a direct countDistinct."""
+    row = kmv_profile(tables["events"], "user_id", k=256, entity="events.user_id").collect()[0]
+    exact = tables["events"].agg(F.count_distinct("user_id")).collect()[0][0]
+    assert row["entity"] == "events.user_id"
+    assert row["exact_distinct"] == exact
+    assert row["approx_distinct"] == float(exact)  # below-k regime here
+    assert row["rel_err_pct"] == 0.0
+
+
+def test_sketch_plan_is_bounded_not_full_distinct(spark):
+    """The scale claim, plan-asserted: the sketch path's only wide stage
+    runs over the per-partition-reduced (<= P*k rows) frame — the
+    MapInPandas reduce sits BELOW the exchange, so the shuffle never
+    carries the raw distinct set."""
+    df = spark.range(0, 50_000).select(F.col("id").alias("v")).repartition(8)
+    sk = kmv_smallest(df, "v", k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # the reduce feeds the exchange: MapInPandas appears under (after, in
+    # bottom-up print order) the first Exchange in the string
+    assert "MapInPandas" in plan
+    map_pos = plan.index("MapInPandas")
+    exch_pos = plan.index("Exchange")
+    assert exch_pos < map_pos, "per-partition reduce must run before the shuffle"

@@ -1,0 +1,162 @@
+"""KMV (k-minimum-values) distinct-cardinality sketch — single-scan,
+bounded-memory COUNT(DISTINCT) estimation for 100 TB profiling.
+
+Why an engine operator: exact COUNT(DISTINCT key) at warehouse scale
+shuffles every distinct key (the partial HashAggregate dedups only
+within a partition — the exchange still carries the full distinct set).
+A KMV sketch reduces each partition to its k smallest DISTINCT 60-bit
+hashes inside the scan (bounded memory: one k-vector per partition),
+so the only exchange is <= P*k longs regardless of data volume, and the
+merged sketch estimates the global cardinality within ~1/sqrt(k-2)
+relative error (k=256 -> ~6%; k=4096 -> ~1.6%).
+
+The estimator is the classic unbiased KMV form (Bar-Yossef et al. 2002;
+Beyer et al., SIGMOD 2007): with U_(k) the k-th smallest of n distinct
+values hashed uniformly into [0, 1),  n_hat = (k-1) / U_(k).  Hashes
+here are the first 15 hex chars of md5 (60 bits — portable: Spark
+`conv(substring(md5(x), 1, 15), 16, 10)` equals DuckDB
+`CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT)` bit-for-bit, the same
+discipline operators/splits.py uses), so U_(k) = h_(k) / 2^60 and
+
+    n_hat = (k-1) * 2^60 / h_(k)        (exact count when n < k)
+
+Every step is DETERMINISTIC and engine-portable: per-bucket minima are
+integer comparisons, the reduction is lossless (see kmv_smallest), and
+the one floating-point division runs on exact integer inputs — the
+Spark result and an ANSI-SQL twin agree to the bit, which is what lets
+the gate hash-compare `distinct_cardinality_kmv` against DuckDB.
+
+The reference has no sketch surface (its collections are mongo-vcore
+documents; profiling is out of scope there) — this module is part of
+the training-data-pipeline tier the brief adds on top, next to
+operators/profile.py's exact single-scan aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_hash", "kmv_smallest", "kmv_merge", "kmv_distinct", "kmv_profile"]
+
+# 2^60 — the hash domain size; exactly representable as a double (one
+# significant bit), so `k-1 * 2^60` products stay exact for any k < 2^52
+_DOMAIN = 1 << 60
+
+
+def kmv_hash(col: Column, salt: str = "kmv") -> Column:
+    """Uniform 60-bit hash of a column value: the first 15 hex chars of
+    md5("<salt>:<value>") as a LONG. Portable across engines (DuckDB:
+    CAST('0x' || substr(md5(...), 1, 15) AS UBIGINT)). `salt` decorrelates
+    this hash family from the splits/sampling md5 buckets so a sketch
+    over a split column is independent of the split assignment."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_smallest(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> DataFrame:
+    """The k smallest DISTINCT 60-bit hashes of non-null `col` values, as
+    a <=k-row DataFrame ["h" long] — the sketch itself.
+
+    Scale path: a per-partition LOSSLESS bounded reduce (each scan
+    partition keeps only its own k smallest distinct hashes via a numpy
+    running-unique inside mapInPandas — memory is one k-vector, never
+    the partition's distinct set), then one distinct + TakeOrdered over
+    the <= P*k survivors. Lossless because each of the global k smallest
+    distinct hashes lives in SOME partition, where it is by definition
+    among that partition's k smallest distinct — so the pre-reduce can
+    never evict a global survivor. NULLs are excluded, matching
+    COUNT(DISTINCT) semantics."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/U_(k) estimator, got {k}")
+    import numpy as np
+    import pandas as pd
+
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        kmv_hash(F.col(col), salt).alias("h")
+    )
+
+    def local_kmin(batches):
+        best = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy(dtype="int64")
+            pool = vals if best is None else np.concatenate([best, vals])
+            best = np.unique(pool)[:k]  # sorted distinct, keep k smallest
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    local = hashed.mapInPandas(local_kmin, "h long")
+    # <= P*k rows from here on: the dedup + global cut are tiny
+    return local.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(sketches: "list[DataFrame]", k: int = 256) -> DataFrame:
+    """Merge sketches (same k, same salt) into the sketch of the UNION of
+    their underlying datasets — k smallest distinct hashes across all
+    inputs. Sketch composability is the point of KMV: a per-shard /
+    per-day profiling job keeps one k-vector per dataset and answers
+    union cardinalities without rescanning anything."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy("h").limit(k)
+
+
+def _estimate_col(k: int) -> Column:
+    """(k-1) * 2^60 / h_(k) on the sketch aggregate (n = sketch size,
+    hk = max hash); exact count when the sketch is not full. All inputs
+    are exact integers, so the single double division is bit-portable."""
+    return F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(k - 1).cast("double")
+        * F.lit(_DOMAIN).cast("double")
+        / F.col("hk").cast("double")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """One-row DataFrame ["approx_distinct" double]: the KMV estimate of
+    COUNT(DISTINCT col). Exact (and integral) when the true cardinality
+    is below k; otherwise within ~1/sqrt(k-2) relative error."""
+    sk = kmv_smallest(df, col, k, salt)
+    agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    return agg.select(_estimate_col(k).alias("approx_distinct"))
+
+
+def kmv_profile(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    salt: str = "kmv",
+    entity: "str | None" = None,
+) -> DataFrame:
+    """One-row (entity, approx_distinct, exact_distinct, rel_err_pct):
+    the sketch estimate NEXT TO the exact COUNT(DISTINCT) — the
+    verification shape the `distinct_cardinality_kmv` gate query records
+    (at 100 TB you would run only the sketch half; the exact column is
+    what makes the estimate auditable at gate scale). rel_err_pct mirrors
+    the SQL `100.0 * (approx - exact) / exact` left-associated, so the
+    float result is bit-identical to the DuckDB twin."""
+    sk = kmv_smallest(df, col, k, salt)
+    agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    row = agg.crossJoin(exact).select(
+        F.lit(entity or col).alias("entity"),
+        _estimate_col(k).alias("approx_distinct"),
+        F.col("exact_distinct"),
+    )
+    return row.withColumn(
+        "rel_err_pct",
+        F.round(
+            F.lit(100.0)
+            * (F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ),
+    )

@@ -1745,6 +1745,226 @@ def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(t["documents"])
 
 
+# (table, column) pairs profiled by the KMV gate query: two regimes —
+# above-k cardinalities exercise the (k-1)/U_(k) estimator, below-k ones
+# the exact-count branch
+_KMV_K = 256
+_KMV_ENTITIES = [
+    ("lineitem", "l_orderkey"),  # ~15k distinct at sf0.01: sketch regime
+    ("lineitem", "l_partkey"),   # ~2k distinct: sketch regime
+    ("orders", "o_custkey"),     # ~1.5k distinct: sketch regime
+    ("events", "user_id"),       # ~150 distinct: exact (< k) regime
+    ("events", "event_type"),    # 5 distinct: exact regime
+]
+
+
+def _kmv_oracle() -> str:
+    legs = []
+    for tbl, col in _KMV_ENTITIES:
+        legs.append(f"""
+      SELECT '{tbl}.{col}' AS entity,
+             CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                       * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(max(h) AS DOUBLE) END AS approx_distinct,
+             (SELECT count(DISTINCT {col}) FROM {tbl}) AS exact_distinct
+      FROM (
+        SELECT DISTINCT CAST('0x' || substr(md5('kmv:' || CAST({col} AS VARCHAR)), 1, 15) AS UBIGINT) AS h
+        FROM {tbl} WHERE {col} IS NOT NULL
+        ORDER BY h LIMIT {_KMV_K}
+      )""")
+        # 1152921504606846976 = 2^60, the kmv_hash domain (exactly
+        # representable as a double, so the product stays exact)
+    inner = " UNION ALL ".join(legs)
+    return (
+        "SELECT entity, approx_distinct, exact_distinct, "
+        "round(100.0 * (approx_distinct - exact_distinct) / exact_distinct, 4) "
+        f"AS rel_err_pct FROM ({inner})"
+    )
+
+
+# Data-quality contract spec: ONE list drives both the Spark constraints
+# and the DuckDB oracle legs, so names/thresholds/metric arithmetic can
+# never drift between the engines.
+_DQ_SPEC = [
+    (
+        "orders",
+        [
+            ("completeness", "o_custkey", 1.0),
+            ("uniqueness", "o_orderkey", 1.0),
+            ("compliance", "o_totalprice > 0", 1.0),
+            ("compliance", "o_orderstatus IN ('O', 'F', 'P')", 1.0),
+            ("row_count", 1000, None),
+            ("mean_between", "o_totalprice", 1000.0, 500000.0),
+        ],
+    ),
+    (
+        "documents",
+        [
+            ("completeness", "text", 1.0),
+            ("uniqueness", "doc_id", 1.0),
+            ("compliance", "n_chars >= 10", 0.95),
+            ("mean_between", "n_chars", 100.0, 20000.0),
+        ],
+    ),
+]
+
+
+def _dq_constraints(items):
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        completeness,
+        compliance,
+        mean_between,
+        row_count,
+        uniqueness,
+    )
+
+    out = []
+    for it in items:
+        kind = it[0]
+        if kind == "completeness":
+            out.append(completeness(it[1], it[2]))
+        elif kind == "uniqueness":
+            out.append(uniqueness(it[1], it[2]))
+        elif kind == "compliance":
+            out.append(compliance(it[1], it[2]))
+        elif kind == "row_count":
+            out.append(row_count(it[1], it[2]))
+        elif kind == "mean_between":
+            out.append(mean_between(it[1], it[2], it[3]))
+        else:  # pragma: no cover - spec typo guard
+            raise ValueError(kind)
+    return out
+
+
+def _dq_oracle() -> str:
+    """The DuckDB twin of data_quality_report, generated from _DQ_SPEC
+    with contracts.rule_name supplying the rule strings (the same pure
+    function the live Constraint objects name themselves through — no
+    SparkContext needed at import). Each dataset contributes one
+    aggregate CTE (the single-scan shape) and one UNION ALL leg per
+    constraint, with metric arithmetic mirroring operators/contracts.py
+    expression-for-expression (guarded divisions, exact DECIMAL(28,6)
+    sums cast to double once)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        rule_name,
+    )
+
+    ctes, rows = [], []
+    for ds, items in _DQ_SPEC:
+        aggs = []
+        for i, it in enumerate(items):
+            kind = it[0]
+            if kind == "completeness":
+                col, mf = it[1], it[2]
+                aggs += [f"count({col}) AS c{i}_nn", f"count(*) AS c{i}_n"]
+                metric = (
+                    f"CASE WHEN c{i}_n = 0 THEN 1.0 "
+                    f"ELSE CAST(c{i}_nn AS DOUBLE) / CAST(c{i}_n AS DOUBLE) END"
+                )
+                passed = f"metric >= {float(mf)}"
+            elif kind == "uniqueness":
+                col, mf = it[1], it[2]
+                aggs += [f"count(DISTINCT {col}) AS c{i}_d", f"count({col}) AS c{i}_nn"]
+                metric = (
+                    f"CASE WHEN c{i}_nn = 0 THEN 1.0 "
+                    f"ELSE CAST(c{i}_d AS DOUBLE) / CAST(c{i}_nn AS DOUBLE) END"
+                )
+                passed = f"metric >= {float(mf)}"
+            elif kind == "compliance":
+                pred, mf = it[1], it[2]
+                aggs += [
+                    f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS c{i}_ok",
+                    f"count(*) AS c{i}_n",
+                ]
+                metric = (
+                    f"CASE WHEN c{i}_n = 0 THEN 1.0 "
+                    f"ELSE CAST(coalesce(c{i}_ok, 0) AS DOUBLE) / CAST(c{i}_n AS DOUBLE) END"
+                )
+                passed = f"metric >= {float(mf)}"
+            elif kind == "row_count":
+                mn, mx = it[1], it[2]
+                aggs += [f"count(*) AS c{i}_n"]
+                metric = f"CAST(c{i}_n AS DOUBLE)"
+                passed = f"metric >= {float(mn)}"
+                if mx is not None:
+                    passed += f" AND metric <= {float(mx)}"
+            elif kind == "mean_between":
+                col, lo, hi = it[1], it[2], it[3]
+                aggs += [
+                    f"SUM(CAST({col} AS DECIMAL(28,6))) AS c{i}_s",
+                    f"count({col}) AS c{i}_nn",
+                ]
+                metric = (
+                    f"CASE WHEN c{i}_nn = 0 THEN CAST(NULL AS DOUBLE) "
+                    f"ELSE CAST(c{i}_s AS DOUBLE) / CAST(c{i}_nn AS DOUBLE) END"
+                )
+                passed = f"coalesce(metric >= {float(lo)} AND metric <= {float(hi)}, FALSE)"
+            name_sql = rule_name(kind, *it[1:]).replace("'", "''")
+            rows.append(
+                f"SELECT dataset, '{name_sql}' AS rule, metric, {passed} AS passed "
+                f"FROM (SELECT '{ds}' AS dataset, {metric} AS metric FROM agg_{ds})"
+            )
+        ctes.append(f"agg_{ds} AS (SELECT {', '.join(aggs)} FROM {ds})")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
+
+
+@register("data_quality_report", _dq_oracle())
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contracts (operators/contracts.py —
+    the Deequ 'unit tests for data' shape, VLDB 2018): completeness,
+    uniqueness, SQL-predicate compliance, row-count and exact-decimal
+    mean-range expectations over orders + documents, every dataset's
+    constraints compiled into ONE map-combined aggregate scan. Counts
+    are exact longs and each metric is a single guarded IEEE division,
+    so the DuckDB twin (generated from the same _DQ_SPEC) matches to
+    the bit. The reference has no quality-contract surface; this is
+    part of the added training-data tier (the declarative batch twin
+    of streaming/quality.py)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        check,
+    )
+
+    t = _tables(spark, sf_dir)
+    out = None
+    for ds, items in _DQ_SPEC:
+        part = check(t[ds], _dq_constraints(items)).select(
+            F.lit(ds).alias("dataset"),
+            F.col("constraint").alias("rule"),
+            "metric",
+            "passed",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register("distinct_cardinality_kmv", _kmv_oracle())
+def distinct_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cardinality profiling via the KMV sketch
+    (operators/sketches.py): per entity, the k=256-minimum-values
+    estimate of COUNT(DISTINCT) next to the exact count and the relative
+    error. The sketch's per-partition reduce is LOSSLESS for the global
+    k smallest distinct hashes, so the Spark plan (bounded P*k-row merge,
+    never a full distinct shuffle for the sketch half) and the DuckDB
+    twin (a plain DISTINCT ... ORDER BY h LIMIT k) agree to the bit —
+    the approximation lives entirely in the shared estimator arithmetic.
+    The reference has no profiling surface; this is part of the added
+    training-data tier, next to domain_audit."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_profile,
+    )
+
+    t = _tables(spark, sf_dir)
+    parts = [
+        kmv_profile(t[tbl], col, k=_KMV_K, entity=f"{tbl}.{col}")
+        for tbl, col in _KMV_ENTITIES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _CAP_ORACLE = """
     WITH ranked AS (
       SELECT doc_id, source,
@@ -2709,7 +2929,7 @@ _ORDER = [
     "text_stats", "language_id_confusion", "language_id_pred",
     "token_counts_by_source",
     "rolling_fingerprints", "vocab_top_terms", "bpe_merge_ranking",
-    "domain_audit",
+    "domain_audit", "distinct_cardinality_kmv", "data_quality_report",
     # dedup family + training-corpus hygiene (duplicated_ngram_stats
     # retired r8 -> slot for its APPLY form remove_duplicated_spans;
     # DuckDB parity stays in tests/test_retired_queries.py)
@@ -2738,7 +2958,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 53, len(_ORDER)
+assert len(_ORDER) == 55, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
