@@ -68,8 +68,6 @@ BENCH_QUERIES = [
     "pricing_summary",
     "events_conjunctive_filter",
     "conversation_window_events",
-    "latest_events_per_user",
-    "sessionization",
     "payload_concat_by_source",
     "text_stats",
     "cleaned_corpus",

@@ -210,3 +210,42 @@ def test_scalar_function_suite_matches_duckdb(spark):
         )
     ]
     assert got == want
+
+
+def test_latest_events_per_user_matches_duckdb(spark):
+    """Retired r14 (slot -> distinct_cardinality_kmv); the ranked-window
+    shape stays hash-gated by latest_order_lookup + source_capped_sample
+    + conversation_window_events."""
+    got = sorted(tuple(r) for r in Q.latest_events_per_user(spark, SF).collect())
+    want = sorted(
+        _duck(
+            """SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn FROM (
+                 SELECT event_id, user_id,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn <= 3"""
+        )
+    )
+    assert [(g[0], g[1], int(g[2])) for g in got] == [
+        (w[0], w[1], int(w[2])) for w in want
+    ]
+
+
+def test_sessionization_matches_duckdb(spark):
+    """Retired r14 (slot -> data_quality_report); the lag-window shape
+    stays hash-gated by running_value_per_user, the session semantics by
+    tests/test_session_windows.py stream==batch."""
+    got = sorted(tuple(r) for r in Q.sessionization(spark, SF).collect())
+    want = sorted(
+        _duck(
+            """SELECT user_id,
+                      CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                                         AND epoch_us(ts) - epoch_us(prev) > 1800000000
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+               FROM (SELECT user_id, ts,
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                     FROM events)
+               GROUP BY user_id"""
+        )
+    )
+    assert got == [tuple(w) for w in want]

@@ -559,17 +559,14 @@ def conversation_text_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "latest_events_per_user",
-    """
-    SELECT event_id, user_id, rn FROM (
-      SELECT event_id, user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events) WHERE rn <= 3
-    """,
-)
 def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W5: most-recent-first ranking per session."""
+    """W1/W5: most-recent-first ranking per session.
+
+    Retired r14 (slot -> distinct_cardinality_kmv); the ranked-window
+    shape stays hash-gated by latest_order_lookup (W5 latest-first pick),
+    source_capped_sample (partitioned row_number rank) and
+    conversation_window_events (W1-W3 boundary); DuckDB parity in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -627,21 +624,15 @@ def first_exchange_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionization",
-    """
-    SELECT user_id,
-           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) > 1800000000
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-    FROM (SELECT user_id, ts,
-                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-          FROM events)
-    GROUP BY user_id
-    """,
-)
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), the batch analogue of
-    session_window() in the streaming surface."""
+    session_window() in the streaming surface.
+
+    Retired r14 (slot -> data_quality_report); the lag-window shape stays
+    hash-gated by running_value_per_user (per-key ordered window) and the
+    session semantics by the streaming session-window suite
+    (tests/test_session_windows.py stream==batch); DuckDB parity in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # interval comparison instead of unix_micros: works for both TIMESTAMP
@@ -2918,9 +2909,9 @@ _ORDER = [
     # reference operator surface (filters/projections/windows/aggregates)
     "events_conjunctive_filter", "embeddings_projection",
     "conversation_window_events", "latest_order_lookup",
-    "conversation_text_by_user", "latest_events_per_user",
+    "conversation_text_by_user",
     "running_value_per_user", "first_exchange_trigger",
-    "sessionization", "payload_concat_by_source",
+    "payload_concat_by_source",
     # (scalar_function_suite retired r9 -> slot for cleaned_corpus; its
     # shapes are covered several times over by surviving oracles and the
     # suite keeps DuckDB parity in tests/test_retired_queries.py)
@@ -2958,7 +2949,7 @@ _ORDER = [
 assert set(_ORDER) == set(REGISTRY), (
     sorted(set(_ORDER) ^ set(REGISTRY))
 )
-assert len(_ORDER) == 55, len(_ORDER)
+assert len(_ORDER) == 53, len(_ORDER)
 REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 
 
