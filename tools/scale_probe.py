@@ -64,6 +64,7 @@ def main() -> None:
         "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
         "cap_per_source", "remove_spans", "mask_contam", "bpe_encode",
         "component_dedup", "export_bylang", "export_bylang_serial",
+        "kmv_distinct", "dq_contract",
     }
     _EV_OPS = {"asof_attribution"}
     _VEC_OPS = {
@@ -181,12 +182,50 @@ def main() -> None:
             d, export_lang_model, os.path.join(WORK, f"bylangs_{d is docsN}"),
             salt_col="doc_id", files_per_lang=1,
         ).collect(),
+        # replication offsets doc_id per copy, so the distinct set grows
+        # ~Nx while the sketch's exchange stays <= P*k rows — the probe
+        # should stay far under linear (the scan is the only Nx work)
+        "kmv_distinct": lambda d: kmv_distinct(d, "doc_id", k=256)
+        .write.format("noop").mode("overwrite").save(),
+        # the whole multi-constraint contract is ONE map-combined agg
+        # scan — cost must track the scan, not the constraint count
+        "dq_contract": lambda d: check(
+            d,
+            [
+                dq_completeness("text", 1.0),
+                dq_uniqueness("doc_id", 1.0),
+                dq_compliance("n_chars >= 10", 0.5),
+                dq_row_count(1, None),
+                dq_mean_between("n_chars", 0.0, 1e9),
+            ],
+        ).write.format("noop").mode("overwrite").save(),
     }
 
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        check,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        completeness as dq_completeness,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        compliance as dq_compliance,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        mean_between as dq_mean_between,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        row_count as dq_row_count,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        uniqueness as dq_uniqueness,
+    )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import (
         contamination_report,
         remove_contaminated_spans,
         semantic_contamination,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_distinct,
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import importance_weights
     from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
