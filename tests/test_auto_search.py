@@ -62,3 +62,40 @@ def test_routes_to_lsh_index_when_present(spark, tables, tmp_path):
     rep = plan_report(out)
     assert "PartitionFilters" in rep.raw and "bucket" in rep.raw
     assert out.count() == 5
+
+
+def test_routes_to_hnsw_index_when_present(spark, tables, tmp_path):
+    """An HNSW dir (meta kind == 'vector-hnsw') routes to the segment-beam
+    serve, bit-equal to PartitionedHnswIndex.search — and never through
+    the IVF reader (r14: IvfIndex was the catch-all before)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+
+    idx = PartitionedHnswIndex(spark, str(tmp_path)).build(
+        tables["embeddings"], vector_col="embedding", id_col="vec_id", shards=4
+    )
+    q = list(map(float, np.random.RandomState(6).randn(64)))
+    out = auto_search(
+        spark, tables["embeddings"], q, k=5,
+        index_path=str(tmp_path), vector_col="embedding", id_col="vec_id",
+    )
+    raw = plan_report(out).raw
+    assert "MapInPandas" in raw and "PartitionFilters" not in raw
+    got = [(r["vec_id"], r["score"]) for r in out.collect()]
+    want = [(r["vec_id"], r["score"]) for r in idx.search(q, k=5).collect()]
+    assert got == want
+
+
+def test_unknown_index_layout_raises(spark, tables, tmp_path):
+    """A dir with a meta.json matching no index layout must raise, not
+    guess an access path."""
+    import json
+
+    (tmp_path / "meta.json").write_text(json.dumps({"something": "else"}))
+    q = list(map(float, np.random.RandomState(7).randn(64)))
+    with pytest.raises(ValueError, match="no known index layout"):
+        auto_search(
+            spark, tables["embeddings"], q, k=5,
+            index_path=str(tmp_path), vector_col="embedding", id_col="vec_id",
+        )

@@ -47,9 +47,13 @@ _DOMAIN = 1 << 60
 def kmv_hash(col: Column, salt: str = "kmv") -> Column:
     """Uniform 60-bit hash of a column value: the first 15 hex chars of
     md5("<salt>:<value>") as a LONG. Portable across engines (DuckDB:
-    CAST('0x' || substr(md5(...), 1, 15) AS UBIGINT)). `salt` decorrelates
-    this hash family from the splits/sampling md5 buckets so a sketch
-    over a split column is independent of the split assignment."""
+    CAST('0x' || substr(md5(...), 1, 15) AS UBIGINT)) for STRING and
+    integer columns, whose cast-to-string renders identically everywhere;
+    hash floating-point columns only after an explicit deterministic
+    format (engines disagree on float-to-string rendering). `salt`
+    decorrelates this hash family from the splits/sampling md5 buckets so
+    a sketch over a split column is independent of the split
+    assignment."""
     return F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(salt), col.cast("string"))), 1, 15),
         16,

@@ -220,19 +220,37 @@ def auto_search(
     """SURVEY §4's access-path choice, made explicit in the engine API (the
     reference picks HNSW/IVF by config, MongoDbService.cs:82): when an
     index exists at `index_path` the `ORDER BY cosine(...) DESC LIMIT k`
-    is rewritten onto its pruned scan — an IvfIndex routes to the
-    centroid-pruned read, an LshIndex (recognized by its meta shape) to
-    the bucket-pruned read — otherwise exact top-k over `df`. A
+    is rewritten onto its pruned scan — each index kind recognized by
+    its own meta shape (LshIndex: bits; PartitionedHnswIndex: kind ==
+    "vector-hnsw", the reference's own index-kind string; IvfIndex:
+    num_lists) — otherwise exact top-k over `df`. A dir whose meta
+    matches no known layout raises rather than guess an access path
+    (r14: IvfIndex used to be the catch-all, which would have misrouted
+    an HNSW dir through the centroid reader). A
     SparkSessionExtensions-injected Catalyst rule is the v2 polish; this
     is the documented v1 rewrite point."""
     if index_path is not None:
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+            PartitionedHnswIndex,
+        )
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
         from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
 
         lsh = LshIndex(spark, index_path)
-        if lsh.exists() and "bits" in lsh.meta():
-            return lsh.search(list(query_vector), k=k)
-        idx = IvfIndex(spark, index_path)
-        if idx.exists():
-            return idx.search(list(query_vector), k=k, n_probe=n_probe, id_col=id_col)
+        if lsh.exists():
+            meta = lsh.meta()
+            if "bits" in meta:
+                return lsh.search(list(query_vector), k=k)
+            if meta.get("kind") == "vector-hnsw":
+                return PartitionedHnswIndex(spark, index_path).search(
+                    list(query_vector), k=k
+                )
+            if "num_lists" in meta:
+                return IvfIndex(spark, index_path).search(
+                    list(query_vector), k=k, n_probe=n_probe, id_col=id_col
+                )
+            raise ValueError(
+                f"{index_path}: meta.json matches no known index layout "
+                f"(fields: {sorted(meta)})"
+            )
     return vector_search(df, query_vector, k=k, vector_col=vector_col, id_col=id_col)
