@@ -189,6 +189,17 @@ def _index_probe(spark, work: str, batch: int, batches: int, kind: str) -> dict:
             base, vector_col="vector", num_lists=16, seed=42, id_col="id"
         )
         body = lambda df, _e: apply_index_changes(idx, df, "id", emb)  # noqa: E731
+    elif kind == "hnsw":
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+            PartitionedHnswIndex,
+        )
+
+        idx = PartitionedHnswIndex(spark, os.path.join(work, "hnsw")).build(
+            base, vector_col="vector", id_col="id", shards=8
+        )
+        # upserts land as delta segments (graph build is the batch's own
+        # O(batch) work), deletes as per-segment tombstones
+        body = lambda df, _e: apply_index_changes(idx, df, "id", emb)  # noqa: E731
     else:
         from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
             Bm25Index,
@@ -446,6 +457,7 @@ PROBES = {
     "table": probe_table,
     "lsh": lambda s, w, b, n: _index_probe(s, w, b, n, "lsh"),
     "ivf": lambda s, w, b, n: _index_probe(s, w, b, n, "ivf"),
+    "hnsw": lambda s, w, b, n: _index_probe(s, w, b, n, "hnsw"),
     "bm25": lambda s, w, b, n: _index_probe(s, w, b, n, "bm25"),
     "corpus": probe_corpus_chain,
     "shards": probe_shard_export,

@@ -93,8 +93,15 @@ def start_contract_monitor_stream(
                 )
                 if accept_dir is None:
                     return
+                # coalesce: a NULL verdict (possible from a hand-rolled
+                # Constraint) must count as a failure, not vanish from
+                # min() — undetermined is not accepted
                 all_passed = (
-                    report.agg(F.min(F.col("passed").cast("int")).alias("ok"))
+                    report.agg(
+                        F.min(
+                            F.coalesce(F.col("passed"), F.lit(False)).cast("int")
+                        ).alias("ok")
+                    )
                     .collect()[0]["ok"]
                     == 1
                 )
