@@ -29,6 +29,7 @@ def test_demo_chat_lifecycle(spark, mode):
     assert (mt._DEFAULT_COMMITTER, mt._DEFAULT_DATAPLANE) == storage_defaults
     assert got["ingested"] == 4  # the retail JSON over localhost HTTP
     assert got["ivf_top1"] == "p3"  # 'lightweight socks' -> Racing Socks
+    assert got["hnsw_top1"] == "p3"  # the vector-hnsw kind agrees via auto_search
     assert got["session_name"] != ""  # first-exchange summarize-rename ran
     assert got["tokens_used"] > 0
     assert got["n_messages"] == 4  # two user turns + two completions

@@ -142,6 +142,27 @@ def main(argv=None, spark=None) -> dict:
         result["ivf_top1"] = hit.vec_id
         print(f"[index] IVF built (numLists=2); pruned top-1 for "
               f"'lightweight socks' -> {hit.vec_id} (score {hit.score:.3f})")
+        # 4b. the reference's OTHER index kind (`vector-hnsw`,
+        # MongoDbService.cs:119-143 — the kind its config names first),
+        # served through auto_search's meta-sniffed access-path choice:
+        # the same call a config flip would route to either index
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+            PartitionedHnswIndex,
+        )
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
+            auto_search,
+        )
+
+        PartitionedHnswIndex(spark, os.path.join(work, "hnsw")).build(
+            emb_tbl, vector_col="embedding", id_col="vec_id", shards=2
+        )
+        hhit = auto_search(
+            spark, emb_tbl, probe, k=1, index_path=os.path.join(work, "hnsw"),
+            vector_col="embedding", id_col="vec_id",
+        ).first()
+        result["hnsw_top1"] = hhit.vec_id
+        print(f"[index] HNSW built (m=16/efC=64, 2 segments); graph top-1 "
+              f"-> {hhit.vec_id} (score {hhit.score:.3f})")
 
         # 5. the chat lifecycle
         store = SessionStore(spark, os.path.join(work, "sessions"))
