@@ -27,6 +27,16 @@ def test_prepare_run_end_to_end(spark, tmp_path):
     assert {"epochs", "domain_audit", "tokenizer_fertility", "shards"} <= set(manifest)
     assert all("rates" in e for e in manifest["epochs"].values())
 
+    # the ingest contract pre-flight ran and the run artifact records it
+    contract = manifest["ingest_contract"]
+    assert contract["all_passed"] is True
+    assert {r["constraint"] for r in contract["report"]} == {
+        "completeness(text) >= 0.99",
+        "uniqueness(doc_id) >= 1.0",
+        "compliance(n_chars >= 0) >= 1.0",
+        "row_count >= 1",
+    }
+
     # the loader view agrees with the manifest's accounting
     df = spark.read.parquet(os.path.join(out, "shards"))
     assert df.count() == summary["sequences"]

@@ -69,6 +69,36 @@ def main() -> None:
     spark = get_spark(app_name="prepare-run", cpus=16)
     docs = load_tables(spark, SF_DIR)["documents"]
 
+    # 0. ingest contract pre-flight (operators/contracts.py): the
+    # declarative expectations a delivery must meet before any stage
+    # spends compute on it — ONE map-combined agg scan; the report ships
+    # in the manifest so the run artifact records what was checked.
+    # Policy here is report-and-warn (the one-command demo must not die
+    # on exotic local corpora); a production gate would route a failing
+    # delivery to quarantine instead — that path exists as
+    # streaming/contracts.start_contract_monitor_stream.
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        check,
+        completeness,
+        compliance,
+        row_count,
+        uniqueness,
+    )
+
+    ingest_contract = [
+        completeness("text", 0.99),
+        uniqueness("doc_id", 1.0),
+        compliance("n_chars >= 0", 1.0),
+        row_count(1, None),
+    ]
+    contract_report = [r.asDict() for r in check(docs, ingest_contract).collect()]
+    contract_ok = all(r["passed"] for r in contract_report)
+    if not contract_ok:
+        print(
+            "[contract] WARNING: ingest contract violated — see the "
+            "ingest_contract manifest section; continuing (report-only policy)"
+        )
+
     # 1. corpus prep: the benchmark stand-in must NOT also be train data
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
@@ -213,6 +243,7 @@ def main() -> None:
         ],
         "packing_efficiency": pack_eff,
         "shards": shards,
+        "ingest_contract": {"all_passed": contract_ok, "report": contract_report},
     }
     path = os.path.join(OUT, "manifest.json")
     with open(path, "w") as f:
