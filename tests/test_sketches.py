@@ -132,3 +132,86 @@ def test_sketch_plan_is_bounded_not_full_distinct(spark):
     map_pos = plan.index("MapInPandas")
     exch_pos = plan.index("Exchange")
     assert exch_pos < map_pos, "per-partition reduce must run before the shuffle"
+
+
+def test_many_matches_single_column_sketches(spark, tables):
+    """kmv_smallest_many == kmv_smallest per column — the single-scan
+    multi-column form changes the pass structure, never the sketch."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_smallest_many,
+    )
+
+    df = tables["lineitem"]
+    many = kmv_smallest_many(df, ["l_orderkey", "l_partkey"], k=64)
+    got = {
+        c: [r["h"] for r in many.filter(F.col("col") == c).orderBy("h").collect()]
+        for c in ("l_orderkey", "l_partkey")
+    }
+    for c in ("l_orderkey", "l_partkey"):
+        want = [r["h"] for r in kmv_smallest(df, c, k=64).collect()]
+        assert got[c] == want, c
+
+
+def test_profile_many_matches_profile_rows(spark, tables):
+    """kmv_profile_many rows == the per-column kmv_profile rows, with
+    entity_prefix naming."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_profile_many,
+    )
+
+    df = tables["events"]
+    many = {
+        r["entity"]: (r["approx_distinct"], r["exact_distinct"], r["rel_err_pct"])
+        for r in kmv_profile_many(
+            df, ["user_id", "event_type"], k=256, entity_prefix="events"
+        ).collect()
+    }
+    for c in ("user_id", "event_type"):
+        one = kmv_profile(df, c, k=256, entity=f"events.{c}").collect()[0]
+        assert many[f"events.{c}"] == (
+            one["approx_distinct"],
+            one["exact_distinct"],
+            one["rel_err_pct"],
+        )
+
+
+def test_many_handles_mixed_nulls_per_column(spark):
+    """A row NULL in one profiled column and present in another: nullness
+    is per column, never a row filter; an all-NULL column still reports
+    (0.0, 0, NULL rel err) instead of vanishing."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_profile_many,
+        kmv_smallest_many,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, None), (None, "x", None), (2, "x", None), (2, None, None)],
+        "a int, b string, c int",
+    )
+    sk = kmv_smallest_many(df, ["a", "b", "c"], k=8)
+    counts = {r["col"]: r["n"] for r in sk.groupBy("col").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"a": 2, "b": 1}  # c: all NULL -> no sketch rows
+    prof = {
+        r["entity"]: (r["approx_distinct"], r["exact_distinct"], r["rel_err_pct"])
+        for r in kmv_profile_many(df, ["a", "b", "c"], k=8).collect()
+    }
+    assert prof["a"] == (2.0, 2, 0.0)
+    assert prof["b"] == (1.0, 1, 0.0)
+    assert prof["c"] == (0.0, 0, None)
+
+
+def test_many_preserves_full_60bit_precision_with_nulls(spark):
+    """Regression: NULLs in the hashed column must not downgrade the
+    Arrow transfer to float64 (53-bit mantissa) — hashes above 2^53 must
+    survive the multi-column reduce bit-exact. The NULL sentinel (-1,
+    outside the hash domain) keeps the column int64 end to end."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_smallest_many,
+    )
+
+    vals = [(str(i),) for i in range(200)] + [(None,)] * 50
+    df = spark.createDataFrame(vals, "v string")
+    many = [r["h"] for r in kmv_smallest_many(df, ["v"], k=200).orderBy("h").collect()]
+    single = [r["h"] for r in kmv_smallest(df, "v", k=200).collect()]
+    assert any(h > 2**53 for h in single)  # the case exercises big hashes
+    assert many == single

@@ -37,7 +37,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash", "kmv_smallest", "kmv_merge", "kmv_distinct", "kmv_profile"]
+__all__ = [
+    "kmv_hash",
+    "kmv_smallest",
+    "kmv_smallest_many",
+    "kmv_merge",
+    "kmv_distinct",
+    "kmv_profile",
+    "kmv_profile_many",
+]
 
 # 2^60 — the hash domain size; exactly representable as a double (one
 # significant bit), so `k-1 * 2^60` products stay exact for any k < 2^52
@@ -97,6 +105,60 @@ def kmv_smallest(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> Da
     return local.distinct().orderBy("h").limit(k)
 
 
+def kmv_smallest_many(
+    df: DataFrame, cols: "list[str]", k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """Sketches for MANY columns of one table in ONE scan: a <= len(cols)*k
+    row DataFrame ["col" string, "h" long]. The realistic profiling shape —
+    cardinality-profiling N columns must cost one pass over the table,
+    not N (the column_profile discipline). Same lossless per-partition
+    reduce as kmv_smallest, run per column inside one mapInPandas; the
+    global cut is one window rank over the <= P*len(cols)*k survivors."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/U_(k) estimator, got {k}")
+    if not cols:
+        raise ValueError("kmv_smallest_many needs at least one column")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    # NULL values map to the -1 SENTINEL (outside the [0, 2^60) hash
+    # domain), NOT to a pandas NULL: a nullable long column crosses Arrow
+    # as float64 in classic pandas, and float64 cannot carry 60-bit
+    # hashes exactly (53-bit mantissa) — the sentinel keeps the column
+    # int64 end to end. Nullness is per column (a row can be NULL in one
+    # profiled column and present in another), so no row filter.
+    hashed = df.select(
+        *[
+            F.when(F.col(c).isNull(), F.lit(-1).cast("long"))
+            .otherwise(kmv_hash(F.col(c), salt))
+            .alias(c)
+            for c in cols
+        ]
+    )
+
+    def local_kmin(batches):
+        best: "dict[str, np.ndarray | None]" = {c: None for c in cols}
+        for pdf in batches:
+            for c in cols:
+                vals = pdf[c].to_numpy(dtype="int64")
+                vals = vals[vals >= 0]  # drop the NULL sentinel
+                pool = vals if best[c] is None else np.concatenate([best[c], vals])
+                best[c] = np.unique(pool)[:k]
+        for c in cols:
+            if best[c] is not None and len(best[c]):
+                yield pd.DataFrame({"col": c, "h": best[c]})
+
+    local = hashed.mapInPandas(local_kmin, "col string, h long")
+    w = Window.partitionBy("col").orderBy("h")
+    return (
+        local.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256) -> DataFrame:
     """Merge sketches (same k, same salt) into the sketch of the UNION of
     their underlying datasets — k smallest distinct hashes across all
@@ -109,6 +171,20 @@ def kmv_merge(sketches: "list[DataFrame]", k: int = 256) -> DataFrame:
     for s in sketches[1:]:
         merged = merged.unionByName(s)
     return merged.distinct().orderBy("h").limit(k)
+
+
+def _rel_err_col() -> Column:
+    """round(100 * (approx - exact) / exact, 4), NULL when exact is 0
+    (no relative error against an empty ground truth) — the guarded,
+    left-associated form both the engine and the SQL twin compute."""
+    return F.when(F.col("exact_distinct") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(100.0)
+            * (F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        )
+    )
 
 
 def _estimate_col(k: int) -> Column:
@@ -133,6 +209,45 @@ def kmv_distinct(
     return agg.select(_estimate_col(k).alias("approx_distinct"))
 
 
+def kmv_profile_many(
+    df: DataFrame,
+    cols: "list[str]",
+    k: int = 256,
+    salt: str = "kmv",
+    entity_prefix: "str | None" = None,
+) -> DataFrame:
+    """kmv_profile for MANY columns of one table in TWO scans total (one
+    multi-column sketch pass + one multi-count_distinct aggregate) —
+    however many columns are profiled. Output: one row per column,
+    (entity, approx_distinct, exact_distinct, rel_err_pct), the same
+    schema and arithmetic as kmv_profile."""
+    sk = kmv_smallest_many(df, cols, k, salt)
+    agg = sk.groupBy("col").agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    exact = df.agg(
+        *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c) for c in cols]),
+            )
+        ).alias("col", "exact_distinct")
+    )
+    prefix = f"{entity_prefix}." if entity_prefix else ""
+    # LEFT from the exact side: an all-NULL column has no sketch rows at
+    # all — it must still report (0.0 estimate, 0 exact), not vanish
+    row = (
+        exact.join(agg, "col", "left")
+        .na.fill({"n": 0})
+        .select(
+            F.concat(F.lit(prefix), F.col("col")).alias("entity"),
+            _estimate_col(k).alias("approx_distinct"),
+            F.col("exact_distinct"),
+        )
+    )
+    return row.withColumn("rel_err_pct", _rel_err_col())
+
+
 def kmv_profile(
     df: DataFrame,
     col: str,
@@ -155,12 +270,4 @@ def kmv_profile(
         _estimate_col(k).alias("approx_distinct"),
         F.col("exact_distinct"),
     )
-    return row.withColumn(
-        "rel_err_pct",
-        F.round(
-            F.lit(100.0)
-            * (F.col("approx_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            4,
-        ),
-    )
+    return row.withColumn("rel_err_pct", _rel_err_col())

@@ -1939,16 +1939,23 @@ def distinct_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a full distinct shuffle for the sketch half) and the DuckDB
     twin (a plain DISTINCT ... ORDER BY h LIMIT k) agree to the bit —
     the approximation lives entirely in the shared estimator arithmetic.
-    The reference has no profiling surface; this is part of the added
-    training-data tier, next to domain_audit."""
+    Runs the MULTI-COLUMN form (kmv_profile_many): all of a table's
+    profiled columns ride one sketch scan + one exact aggregate — the
+    column_profile single-pass discipline, so profiling more columns of
+    a 100 TB table never adds passes. The reference has no profiling
+    surface; this is part of the added training-data tier, next to
+    domain_audit."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
-        kmv_profile,
+        kmv_profile_many,
     )
 
     t = _tables(spark, sf_dir)
+    by_table: "dict[str, list[str]]" = {}
+    for tbl, col in _KMV_ENTITIES:
+        by_table.setdefault(tbl, []).append(col)
     parts = [
-        kmv_profile(t[tbl], col, k=_KMV_K, entity=f"{tbl}.{col}")
-        for tbl, col in _KMV_ENTITIES
+        kmv_profile_many(t[tbl], cols, k=_KMV_K, entity_prefix=tbl)
+        for tbl, cols in by_table.items()
     ]
     out = parts[0]
     for p in parts[1:]:
