@@ -148,3 +148,56 @@ def test_live_constraint_names_route_through_rule_name(spark):
         "min(v) in [0.0, 1.0]",
         "max(v) in [0.0, 1.0]",
     ]
+
+
+def test_compare_reports_drift_semantics(spark):
+    """Report-over-report drift (the Deequ anomaly-detection shape):
+    within-tolerance moves pass, beyond-tolerance drift, zero baselines
+    use the absolute rule, appeared/disappeared rules always drift, and
+    NULL metrics drift only one-sided."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.contracts import (
+        compare_reports,
+    )
+
+    def report(rows):
+        return spark.createDataFrame(
+            rows, "constraint string, metric double, passed boolean"
+        )
+
+    base = report(
+        [
+            ("complete", 1.0, True),
+            ("mean", 100.0, True),
+            ("zero", 0.0, True),
+            ("gone", 0.5, True),
+            ("null_both", None, False),
+            ("null_then_value", None, False),
+        ]
+    )
+    cur = report(
+        [
+            ("complete", 0.98, True),   # -2% < 5% tolerance -> ok
+            ("mean", 80.0, False),      # -20% -> drift
+            ("zero", 0.0, True),        # zero baseline, unchanged -> ok
+            ("new", 1.0, True),         # appeared -> drift
+            ("null_both", None, False),         # NULL == NULL -> ok
+            ("null_then_value", 3.0, True),     # NULL -> value -> drift
+        ]
+    )
+    got = {
+        r["rule"]: (r["drifted"], r["delta"])
+        for r in compare_reports(cur, base, max_rel_delta=0.05).collect()
+    }
+    assert got["complete"] == (False, pytest.approx(-0.02))
+    assert got["mean"] == (True, -20.0)
+    assert got["zero"] == (False, 0.0)
+    assert got["new"][0] is True and got["new"][1] is None
+    assert got["gone"][0] is True and got["gone"][1] is None
+    assert got["null_both"] == (False, None)
+    assert got["null_then_value"] == (True, None)
+    # absolute tolerance clears what the relative one would flag
+    got_abs = {
+        r["rule"]: r["drifted"]
+        for r in compare_reports(cur, base, max_rel_delta=0.05, max_abs_delta=25.0).collect()
+    }
+    assert got_abs["mean"] is False  # |delta| = 20 <= 25

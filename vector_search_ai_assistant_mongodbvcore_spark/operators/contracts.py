@@ -43,6 +43,7 @@ __all__ = [
     "min_between",
     "max_between",
     "check",
+    "compare_reports",
 ]
 
 
@@ -223,3 +224,66 @@ def check(df: DataFrame, constraints: "list[Constraint]") -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def compare_reports(
+    current: DataFrame,
+    baseline: DataFrame,
+    max_rel_delta: float = 0.05,
+    max_abs_delta: "float | None" = None,
+) -> DataFrame:
+    """Metric drift between two contract reports (the Deequ
+    anomaly-detection shape): join on the rule string and flag rows
+    whose metric moved more than the tolerance versus the baseline run —
+    the question a scheduled ingest asks ("completeness fell 12% since
+    yesterday") that absolute thresholds alone cannot, because a healthy
+    metric band is usually narrower than the hard contract bound.
+
+    Tolerances: relative (|cur - base| / |base|) when the baseline metric
+    is nonzero, absolute (|cur - base|) when it is zero or when
+    `max_abs_delta` is given (whichever tolerance is satisfied clears
+    the row). A rule present on only ONE side always drifts — a
+    disappeared or brand-new expectation is a contract change someone
+    should see. NULL metrics (e.g. mean of an empty column) drift unless
+    both sides are NULL.
+
+    Output: (rule, metric, baseline_metric, delta, drifted), one row per
+    rule in either report. Both inputs are the tiny per-constraint
+    frames `check` returns — this composes as report-over-report
+    monitoring with no rescan of any data."""
+    cur = current.select(
+        F.col("constraint").alias("rule"), F.col("metric"), F.lit(True).alias("_c")
+    )
+    base = baseline.select(
+        F.col("constraint").alias("rule"),
+        F.col("metric").alias("baseline_metric"),
+        F.lit(True).alias("_b"),
+    )
+    joined = cur.join(base, "rule", "full_outer")
+    # presence flags, not metric nullness: a rule can be PRESENT with a
+    # NULL metric (mean of an empty column) — that is distinct from the
+    # rule being absent from one report
+    in_both = F.col("_c").isNotNull() & F.col("_b").isNotNull()
+    both_metrics = F.col("metric").isNotNull() & F.col("baseline_metric").isNotNull()
+    delta = F.col("metric") - F.col("baseline_metric")
+    rel_ok = (F.col("baseline_metric") != 0) & (
+        F.abs(delta) / F.abs(F.col("baseline_metric")) <= F.lit(float(max_rel_delta))
+    )
+    abs_ok = (
+        F.lit(False)
+        if max_abs_delta is None
+        else (F.abs(delta) <= F.lit(float(max_abs_delta)))
+    ) | ((F.col("baseline_metric") == 0) & (F.abs(delta) <= F.lit(0.0)))
+    one_sided_null = F.col("metric").isNull() != F.col("baseline_metric").isNull()
+    drifted = (
+        F.when(~in_both, F.lit(True))  # appeared or disappeared rule
+        .when(both_metrics, ~(rel_ok | abs_ok))
+        .otherwise(one_sided_null)  # both NULL -> no drift; one NULL -> drift
+    )
+    return joined.select(
+        "rule",
+        "metric",
+        "baseline_metric",
+        F.when(both_metrics, delta).alias("delta"),
+        drifted.alias("drifted"),
+    )
