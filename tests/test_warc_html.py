@@ -140,3 +140,64 @@ def test_read_warc_to_corpus_e2e(spark, tmp_path):
     )
     kept = [r["doc_id"] for r in gated.collect()]
     assert "http://b.example/junk" not in kept
+
+
+def test_warc_documents_shapes_the_corpus_table(spark, tmp_path):
+    """warc_documents: 2xx HTML responses only, documents-table schema,
+    markup-only pages dropped by min_text_chars."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.warc import (
+        warc_documents,
+    )
+
+    d = tmp_path / "c2"
+    d.mkdir()
+    write_warc(
+        str(d / "s.warc.gz"),
+        _records()
+        + [{"url": "http://a.example/empty", "body": b"<html><body></body></html>"}],
+    )
+    docs = warc_documents(read_warc(spark, str(d)), min_text_chars=1)
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    # plain-text + metadata records and the markup-only page are gone
+    assert set(rows) == {"http://a.example/bikes"}
+    r = rows["http://a.example/bikes"]
+    assert r["title"] == "Touring Bikes" and r["n_chars"] == len(r["text"])
+    assert set(docs.columns) == {
+        "doc_id", "title", "text", "warc_file", "warc_date", "n_chars"
+    }
+
+
+def test_warc_stream_equals_batch(spark, tmp_path):
+    """read_warc_stream + warc_documents over landing shard files ==
+    the batch reader on the same dir, row for row — the continuous
+    crawl-ingest twin."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.warc import (
+        read_warc_stream,
+        warc_documents,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    write_warc(str(d / "s0.warc.gz"), _records())
+    write_warc(
+        str(d / "s1.warc.gz"),
+        [{"url": "http://b.example/more", "body": b"<html><title>t</title><body><p>more crawl text here</p></body></html>"}],
+    )
+    q = (
+        warc_documents(read_warc_stream(spark, str(d)))
+        .writeStream.format("memory")
+        .queryName("warc_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["title"], r["text"])
+        for r in spark.sql("SELECT * FROM warc_docs").collect()
+    }
+    want = {
+        r["doc_id"]: (r["title"], r["text"])
+        for r in warc_documents(read_warc(spark, str(d))).collect()
+    }
+    assert got == want and len(got) == 2

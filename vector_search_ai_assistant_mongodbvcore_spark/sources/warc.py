@@ -40,7 +40,18 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_warc_bytes", "write_warc", "read_warc", "http_response_parts"]
+__all__ = [
+    "parse_warc_bytes",
+    "write_warc",
+    "read_warc",
+    "read_warc_stream",
+    "warc_documents",
+    "http_response_parts",
+]
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
 _SCHEMA = (
     "warc_file string, record_id string, warc_type string, url string, "
@@ -165,16 +176,11 @@ def write_warc(
         f.write(out.getvalue())
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC scan: one row per record with the response
-    payload split into (http_status, http_content_type, body). One task
-    per file (the binaryFile source) — Common Crawl sizes shards so a
-    file is a worker-memory-bounded unit; at 100 TB the parallelism is
-    the file count, which is exactly how CC publishes (per-segment
-    shard lists). Filter warc_type == 'response' for page bodies."""
+def _parse_files(files: DataFrame) -> DataFrame:
+    """(path, content) frame -> parsed record rows; shared verbatim by
+    the batch and streaming readers so stream==batch parsing holds by
+    construction."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches):
         for pdf in batches:
@@ -200,3 +206,67 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return files.mapInPandas(parse, _SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan: one row per record with the response
+    payload split into (http_status, http_content_type, body). One task
+    per file (the binaryFile source) — Common Crawl sizes shards so a
+    file is a worker-memory-bounded unit; at 100 TB the parallelism is
+    the file count, which is exactly how CC publishes (per-segment
+    shard lists). Filter warc_type == 'response' for page bodies."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _parse_files(files)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of read_warc: new shard files landing under `path`
+    become record micro-batches (the binaryFile source streams whole
+    files, so a shard is parsed exactly once, by one task, when it
+    arrives — the continuous-crawl ingest shape). Identical parse, by
+    construction (shared _parse_files); compose with warc_documents and
+    the streaming corpus chain (streaming/corpus.start_corpus_stream)
+    for crawl-to-training-shards as ONE continuously-running pipeline."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return _parse_files(files)
+
+
+def warc_documents(records: DataFrame, min_text_chars: int = 1) -> DataFrame:
+    """Parsed WARC records -> corpus-shaped documents: keep 2xx HTML
+    responses, extract text/title (functions/html.py), emit
+    (doc_id = target URI, title, text, warc_file, warc_date, n_chars) —
+    the documents-table shape the whole pipeline tier consumes. Works on
+    batch and streaming frames alike (pure projections + one Arrow UDF);
+    `min_text_chars` drops markup-only pages before they cost the
+    downstream gates anything."""
+    from pyspark.sql import functions as F
+
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.html import (
+        extract_text_udf,
+    )
+
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") >= 200)
+        & (F.col("http_status") < 300)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    docs = pages.select(
+        F.col("url").alias("doc_id"),
+        "warc_file",
+        "warc_date",
+        extract_text_udf()(F.col("body"), F.col("http_content_type")).alias("_x"),
+    ).select(
+        "doc_id",
+        F.col("_x.title").alias("title"),
+        F.col("_x.text").alias("text"),
+        "warc_file",
+        "warc_date",
+        F.length("_x.text").alias("n_chars"),
+    )
+    return docs.filter(F.col("n_chars") >= min_text_chars)
