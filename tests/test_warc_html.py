@@ -201,3 +201,13 @@ def test_warc_stream_equals_batch(spark, tmp_path):
         for r in warc_documents(read_warc(spark, str(d))).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_truncated_gzip_member_keeps_good_prefix(tmp_path):
+    """A corrupt/truncated gzip member (killed shard download) must cost
+    only the tail — the earlier members' records still parse."""
+    p = str(tmp_path / "g.warc.gz")
+    write_warc(p, _records())
+    data = open(p, "rb").read()
+    assert len(parse_warc_bytes(data[:-15])) >= 2  # last member truncated
+    assert len(parse_warc_bytes(data + b"\x1f\x8b\x08garbage")) == 3

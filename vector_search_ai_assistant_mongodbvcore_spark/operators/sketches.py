@@ -42,6 +42,7 @@ __all__ = [
     "kmv_smallest",
     "kmv_smallest_many",
     "kmv_merge",
+    "kmv_estimate_from_sketch",
     "kmv_distinct",
     "kmv_profile",
     "kmv_profile_many",
@@ -198,15 +199,22 @@ def _estimate_col(k: int) -> Column:
     )
 
 
+def kmv_estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row ["approx_distinct" double] from a sketch frame ["h" long]
+    (<= k rows of k-min distinct hashes) — the estimator half alone, so
+    merged/persisted sketches (kmv_merge, the streaming monitor's
+    per-batch partitions) answer cardinality without touching the data."""
+    agg = sketch.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    return agg.select(_estimate_col(k).alias("approx_distinct"))
+
+
 def kmv_distinct(
     df: DataFrame, col: str, k: int = 256, salt: str = "kmv"
 ) -> DataFrame:
     """One-row DataFrame ["approx_distinct" double]: the KMV estimate of
     COUNT(DISTINCT col). Exact (and integral) when the true cardinality
     is below k; otherwise within ~1/sqrt(k-2) relative error."""
-    sk = kmv_smallest(df, col, k, salt)
-    agg = sk.agg(F.count("*").alias("n"), F.max("h").alias("hk"))
-    return agg.select(_estimate_col(k).alias("approx_distinct"))
+    return kmv_estimate_from_sketch(kmv_smallest(df, col, k, salt), k)
 
 
 def kmv_profile_many(

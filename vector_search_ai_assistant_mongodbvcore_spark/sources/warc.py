@@ -63,13 +63,19 @@ _SCHEMA = (
 def _inflate_members(data: bytes) -> bytes:
     """Concatenated gzip members -> the concatenated inflated stream.
     zlib.decompressobj(wbits=47) stops at each member boundary; looping
-    over unused_data walks every member (the per-record-gzip layout)."""
+    over unused_data walks every member (the per-record-gzip layout).
+    A corrupt/truncated member (a killed shard download) ends the walk
+    with the good prefix — the same tolerance the record grammar has:
+    bad tail bytes cost that tail, never the shard's good records."""
     out = io.BytesIO()
     rest = data
     while rest:
         d = zlib.decompressobj(47)
-        out.write(d.decompress(rest))
-        out.write(d.flush())
+        try:
+            out.write(d.decompress(rest))
+            out.write(d.flush())
+        except zlib.error:
+            break
         rest = d.unused_data
     return out.getvalue()
 
