@@ -211,3 +211,58 @@ def test_truncated_gzip_member_keeps_good_prefix(tmp_path):
     data = open(p, "rb").read()
     assert len(parse_warc_bytes(data[:-15])) >= 2  # last member truncated
     assert len(parse_warc_bytes(data + b"\x1f\x8b\x08garbage")) == 3
+
+
+def test_crawl_to_training_shards_one_streaming_pipeline(spark, tmp_path):
+    """The whole 100 TB shape as ONE continuously-running query: landing
+    WARC shards -> read_warc_stream -> warc_documents -> the full
+    streaming corpus chain -> packed training shards."""
+    from vector_search_ai_assistant_mongodbvcore_spark.sources.warc import (
+        read_warc_stream,
+        warc_documents,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
+        start_corpus_stream,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    body = "<html><title>p{i}</title><body><p>" + " ".join(
+        f"steady ordinary word{j} flows along nicely" for j in range(12)
+    ) + " page {i}</p></body></html>"
+    for shard in (0, 1):
+        write_warc(
+            str(d / f"s{shard}.warc.gz"),
+            [
+                {"url": f"https://ex.com/{shard}/{i}",
+                 "body": body.replace("{i}", f"{shard}-{i}").encode()}
+                for i in range(3)
+            ],
+        )
+    # the chain keys docs by a LONG id — derive it from the URL the way a
+    # crawl pipeline does (hash of the canonical URL), bounded to a
+    # 40-bit keyspace so downstream seq-id arithmetic has headroom
+    docs = warc_documents(read_warc_stream(spark, str(d))).select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1 << 40)).alias("doc_id"), "text"
+    )
+    q = start_corpus_stream(
+        docs,
+        out_dir=str(tmp_path / "shards"),
+        seq_len=32,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        chunk_size=16,
+        chunk_overlap=0,
+    )
+    q.awaitTermination(180)
+    seqs = spark.read.parquet(str(tmp_path / "shards"))
+    assert seqs.count() > 0
+    assert {"seq_id", "input_ids", "doc_ids", "n_toks", "split", "batch"} <= set(
+        seqs.columns
+    )
+    # packed layout: no sequence exceeds seq_len; every token of every
+    # surviving page is accounted for across the shards
+    assert seqs.filter(F.size("input_ids") > 32).count() == 0
+    total = seqs.agg(F.sum(F.size("input_ids"))).collect()[0][0]
+    assert total == seqs.agg(F.sum("n_toks")).collect()[0][0] > 0
+    # provenance: the crawl's doc keys flow through to the sequences
+    assert seqs.select(F.explode("doc_ids")).distinct().count() == 6
