@@ -6,6 +6,7 @@ a fresh-checkpoint replay leaves identical single copies."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -27,10 +28,16 @@ B = [
 ]
 
 
-def _write(dirpath, name, rows):
-    with open(dirpath / name, "w") as f:
+def _write(dirpath, name, rows, order):
+    # FileStreamSource orders files by modification time and breaks ties
+    # arbitrarily — pin strictly increasing mtimes so file i IS batch i
+    # (the prefix asserts below depend on the delivery order).
+    p = dirpath / name
+    with open(p, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    t = 1_700_000_000 + 60 * order
+    os.utime(p, (t, t))
 
 
 def _run(spark, src, tmp_path, sub):
@@ -52,7 +59,7 @@ def test_running_estimate_matches_batch_union_at_every_prefix(spark, tmp_path):
     d = tmp_path / "docs"
     d.mkdir()
     for i, rows in enumerate(B):
-        _write(d, f"b{i}.json", rows)
+        _write(d, f"b{i}.json", rows, i)
     out = _run(spark, d, tmp_path, "ckpt")
     report = {
         r["batch"]: r for r in spark.read.parquet(out + "/report").collect()
@@ -85,7 +92,7 @@ def test_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
     d = tmp_path / "docs"
     d.mkdir()
     for i, rows in enumerate(B):
-        _write(d, f"b{i}.json", rows)
+        _write(d, f"b{i}.json", rows, i)
     out = _run(spark, d, tmp_path, "ckpt1")
     first = {
         r["batch"]: (r["running_distinct_est"], r["batch_rows"])
