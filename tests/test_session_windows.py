@@ -5,6 +5,7 @@ agreement, cross-micro-batch session merging."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import Window
@@ -13,10 +14,16 @@ from pyspark.sql import functions as F
 from vector_search_ai_assistant_mongodbvcore_spark.streaming.windows import session_windows
 
 
-def _write_batch(dirpath, name, rows):
-    with open(dirpath / name, "w") as f:
+def _write_batch(dirpath, name, rows, order=0):
+    # FileStreamSource orders files by mtime with arbitrary ties — pin
+    # strictly increasing mtimes so file i IS micro-batch i (the
+    # watermark-advance assertions below depend on delivery order).
+    p = dirpath / name
+    with open(p, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    t = 1_700_000_000 + 60 * order
+    os.utime(p, (t, t))
 
 
 def test_batch_session_counts_match_lag_sessionization(spark, tables):
@@ -73,10 +80,10 @@ def test_stream_merges_sessions_across_microbatches(spark, tmp_path):
     advances the watermark so the session closes."""
     src = tmp_path / "sess_ev"
     src.mkdir()
-    _write_batch(src, "b1.json", [
+    _write_batch(src, "b1.json", order=0, rows=[
         {"user_id": "u1", "ts": "2024-01-01T10:00:00", "value": 1.0},
     ])
-    _write_batch(src, "b2.json", [
+    _write_batch(src, "b2.json", order=1, rows=[
         {"user_id": "u1", "ts": "2024-01-01T10:05:00", "value": 2.0},
         {"user_id": "u1", "ts": "2024-01-02T00:00:00", "value": 9.0},
     ])

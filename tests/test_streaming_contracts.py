@@ -6,6 +6,7 @@ dynamic-partition overwrite, and the report-only default."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -32,10 +33,16 @@ BAD = [
 ]
 
 
-def _write(dirpath, name, rows):
-    with open(dirpath / name, "w") as f:
+def _write(dirpath, name, rows, order):
+    # FileStreamSource orders files by mtime with arbitrary ties — pin
+    # strictly increasing mtimes so file i IS batch i (the zip with
+    # (GOOD, BAD) below depends on delivery order).
+    p = dirpath / name
+    with open(p, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    t = 1_700_000_000 + 60 * order
+    os.utime(p, (t, t))
 
 
 def _constraints():
@@ -50,8 +57,8 @@ def _constraints():
 def src(tmp_path):
     d = tmp_path / "docs"
     d.mkdir()
-    _write(d, "b1.json", GOOD)
-    _write(d, "b2.json", BAD)
+    _write(d, "b1.json", GOOD, 0)
+    _write(d, "b2.json", BAD, 1)
     return d
 
 
