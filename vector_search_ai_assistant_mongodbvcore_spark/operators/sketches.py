@@ -46,6 +46,8 @@ __all__ = [
     "kmv_distinct",
     "kmv_profile",
     "kmv_profile_many",
+    "mg_candidates",
+    "top_frequent",
 ]
 
 # 2^60 — the hash domain size; exactly representable as a double (one
@@ -279,3 +281,145 @@ def kmv_profile(
         F.col("exact_distinct"),
     )
     return row.withColumn("rel_err_pct", _rel_err_col())
+
+
+# --- Heavy hitters: Misra-Gries frequency sketch -----------------------
+#
+# The frequency twin of KMV: "what are the most frequent values of this
+# column" without shuffling the full distinct set. An exact
+# groupBy(col).count() at 100 TB exchanges every distinct key; a
+# Misra-Gries summary reduces each scan partition to <= k (item, count)
+# counters in bounded memory, and MG summaries are MERGEABLE (Agarwal
+# et al., "Mergeable Summaries", PODS 2012): summing per-partition
+# counters keeps the one-sided error bound
+#
+#     true_count - n_rows/(k+1)  <=  mg_count  <=  true_count
+#
+# so every item with true frequency > n_rows/(k+1) is GUARANTEED to
+# survive as a candidate. top_frequent() turns that superset guarantee
+# into an EXACT top-N: pass 1 collects the <= P*k candidates, pass 2
+# broadcast-joins them back for exact counts, and the result is
+# certified exact whenever the N-th candidate's exact count exceeds the
+# global error bound — the only case that falls back to the full
+# aggregation is a near-uniform column, where no bounded sketch can
+# rank items and the exact plan is the honest answer.
+
+
+def mg_candidates(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Misra-Gries heavy-hitter candidates for non-null `col`: a
+    <= P*k row DataFrame ["item" string, "mg_count" long, "n_rows" long]
+    (n_rows repeated on every row — the scan's non-null total, so the
+    error bound n_rows/(k+1) travels with the sketch).
+
+    Scale path: one scan; each partition keeps <= k counters via a
+    vectorized per-Arrow-batch value_counts merge + MG trim (subtract
+    the (k+1)-th largest running count, drop <= 0 — the classic
+    decrement step batched), then the global merge is one tiny hash agg
+    over <= P*k survivor rows. mg_count is a LOWER bound on the true
+    count; items absent from the result have true count <= n_rows/(k+1).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("item")
+    )
+
+    def local_mg(batches):
+        counters: "pd.Series | None" = None
+        n = 0
+        for pdf in batches:
+            bc = pdf["item"].value_counts()
+            n += int(bc.sum())
+            counters = bc if counters is None else counters.add(bc, fill_value=0)
+            if len(counters) > k:
+                # MG trim: one decrement of the (k+1)-th largest count
+                # applied to all counters at once; total decremented
+                # mass per trim is >= (k+1)*cut, so the sum of cuts
+                # over the partition is <= n_partition/(k+1)
+                cut = counters.nlargest(k + 1).iloc[k]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        out = pd.DataFrame(
+            {
+                "item": [] if counters is None else counters.index,
+                "mg_count": [] if counters is None else counters.to_numpy("int64"),
+            }
+        )
+        out["n_part"] = n
+        # the partition total must survive even when every counter was
+        # trimmed away (n still contributes to the global error bound)
+        if not len(out) and n:
+            yield pd.DataFrame({"item": [None], "mg_count": [0], "n_part": [n]})
+        elif len(out):
+            yield out
+
+    local = vals.mapInPandas(local_mg, "item string, mg_count long, n_part long")
+    # <= P*(k+1) rows from here on. Partition totals ride row 0 of each
+    # partition's emit (max per partition = the emitted constant), so
+    # one tiny two-level agg recovers both the merged counters and n.
+    local = local.persist()
+    try:
+        n_rows = (
+            local.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.max("n_part").alias("n_part"))
+            .agg(F.sum("n_part").alias("n"))
+            .collect()[0]["n"]
+        ) or 0
+        merged = (
+            local.filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.sum("mg_count").alias("mg_count"))
+            .withColumn("n_rows", F.lit(int(n_rows)))
+        )
+        # materialize before unpersisting the mapInPandas output
+        return merged.localCheckpoint(eager=True)
+    finally:
+        local.unpersist()
+
+
+def top_frequent(
+    df: DataFrame, col: str, topn: int = 10, k: int = 1024
+) -> DataFrame:
+    """EXACT top-`topn` most frequent non-null values of `col`, as
+    ["item" string, "cnt" long] ordered by (cnt desc, item asc) —
+    deterministic under count ties.
+
+    Two-pass sketch plan: mg_candidates (one bounded scan) proposes
+    <= P*k items; a broadcast semi-join + hash agg computes their EXACT
+    counts (second scan touches only `col`). The result is provably the
+    true top-N when the N-th candidate's exact count exceeds the MG
+    error bound n_rows/(k+1) — every non-candidate's true count is at
+    most that bound, so none can displace the returned rows. When the
+    certificate fails (near-uniform column, or topn*(k+1) > n_rows),
+    falls back to the exact full groupBy — correct always, bounded
+    shuffle whenever the data has actual heavy hitters."""
+    cand = mg_candidates(df, col, k).select("item", "n_rows")
+    vals = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("item")
+    )
+    exact_cand = (
+        vals.join(F.broadcast(cand.select("item")), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(topn)
+    )
+    rows = exact_cand.collect()
+    n_rows_row = cand.select("n_rows").limit(1).collect()
+    n_rows = n_rows_row[0]["n_rows"] if n_rows_row else 0
+    bound = n_rows / (k + 1)
+    certified = len(rows) >= topn and rows[-1]["cnt"] > bound
+    certified = certified or (0 < len(rows) < topn and n_rows <= k)
+    if certified or n_rows == 0:
+        return df.sparkSession.createDataFrame(
+            rows, "item string, cnt long"
+        ) if rows else df.sparkSession.createDataFrame([], "item string, cnt long")
+    # uncertified: the honest exact plan (full hash agg + TakeOrdered)
+    return (
+        vals.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(topn)
+    )
