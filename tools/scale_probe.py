@@ -64,7 +64,7 @@ def main() -> None:
         "pack_sequences", "dsir_weights", "vocab_top", "domain_audit",
         "cap_per_source", "remove_spans", "mask_contam", "bpe_encode",
         "component_dedup", "export_bylang", "export_bylang_serial",
-        "kmv_distinct", "dq_contract",
+        "kmv_distinct", "dq_contract", "top_frequent",
     }
     _EV_OPS = {"asof_attribution"}
     _VEC_OPS = {
@@ -187,6 +187,12 @@ def main() -> None:
         # should stay far under linear (the scan is the only Nx work)
         "kmv_distinct": lambda d: kmv_distinct(d, "doc_id", k=256)
         .write.format("noop").mode("overwrite").save(),
+        # replication keeps source values, so per-item counts grow ~Nx
+        # over a CONSTANT distinct set — the heavy-hitter regime; both
+        # passes are scans with <= P*k / broadcast-sized exchanges, so
+        # the probe should track the two scans and stay near linear
+        "top_frequent": lambda d: top_frequent(d, "source", topn=10, k=256)
+        .write.format("noop").mode("overwrite").save(),
         # the whole multi-constraint contract is ONE map-combined agg
         # scan — cost must track the scan, not the constraint count
         "dq_contract": lambda d: check(
@@ -226,6 +232,7 @@ def main() -> None:
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
         kmv_distinct,
+        top_frequent,
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.dsir import importance_weights
     from vector_search_ai_assistant_mongodbvcore_spark.operators.packing import pack_sequences
