@@ -113,3 +113,41 @@ def test_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert all(n <= 16 for n in per_batch.values()) and len(per_batch) == 3
+
+
+def test_fold_sketch_batches_preserves_running_estimate(spark, tmp_path):
+    """Folding the prefix into one partition changes no running estimate
+    (k-min merge idempotence) and removes the stale partitions."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.sketches import (
+        kmv_estimate_from_sketch,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.streaming.cardinality import (
+        fold_sketch_batches,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i, rows in enumerate(B):
+        _write(d, f"b{i}.json", rows, i)
+    out = _run(spark, d, tmp_path, "ckpt")
+    report = {
+        r["batch"]: r["running_distinct_est"]
+        for r in spark.read.parquet(out + "/report").collect()
+    }
+    removed = fold_sketch_batches(spark, out, upto_batch=1, k=16)
+    assert removed == 1  # batch=0 gone, batch=1 now holds the folded prefix
+    sk = spark.read.parquet(out + "/sketches")
+    assert sorted(
+        r["batch"] for r in sk.select("batch").distinct().collect()
+    ) == [1, 2]
+    # the monitor's own merge over the folded layout reproduces the
+    # prefix-1 and prefix-2 running estimates bit-for-bit
+    for upto in (1, 2):
+        merged = (
+            sk.filter(F.col("batch") <= upto)
+            .select("h").distinct().orderBy("h").limit(16)
+        )
+        got = kmv_estimate_from_sketch(merged, 16).collect()[0]["approx_distinct"]
+        assert got == report[upto], upto
+    # re-running the fold is a no-op (idempotent)
+    assert fold_sketch_batches(spark, out, upto_batch=1, k=16) == 0

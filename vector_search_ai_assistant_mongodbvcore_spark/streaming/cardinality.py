@@ -16,8 +16,10 @@ no compare-and-swap: idempotent partition writes are the whole
 persistence story.
 
 State growth is N_batches * k longs (k=256 over 10k batches ~ 20 MB of
-parquet) — fold old batches with a one-line maintenance merge when N
-gets silly; the report is one row per batch:
+parquet) — fold_sketch_batches compacts any prefix into one partition
+when N gets silly (crash-safe in any order: KMV merges are idempotent
+over duplicate hashes, so a fold that dies between the write and the
+deletes changes no running estimate); the report is one row per batch:
 
     report/batch=<n>/  (batch, batch_rows, batch_distinct_est,
                         running_distinct_est)
@@ -34,7 +36,52 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["start_cardinality_monitor_stream"]
+__all__ = ["start_cardinality_monitor_stream", "fold_sketch_batches"]
+
+
+def fold_sketch_batches(spark, out_dir: str, upto_batch: int, k: int = 256) -> int:
+    """Compact sketches/batch<=`upto_batch` into ONE partition at
+    batch=`upto_batch` holding the k-min merge of the folded prefix.
+    Running estimates are unchanged at every later epoch: the monitor's
+    merge takes distinct k smallest hashes over batch<=N, and k-min of
+    (folded ∪ not-yet-deleted originals) == k-min of the originals, so
+    the fold is safe to crash or re-run at ANY point — write the merged
+    partition first, delete the stale ones after, no manifest needed
+    (this idempotence is KMV-specific; the MG frequency monitor sums
+    counts and must NOT be folded this way). Returns the number of
+    partitions removed."""
+    sketch_dir = os.path.join(out_dir, "sketches")
+    sk = spark.read.parquet(sketch_dir)
+    merged = (
+        sk.filter(F.col("batch") <= int(upto_batch))
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .withColumn("batch", F.lit(int(upto_batch)))
+    )
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(sketch_dir)
+    )
+    # portable delete (local fs or any Hadoop-supported object scheme)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(sketch_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b < int(upto_batch):
+                fs.delete(st.getPath(), True)
+                removed += 1
+    return removed
 
 
 def start_cardinality_monitor_stream(
