@@ -584,6 +584,97 @@ class PartitionedHnswIndex:
         local = scan.mapInPandas(serve, out_schema)
         return local.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
+    def _search_many_candidates(
+        self,
+        pairs: "list[tuple]",
+        qid_type: str,
+        k: int,
+        ef_search: "int | None",
+        round_scores: "int | None",
+    ):
+        """Segment-local candidates for the whole query batch: each
+        segment task deserializes its graph ONCE (worker-local cache) and
+        beam-serves every query against it — at most S×Q×k rows leave the
+        serving stage.  Per-query kernel calls, tombstone over-fetch and
+        rounding are identical to search(), so the global cut selects the
+        same rows the per-query loop would."""
+        import pandas as pd
+
+        meta = self._read_meta_for_rw()
+        id_col = meta["id_col"]
+        deleted = {sid: frozenset(ids) for sid, ids in meta["deleted"].items() if ids}
+        batch = [
+            (qid, np.asarray([float(x) for x in vec], dtype=np.float64))
+            for qid, vec in pairs
+        ]
+        ef = int(ef_search) if ef_search is not None else None
+
+        def serve(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    sid = row["segment_id"]
+                    kernel = _cached_segment(sid, bytes(row["payload"]))
+                    ids = row["ids"]
+                    dead = deleted.get(sid, frozenset())
+                    n_dead_rows = (
+                        int(np.isin(np.asarray(ids), list(dead)).sum())
+                        if dead
+                        else 0
+                    )
+                    out_qid, out_ids, out_scores = [], [], []
+                    for qid, q in batch:
+                        idx, sims = kernel.search(q, k + n_dead_rows, ef_search=ef)
+                        taken = 0
+                        for i, s in zip(idx, sims):
+                            doc = ids[i]
+                            if doc in dead:
+                                continue
+                            out_qid.append(qid)
+                            out_ids.append(doc)
+                            out_scores.append(
+                                round(float(s), round_scores)
+                                if round_scores is not None
+                                else float(s)
+                            )
+                            taken += 1
+                            if taken >= k:
+                                break
+                    yield pd.DataFrame(
+                        {"query_id": out_qid, id_col: out_ids, "score": out_scores}
+                    )
+
+        scan = self._segments_scan(meta)
+        out_schema = (
+            f"query_id {qid_type}, {id_col} {meta['id_type']}, score double"
+        )
+        return scan.mapInPandas(serve, out_schema), id_col
+
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        ef_search: "int | None" = None,
+        round_scores: "int | None" = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vector",
+    ):
+        """Batched serving: ONE pass over the segments answers the whole
+        query batch (`queries` = small DataFrame with (query_id,
+        query_vector) columns, or a sequence of (id, vector) pairs).
+        Output (query_id, <id_col>, score, rank), rank 1..k per query by
+        (score desc, id asc) — row-for-row identical to looping search()
+        (asserted in tests), at 1/Q-th the scans and job overheads."""
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.batch_serving import (
+            collect_query_batch,
+            topk_per_query,
+        )
+
+        pairs, qid_type = collect_query_batch(queries, query_id_col, query_vec_col)
+        cand, id_col = self._search_many_candidates(
+            pairs, qid_type, k, ef_search, round_scores
+        )
+        return topk_per_query(cand, "query_id", id_col, "score", k)
+
     # ---- near-real-time maintenance (apply_index_changes surface) --------
 
     def _live_ids_df(self, meta: dict):

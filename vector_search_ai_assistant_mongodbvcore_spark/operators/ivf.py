@@ -467,3 +467,151 @@ class IvfIndex:
             id_col=id_col,
             round_scores=round_scores,
         )
+
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        n_probe: int = 1,
+        use_pandas: bool = True,
+        id_col: "str | None" = None,
+        round_scores: "int | None" = None,
+        exact_source: "DataFrame | None" = None,
+        expand: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vector",
+    ) -> DataFrame:
+        """Batched centroid-pruned serving: ONE scan of the union of every
+        query's probe partitions answers the whole batch.  Routing is a
+        broadcast (query_id, centroid_id) frame joined onto the partition
+        column — each data row is scored once per query that probes its
+        partition, so candidate volume is Σ_q rows(probes(q)), never
+        N×Q — then a per-query window cuts the top-k.  Output (query_id,
+        <id_col>, score, rank); row-for-row identical to looping
+        search() with the same arguments (asserted in tests).
+
+        `queries` = small DataFrame with (query_id, query_vector) columns
+        or a sequence of (id, vector) pairs.  On a quantized index scores
+        come from dequantized int8 / PQ ADC exactly as in search();
+        `exact_source` reranks each query's k*expand shortlist at full
+        precision (one broadcast join for ALL queries)."""
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.batch_serving import (
+            collect_query_batch,
+            finish_scores,
+            make_cosine_scores_by_query,
+            normalized_query_matrix,
+            topk_per_query,
+        )
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+            cosine_similarity,
+            dequantize_int8,
+        )
+
+        pairs, qid_type = collect_query_batch(queries, query_id_col, query_vec_col)
+        meta = self.meta()
+        key = id_col if id_col is not None else "vec_id"
+        vector_col = meta["vector_col"]
+        quantized = meta.get("quantized", False)
+        shortlist_k = k * expand if (quantized and exact_source is not None) else k
+
+        # driver-side routing: probes per query over the tiny centroid set
+        probe_rows = [
+            (qid, int(c), [float(x) for x in vec])
+            for qid, vec in pairs
+            for c in self.nearest_centroids(list(vec), n_probe)
+        ]
+        routing = self.spark.createDataFrame(
+            probe_rows,
+            f"query_id {qid_type}, centroid_id int, _qvec array<double>",
+        )
+        all_probes = sorted({c for _, c, _ in probe_rows})
+        scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
+            F.col("centroid_id").isin(all_probes)
+        )
+        cand = scan.join(F.broadcast(routing), "centroid_id")
+
+        if quantized == "pq":
+            # per-query ADC LUTs: the same gather+sum kernel as
+            # pq.adc_score_col, grouped by query id within each batch
+            from pyspark.sql.types import DoubleType
+
+            model = meta["pq_model"]
+            m_sub, dims = model["m"], model["dims"]
+            dsub = dims // m_sub
+            luts = {}
+            for qid, vec in pairs:
+                q = np.asarray([float(x) for x in vec], dtype=np.float64)
+                qn = np.linalg.norm(q)
+                if qn > 0:
+                    q = q / qn
+                luts[qid] = np.stack(
+                    [
+                        np.array(model["codebooks"][j], dtype=np.float64)
+                        @ q[j * dsub : (j + 1) * dsub]
+                        for j in range(m_sub)
+                    ]
+                )
+
+            @F.pandas_udf(DoubleType())
+            def adc_many(
+                it: "Iterator[tuple[pd.Series, pd.Series]]",
+            ) -> "Iterator[pd.Series]":
+                for qid_s, codes in it:
+                    out = np.zeros(len(qid_s), dtype=np.float64)
+                    for qid, pos in qid_s.groupby(qid_s, sort=False).groups.items():
+                        idx = qid_s.index.get_indexer(pos)
+                        c = np.stack(codes.iloc[idx].values).astype(np.int64)
+                        out[idx] = luts[qid][np.arange(m_sub)[None, :], c].sum(axis=1)
+                    yield pd.Series(out)
+
+            scored = cand.withColumn(
+                "score",
+                F.round(
+                    adc_many(F.col("query_id"), F.col("_pq")),
+                    round_scores if round_scores is not None else 6,
+                ),
+            )
+            approx = topk_per_query(scored, "query_id", key, "score", shortlist_k)
+        else:
+            if quantized:
+                cand = cand.withColumn(vector_col, dequantize_int8("_q8")).drop("_q8")
+            if use_pandas:
+                scorer = make_cosine_scores_by_query(normalized_query_matrix(pairs))
+                scored = cand.withColumn(
+                    "score", scorer(F.col("query_id"), F.col(vector_col))
+                )
+            else:
+                scored = cand.withColumn(
+                    "score",
+                    cosine_similarity(
+                        F.col(vector_col).cast("array<double>"), F.col("_qvec")
+                    ),
+                )
+            scored = finish_scores(scored, "score", round_scores)
+            approx = topk_per_query(scored, "query_id", key, "score", shortlist_k)
+        if not (quantized and exact_source is not None):
+            return approx
+        # full-precision rerank of every query's shortlist in ONE join:
+        # the Q×shortlist_k id set is broadcast against the source table
+        shortlist = approx.select("query_id", key)
+        exact_cands = exact_source.join(F.broadcast(shortlist), key).select(
+            "query_id", key, vector_col
+        )
+        if use_pandas:
+            scorer = make_cosine_scores_by_query(normalized_query_matrix(pairs))
+            rescored = exact_cands.withColumn(
+                "score", scorer(F.col("query_id"), F.col(vector_col))
+            )
+        else:
+            qvecs = self.spark.createDataFrame(
+                [(qid, [float(x) for x in vec]) for qid, vec in pairs],
+                f"query_id {qid_type}, _qvec array<double>",
+            )
+            rescored = exact_cands.join(F.broadcast(qvecs), "query_id").withColumn(
+                "score",
+                cosine_similarity(
+                    F.col(vector_col).cast("array<double>"), F.col("_qvec")
+                ),
+            )
+        rescored = finish_scores(rescored, "score", round_scores)
+        return topk_per_query(rescored, "query_id", key, "score", k)

@@ -664,6 +664,79 @@ class Bm25Index:
             scored = scored.withColumn("bm25", F.round("bm25", round_scores))
         return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        round_scores: int | None = None,
+        query_id_col: str = "query_id",
+        query_terms_col: str = "query_terms",
+    ) -> DataFrame:
+        """Batched BM25 serving: ONE pruned scan of the union of every
+        query's term buckets answers the whole batch.  A broadcast
+        (query_id, term) routing frame fans each posting row out to
+        exactly the queries containing its term; scoring is the identical
+        contribution expression as search(), aggregated per (query, doc).
+        Output (query_id, <id_col>, bm25, rank), rank 1..k per query by
+        (bm25 desc, id asc) — the same rows looping search() returns
+        (asserted in tests), at 1/Q-th the scans and job overheads.
+
+        `queries` = small DataFrame with (query_id, query_terms) columns
+        (terms array<string>, pre-tokenized with tokenize_query) or a
+        sequence of (id, terms) pairs."""
+        import os
+
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.batch_serving import (
+            collect_query_batch,
+            topk_per_query,
+        )
+
+        pairs, qid_type = collect_query_batch(queries, query_id_col, query_terms_col)
+        meta = self.meta()
+        id_col = meta["id_col"]
+        n_b = meta["n_buckets"]
+        # per-query dedup (search()'s dict.fromkeys contract), then the
+        # union routing frame
+        route_rows = [
+            (qid, t)
+            for qid, terms in pairs
+            for t in dict.fromkeys(terms)
+        ]
+        all_terms = sorted({t for _, t in route_rows})
+        if not all_terms:
+            raise ValueError("search_many: every query has an empty term list")
+        buckets = sorted({self.bucket_py(t, n_b) for t in all_terms})
+        routing = self.spark.createDataFrame(
+            route_rows, f"query_id {qid_type}, term string"
+        )
+        scan = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(all_terms))
+        )
+        dfreq = (
+            self.spark.read.parquet(self._terms_dir(meta))
+            .filter(F.col("term").isin(all_terms))
+        )
+        scan = scan.join(F.broadcast(dfreq), "term").join(
+            F.broadcast(routing), "term"
+        )
+        n_docs = float(meta["n_docs"])
+        avgdl = float(meta["total_tokens"]) / max(n_docs, 1.0)
+        idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        denom = F.col("tf") + k1 * ((1.0 - b) + (b * F.col("dl")) / F.lit(avgdl))
+        contrib = (idf * F.col("tf") * (k1 + 1.0)) / denom
+        scored = (
+            scan.withColumn("_c", contrib)
+            .groupBy("query_id", id_col)
+            .agg(F.sum("_c").alias("bm25"))
+        )
+        if round_scores is not None:
+            scored = scored.withColumn("bm25", F.round("bm25", round_scores))
+        return topk_per_query(scored, "query_id", id_col, "bm25", k)
+
 
 def ranked_topk(
     scored: DataFrame,

@@ -571,6 +571,110 @@ class LshIndex:
             round_scores=round_scores,
         )
 
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        round_scores: int | None = None,
+        use_pandas: bool = True,
+        exact_source: DataFrame | None = None,
+        expand: int = 4,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vector",
+    ) -> DataFrame:
+        """Batched bucket-pruned serving: ONE scan of the union of every
+        query's (table, bucket) partitions answers the whole batch.  Each
+        query's bucket codes are computed driver-side (the same
+        _query_codes as search()) and broadcast as a (query_id, table,
+        bucket) routing frame; a data row is scored once per query whose
+        buckets cover it, after the same per-(query, id) dedup search()
+        applies per query.  Output (query_id, <id_col>, score, rank) —
+        row-for-row identical to looping search() (asserted in tests).
+
+        `queries` = small DataFrame with (query_id, query_vector) columns
+        or a sequence of (id, vector) pairs.  `exact_source` reranks each
+        query's k*expand int8 shortlist at full precision in ONE join,
+        as in IvfIndex.search_many."""
+        import os
+
+        from vector_search_ai_assistant_mongodbvcore_spark.operators.batch_serving import (
+            collect_query_batch,
+            finish_scores,
+            make_cosine_scores_by_query,
+            normalized_query_matrix,
+            topk_per_query,
+        )
+        from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
+            dequantize_int8,
+        )
+
+        pairs, qid_type = collect_query_batch(queries, query_id_col, query_vec_col)
+        m = self.meta()
+        id_col, vector_col = m["id_col"], m["vector_col"]
+        shortlist_k = k * expand if (m.get("quantized") and exact_source is not None) else k
+
+        route_rows = []
+        for qid, vec in pairs:
+            for t, c in enumerate(_query_codes(list(vec), m["bits"], m["tables"], m["seed"])):
+                route_rows.append((qid, t, int(c), [float(x) for x in vec]))
+        routing = self.spark.createDataFrame(
+            route_rows,
+            f"query_id {qid_type}, table int, bucket int, _qvec array<double>",
+        )
+        hit_parts = {(t, c) for _, t, c, _ in route_rows}
+        scan = self.spark.read.parquet(os.path.join(self.path, "data"))
+        cond = F.lit(False)
+        for t, c in sorted(hit_parts):
+            cond = cond | ((F.col("table") == t) & (F.col("bucket") == c))
+        candidates = (
+            scan.filter(cond)
+            .join(F.broadcast(routing), ["table", "bucket"])
+            .dropDuplicates(["query_id", id_col])
+            .drop("table", "bucket")
+        )
+        if m.get("quantized"):
+            candidates = candidates.withColumn(
+                vector_col, dequantize_int8("_q8")
+            ).drop("_q8")
+        if use_pandas:
+            scorer = make_cosine_scores_by_query(normalized_query_matrix(pairs))
+            scored = candidates.withColumn(
+                "score", scorer(F.col("query_id"), F.col(vector_col))
+            )
+        else:
+            scored = candidates.withColumn(
+                "score",
+                cosine_similarity(
+                    F.col(vector_col).cast("array<double>"), F.col("_qvec")
+                ),
+            )
+        scored = finish_scores(scored, "score", round_scores)
+        approx = topk_per_query(scored, "query_id", id_col, "score", shortlist_k)
+        if not (m.get("quantized") and exact_source is not None):
+            return approx
+        shortlist = approx.select("query_id", id_col)
+        exact_cands = exact_source.join(F.broadcast(shortlist), id_col).select(
+            "query_id", id_col, vector_col
+        )
+        if use_pandas:
+            scorer = make_cosine_scores_by_query(normalized_query_matrix(pairs))
+            rescored = exact_cands.withColumn(
+                "score", scorer(F.col("query_id"), F.col(vector_col))
+            )
+        else:
+            qvecs = self.spark.createDataFrame(
+                [(qid, [float(x) for x in vec]) for qid, vec in pairs],
+                f"query_id {qid_type}, _qvec array<double>",
+            )
+            rescored = exact_cands.join(F.broadcast(qvecs), "query_id").withColumn(
+                "score",
+                cosine_similarity(
+                    F.col(vector_col).cast("array<double>"), F.col("_qvec")
+                ),
+            )
+        rescored = finish_scores(rescored, "score", round_scores)
+        return topk_per_query(rescored, "query_id", id_col, "score", k)
+
 
 def embedding_neardup(
     df: DataFrame,
