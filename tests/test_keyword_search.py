@@ -105,12 +105,23 @@ def test_registered_queries_shape(spark):
     from vector_search_ai_assistant_mongodbvcore_spark import queries as q
 
     reg = q.queries()
-    top = reg["bm25_topk"](spark, "/root/testdata/sf0.001").collect()
+    # bm25_topk retired r15 (slot -> bm25_search_many); shape pinned on the
+    # function directly
+    top = q.bm25_topk(spark, "/root/testdata/sf0.001").collect()
     assert 0 < len(top) <= 10
     assert [c for c in top[0].asDict()] == ["doc_id", "bm25"]
     # descending by rounded score, id tiebreak
     keys = [(-r["bm25"], r["doc_id"]) for r in top]
     assert keys == sorted(keys)
+
+    batch = reg["bm25_search_many"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(batch) <= 30
+    assert [c for c in batch[0].asDict()] == ["query_id", "doc_id", "bm25", "rank"]
+    # query 0 of the batch IS the retired query's term set: identical rows
+    q0 = [(r["doc_id"], r["bm25"]) for r in sorted(
+        (r for r in batch if r["query_id"] == 0), key=lambda r: r["rank"]
+    )]
+    assert q0 == [(r["doc_id"], r["bm25"]) for r in top]
 
     hyb = reg["hybrid_search_indexed"](spark, "/root/testdata/sf0.001").collect()
     assert 0 < len(hyb) <= 10
@@ -123,7 +134,7 @@ def test_registered_queries_shape(spark):
 def test_bm25_topk_plan_is_take_ordered(spark):
     from vector_search_ai_assistant_mongodbvcore_spark import queries as q
 
-    df = q.queries()["bm25_topk"](spark, "/root/testdata/sf0.001")
+    df = q.bm25_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 

@@ -58,8 +58,14 @@ def test_text_pipeline_stays_jvm_side(spark, reg):
 
 
 def test_ivf_scan_partition_pruned(spark, reg):
-    rep = _report(spark, reg, "ivf_search_all_probes")
+    # retired r15 (slot -> ivf_search_many); the single-query pruned-scan
+    # property is asserted on the function directly
+    rep = plan_report(Q.ivf_search_all_probes(spark, SF_DIR))
     assert "PartitionFilters" in rep.raw and "centroid_id" in rep.raw
+    # the batched twin keeps the pruned scan AND routes via broadcast
+    rep = _report(spark, reg, "ivf_search_many")
+    assert "PartitionFilters" in rep.raw and "centroid_id" in rep.raw
+    assert rep.broadcast_joins >= 1 and rep.sortmerge_joins == 0
 
 
 def test_aggregations_partial_aggregate_map_side(spark, reg):
@@ -81,10 +87,17 @@ def test_minhash_single_shuffle_to_signatures(spark, reg):
 
 
 def test_bm25_topk_take_ordered_no_global_sort(spark, reg):
-    rep = _report(spark, reg, "bm25_topk")
+    # retired r15 (slot -> bm25_search_many); the TakeOrdered property is
+    # asserted on the function directly
+    rep = plan_report(Q.bm25_topk(spark, SF_DIR))
     assert rep.take_ordered
     assert rep.global_sorts == 0
     assert rep.python_evals == 0  # pure codegen score expression
+    # the batched twin: pruned postings scan + broadcast routing, still
+    # zero Python in the scoring path
+    rep = _report(spark, reg, "bm25_search_many")
+    assert rep.broadcast_joins >= 2 and rep.sortmerge_joins == 0
+    assert rep.python_evals == 0
 
 
 def test_hybrid_indexed_partition_pruned_both_legs(spark, reg):

@@ -249,3 +249,38 @@ def test_sessionization_matches_duckdb(spark):
         )
     )
     assert got == [tuple(w) for w in want]
+
+
+def _duck_with_embeddings(sql: str):
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_ivf_search_all_probes_matches_duckdb(spark):
+    """Retired r15 (slot -> ivf_search_many, whose query 0 is this very
+    vector); all-probe IVF == brute force, so the plain top-10 SQL stays
+    a true oracle for the single-query build+search path."""
+    got = [(r["vec_id"], r["score"]) for r in Q.ivf_search_all_probes(spark, SF).collect()]
+    cos = Q._cos_sql(Q._vec_sql(Q._QV_IVF))
+    want = _duck_with_embeddings(
+        f"""SELECT vec_id, round({cos}, 4) AS score FROM embeddings
+            ORDER BY round({cos}, 4) DESC, vec_id LIMIT 10"""
+    )
+    assert got == [tuple(w) for w in want]
+
+
+def test_bm25_topk_matches_duckdb(spark):
+    """Retired r15 (slot -> bm25_search_many, whose query 0 is this very
+    term set; the single-query INDEX serve stays hash-gated inside
+    hybrid_search_indexed's keyword leg)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
+
+    got = [(r["doc_id"], r["bm25"]) for r in Q.bm25_topk(spark, SF).collect()]
+    want = _duck_with_embeddings(
+        f"""WITH {KW.bm25_cte_sql(Q._BM25_TERMS)}
+            SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25_scored
+            ORDER BY round(bm25, 4) DESC, doc_id LIMIT 10"""
+    )
+    assert got == [tuple(w) for w in want]

@@ -131,11 +131,15 @@ def bm25_cte_sql(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    cte_suffix: str = "",
 ) -> str:
     """DuckDB oracle twin of bm25_scores as a CTE block (no leading WITH,
-    final CTE named `bm25_scored` with (id, bm25)) — SAME expression tree
-    (fixed per-term order, identical parenthesization) so scores agree to
-    the ulp of ln(). Callers compose: f"WITH {bm25_cte_sql(...)} SELECT".
+    final CTE named `bm25_scored{cte_suffix}` with (id, bm25)) — SAME
+    expression tree (fixed per-term order, identical parenthesization) so
+    scores agree to the ulp of ln(). Callers compose:
+    f"WITH {bm25_cte_sql(...)} SELECT".  `cte_suffix` disambiguates the
+    internal CTE names so one statement can hold SEVERAL queries' blocks
+    (the batched bm25_search_many oracle).
 
     Terms are interpolated into SQL string literals, so they must be plain
     [a-z0-9]+ tokens — exactly what `tokenize`/`tokenize_query` emit. The
@@ -162,26 +166,27 @@ def bm25_cte_sql(
         f" / (tf{i} + {k1!r} * ((1.0 - {b!r}) + ({b!r} * dl) / avgdl)))"
         for i in range(len(terms))
     )
-    return f"""toks AS (
+    sfx = cte_suffix
+    return f"""toks{sfx} AS (
       SELECT {id_col}, t AS term FROM (
         SELECT {id_col},
                unnest(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}')) AS t
         FROM {table}
       ) WHERE t <> ''
     ),
-    perdoc AS (
+    perdoc{sfx} AS (
       SELECT {id_col}, count(*) AS dl,
            {tfs}
-      FROM toks GROUP BY {id_col}
+      FROM toks{sfx} GROUP BY {id_col}
     ),
-    stats AS (
+    stats{sfx} AS (
       SELECT count(*) AS n_docs, avg(dl) AS avgdl,
            {dfs}
-      FROM perdoc
+      FROM perdoc{sfx}
     ),
-    bm25_scored AS (
+    bm25_scored{sfx} AS (
       SELECT {id_col}, {contribs} AS bm25
-      FROM perdoc CROSS JOIN stats
+      FROM perdoc{sfx} CROSS JOIN stats{sfx}
       WHERE ({" + ".join(f"tf{i}" for i in range(len(terms)))}) > 0
     )"""
 

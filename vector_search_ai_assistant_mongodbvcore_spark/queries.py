@@ -2110,21 +2110,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@register(
-    "ivf_search_all_probes",
-    f"""
-    SELECT vec_id, round({_cos_sql(_vec_sql(_QV_IVF))}, 4) AS score
-    FROM embeddings
-    ORDER BY round({_cos_sql(_vec_sql(_QV_IVF))}, 4) DESC, vec_id
-    LIMIT 10
-    """,
-)
 def ivf_search_all_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4+V5: IVF index build-if-absent (sampled KMeans fit ->
     centroid-partitioned parquet under the engine cache dir) + pruned
     search, returned LAZILY — the harness sees the real partition-pruned
     scan plan, no driver collect. Probing ALL lists makes IVF exact, so the
-    brute-force SQL is a true oracle for the whole build+search path."""
+    brute-force SQL is a true oracle for the whole build+search path.
+
+    Retired from the recorded registry in r15 (slot -> the batched
+    `ivf_search_many`, which serves THREE queries through the same
+    build+search path in one pass, query 0 being this very vector);
+    DuckDB parity stays pinned in tests/test_retired_queries.py."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
 
     t = _tables(spark, sf_dir)
@@ -2133,6 +2129,51 @@ def ivf_search_all_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = idx.search(_QV_IVF, k=10, n_probe=4, use_pandas=False, id_col="vec_id", round_scores=4)
     return out.select("vec_id", "score")
+
+
+# batched-serving query set: query 0 is the retired single-query vector, so
+# the old recorded result is a strict subset of the new one
+_QV_IVM = [_QV_IVF] + [
+    [round(float(x), 6) for x in row] for row in np.random.RandomState(19).randn(2, 64)
+]
+
+
+def _ivm_values_sql() -> str:
+    rows = ", ".join(f"({i}, {_vec_sql(q)})" for i, q in enumerate(_QV_IVM))
+    return f"(VALUES {rows}) AS queries(query_id, qvec)"
+
+
+@register(
+    "ivf_search_many",
+    f"""
+    SELECT query_id, vec_id, score, "rank" FROM (
+      SELECT query_id, vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) DESC,
+                                         vec_id) AS "rank"
+      FROM embeddings CROSS JOIN {_ivm_values_sql()}
+    ) WHERE "rank" <= 10
+    """,
+)
+def ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF serving (IvfIndex.search_many): ONE scan of the union
+    of the three queries' probe partitions answers the whole batch —
+    broadcast (query_id, centroid_id) routing, pure-codegen cosine, one
+    per-query window cut. Probing ALL lists makes every query exact, so
+    the brute-force cross-join SQL is a true oracle for the full
+    build + batched-serve path (query 0 is the retired
+    `ivf_search_all_probes` vector)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import IvfIndex
+
+    t = _tables(spark, sf_dir)
+    idx = IvfIndex(spark, _cache_dir(sf_dir, "ivf_embeddings")).build_if_absent(
+        t["embeddings"], vector_col="embedding", num_lists=4, seed=42, fit_fraction=0.5
+    )
+    return idx.search_many(
+        list(enumerate(_QV_IVM)), k=10, n_probe=4, use_pandas=False,
+        id_col="vec_id", round_scores=4,
+    )
 
 
 @register(
@@ -2421,21 +2462,18 @@ _QV_HYB = [
 ]
 
 
-@register(
-    "bm25_topk",
-    f"""
-    WITH {KW.bm25_cte_sql(_BM25_TERMS)}
-    SELECT doc_id, round(bm25, 4) AS bm25
-    FROM bm25_scored
-    ORDER BY round(bm25, 4) DESC, doc_id
-    LIMIT 10
-    """,
-)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-k over the documents corpus: one scan
     (explode -> per-doc conditional aggregate, map-side combine), broadcast
     stats, pure-codegen score expression, TakeOrdered top-10. Scores
-    rounded 4dp before ranking; doc_id tiebreak."""
+    rounded 4dp before ranking; doc_id tiebreak.
+
+    Retired from the recorded registry in r15 (slot -> the batched
+    `bm25_search_many`, which serves THREE term sets off the MATERIALIZED
+    Bm25Index in one pruned pass — query 0 being these very terms, and the
+    single-query index serve staying hash-gated inside
+    hybrid_search_indexed's keyword leg); DuckDB parity stays pinned in
+    tests/test_retired_queries.py."""
     t = _tables(spark, sf_dir)
     scored = KW.bm25_scores(t["documents"], _BM25_TERMS)
     return (
@@ -2443,6 +2481,56 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# batched keyword query set: query 0 is the retired bm25_topk term set
+_BM25_BATCH = [
+    (0, _BM25_TERMS),
+    (1, ["filter", "sort"]),
+    (2, ["query", "merge", "data"]),
+]
+
+
+def _bm25_batch_oracle() -> str:
+    ctes = ",\n    ".join(
+        KW.bm25_cte_sql(terms, cte_suffix=f"_q{qid}") for qid, terms in _BM25_BATCH
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id, round(bm25, 4) AS bm25 "
+        f"FROM bm25_scored_q{qid}"
+        for qid, _ in _BM25_BATCH
+    )
+    return f"""
+    WITH {ctes},
+    u AS (
+      {union}
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS "rank"
+      FROM u
+    )
+    SELECT query_id, doc_id, bm25, "rank" FROM ranked WHERE "rank" <= 10
+    """
+
+
+@register("bm25_search_many", _bm25_batch_oracle())
+def bm25_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 serving (Bm25Index.search_many) off the MATERIALIZED
+    inverted index: ONE pruned scan of the union of the three term sets'
+    posting buckets answers all queries — broadcast (query_id, term)
+    routing, the identical contribution expression as single-query
+    serving, one per-query window cut. The DuckDB oracle replays each
+    query's full BM25 expression tree (bm25_cte_sql per query, suffixed
+    CTEs) so the batch path is hash-verified end to end."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
+
+    t = _tables(spark, sf_dir)
+    bm = Bm25Index(spark, _cache_dir(sf_dir, "bm25_documents")).build_if_absent(
+        t["documents"]
+    )
+    return bm.search_many(_BM25_BATCH, k=10, round_scores=4)
 
 
 _QCODES_HYB = _query_codes(_QV_HYB, _LSH_ANN_BITS, _LSH_ANN_TABLES, 42)
@@ -2938,10 +3026,10 @@ _ORDER = [
     "source_capped_sample",
     # vector similarity / ANN
     "ann_topk", "partitioned_ann_topk", "knn_join", "embedding_neardup_pairs",
-    "ivf_search_all_probes", "lsh_ann_topk",
+    "ivf_search_many", "lsh_ann_topk",
     "lsh_neardup_pairs",
     # keyword + hybrid retrieval, as-of join, chunking
-    "bm25_topk", "hybrid_search_indexed", "asof_purchase_attribution",
+    "bm25_search_many", "hybrid_search_indexed", "asof_purchase_attribution",
     "document_chunks",
     # streaming / LLM surface
     "windowed_event_counts", "build_prompts_trim", "summarize_labels",
