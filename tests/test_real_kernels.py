@@ -31,6 +31,37 @@ def test_tiktoken_token_counts_through_engine_udf(spark):
     assert got == want  # the engine UDF defers to tiktoken when importable
 
 
+def test_bpe_engine_matches_tiktoken_on_real_cl100k_vocab():
+    """Algorithm-parity proof for the engine's own byte-pair-merge
+    (functions/tokenizer.BpeEncoding): rebuilt from tiktoken's OWN
+    cl100k_base mergeable ranks, it must produce identical ids on every
+    probe text.  With this green, a cl100k_base.tiktoken file served via
+    $SPARK_GRAFT_TIKTOKEN_VOCAB tokenizes exactly like the reference's
+    SharpToken — no tiktoken package needed at run time.  (The merge
+    kernel itself runs UN-skipped in CI over the committed fixture vocab:
+    tests/test_bpe_vocab.py.)"""
+    tiktoken = pytest.importorskip("tiktoken")
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.tokenizer import (
+        BpeEncoding,
+    )
+
+    real = tiktoken.get_encoding("cl100k_base")
+    mine = BpeEncoding(real._mergeable_ranks, pattern=real._pat_str, name="cl100k")
+    probes = [
+        "hello world",
+        "the quick brown fox jumps over the lazy dog",
+        "tokens, tokens; tokens!",
+        "don't we'll they've I'm 'tis",
+        "1234567890 and 12345.678",
+        "unicode: héllo wörld — 日本語テキスト 🚀",
+        "   leading spaces\nand\r\nnewlines\t tabs",
+        "CamelCase snake_case kebab-case ALLCAPS",
+    ]
+    for t in probes:
+        assert mine.encode(t) == real.encode(t), t
+        assert mine.decode(mine.encode(t)) == t
+
+
 def test_hnswlib_kernel_through_partitioned_ann(spark):
     pytest.importorskip("hnswlib")
     from vector_search_ai_assistant_mongodbvcore_spark.operators.partitioned_ann import (
