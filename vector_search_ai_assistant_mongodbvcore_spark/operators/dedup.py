@@ -50,7 +50,18 @@ def pair_structs(ids_col) -> "F.Column":
     The bucket-join building block shared by the LSH/Jaccard dedup family:
     grouping to posting lists + in-list pair expansion replaces a skewed
     self-join shuffle with per-bucket quadratic work bounded by the bucket
-    size cap (df_cut / band selectivity)."""
+    size cap (df_cut / band selectivity).
+
+    Accepts a column name / SQL expression STRING or a Column. The string
+    form builds the whole nested-lambda tree with ONE sqlParser call —
+    the Column form pays ~60 py4j round-trips per use (lambda plumbing),
+    a measured driver-side construction cost on the bench (r15)."""
+    if isinstance(ids_col, str):
+        return F.expr(
+            f"flatten(transform({ids_col}, (x, i) -> "
+            f"transform(slice({ids_col}, i + 2, size({ids_col})), "
+            f"y -> named_struct('id_a', x, 'id_b', y))))"
+        )
     return F.flatten(
         F.transform(
             ids_col,
@@ -271,12 +282,16 @@ def _minhash_agg(
     window already hash-partitions on id, so the aggregation reuses that
     exchange and the min() combine collapses each doc to one row in place."""
     toks = exploded_shingles(df, text_col, id_col, shingle_size)
-    h = F.md5(F.col("ng"))
-    c1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    c2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-    proj = toks.select(id_col, c1.alias("_c1"), c2.alias("_c2"))
+    # F.expr strings: one sqlParser round-trip per column instead of ~8
+    # py4j calls each — identical expression trees, measured ~0.4 s less
+    # driver-side construction per build at num_hashes=16 (r15)
+    proj = toks.select(
+        id_col,
+        F.expr("cast(conv(substring(md5(ng), 1, 8), 16, 10) as bigint)").alias("_c1"),
+        F.expr("cast(conv(substring(md5(ng), 9, 8), 16, 10) as bigint)").alias("_c2"),
+    )
     aggs = [
-        F.min((F.col("_c1") + F.lit(i) * F.col("_c2")) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        F.expr(f"min((_c1 + {i} * _c2) % {MINHASH_PRIME})").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return proj.groupBy(id_col).agg(*aggs)
@@ -324,7 +339,7 @@ def capped_bucket_pairs(
     pairs_small = (
         small.groupBy(*bucket_cols)
         .agg(F.collect_list(id_col).alias("ids"))
-        .select(F.explode(pair_structs(F.array_sort("ids"))).alias("p"))
+        .select(F.explode(pair_structs("array_sort(ids)")).alias("p"))
         .select("p.id_a", "p.id_b")
     )
     a = big.select(*bucket_cols, F.col(id_col).alias("id_a"))
@@ -382,18 +397,28 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     agg = _minhash_agg(df, text_col, id_col, num_hashes, shingle_size)
     band_keys = [
-        F.concat_ws(
-            "|",
-            *[
-                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+        F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                f"cast(mh_{b * rows_per_band + r} as string)"
                 for r in range(rows_per_band)
-            ],
+            )
+            + ")"
         )
         for b in range(bands)
     ]
+    # the signature class key _ck embeds the band keys ('||'-joined digit
+    # strings), so the per-class band keys are RE-DERIVABLE by splitting
+    # _ck — no `_keys` array column rides along. Carrying the array cost
+    # an F.first(_keys) in the roster aggregation, and a first() over an
+    # array buffer forces SortAggregate for the whole aggregate: the r15
+    # plan audit showed SIX SortAggregate stages (the roster agg,
+    # partial+final, recomputed on three plan branches), each sorting the
+    # docs frame. With _ck alone the aggregation is collect_list-only
+    # (ObjectHashAggregate, no sort) and the windowed/exchanged frame is
+    # one string narrower on every branch.
     docs = agg.select(
         F.col(id_col),
-        F.array(*band_keys).alias("_keys"),
         F.concat_ws("||", *band_keys).alias("_ck"),
     )
     w = Window.partitionBy("_ck")
@@ -405,11 +430,10 @@ def minhash_lsh_pairs(
     # oversized classes stream size^2 pairs through a self-join
     rosters = small.groupBy("_ck").agg(
         F.array_sort(F.collect_list(id_col)).alias("_ids"),
-        F.first("_keys").alias("_keys"),
     )
     intra_small = (
         rosters.filter(F.size("_ids") > 1)
-        .select(F.explode(pair_structs(F.col("_ids"))).alias("p"))
+        .select(F.explode(pair_structs("_ids")).alias("p"))
         .select("p.id_a", "p.id_b")
     )
     big_a = big.select("_ck", F.col(id_col).alias("id_a"))
@@ -423,11 +447,11 @@ def minhash_lsh_pairs(
     # inter-class: band the DISTINCT classes (including singletons — a
     # lone doc still pairs across classes), dedup class pairs with the
     # existing capped machinery, then fan out to member pairs
-    classes = rosters.select("_ck", "_keys").unionByName(
-        big.select("_ck", "_keys").distinct()
+    classes = rosters.select("_ck").unionByName(
+        big.select("_ck").distinct()
     )
     banded = classes.select(
-        "_ck", F.posexplode("_keys").alias("band", "key")
+        "_ck", F.posexplode(F.split("_ck", r"\|\|")).alias("band", "key")
     )
     class_pairs = capped_bucket_pairs(banded, ["band", "key"], "_ck", max_bucket)
     # (class, id) membership map for the fan-out joins. Left lazy on
@@ -582,7 +606,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("sz"))
     )
     inter = (
-        groups.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        groups.select(F.explode(pair_structs("ids")).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -517,8 +517,16 @@ class PartitionedHnswIndex:
     # ---- serve -----------------------------------------------------------
 
     def _segments_scan(self, meta: dict):
+        # segment generation dirs are immutable once written (adds/compacts
+        # create NEW generations and rewrite meta's list), so the cache key
+        # — the resolved dir tuple — changes exactly when the data does;
+        # no explicit invalidation hook is needed on this layout
+        from vector_search_ai_assistant_mongodbvcore_spark.plans import (
+            scan_cache as _scan_cache,
+        )
+
         dirs = [os.path.join(self._segments_root(), g) for g in meta["generations"]]
-        return self.spark.read.parquet(*dirs)
+        return _scan_cache.cached_parquet(self.spark, *dirs)
 
     def search(
         self,

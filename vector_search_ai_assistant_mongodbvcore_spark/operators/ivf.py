@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_search_ai_assistant_mongodbvcore_spark.plans import scan_cache as _scan_cache
+
 from vector_search_ai_assistant_mongodbvcore_spark.operators.vector_search import (
     vector_search,
 )
@@ -207,6 +209,7 @@ class IvfIndex:
         assigned.repartition(num_lists, F.col("centroid_id")).write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(os.path.join(self.path, "data"))
+        _scan_cache.invalidate(self.spark, self.path)
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
         buf = io.BytesIO()
         np.save(buf, centroids)
@@ -314,6 +317,7 @@ class IvfIndex:
             "centroid_id"
         ).parquet(data_dir)
         self.spark.catalog.refreshByPath(data_dir)
+        _scan_cache.invalidate(self.spark, self.path)
         return self
 
     def remove_documents(self, ids, id_col: str) -> "IvfIndex":
@@ -353,6 +357,7 @@ class IvfIndex:
                     os.path.join(data_dir, f"centroid_id={c}")
                 )
         self.spark.catalog.refreshByPath(data_dir)
+        _scan_cache.invalidate(self.spark, self.path)
         return self
 
     def compact(self, max_files_per_partition: int = 8) -> int:
@@ -363,13 +368,16 @@ class IvfIndex:
             compact_partitioned_dir,
         )
 
-        return compact_partitioned_dir(
+        n = compact_partitioned_dir(
             self.spark,
             os.path.join(self.path, "data"),
             ["centroid_id"],
             max_files_per_partition,
             plane=self.plane,
         )
+        if n:
+            _scan_cache.invalidate(self.spark, self.path)
+        return n
 
     # ---- search ----------------------------------------------------------
     def _centroids(self) -> np.ndarray:
@@ -413,7 +421,7 @@ class IvfIndex:
         design: treat no-rerank PQ results as candidate sets."""
         meta = self.meta()
         probes = self.nearest_centroids(query, n_probe)
-        scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
+        scan = _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "data")).filter(
             F.col("centroid_id").isin(probes)
         )
         quantized = meta.get("quantized", False)
@@ -525,7 +533,7 @@ class IvfIndex:
             f"query_id {qid_type}, centroid_id int, _qvec array<double>",
         )
         all_probes = sorted({c for _, c, _ in probe_rows})
-        scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
+        scan = _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "data")).filter(
             F.col("centroid_id").isin(all_probes)
         )
         cand = scan.join(F.broadcast(routing), "centroid_id")

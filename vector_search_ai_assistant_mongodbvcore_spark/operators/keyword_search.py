@@ -37,6 +37,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_search_ai_assistant_mongodbvcore_spark.plans import scan_cache as _scan_cache
+
 TOKEN_SPLIT_RE = "[^a-z0-9]+"  # lowercase alnum runs are terms
 
 
@@ -300,6 +302,7 @@ class Bm25Index:
         tf.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
+        _scan_cache.invalidate(self.spark, self.path)
         self._write_doc_rows(dl, id_col, n_buckets, mode="overwrite")
         terms_name = f"terms_{uuid.uuid4().hex[:8]}"
         dfreq.write.mode("overwrite").parquet(os.path.join(self.path, terms_name))
@@ -459,6 +462,7 @@ class Bm25Index:
         tf.repartition(F.col("bucket")).write.mode("append").partitionBy(
             "bucket"
         ).parquet(os.path.join(self.path, "postings"))
+        _scan_cache.invalidate(self.spark, self.path)
         self._write_doc_rows(dl, id_col, n_buckets, mode="append")
 
         old = self.spark.read.parquet(self._terms_dir(meta))
@@ -504,6 +508,8 @@ class Bm25Index:
             max_files_per_partition,
             plane=self.plane,
         )
+        if n:
+            _scan_cache.invalidate(self.spark, self.path)
         return n
 
     def remove_documents(self, ids: Sequence) -> "Bm25Index":
@@ -619,6 +625,7 @@ class Bm25Index:
                 self.plane.remove_tree(os.path.join(path, f"{part_col}={b}"))
         # drop the now-stale cached file listing for the rewritten path
         self.spark.catalog.refreshByPath(path)
+        _scan_cache.invalidate(self.spark, path)
 
     # ---- serving ---------------------------------------------------------
     def search(
@@ -646,12 +653,12 @@ class Bm25Index:
         buckets = sorted({self.bucket_py(t, n_b) for t in terms})
         id_col = meta["id_col"]
         scan = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "postings"))
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
         )
         dfreq = (
-            self.spark.read.parquet(self._terms_dir(meta))
+            _scan_cache.cached_parquet(self.spark, self._terms_dir(meta))
             .filter(F.col("term").isin(terms))
         )
         scan = scan.join(F.broadcast(dfreq), "term")
@@ -717,12 +724,12 @@ class Bm25Index:
             route_rows, f"query_id {qid_type}, term string"
         )
         scan = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "postings"))
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(all_terms))
         )
         dfreq = (
-            self.spark.read.parquet(self._terms_dir(meta))
+            _scan_cache.cached_parquet(self.spark, self._terms_dir(meta))
             .filter(F.col("term").isin(all_terms))
         )
         scan = scan.join(F.broadcast(dfreq), "term").join(

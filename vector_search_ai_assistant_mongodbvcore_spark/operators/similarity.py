@@ -33,6 +33,7 @@ from vector_search_ai_assistant_mongodbvcore_spark.functions.vector import (
     cosine_similarity,
     stack_vectors,
 )
+from vector_search_ai_assistant_mongodbvcore_spark.plans import scan_cache as _scan_cache
 
 
 def knn_candidates(
@@ -218,6 +219,14 @@ def lsh_bucket_ids(
             out = list(codes)
             yield pd.Series(out)
 
+    # guide §4.4: posexplode's implicit `size(..)>0 AND isnotnull(..)`
+    # generator filter is pushed below the projection and the optimizer
+    # then evaluates the UDF TWICE (once under the filter, once in the
+    # project) — confirmed in the r15 plan audit (two ArrowEvalPython
+    # nodes per scan branch). The function is semantically deterministic;
+    # the nondeterministic mark only forbids Catalyst from duplicating
+    # or reordering it, halving the Python-boundary work per branch.
+    buckets = buckets.asNondeterministic()
     coded = df.select(F.col(id_col), buckets(F.col(vector_col)).alias("_codes"))
     return coded.select(id_col, F.posexplode("_codes").alias("table", "bucket"))
 
@@ -349,6 +358,7 @@ class LshIndex:
         data.repartition(F.col("table"), F.col("bucket")).write.mode(
             "overwrite"
         ).partitionBy("table", "bucket").parquet(os.path.join(self.path, "data"))
+        _scan_cache.invalidate(self.spark, self.path)
         from vector_search_ai_assistant_mongodbvcore_spark.operators.ivf import (
             data_fingerprint,
         )
@@ -427,6 +437,7 @@ class LshIndex:
             "append"
         ).partitionBy("table", "bucket").parquet(data_dir)
         self.spark.catalog.refreshByPath(data_dir)
+        _scan_cache.invalidate(self.spark, self.path)
         return self
 
     def remove_documents(self, ids: "Sequence") -> "LshIndex":
@@ -483,6 +494,7 @@ class LshIndex:
                     os.path.join(data_dir, f"table={t}", f"bucket={b}")
                 )
         self.spark.catalog.refreshByPath(data_dir)
+        _scan_cache.invalidate(self.spark, self.path)
         return self
 
     def compact(self, max_files_per_partition: int = 8) -> int:
@@ -501,13 +513,16 @@ class LshIndex:
             compact_partitioned_dir,
         )
 
-        return compact_partitioned_dir(
+        n = compact_partitioned_dir(
             self.spark,
             _os.path.join(self.path, "data"),
             ["table", "bucket"],
             max_files_per_partition,
             plane=self.plane,
         )
+        if n:
+            _scan_cache.invalidate(self.spark, self.path)
+        return n
 
     def search(
         self,
@@ -529,7 +544,7 @@ class LshIndex:
 
         m = self.meta()
         q_codes = _query_codes(query, m["bits"], m["tables"], m["seed"])
-        scan = self.spark.read.parquet(os.path.join(self.path, "data"))
+        scan = _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "data"))
         cond = F.lit(False)
         for t, c in enumerate(q_codes):
             cond = cond | ((F.col("table") == t) & (F.col("bucket") == c))
@@ -622,7 +637,7 @@ class LshIndex:
             f"query_id {qid_type}, table int, bucket int, _qvec array<double>",
         )
         hit_parts = {(t, c) for _, t, c, _ in route_rows}
-        scan = self.spark.read.parquet(os.path.join(self.path, "data"))
+        scan = _scan_cache.cached_parquet(self.spark, os.path.join(self.path, "data"))
         cond = F.lit(False)
         for t, c in sorted(hit_parts):
             cond = cond | ((F.col("table") == t) & (F.col("bucket") == c))

@@ -142,11 +142,23 @@ def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out optimization, never correctness: only queries whose results
     are ROW-ORDER-INDEPENDENT use this (no sampling, no positional
     ids)."""
+    return _fanned(spark, sf_dir, "documents")
+
+
+def _fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_fanned_docs generalized to ANY input table (r15): the driver's
+    tables are single-file single-row-group parquet, so EVERY scan — and
+    everything Catalyst fuses into it (md5 hashing, decimal casts,
+    partial aggregation) — runs on ONE core until the first exchange.
+    Same gate, same caveats as _fanned_docs: only used by queries whose
+    results are row-order independent, skipped whenever the scan already
+    plans at least core-parallel (the 100 TB case, where the repartition
+    would be a pointless full shuffle)."""
     per_session = _TABLES_CACHE.setdefault(spark, {})
-    key = f"_fanned::{sf_dir}"
+    key = f"_fanned::{sf_dir}::{name}"
     cached = per_session.get(key)
     if cached is None:
-        docs = _tables(spark, sf_dir)["documents"]
+        docs = _tables(spark, sf_dir)[name]
         cores = spark.sparkContext.defaultParallelism
         # the .rdd conversion builds a Python-side plan (~0.1-0.3 s of
         # driver work) — memoized with the table handles (same
@@ -194,8 +206,9 @@ def _cache_dir(sf_dir: str, name: str) -> str:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy group-agg; Catalyst partial-aggregates
     map-side, shipdate predicate pushes into the parquet scan."""
-    t = _tables(spark, sf_dir)
-    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = _fanned(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
     dec = lambda c, p, s: F.col(c).cast(f"decimal({p},{s})")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
     charge = (
@@ -1233,7 +1246,7 @@ def dedup_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carries its fingerprint/dup_count. Both halves of the operator
     (group table + surviving corpus) hash-verify against one oracle."""
     t = _tables(spark, sf_dir)
-    groups = DD.exact_dedup(t["documents"], "text", "doc_id")
+    groups = DD.exact_dedup(_fanned_docs(spark, sf_dir), "text", "doc_id")
     return (
         t["documents"]
         .join(groups, F.col("doc_id") == F.col("keep_id"), "inner")
@@ -1301,8 +1314,9 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.decontam import contamination_report
 
     t = _tables(spark, sf_dir)
-    bench = t["documents"].filter(F.col("doc_id") % 17 == 0)
-    corpus = t["documents"].filter(F.col("doc_id") % 17 != 0)
+    d = _fanned_docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
     return contamination_report(corpus, bench, n=_DECON_N, min_hits=1)
 
 
@@ -1344,8 +1358,9 @@ def contamination_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _tables(spark, sf_dir)
-    bench = t["documents"].filter(F.col("doc_id") % 17 == 0)
-    corpus = t["documents"].filter(F.col("doc_id") % 17 != 0)
+    d = _fanned_docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
     return contamination_sources(corpus, bench, n=_DECON_N)
 
 
@@ -1479,7 +1494,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.functions.text import word_count
 
     t = _tables(spark, sf_dir)
-    docs = t["documents"].select(
+    docs = _fanned_docs(spark, sf_dir).select(
         "doc_id", word_count("text").cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, seq_len=128, group_size=64)
@@ -1535,7 +1550,7 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
 
     t = _tables(spark, sf_dir)
-    chunks = assign_split(t["documents"], "doc_id").select(
+    chunks = assign_split(_fanned_docs(spark, sf_dir), "doc_id").select(
         "split", "doc_id", F.lit(0).alias("chunk_id"), F.col("text")
     )
     out = _cache_dir(sf_dir, "training_shards")
@@ -1606,8 +1621,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle in tests/test_dsir.py."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators import dsir as DS
 
-    t = _tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = _fanned_docs(spark, sf_dir)
     # target is an in-corpus subset -> flagged fit: ONE corpus pass fits
     # both bucket LMs (fit_lambda_flagged), identical lambda
     w = DS.importance_weights(
@@ -1654,7 +1668,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import top_vocab
 
     t = _tables(spark, sf_dir)
-    return top_vocab(t["documents"], k=_VOCAB_K)
+    return top_vocab(_fanned_docs(spark, sf_dir), k=_VOCAB_K)
 
 
 _BPE_ORACLE = f"""
@@ -1733,7 +1747,7 @@ def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _tables(spark, sf_dir)
-    return audit(t["documents"])
+    return audit(_fanned_docs(spark, sf_dir))
 
 
 # (table, column) pairs profiled by the KMV gate query: two regimes —
@@ -1954,7 +1968,7 @@ def distinct_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl, col in _KMV_ENTITIES:
         by_table.setdefault(tbl, []).append(col)
     parts = [
-        kmv_profile_many(t[tbl], cols, k=_KMV_K, entity_prefix=tbl)
+        kmv_profile_many(_fanned(spark, sf_dir, tbl), cols, k=_KMV_K, entity_prefix=tbl)
         for tbl, cols in by_table.items()
     ]
     out = parts[0]
@@ -2287,8 +2301,7 @@ def build_prompts_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_prompts,
     )
 
-    t = _tables(spark, sf_dir)
-    d = t["documents"].select(
+    d = _fanned_docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("rag_payload"),
         F.reverse(F.col("text")).alias("conversation"),
@@ -2694,9 +2707,10 @@ def summarize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         fake_summarize_transport,
     )
 
-    t = _tables(spark, sf_dir)
     summ = RemoteSummarizer(transport=fake_summarize_transport)
-    return t["documents"].select("doc_id", summ.udf()(F.col("text")).alias("label"))
+    return _fanned_docs(spark, sf_dir).select(
+        "doc_id", summ.udf()(F.col("text")).alias("label")
+    )
 
 
 @register("hnsw_index_topk", None)
