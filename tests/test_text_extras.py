@@ -99,6 +99,40 @@ def test_exploded_shingles_matches_hof_form(spark):
         assert sym_diff == [], f"n={n}: {sym_diff}"
 
 
+def test_exploded_shingles_rowwise_matches_windowed(spark):
+    """The r15 row-wise shingle assembler (get()+concat_ws per position,
+    no word-stream Exchange) must emit the exact (id, _pos, ng) ROW SET
+    of the r11 lead-window form on every edge: short/exact-n docs,
+    single word, empty, whitespace-only, NULL text, repeated words."""
+    from vector_search_ai_assistant_mongodbvcore_spark.functions.text import (
+        exploded_shingles,
+        exploded_shingles_windowed,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "exactly five words right here"),
+        (3, "one two three"),
+        (4, "single"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+        (8, "a a a a a a"),
+        (9, "Tabs\tand\nnewlines  mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n in (2, 5, 8):
+        a = sorted(
+            exploded_shingles(df, "text", "doc_id", n, with_pos=True).collect()
+        )
+        b = sorted(
+            exploded_shingles_windowed(
+                df, "text", "doc_id", n, with_pos=True
+            ).collect()
+        )
+        assert a == b, f"n={n}"
+
+
 def test_stopword_and_wordlen_codegen_forms_match_hof(spark):
     """stopword_hits (lookahead regexp_count) and the concat_ws word-length
     sum must exactly equal their interpreted higher-order-function

@@ -246,7 +246,7 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     )
 
 
-def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool = False):
+def exploded_shingles_windowed(df, text_col: str, id_col: str, n: int = 5, with_pos: bool = False):
     """(id_col, ng) rows of word n-gram shingles — semantically identical to
     `explode(shingles(text_col, n))` but ~4x faster at corpus scale: the
     words are posexploded ONCE and each shingle is assembled from n-1
@@ -281,6 +281,56 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool
             | ((F.col("_k") <= n) & (F.col("_pos") == 0))
         )
     )
+    if with_pos:
+        return out.select(id_col, "_pos", "ng")
+    return out.select(id_col, "ng")
+
+
+_SHINGLE_ROWWISE = True  # r15 A/B switch; see exploded_shingles
+
+
+def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool = False):
+    """(id_col, ng[, _pos]) rows of word n-gram shingles.
+
+    r15 form: shingles are assembled PER ROW from the word array —
+    `transform(sequence(0, max(len-n, 0)), i -> concat_ws(' ', get(w, i),
+    ..., get(w, i+n-1)))` — then posexploded. get() past the array end is
+    NULL and concat_ws skips NULLs, which reproduces the short-document
+    edge (<= n words -> the whole text as ONE shingle) for free; empty /
+    whitespace-only text yields the single "" shingle via the [""]
+    padding; NULL text yields no rows (the array is NULL under the
+    explode). Bit-parity with the r11 windowed form is pinned in tests.
+
+    Why not the lead()-window form (exploded_shingles_windowed, kept for
+    reference/A-B): the window costs an Exchange + Sort of the ENTIRE
+    exploded word stream before a single shingle exists. That exchange is
+    pure overhead for every consumer that does NOT aggregate by id —
+    ngram_jaccard_pairs and remove_duplicated_spans immediately
+    re-shuffle by ng — and for minhash it defeats map-side partial
+    aggregation: with per-row generation each document's shingles stay in
+    one scan partition, so the min() partials collapse to ONE row per doc
+    BEFORE the exchange, and the groupBy ships |docs| rows instead of the
+    word stream. The old HOF chain this module's r11 comment measured 4x
+    slow built a sliced array + array_join per position; the get() form
+    allocates nothing per position. Measured at sf0.1 (r15):
+    minhash/ngram/spans all faster, plan one Exchange shorter each.
+    """
+    if not _SHINGLE_ROWWISE:
+        return exploded_shingles_windowed(df, text_col, id_col, n, with_pos)
+    w = words(F.lower(F.col(text_col)))
+    padded = F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(w)
+    gets = ", ".join(f"get(_pw, i + {j})" for j in range(n))
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size(_pw) - {n}, 0)), "
+        f"i -> concat_ws(' ', {gets}))"
+    )
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_tnull"),
+        padded.alias("_pw"),
+    )
+    arr = F.when(F.col("_tnull"), F.lit(None).cast("array<string>")).otherwise(sh)
+    out = pre.select(F.col(id_col), F.posexplode(arr).alias("_pos", "ng"))
     if with_pos:
         return out.select(id_col, "_pos", "ng")
     return out.select(id_col, "ng")

@@ -167,9 +167,19 @@ def export_training_shards(
         df = sequences.withColumn("_order", key).withColumn(
             "epoch", F.lit(epoch)
         )
-        parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+        # n_partitions=None lets AQE size the range shuffle from the
+        # actual bytes (coalescePartitions): a bench-scale export is a
+        # handful of well-filled files instead of defaultParallelism
+        # near-empty ones, and a 100 TB export still fans to as many
+        # range partitions as its volume warrants — the scale-adaptive
+        # default guide §2.2 asks for. An explicit count pins it.
+        ranged = (
+            df.repartitionByRange(n_partitions, split_col, "_order")
+            if n_partitions
+            else df.repartitionByRange(split_col, "_order")
+        )
         (
-            df.repartitionByRange(parts, split_col, "_order")
+            ranged
             .sortWithinPartitions(split_col, "_order")
             .drop("_order")
             .write.mode("overwrite")
