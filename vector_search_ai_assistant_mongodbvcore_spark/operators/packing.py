@@ -47,30 +47,39 @@ from pyspark.sql import functions as F
 
 
 def _global_starts(
-    d: DataFrame, id_col: str, n_col: str, group_size: int
+    d: DataFrame,
+    id_col: str,
+    n_col: str,
+    group_size: int,
+    key_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """Add `_start`: exclusive global prefix sum of n_col in id_col order.
+    """Add `_start`: exclusive prefix sum of n_col in id_col order —
+    global, or per key group when `key_cols` is set (r15: one pass packs
+    EVERY split instead of one plan branch per split).
 
     Two-level distributed scan (see module docstring). Requires numeric,
-    unique ids; ties are impossible by uniqueness, so the result is total
-    and deterministic."""
+    unique ids (per key group); ties are impossible by uniqueness, so the
+    result is total and deterministic."""
+    keys = list(key_cols)
     g = (F.floor(F.col(id_col) / group_size)).alias("_g")
     d = d.withColumn("_g", g)
-    local = Window.partitionBy("_g").orderBy(id_col).rowsBetween(
+    local = Window.partitionBy(*keys, "_g").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     d = d.withColumn("_local", F.coalesce(F.sum(n_col).over(local), F.lit(0)))
-    totals = d.groupBy("_g").agg(F.sum(n_col).alias("_tot"))
+    totals = d.groupBy(*keys, "_g").agg(F.sum(n_col).alias("_tot"))
     # prefix over the tiny per-group totals frame: one partition holds only
-    # n_groups rows (the constant key keeps the partition spec explicit)
+    # n_groups rows per key (the constant key keeps the partition spec
+    # explicit in the unkeyed case)
     from vector_search_ai_assistant_mongodbvcore_spark.plans.inspect import bounded_window_key
 
-    off = Window.partitionBy(bounded_window_key("_g")).orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    part = keys if keys else [bounded_window_key("_g")]
+    off = Window.partitionBy(*part).orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_g", F.coalesce(F.sum("_tot").over(off), F.lit(0)).alias("_off")
+        *keys, "_g", F.coalesce(F.sum("_tot").over(off), F.lit(0)).alias("_off")
     )
     return (
-        d.join(F.broadcast(offsets), "_g")
+        d.join(F.broadcast(offsets), [*keys, "_g"])
         .withColumn("_start", (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_g", "_local", "_off")
     )
@@ -83,6 +92,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_size: int = 4096,
     carry_cols: "tuple[str, ...] | list[str]" = (),
+    key_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """(seq_id, id_col, begin, n_toks, *carry_cols): concat-and-chop packing.
 
@@ -105,13 +115,15 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     carry = [c for c in carry_cols if c != id_col]
+    keys = [c for c in key_cols if c != id_col]
     d = docs.select(
-        id_col, F.col(n_tokens_col).cast("long").alias("_n"), *carry
+        *keys, id_col, F.col(n_tokens_col).cast("long").alias("_n"), *carry
     ).filter(F.col("_n") > 0)
-    d = _global_starts(d, id_col, "_n", group_size)
+    d = _global_starts(d, id_col, "_n", group_size, key_cols=tuple(keys))
     first = F.floor(F.col("_start") / seq_len)
     last = F.floor((F.col("_start") + F.col("_n") - 1) / seq_len)
     pieces = d.select(
+        *keys,
         id_col,
         "_n",
         "_start",
@@ -123,6 +135,7 @@ def pack_sequences(
     lo = F.greatest(F.col("_start"), block_lo)
     hi = F.least(F.col("_start") + F.col("_n"), block_hi)
     return pieces.select(
+        *keys,
         F.col("seq_id").cast("long"),
         F.col(id_col),
         (lo - F.col("_start")).cast("long").alias("begin"),
@@ -212,55 +225,51 @@ def pack_corpus_chunks(
     a shuffled curriculum, materialize a surrogate id ordered by
     splits.shuffle_key upstream instead.
 
-    One pack_sequences pass per split over a filtered branch of the same
-    lazy frame; plan cost is the number of splits times the two-level
-    prefix scan, all on disjoint row sets."""
-    names = [
-        r[split_col]
-        for r in chunks.select(split_col).distinct().collect()
-    ]
+    ONE split-keyed pack_sequences pass covers every split (r15): the
+    two-level prefix scan's windows and totals are keyed on (split, _g),
+    so sequences stay split-pure with a single plan branch — the old
+    one-branch-per-split loop re-derived the chunk frame per split AND
+    paid a distinct+collect job just to enumerate split names."""
     lim = 1 << chunk_bits
-    out = None
-    for s in sorted(names):
-        # the guard lives INSIDE the surrogate-id expression so Catalyst
-        # cannot prune it away (a standalone assert column would be
-        # dropped as unused and never evaluate)
-        sid = F.when(
-            F.col(chunk_col) < lim, F.col(doc_col) * lim + F.col(chunk_col)
-        ).otherwise(
-            F.raise_error(F.lit(f"chunk_id >= 2^{chunk_bits}; raise chunk_bits"))
-        )
-        carry = [c for c in carry_cols if c not in (doc_col, chunk_col, split_col)]
-        sub = chunks.filter(F.col(split_col) == s).select(
-            F.col(doc_col),
-            F.col(chunk_col),
-            sid.alias("_sid"),
-            F.col(n_tokens_col),
-            *carry,
-        )
-        # group_size is in DOCUMENT units, but _sid lives in the surrogate
-        # space doc_id * 2^chunk_bits + chunk_id: consecutive documents sit
-        # 2^chunk_bits apart, so grouping raw _sid on group_size would put
-        # ~1 document per group (2^chunk_bits divides any power-of-two
-        # group_size) and the per-group totals frame would be CORPUS-sized,
-        # defeating the two-level scan. Scale the grouping to the surrogate
-        # space so a group again spans ~group_size documents and the totals
-        # frame stays ~n_docs/group_size rows.
-        packed = pack_sequences(
-            sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid",
-            group_size=group_size * lim, carry_cols=carry,
-        )
-        part = packed.select(
-            F.lit(s).alias(split_col),
-            "seq_id",
-            F.floor(F.col("_sid") / lim).cast("long").alias(doc_col),
-            (F.col("_sid") % lim).cast("long").alias(chunk_col),
-            "begin",
-            "n_toks",
-            *carry,
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # the guard lives INSIDE the surrogate-id expression so Catalyst
+    # cannot prune it away (a standalone assert column would be
+    # dropped as unused and never evaluate)
+    sid = F.when(
+        F.col(chunk_col) < lim, F.col(doc_col) * lim + F.col(chunk_col)
+    ).otherwise(
+        F.raise_error(F.lit(f"chunk_id >= 2^{chunk_bits}; raise chunk_bits"))
+    )
+    carry = [c for c in carry_cols if c not in (doc_col, chunk_col, split_col)]
+    sub = chunks.select(
+        F.col(split_col),
+        F.col(doc_col),
+        F.col(chunk_col),
+        sid.alias("_sid"),
+        F.col(n_tokens_col),
+        *carry,
+    )
+    # group_size is in DOCUMENT units, but _sid lives in the surrogate
+    # space doc_id * 2^chunk_bits + chunk_id: consecutive documents sit
+    # 2^chunk_bits apart, so grouping raw _sid on group_size would put
+    # ~1 document per group (2^chunk_bits divides any power-of-two
+    # group_size) and the per-group totals frame would be CORPUS-sized,
+    # defeating the two-level scan. Scale the grouping to the surrogate
+    # space so a group again spans ~group_size documents and the totals
+    # frame stays ~n_docs/group_size rows.
+    packed = pack_sequences(
+        sub, seq_len, n_tokens_col=n_tokens_col, id_col="_sid",
+        group_size=group_size * lim, carry_cols=carry,
+        key_cols=(split_col,),
+    )
+    return packed.select(
+        F.col(split_col),
+        "seq_id",
+        F.floor(F.col("_sid") / lim).cast("long").alias(doc_col),
+        (F.col("_sid") % lim).cast("long").alias(chunk_col),
+        "begin",
+        "n_toks",
+        *carry,
+    )
 
 
 def packing_efficiency(

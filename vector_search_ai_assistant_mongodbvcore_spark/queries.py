@@ -145,6 +145,31 @@ def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fanned(spark, sf_dir, "documents")
 
 
+def _fanned_cols(spark: SparkSession, sf_dir: str, name: str, cols: "tuple[str, ...]") -> DataFrame:
+    """Column-pruned fan-out: project `cols` FIRST, then repartition.
+
+    A keyless repartition pays a local sort of its input rows
+    (spark.sql.execution.sortBeforeRepartition — guide §2.5), so fanning
+    a WIDE table (lineitem: 16 columns) costs more than the single-core
+    scan it rescues; fanning the 2-3 profiled columns is nearly free.
+    Measured on the KMV gate query (r15): whole-table fan 2.27 -> 2.82 s
+    (worse), pruned fan 1.71 -> 1.21 s on the lineitem legs (better).
+    Same under-parallel gate and memoization as _fanned."""
+    per_session = _TABLES_CACHE.setdefault(spark, {})
+    key = f"_fanned_cols::{sf_dir}::{name}::{','.join(cols)}"
+    cached = per_session.get(key)
+    if cached is None:
+        pruned = _tables(spark, sf_dir)[name].select(*cols)
+        cores = spark.sparkContext.defaultParallelism
+        cached = (
+            pruned
+            if pruned.rdd.getNumPartitions() >= cores
+            else pruned.repartition(cores)
+        )
+        per_session[key] = cached
+    return cached
+
+
 def _fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """_fanned_docs generalized to ANY input table (r15): the driver's
     tables are single-file single-row-group parquet, so EVERY scan — and
@@ -153,7 +178,17 @@ def _fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Same gate, same caveats as _fanned_docs: only used by queries whose
     results are row-order independent, skipped whenever the scan already
     plans at least core-parallel (the 100 TB case, where the repartition
-    would be a pointless full shuffle)."""
+    would be a pointless full shuffle).
+
+    A/B-measured per consumer (r15, idle box, min-of-3 at sf0.1): the
+    fan WINS where the scan-fused per-row work is heavy — decimal
+    aggregation (pricing 1.14->0.82 s), shingle assembly (minhash
+    2.2->1.5, decontam 1.6->1.0), Arrow UDFs (summarize 1.19->0.47,
+    prompt trim 1.16->0.92, tokenize/language-ID) — and LOSES on cheap
+    one-pass aggregates where the extra exchange + stage outweigh the
+    single-core scan (kmv sketches +0.5 s, DSIR +0.06, vocab +0.05,
+    packing +0.2, domain audit +0.07, exact dedup +0.08): those stay
+    on the bare scan."""
     per_session = _TABLES_CACHE.setdefault(spark, {})
     key = f"_fanned::{sf_dir}::{name}"
     cached = per_session.get(key)
@@ -1246,7 +1281,7 @@ def dedup_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carries its fingerprint/dup_count. Both halves of the operator
     (group table + surviving corpus) hash-verify against one oracle."""
     t = _tables(spark, sf_dir)
-    groups = DD.exact_dedup(_fanned_docs(spark, sf_dir), "text", "doc_id")
+    groups = DD.exact_dedup(t["documents"], "text", "doc_id")
     return (
         t["documents"]
         .join(groups, F.col("doc_id") == F.col("keep_id"), "inner")
@@ -1494,7 +1529,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.functions.text import word_count
 
     t = _tables(spark, sf_dir)
-    docs = _fanned_docs(spark, sf_dir).select(
+    docs = t["documents"].select(
         "doc_id", word_count("text").cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, seq_len=128, group_size=64)
@@ -1550,7 +1585,7 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
 
     t = _tables(spark, sf_dir)
-    chunks = assign_split(_fanned_docs(spark, sf_dir), "doc_id").select(
+    chunks = assign_split(t["documents"], "doc_id").select(
         "split", "doc_id", F.lit(0).alias("chunk_id"), F.col("text")
     )
     out = _cache_dir(sf_dir, "training_shards")
@@ -1621,7 +1656,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle in tests/test_dsir.py."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators import dsir as DS
 
-    docs = _fanned_docs(spark, sf_dir)
+    docs = _tables(spark, sf_dir)["documents"]
     # target is an in-corpus subset -> flagged fit: ONE corpus pass fits
     # both bucket LMs (fit_lambda_flagged), identical lambda
     w = DS.importance_weights(
@@ -1668,7 +1703,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_ai_assistant_mongodbvcore_spark.operators.vocab import top_vocab
 
     t = _tables(spark, sf_dir)
-    return top_vocab(_fanned_docs(spark, sf_dir), k=_VOCAB_K)
+    return top_vocab(t["documents"], k=_VOCAB_K)
 
 
 _BPE_ORACLE = f"""
@@ -1747,7 +1782,7 @@ def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = _tables(spark, sf_dir)
-    return audit(_fanned_docs(spark, sf_dir))
+    return audit(t["documents"])
 
 
 # (table, column) pairs profiled by the KMV gate query: two regimes —
@@ -1967,8 +2002,18 @@ def distinct_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_table: "dict[str, list[str]]" = {}
     for tbl, col in _KMV_ENTITIES:
         by_table.setdefault(tbl, []).append(col)
+    # pruned-column fan-out, gated on input volume: the md5+conv hash
+    # projection fuses with the scan and runs single-core on a one-file
+    # table — worth an exchange of the 2-3 profiled columns only past a
+    # few MB of input (lineitem); for the small tables the extra stage
+    # costs more than the single-core scan (A/B in _fanned_cols doc)
+    def _kmv_src(tbl, cols):
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        big = os.path.exists(path) and os.path.getsize(path) > (4 << 20)
+        return _fanned_cols(spark, sf_dir, tbl, tuple(cols)) if big else t[tbl]
+
     parts = [
-        kmv_profile_many(_fanned(spark, sf_dir, tbl), cols, k=_KMV_K, entity_prefix=tbl)
+        kmv_profile_many(_kmv_src(tbl, cols), cols, k=_KMV_K, entity_prefix=tbl)
         for tbl, cols in by_table.items()
     ]
     out = parts[0]
