@@ -78,12 +78,14 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "ann_topk",
     "knn_join",
+    "bm25_topk",
     "bm25_search_many",
     "hybrid_search_indexed",
     "asof_purchase_attribution",
     "document_chunks",
     "lsh_ann_topk",
     "lsh_neardup_pairs",
+    "ivf_search_all_probes",
     "ivf_search_many",
     "hnsw_index_topk",
     "decontamination_report",

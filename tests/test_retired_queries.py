@@ -259,9 +259,10 @@ def _duck_with_embeddings(sql: str):
 
 
 def test_ivf_search_all_probes_matches_duckdb(spark):
-    """Retired r15 (slot -> ivf_search_many, whose query 0 is this very
-    vector); all-probe IVF == brute force, so the plain top-10 SQL stays
-    a true oracle for the single-query build+search path."""
+    """Slot stays recorded (r15 restored it alongside the batched
+    ivf_search_many, whose query 0 is this very vector); all-probe IVF
+    == brute force, so the plain top-10 SQL is a true oracle for the
+    single-query build+search path — belt-and-braces parity here too."""
     got = [(r["vec_id"], r["score"]) for r in Q.ivf_search_all_probes(spark, SF).collect()]
     cos = Q._cos_sql(Q._vec_sql(Q._QV_IVF))
     want = _duck_with_embeddings(
@@ -272,9 +273,10 @@ def test_ivf_search_all_probes_matches_duckdb(spark):
 
 
 def test_bm25_topk_matches_duckdb(spark):
-    """Retired r15 (slot -> bm25_search_many, whose query 0 is this very
-    term set; the single-query INDEX serve stays hash-gated inside
-    hybrid_search_indexed's keyword leg)."""
+    """Slot stays recorded (r15 restored it alongside the batched
+    bm25_search_many, whose query 0 is this very term set); the
+    single-query INDEX serve stays hash-gated inside
+    hybrid_search_indexed's keyword leg — belt-and-braces parity here."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators import keyword_search as KW
 
     got = [(r["doc_id"], r["bm25"]) for r in Q.bm25_topk(spark, SF).collect()]
