@@ -446,10 +446,18 @@ def minhash_lsh_pairs(
 
     # inter-class: band the DISTINCT classes (including singletons — a
     # lone doc still pairs across classes), dedup class pairs with the
-    # existing capped machinery, then fan out to member pairs
-    classes = rosters.select("_ck").unionByName(
-        big.select("_ck").distinct()
-    )
+    # existing capped machinery, then fan out to member pairs.
+    # r15: derived as ONE distinct over the class keys. The old
+    # rosters.select(_ck) UNION big.select(_ck).distinct() is the same
+    # set (small + big classes partition all classes), but it replicated
+    # BOTH the roster aggregation and the sizing-window subtree as extra
+    # physical branches — Catalyst shares no common subplans across
+    # union branches, so each replica re-ran the whole signature
+    # aggregation over the corpus. The plain distinct prunes to the _ck
+    # column (map-side partial distinct) and drops three corpus-level
+    # branch replicas: 11 -> 8 scans, 39 -> 30 Exchanges, wall 2.06 ->
+    # 1.22 s min-of-3 at sf0.1, pair set bit-identical.
+    classes = docs.select("_ck").distinct()
     banded = classes.select(
         "_ck", F.posexplode(F.split("_ck", r"\|\|")).alias("band", "key")
     )

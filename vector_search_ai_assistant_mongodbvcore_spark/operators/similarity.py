@@ -701,6 +701,7 @@ def embedding_neardup(
     seed: int = 42,
     exact: bool = False,
     max_bucket: int = 10_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine.
 
@@ -708,6 +709,12 @@ def embedding_neardup(
     exact=False -> LSH-blocked: only pairs sharing a bucket are verified
                    with exact cosine; misses pairs LSH never co-buckets
                    (recall < 1, tunable via tables/bits).
+
+    `dims`: the vector dimensionality, needed to draw the hyperplane
+    literals. When the caller knows it (the registry's len(_QV_ANN)
+    convention, an index meta file), passing it makes construction pure
+    plan-building; left None, it is discovered with a one-row first()
+    probe — an eager Spark job per construction.
 
     Verification is a per-bucket BLAS matmul (applyInPandas over the
     (table, bucket) groups — the partitioned_ann pattern): candidate pairs
@@ -730,10 +737,11 @@ def embedding_neardup(
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
-    probe = df.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
-    if probe is None:  # empty / all-null input: empty result, right schema
-        return df.sparkSession.createDataFrame([], out_schema)
-    dims = len(probe[0])
+    if dims is None:
+        probe = df.filter(F.col(vector_col).isNotNull()).select(vector_col).first()
+        if probe is None:  # empty / all-null input: empty result, right schema
+            return df.sparkSession.createDataFrame([], out_schema)
+        dims = len(probe[0])
     bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
     data = bucketed.join(
         df.select(id_col, F.col(vector_col).cast("array<double>").alias("_v")),

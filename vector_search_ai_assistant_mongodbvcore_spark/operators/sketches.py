@@ -117,13 +117,33 @@ def kmv_smallest_many(
     not N (the column_profile discipline). Same lossless per-partition
     reduce as kmv_smallest, run per column inside one mapInPandas; the
     global cut is one window rank over the <= P*len(cols)*k survivors."""
+    from pyspark.sql import Window
+
+    local = _kmv_local_partials(df, cols, k, salt)
+    w = Window.partitionBy("col").orderBy("h")
+    return (
+        local.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _kmv_local_partials(
+    df: DataFrame, cols: "list[str]", k: int, salt: str
+) -> DataFrame:
+    """The shared scan stage of the multi-column sketch: per scan
+    partition, the <= k smallest distinct hashes of each column
+    (["col" string, "h" long], <= P*len(cols)*k rows). Callers cut the
+    global k: kmv_smallest_many materializes the sketch rows
+    (distinct + window rank), kmv_profile_many folds them straight into
+    the (n, hk) estimator inputs with one aggregation."""
     if k < 2:
         raise ValueError(f"k must be >= 2 for the (k-1)/U_(k) estimator, got {k}")
     if not cols:
-        raise ValueError("kmv_smallest_many needs at least one column")
+        raise ValueError("kmv sketch needs at least one column")
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     # NULL values map to the -1 SENTINEL (outside the [0, 2^60) hash
     # domain), NOT to a pandas NULL: a nullable long column crosses Arrow
@@ -152,14 +172,7 @@ def kmv_smallest_many(
             if best[c] is not None and len(best[c]):
                 yield pd.DataFrame({"col": c, "h": best[c]})
 
-    local = hashed.mapInPandas(local_kmin, "col string, h long")
-    w = Window.partitionBy("col").orderBy("h")
-    return (
-        local.distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return hashed.mapInPandas(local_kmin, "col string, h long")
 
 
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256) -> DataFrame:
@@ -230,9 +243,28 @@ def kmv_profile_many(
     multi-column sketch pass + one multi-count_distinct aggregate) —
     however many columns are profiled. Output: one row per column,
     (entity, approx_distinct, exact_distinct, rel_err_pct), the same
-    schema and arithmetic as kmv_profile."""
-    sk = kmv_smallest_many(df, cols, k, salt)
-    agg = sk.groupBy("col").agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+    schema and arithmetic as kmv_profile.
+
+    The estimator needs only (n, hk) per column — n = how many of the k
+    smallest distinct hashes exist, hk = the largest of them — so the
+    sketch side folds the <= P*k local partials per column into ONE
+    aggregation (sorted collect_set sliced to k) instead of
+    materializing sketch rows through distinct + window rank + re-agg:
+    two fewer Exchanges per profiled table, same values bit-for-bit
+    (r15; 2.15 -> 1.62 s min-of-3 on the 3-table gate query at sf0.1).
+    The collect_set buffer holds one column's <= P*k survivors — the
+    same single-task concentration the window rank it replaces had."""
+    local = _kmv_local_partials(df, cols, k, salt)
+    hs = F.slice(F.array_sort(F.collect_set("h")), 1, k)
+    agg = (
+        local.groupBy("col")
+        .agg(hs.alias("_hs"))
+        .select(
+            "col",
+            F.size("_hs").cast("long").alias("n"),
+            F.element_at("_hs", F.size("_hs")).alias("hk"),
+        )
+    )
     exact = df.agg(
         *[F.count_distinct(F.col(c)).alias(c) for c in cols]
     ).select(

@@ -1584,8 +1584,11 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import assign_split
 
-    t = _tables(spark, sf_dir)
-    chunks = assign_split(t["documents"], "doc_id").select(
+    # fanned scan: the tokenizer (an Arrow UDF, the heavy per-row work
+    # the fan-out exists for) otherwise runs on the single scan
+    # partition of the one-file bench table; results are row-order
+    # independent (hash split assignment, keyed prefix-sum packing)
+    chunks = assign_split(_fanned_docs(spark, sf_dir), "doc_id").select(
         "split", "doc_id", F.lit(0).alias("chunk_id"), F.col("text")
     )
     out = _cache_dir(sf_dir, "training_shards")
@@ -2463,7 +2466,7 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tables(spark, sf_dir)
     out = embedding_neardup(
         t["embeddings"], threshold=0.45, bits=_LSH_ND_BITS, tables=_LSH_ND_TABLES,
-        vector_col="embedding", id_col="vec_id"
+        vector_col="embedding", id_col="vec_id", dims=len(_QV_ANN),
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -3158,7 +3161,8 @@ _EAGER_CONSTRUCT = frozenset(
         "dsir_importance_weights",  # bucket-LM fit (collect)
         "semantic_contamination",   # KMeans fit job
         "source_capped_sample",     # per-group count probe
-        "lsh_neardup_pairs",        # eager signature probe
+        # lsh_neardup_pairs left this set in r15: dims passed statically
+        # (len(_QV_ANN)), so construction no longer runs the first() probe
         "chat_turn",                # imperative lifecycle
     }
 )
