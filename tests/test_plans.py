@@ -15,7 +15,13 @@ def reg():
 
 
 def _report(spark, reg, name):
-    return plan_report(reg[name](spark, SF_DIR))
+    # build a FRESH DataFrame (bypass the prepared-plan memo): these
+    # guardrails assert the INITIAL plan shape, and a memoized DataFrame
+    # another test already executed would report its AQE final plan
+    # instead (runtime-replanned, e.g. extra Sorts under replanned
+    # joins) — r15's one full-suite interplay failure
+    fn = reg[name]
+    return plan_report(getattr(fn, "__wrapped__", fn)(spark, SF_DIR))
 
 
 def test_filters_push_into_scan(spark, reg):
