@@ -143,14 +143,18 @@ def _kmv_local_partials(
     if not cols:
         raise ValueError("kmv sketch needs at least one column")
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     # NULL values map to the -1 SENTINEL (outside the [0, 2^60) hash
-    # domain), NOT to a pandas NULL: a nullable long column crosses Arrow
-    # as float64 in classic pandas, and float64 cannot carry 60-bit
-    # hashes exactly (53-bit mantissa) — the sentinel keeps the column
-    # int64 end to end. Nullness is per column (a row can be NULL in one
-    # profiled column and present in another), so no row filter.
+    # domain) so the column is non-null int64 end to end — a nullable
+    # long would cross into classic pandas as float64, whose 53-bit
+    # mantissa cannot carry 60-bit hashes exactly. Nullness is per
+    # column (a row can be NULL in one profiled column and present in
+    # another), so no row filter. r15: mapInArrow instead of
+    # mapInPandas — the k-min reduce is numpy either way, and Arrow
+    # batches skip the pandas Series construction per column per batch
+    # (guide §4.2; measured 1.76 -> 1.60 s min-of-3 on the KMV gate
+    # query, bit-identical output).
     hashed = df.select(
         *[
             F.when(F.col(c).isNull(), F.lit(-1).cast("long"))
@@ -162,17 +166,23 @@ def _kmv_local_partials(
 
     def local_kmin(batches):
         best: "dict[str, np.ndarray | None]" = {c: None for c in cols}
-        for pdf in batches:
+        for rb in batches:
             for c in cols:
-                vals = pdf[c].to_numpy(dtype="int64")
+                vals = rb.column(c).to_numpy(zero_copy_only=False)
                 vals = vals[vals >= 0]  # drop the NULL sentinel
                 pool = vals if best[c] is None else np.concatenate([best[c], vals])
                 best[c] = np.unique(pool)[:k]
         for c in cols:
             if best[c] is not None and len(best[c]):
-                yield pd.DataFrame({"col": c, "h": best[c]})
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([c] * len(best[c]), pa.string()),
+                        pa.array(best[c], pa.int64()),
+                    ],
+                    names=["col", "h"],
+                )
 
-    return hashed.mapInPandas(local_kmin, "col string, h long")
+    return hashed.mapInArrow(local_kmin, "col string, h long")
 
 
 def kmv_merge(sketches: "list[DataFrame]", k: int = 256) -> DataFrame:
