@@ -215,3 +215,43 @@ def test_many_preserves_full_60bit_precision_with_nulls(spark):
     single = [r["h"] for r in kmv_smallest(df, "v", k=200).collect()]
     assert any(h > 2**53 for h in single)  # the case exercises big hashes
     assert many == single
+
+
+def test_hierarchical_fold_lossless_and_gated(spark):
+    """r16 two-level partial fold (guide §5): past _FOLD_CUTOVER the
+    <= P*k local partials are folded per (col, pmod(h, G)) group before
+    the final per-column cut, so no single task buffers all P*k longs.
+    Pins (a) bit-parity of sketch rows and profile rows between a
+    low-partition input (gate OFF, one-level merge) and the same data
+    forced through many partitions (gate ON, two-level fold), and
+    (b) the gate itself via the plan: the folded plan carries the extra
+    pmod grouping, the un-folded plan does not."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators import sketches as SK
+
+    vals = [(str(i), str(i % 37)) for i in range(3000)]
+    low = spark.createDataFrame(vals, "a string, b string").coalesce(2)
+    # trip the gate at test scale by shrinking the cutover instead of
+    # spawning _FOLD_CUTOVER/k real partitions (8k+ tasks at local[4])
+    k = 16
+    high = spark.createDataFrame(vals, "a string, b string").repartition(24)
+    import unittest.mock as _mock
+
+    with _mock.patch.object(SK, "_FOLD_CUTOVER", 256):
+        assert not SK._fold_worthwhile(low, k, 2)
+        assert SK._fold_worthwhile(high, k, 2)
+
+    with _mock.patch.object(SK, "_FOLD_CUTOVER", 256):
+        rows_high = sorted(tuple(r) for r in SK.kmv_smallest_many(high, ["a", "b"], k=k).collect())
+        prof_high = sorted(tuple(r) for r in SK.kmv_profile_many(high, ["a", "b"], k=k).collect())
+        single_high = sorted(r.h for r in SK.kmv_smallest(high, "a", k=k).collect())
+        folded_plan = SK.kmv_profile_many(high, ["a", "b"], k=k)._jdf.queryExecution().toString()
+    rows_low = sorted(tuple(r) for r in SK.kmv_smallest_many(low, ["a", "b"], k=k).collect())
+    prof_low = sorted(tuple(r) for r in SK.kmv_profile_many(low, ["a", "b"], k=k).collect())
+    single_low = sorted(r.h for r in SK.kmv_smallest(low, "a", k=k).collect())
+    plain_plan = SK.kmv_profile_many(low, ["a", "b"], k=k)._jdf.queryExecution().toString()
+
+    assert rows_low == rows_high
+    assert prof_low == prof_high
+    assert single_low == single_high
+    assert "pmod" in folded_plan
+    assert "pmod" not in plain_plan

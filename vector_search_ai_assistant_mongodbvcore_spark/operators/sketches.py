@@ -54,6 +54,48 @@ __all__ = [
 # significant bit), so `k-1 * 2^60` products stay exact for any k < 2^52
 _DOMAIN = 1 << 60
 
+# Fan-in of the hierarchical partial fold (r16, guide §5 single-task
+# buffers / §2.3 two-level aggregation): the <= P*k local partials per
+# column are first folded per (column, pmod(h, G)) group — each distinct
+# hash lands in exactly ONE group, so groups partition the distinct set
+# and a per-group k-min is lossless for the global k-min (any global
+# k-smallest hash has < k smaller hashes overall, hence < k within its
+# own group). The final per-column fold then buffers <= G*k longs
+# instead of P*k: at P ~ 10^6 scan partitions and k=256 that is 2 MB
+# per task instead of 2 GB. G is a constant, not tuned to local core
+# count — both fold levels stay bounded for P up to ~10^7.
+_FOLD_GROUPS = 1024
+
+# The fold costs one extra (tiny) exchange + stage, so it is GATED on
+# the partial volume it exists to bound: below ~2 MB of longs in the
+# single merge task (P*k <= 2^18) the one-level merge is both safe and
+# faster (A/B at sf0.1, P=32, k=256: two-level +0.13 s median on the
+# gate query for zero benefit), past it the two-level shape caps every
+# buffer. P is the planned scan partition count — the same pre-AQE
+# heuristic (and the same misread-costs-only-performance argument) as
+# queries._fanned; at 100 TB P ~ 10^5-10^6 and the fold is always on.
+_FOLD_CUTOVER = 1 << 18
+
+
+def _fold_worthwhile(df: DataFrame, k: int, n_cols: int = 1) -> bool:
+    return df.rdd.getNumPartitions() * k * n_cols > _FOLD_CUTOVER
+
+
+def _kmv_fold_partials(local: DataFrame, k: int, by_col: bool) -> DataFrame:
+    """Level-1 fold of KMV local partials: per (["col"], pmod(h, G))
+    group, keep the k smallest distinct hashes. Output is globally
+    DISTINCT (groups are disjoint by value) and a lossless superset of
+    the global k-min per column, <= G*k rows per column."""
+    keys = (["col"] if by_col else []) + [
+        F.pmod(F.col("h"), F.lit(_FOLD_GROUPS)).alias("_g")
+    ]
+    folded = (
+        local.groupBy(*keys)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+        .select(*(["col"] if by_col else []), F.explode("_hs").alias("h"))
+    )
+    return folded
+
 
 def kmv_hash(col: Column, salt: str = "kmv") -> Column:
     """Uniform 60-bit hash of a column value: the first 15 hex chars of
@@ -104,7 +146,12 @@ def kmv_smallest(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> Da
             yield pd.DataFrame({"h": best})
 
     local = hashed.mapInPandas(local_kmin, "h long")
-    # <= P*k rows from here on: the dedup + global cut are tiny
+    # <= P*k rows from here on. r16: when that volume is large, fold per
+    # pmod(h, G) group first (lossless, output already distinct — see
+    # _kmv_fold_partials) so the global TakeOrdered merges <= G*k rows
+    # instead of P*k; below the cutover the plain distinct is cheaper.
+    if _fold_worthwhile(df, k):
+        return _kmv_fold_partials(local.select("h"), k, by_col=False).orderBy("h").limit(k)
     return local.distinct().orderBy("h").limit(k)
 
 
@@ -116,13 +163,20 @@ def kmv_smallest_many(
     cardinality-profiling N columns must cost one pass over the table,
     not N (the column_profile discipline). Same lossless per-partition
     reduce as kmv_smallest, run per column inside one mapInPandas; the
-    global cut is one window rank over the <= P*len(cols)*k survivors."""
+    survivors are folded per (col, pmod(h, G)) group when the partial
+    volume warrants it (r16, lossless — see _kmv_fold_partials) so the
+    per-column window rank that cuts the global k ranks <= G*k rows,
+    never one task's P*k buffer."""
     from pyspark.sql import Window
 
     local = _kmv_local_partials(df, cols, k, salt)
+    if _fold_worthwhile(df, k, len(cols)):
+        deduped = _kmv_fold_partials(local, k, by_col=True)
+    else:
+        deduped = local.distinct()
     w = Window.partitionBy("col").orderBy("h")
     return (
-        local.distinct()
+        deduped
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -262,9 +316,16 @@ def kmv_profile_many(
     materializing sketch rows through distinct + window rank + re-agg:
     two fewer Exchanges per profiled table, same values bit-for-bit
     (r15; 2.15 -> 1.62 s min-of-3 on the 3-table gate query at sf0.1).
-    The collect_set buffer holds one column's <= P*k survivors — the
-    same single-task concentration the window rank it replaces had."""
+    r16: past the _FOLD_CUTOVER partial volume the partials are folded
+    hierarchically first (per (col, pmod(h, G)) group —
+    _kmv_fold_partials), so the final per-column collect_set buffers
+    <= G*k longs instead of one task holding every partition's partials
+    (guide §5 spill risk at P ~ 10^5-10^6); below it the direct
+    single-aggregation shape is kept (the fold's extra exchange measured
+    +0.13 s at sf0.1 for a buffer that is already tiny)."""
     local = _kmv_local_partials(df, cols, k, salt)
+    if _fold_worthwhile(df, k, len(cols)):
+        local = _kmv_fold_partials(local, k, by_col=True)
     hs = F.slice(F.array_sort(F.collect_set("h")), 1, k)
     agg = (
         local.groupBy("col")
