@@ -28,6 +28,21 @@ import weakref
 
 _CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+# Invalidation listeners (r16): a DataFrame built ON a cached scan handle
+# pins that handle's file listing just as hard as the handle itself, so
+# higher-level per-session plan caches (queries._PREPARED_CACHE) must be
+# dropped whenever a handle is — otherwise a mutate-then-serve sequence
+# re-serves a plan whose listing predates the mutation (stale rows, or
+# FileNotFound on compacted files). Listeners are called with
+# (spark, normalized_path_prefix) on every invalidate().
+_LISTENERS: "list" = []
+
+
+def on_invalidate(fn) -> None:
+    """Register fn(spark, path_prefix) to run on every invalidate()."""
+    if fn not in _LISTENERS:
+        _LISTENERS.append(fn)
+
 
 def _norm(p: str) -> str:
     # local paths resolve through abspath; URI-style paths (s3a://, file:/)
@@ -49,10 +64,12 @@ def cached_parquet(spark, *paths: str):
 
 
 def invalidate(spark, path_prefix: str) -> None:
-    """Drop every cached scan under `path_prefix` (inclusive)."""
-    per_session = _CACHE.get(spark)
-    if not per_session:
-        return
+    """Drop every cached scan under `path_prefix` (inclusive), then
+    notify listeners so plan caches built on the dropped handles follow."""
     pref = _norm(path_prefix)
-    for key in [k for k in per_session if any(p == pref or p.startswith(pref + os.sep) or p.startswith(pref + "/") for p in k)]:
-        del per_session[key]
+    per_session = _CACHE.get(spark)
+    if per_session:
+        for key in [k for k in per_session if any(p == pref or p.startswith(pref + os.sep) or p.startswith(pref + "/") for p in k)]:
+            del per_session[key]
+    for fn in _LISTENERS:
+        fn(spark, pref)
