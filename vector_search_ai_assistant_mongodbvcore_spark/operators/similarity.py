@@ -714,7 +714,14 @@ def embedding_neardup(
     literals. When the caller knows it (the registry's len(_QV_ANN)
     convention, an index meta file), passing it makes construction pure
     plan-building; left None, it is discovered with a one-row first()
-    probe — an eager Spark job per construction.
+    probe — an eager Spark job per construction. The two paths diverge
+    on an empty/all-null input (ADVICE r15): the probe path detects it
+    and returns a createDataFrame literal, the dims path builds the full
+    LSH plan which *evaluates* to the same empty frame — identical
+    results, different plan shapes for callers that inspect plans. A
+    dims value that disagrees with the data fails loudly at execution:
+    stack_vectors raises on any non-null vector whose length != dims
+    (mis-bucketing is impossible).
 
     Verification is a per-bucket BLAS matmul (applyInPandas over the
     (table, bucket) groups — the partitioned_ann pattern): candidate pairs
