@@ -200,9 +200,18 @@ def lsh_bucket_ids(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    carry_vector: bool = False,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: (id, table, bucket). bucket = the
-    `bits`-bit sign pattern of projections onto fixed Gaussian hyperplanes."""
+    `bits`-bit sign pattern of projections onto fixed Gaussian hyperplanes.
+
+    `carry_vector=True` additionally carries the vector itself through
+    the explode as `_v` (cast array<double>) — for consumers that score
+    candidates right after bucketing (embedding_neardup): the explode
+    duplicates the vector per table exactly as the id-keyed join-back it
+    replaces did, but without a second scan of `df` or the join (r16,
+    guide §2.4: bucket+window prefix 0.50 -> 0.28 s min-of-4 at sf0.1,
+    rows identical)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -227,6 +236,15 @@ def lsh_bucket_ids(
     # the nondeterministic mark only forbids Catalyst from duplicating
     # or reordering it, halving the Python-boundary work per branch.
     buckets = buckets.asNondeterministic()
+    if carry_vector:
+        coded = df.select(
+            F.col(id_col),
+            F.col(vector_col).cast("array<double>").alias("_v"),
+            buckets(F.col(vector_col)).alias("_codes"),
+        )
+        return coded.select(
+            id_col, "_v", F.posexplode("_codes").alias("table", "bucket")
+        )
     coded = df.select(F.col(id_col), buckets(F.col(vector_col)).alias("_codes"))
     return coded.select(id_col, F.posexplode("_codes").alias("table", "bucket"))
 
@@ -749,10 +767,12 @@ def embedding_neardup(
         if probe is None:  # empty / all-null input: empty result, right schema
             return df.sparkSession.createDataFrame([], out_schema)
         dims = len(probe[0])
-    bucketed = lsh_bucket_ids(df, dims, bits, tables, vector_col, id_col, seed)
-    data = bucketed.join(
-        df.select(id_col, F.col(vector_col).cast("array<double>").alias("_v")),
-        id_col,
+    # r16: the vector rides through the bucket explode (`carry_vector`)
+    # instead of being re-joined on id afterwards — one scan and one join
+    # fewer, identical rows (the join duplicated _v per table exactly as
+    # the explode does)
+    data = lsh_bucket_ids(
+        df, dims, bits, tables, vector_col, id_col, seed, carry_vector=True
     )
     # ONE shuffle on (table, bucket): the window count, the applyInPandas
     # grouping, and the hot-bucket join all hash-partition on the same key
