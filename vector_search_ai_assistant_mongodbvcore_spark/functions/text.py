@@ -289,8 +289,23 @@ def exploded_shingles_windowed(df, text_col: str, id_col: str, n: int = 5, with_
 _SHINGLE_ROWWISE = True  # r15 A/B switch; see exploded_shingles
 
 
-def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool = False):
+def exploded_shingles(
+    df,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    with_pos: bool = False,
+    distinct_per_doc: bool = False,
+):
     """(id_col, ng[, _pos]) rows of word n-gram shingles.
+
+    `distinct_per_doc=True` (r16) dedupes each document's shingles inside
+    the row (array_distinct on the assembled array, before the explode)
+    so consumers that only care about a document's distinct shingle SET
+    (contamination_report's countDistinct aggregates) get pre-deduped
+    rows and need no distinct aggregation at all — removing the Expand
+    that two distinct aggregates cost over the whole shingle stream.
+    Incompatible with with_pos (dedup collapses positions).
 
     r15 form: shingles are assembled PER ROW from the word array —
     `transform(sequence(0, max(len-n, 0)), i -> concat_ws(' ', get(w, i),
@@ -315,7 +330,10 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool
     allocates nothing per position. Measured at sf0.1 (r15):
     minhash/ngram/spans all faster, plan one Exchange shorter each.
     """
+    if distinct_per_doc and with_pos:
+        raise ValueError("distinct_per_doc collapses positions; drop with_pos")
     if not _SHINGLE_ROWWISE:
+        assert not distinct_per_doc  # A/B switch predates the r16 option
         return exploded_shingles_windowed(df, text_col, id_col, n, with_pos)
     w = words(F.lower(F.col(text_col)))
     padded = F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(w)
@@ -324,6 +342,8 @@ def exploded_shingles(df, text_col: str, id_col: str, n: int = 5, with_pos: bool
         f"transform(sequence(0, greatest(size(_pw) - {n}, 0)), "
         f"i -> concat_ws(' ', {gets}))"
     )
+    if distinct_per_doc:
+        sh = F.array_distinct(sh)
     pre = df.select(
         F.col(id_col),
         F.col(text_col).isNull().alias("_tnull"),

@@ -59,21 +59,25 @@ def contamination_report(
     present anywhere in the benchmark, contaminated = hits >= min_hits.
     Docs whose text yields no shingle rows (NULL text) report 0/0/false.
 
-    One broadcast join + one keyed aggregation; the aggregation key (id)
-    matches exploded_shingles' window partitioning so no extra Exchange.
+    One broadcast join + one keyed aggregation. r16 (guide §2.3): the
+    doc side dedupes shingles PER ROW (exploded_shingles
+    distinct_per_doc — array_distinct before the explode), so both
+    outputs are plain count()s. The previous two countDistinct
+    aggregates cost an Expand(2) over the entire shingle stream into
+    the id-keyed exchange — double the shuffled rows for counts the
+    per-row dedup yields for free. A/B at sf0.1: 1.05 -> 0.80 s median
+    on decontamination_report, rows bit-identical.
     """
     bng = benchmark_ngrams(
         bench, bench_text_col or text_col, bench_id_col or id_col, n
     ).withColumn("_hit", F.lit(1))
-    doc_ngs = exploded_shingles(docs, text_col, id_col, n)
+    doc_ngs = exploded_shingles(docs, text_col, id_col, n, distinct_per_doc=True)
     agg = (
         doc_ngs.join(F.broadcast(bng), "ng", "left")
         .groupBy(id_col)
         .agg(
-            F.countDistinct("ng").alias("n_ngrams"),
-            F.countDistinct(F.when(F.col("_hit").isNotNull(), F.col("ng"))).alias(
-                "hits"
-            ),
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("hits"),
         )
     )
     # every doc with non-NULL text has >= 1 shingle row, so `agg` already
