@@ -153,6 +153,7 @@ def test_case_sensitive_model_encodes_case_sensitively(spark):
     assert udf == got
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_corpus_encode_parity_property(spark):
     """Property form: over random small corpora (repeated words, case
     variants, unseen chars, empties), the distinct-term join-back ids

@@ -186,6 +186,7 @@ def test_unstamped_sessions_commit_does_not_reopen_torn_window(spark, tmp_path):
     assert sessions2.filter("session_id = 's9'").count() == 1
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_consistent_read_racing_vacuum_fails_clean_or_succeeds(spark, tmp_path):
     """Judge r10 directive #8: under an aggressive writer (whose every
     commit vacuums at keep=2) a consistent_read pinned near the horizon

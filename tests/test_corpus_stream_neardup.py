@@ -9,6 +9,8 @@ stages on both paths."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -21,6 +23,9 @@ from vector_search_ai_assistant_mongodbvcore_spark.streaming.corpus import (
     collect_benchmark_ngrams,
     start_corpus_stream,
 )
+
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
 
 SCHEMA = "doc_id LONG, text STRING"
 BENCH_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

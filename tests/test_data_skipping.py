@@ -312,6 +312,7 @@ def test_delete_where_rejects_empty_filters(spark, bucketed):
         bucketed.delete_where([])
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_random_conjunctions_always_match_full_scan(spark, tmp_path):
     """Property form of the skipping contract: for a battery of random
     (col, op, value) conjunctions over a mixed-layout table (sorted,

@@ -15,6 +15,9 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
+
 @pytest.mark.parametrize("mode", ["posix", "object-store"])
 def test_demo_chat_lifecycle(spark, mode):
     from vector_search_ai_assistant_mongodbvcore_spark.sources import managed_table as mt

@@ -20,6 +20,9 @@ from vector_search_ai_assistant_mongodbvcore_spark.sources.dataplane import (
 )
 
 
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
+
 @pytest.fixture()
 def plane():
     return EmulatedObjectDataPlane()
@@ -155,6 +158,7 @@ def test_legacy_bare_terms_dir_still_reads(spark, tmp_path):
     assert {r.doc_id for r in fresh.search(["socks"], k=3).collect()} == {1, 3, 5}
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_compact_on_object_plane(spark, tmp_path, plane):
     """The maintenance compactor counts and rewrites partitions through
     the plane listing."""

@@ -176,6 +176,7 @@ def test_fingerprint_content_fallback_for_in_memory_frames(spark):
     assert data_fingerprint(b) != fp_a
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_multiprobe_recall_curve_with_evaluate_retrieval(spark, tmp_path):
     """The 1 < nProbe < numLists regime, measured with the engine's own
     evaluate_retrieval: queries placed BETWEEN two clusters (the case
@@ -364,6 +365,7 @@ def test_pq_index_build_and_search(spark, tables, tmp_path):
     assert got[0] == 99999
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_ivf_pq_multiprobe_recall_curve_on_clusters(spark, tmp_path):
     """The round-7 gap: PQ recall was pinned only on near-uniform data.
     Same orthogonal-cluster adversarial fixture as the plain-IVF curve

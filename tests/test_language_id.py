@@ -521,6 +521,7 @@ def test_floor_without_screen_fails_fast_in_start_corpus_stream(spark, tmp_path)
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_calibration_preserves_labels_and_rescales_confidence(spark):
     """calibrate_language_id never changes a predicted label (T > 0
     rescales all class scores together; argmax is invariant) but moves
@@ -565,6 +566,7 @@ def test_calibration_preserves_labels_and_rescales_confidence(spark):
         assert conf == pytest.approx(r["c_cal"], rel=1e-9)
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_calibrated_floor_bounds_false_unknown_rate(spark):
     """The directive's done-bar: on the 8-language held-out fixture, a
     chosen floor (0.5) on the CALIBRATED model quarantines at most a
@@ -729,6 +731,7 @@ def test_stream_calibrated_floor_matches_batch(spark, tmp_path):
     assert got == {did for did, lang, _ in rows if lang in ("de", "es")}
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_calibrated_floor_trades_error_on_ambiguous_mix(spark):
     """The informative half of the DATACARD curve: on a held-out mix of
     full sentences and 2-word truncations (genuinely ambiguous in-scope
@@ -873,6 +876,7 @@ def test_choose_floor_picks_lowest_error_affordable():
         choose_floor([])
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_choose_floor_on_measured_curve(spark):
     """End to end on the ambiguous-mix fixture (the case the floor
     exists for): the chosen floor's own curve row honors the budget, and

@@ -12,6 +12,8 @@ results, (c) zero-IO no-op when nothing crossed the threshold."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
@@ -131,6 +133,7 @@ def test_long_run_stream_with_compaction_bounds_files(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_bm25_and_ivf_compact_preserve_results(spark, tmp_path):
     """compact() on the other two index families: file counts drop,
     search results byte-identical."""

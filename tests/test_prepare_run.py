@@ -9,6 +9,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

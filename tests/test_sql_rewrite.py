@@ -6,6 +6,8 @@ semantics."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -24,12 +26,53 @@ def _arr_sql(vec):
     return "array(" + ", ".join(f"{x}D" for x in vec) + ")"
 
 
-@pytest.fixture()
-def vsql(spark, tables, tmp_path):
-    tables["embeddings"].createOrReplaceTempView("embeddings")
-    IvfIndex(spark, str(tmp_path / "ivf")).build(
+@pytest.fixture(scope="module")
+def prebuilt_idx(spark, tables, tmp_path_factory):
+    """Every serving fixture below used to rebuild its index per TEST —
+    106 s of this file's 162 s was fixture setup (r16 tiering work).
+    These serving tests never mutate an index, so each variant is built
+    ONCE per module here; the per-test fixtures symlink the read-only
+    tree into the test's own tmp_path (test bodies that spell
+    tmp_path/'ivf' keep working, and a fresh link per test keeps paths
+    isolated even though the bytes are shared)."""
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
+        PartitionedHnswIndex,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import (
+        Bm25Index,
+    )
+    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import (
+        LshIndex,
+    )
+
+    base = tmp_path_factory.mktemp("sqlrw_idx")
+    IvfIndex(spark, str(base / "ivf")).build(
         tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
     )
+    Bm25Index(spark, str(base / "bm25")).build(tables["documents"])
+    IvfIndex(spark, str(base / "ivf_q8")).build(
+        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42,
+        quantize=True,
+    )
+    LshIndex(spark, str(base / "lsh")).build(
+        tables["embeddings"], dims=64, bits=4, tables=4,
+        vector_col="embedding", id_col="vec_id",
+    )
+    PartitionedHnswIndex(spark, str(base / "hnsw")).build(
+        tables["embeddings"], vector_col="embedding", id_col="vec_id", shards=4
+    )
+    return base
+
+
+def _link(prebuilt_idx, tmp_path, *names) -> None:
+    for name in names:
+        os.symlink(str(prebuilt_idx / name), str(tmp_path / name))
+
+
+@pytest.fixture()
+def vsql(spark, tables, tmp_path, prebuilt_idx):
+    tables["embeddings"].createOrReplaceTempView("embeddings")
+    _link(prebuilt_idx, tmp_path, "ivf")
     vs = VectorSqlSession(spark)
     vs.register_index("embeddings", str(tmp_path / "ivf"), n_probe=2)
     return vs
@@ -202,17 +245,12 @@ _HQ = "table scan merge"  # query terms present in the synthetic corpus
 
 
 @pytest.fixture()
-def hsql(spark, tables, tmp_path):
+def hsql(spark, tables, tmp_path, prebuilt_idx):
     """A session with BOTH legs registered: Bm25Index over documents,
     IvfIndex over embeddings."""
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.keyword_search import Bm25Index
-
     tables["documents"].createOrReplaceTempView("documents")
     tables["embeddings"].createOrReplaceTempView("embeddings")
-    Bm25Index(spark, str(tmp_path / "bm25")).build(tables["documents"])
-    IvfIndex(spark, str(tmp_path / "ivf")).build(
-        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42
-    )
+    _link(prebuilt_idx, tmp_path, "bm25", "ivf")
     vs = VectorSqlSession(spark)
     vs.register_index("embeddings", str(tmp_path / "ivf"), n_probe=2)
     vs.register_bm25_index("documents", str(tmp_path / "bm25"))
@@ -407,12 +445,9 @@ def _strict_topk_sql(vec, k=10, round_to=4, tiebreak=True):
 
 
 @pytest.fixture()
-def q8sql(spark, tables, tmp_path):
+def q8sql(spark, tables, tmp_path, prebuilt_idx):
     tables["embeddings"].createOrReplaceTempView("embeddings")
-    IvfIndex(spark, str(tmp_path / "ivf_q8")).build(
-        tables["embeddings"], vector_col="embedding", num_lists=4, seed=42,
-        quantize=True,
-    )
+    _link(prebuilt_idx, tmp_path, "ivf_q8")
     vs = VectorSqlSession(spark)
     vs.register_index(
         "embeddings", str(tmp_path / "ivf_q8"), n_probe=4,
@@ -422,14 +457,9 @@ def q8sql(spark, tables, tmp_path):
 
 
 @pytest.fixture()
-def lshsql(spark, tables, tmp_path):
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.similarity import LshIndex
-
+def lshsql(spark, tables, tmp_path, prebuilt_idx):
     tables["embeddings"].createOrReplaceTempView("embeddings")
-    LshIndex(spark, str(tmp_path / "lsh")).build(
-        tables["embeddings"], dims=64, bits=4, tables=4,
-        vector_col="embedding", id_col="vec_id",
-    )
+    _link(prebuilt_idx, tmp_path, "lsh")
     vs = VectorSqlSession(spark)
     vs.register_lsh_index("embeddings", str(tmp_path / "lsh"))
     return vs
@@ -922,15 +952,9 @@ def test_register_auto_sniffs_index_kind(spark, tables, tmp_path):
 
 
 @pytest.fixture()
-def hnswsql(spark, tables, tmp_path):
-    from vector_search_ai_assistant_mongodbvcore_spark.operators.hnsw import (
-        PartitionedHnswIndex,
-    )
-
+def hnswsql(spark, tables, tmp_path, prebuilt_idx):
     tables["embeddings"].createOrReplaceTempView("embeddings")
-    PartitionedHnswIndex(spark, str(tmp_path / "hnsw")).build(
-        tables["embeddings"], vector_col="embedding", id_col="vec_id", shards=4
-    )
+    _link(prebuilt_idx, tmp_path, "hnsw")
     vs = VectorSqlSession(spark)
     vs.register_hnsw_index("embeddings", str(tmp_path / "hnsw"))
     return vs

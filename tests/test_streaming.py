@@ -20,6 +20,9 @@ from vector_search_ai_assistant_mongodbvcore_spark.streaming.incremental import 
     start_change_stream,
 )
 
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
+
 EMB = HashNgramEmbedder(dims=64)
 
 SOCKS = [

@@ -371,6 +371,7 @@ def test_dedup_state_survives_stream_restart(spark, tmp_path):
     assert docs_seen == {0, 8}  # 7 deduped across the restart
 
 
+@pytest.mark.deep  # slow sweep/E2E (r16 tiering)
 def test_stream_mask_mode_equals_batch_mask_pipeline(spark, src, bench):
     """decontam_mode='mask' on the stream: contaminated docs survive with
     the benchmark passage excised, and the chain equals batch

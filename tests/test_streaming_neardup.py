@@ -19,6 +19,9 @@ from vector_search_ai_assistant_mongodbvcore_spark.streaming.neardup import (
     start_neardup_dedup_stream,
 )
 
+
+pytestmark = pytest.mark.deep  # slow E2E lane (r16 tiering): run with -m deep
+
 SCHEMA = "doc_id LONG, text STRING"
 MH = dict(num_hashes=16, bands=8, shingle_size=3)
 
