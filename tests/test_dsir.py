@@ -192,6 +192,26 @@ def test_flagged_fit_equals_two_frame_fit(spark, frames):
     assert a == b
 
 
+def test_plan_fit_lambda_table_bit_equals_dict_fit(spark, frames):
+    """r16: the in-plan flagged fit (fit_lambda_flagged_plan — no collect
+    at construction, the fit executes inside the serve's job) must emit
+    the SAME (bucket, lam_micro) table, value for value, as the dict fit
+    it replaced — the micro units are what both the per-doc sums and the
+    DuckDB twin are built on, so per-bucket equality here is the whole
+    cross-implementation contract. Also pins that constructing the plan
+    runs ZERO Spark jobs (the property that makes dsir memoizable)."""
+    raw, _ = frames
+    flag = F.col("doc_id").isin(0, 2, 6)
+    want = dsir.fit_lambda_flagged(raw, flag, num_buckets=B, alpha=ALPHA)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    plan = dsir.fit_lambda_flagged_plan(raw, flag, num_buckets=B, alpha=ALPHA)
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "plan fit must not run jobs while building"
+    got = {int(r["bucket"]): int(r["lam_micro"]) for r in plan.collect()}
+    assert got == want
+
+
 def test_target_and_flag_are_exclusive(frames):
     raw, tgt = frames
     with pytest.raises(ValueError, match="exactly one"):

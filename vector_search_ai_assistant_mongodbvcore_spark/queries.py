@@ -3158,7 +3158,10 @@ REGISTRY = {name: REGISTRY[name] for name in _ORDER}
 _EAGER_CONSTRUCT = frozenset(
     {
         "training_shards",          # stage write + shard export + sampling
-        "dsir_importance_weights",  # bucket-LM fit (collect)
+        # dsir_importance_weights left this set in r16: the flagged fit
+        # now composes into the serve plan (fit_lambda_flagged_plan — no
+        # collect at construction; the fit executes from parquet inside
+        # every action, so memoizing the PLAN skips no computation)
         "semantic_contamination",   # KMeans fit job
         "source_capped_sample",     # per-group count probe
         # lsh_neardup_pairs left this set in r15: dims passed statically
