@@ -56,6 +56,55 @@ def test_presample_undershoot_raises_not_biases(skewed):
         ).collect()
 
 
+def test_plan_presample_equals_exact_and_runs_no_construct_jobs(spark, skewed):
+    """r16: presample='plan' (thresholds broadcast-joined from the counts
+    aggregate, bias guard an in-plan one-row raise_error) must keep the
+    exact path's rows AND ranks, and must not run any Spark job while
+    BUILDING the frame — the property that lets the registry serve the
+    query as a prepared plan."""
+    exact = {
+        (r["doc_id"], r["cap_rank"])
+        for r in splits.cap_per_group(skewed, "source", n=5).collect()
+    }
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    planned = splits.cap_per_group(skewed, "source", n=5, presample="plan")
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "plan presample must not run construct jobs"
+    got = {(r["doc_id"], r["cap_rank"]) for r in planned.collect()}
+    assert got == exact
+
+
+def test_plan_presample_undershoot_raises_at_action_not_biases(skewed):
+    """The plan-mode guard keeps the never-silently-bias contract: a
+    deliberately thin overshoot margin fails the ACTION (raise_error in
+    the broadcast guard row), never returns fewer/biased rows."""
+    df = splits.cap_per_group(
+        skewed, "source", n=150, presample="plan", overshoot_sigmas=-11.0
+    )  # construction itself must not raise (pure plan)
+    with pytest.raises(Exception, match="undershoot"):
+        df.collect()
+
+
+def test_plan_presample_handles_null_group(spark):
+    rows = [(i, "a") for i in range(20)] + [(100 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        (r["doc_id"], r["cap_rank"])
+        for r in splits.cap_per_group(df, "source", n=5, presample="plan").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cap_rank"])
+        for r in splits.cap_per_group(df, "source", n=5).collect()
+    )
+    assert a == b and len(a) == 10
+
+
+def test_presample_rejects_unknown_mode(skewed):
+    with pytest.raises(ValueError, match="presample"):
+        splits.cap_per_group(skewed, "source", n=5, presample="yes")
+
+
 def test_cap_is_stable_under_repartition(skewed):
     a = sorted(r["doc_id"] for r in splits.cap_per_group(skewed, "source", n=7).collect())
     b = sorted(

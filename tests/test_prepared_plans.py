@@ -57,8 +57,10 @@ def test_prepared_cache_reserves_same_plan(spark):
     assert reg["pricing_summary"](spark, SF_DIR) is reg["pricing_summary"](
         spark, SF_DIR
     )
-    assert reg["source_capped_sample"](spark, SF_DIR) is not reg[
-        "source_capped_sample"
+    # r16: dsir + source_capped_sample became pure plan-builders and left
+    # the eager set; semantic_contamination (KMeans fit) remains eager
+    assert reg["semantic_contamination"](spark, SF_DIR) is not reg[
+        "semantic_contamination"
     ](spark, SF_DIR)
 
 

@@ -2045,14 +2045,18 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 10 docs per source, selected by md5-bucket rank — RefinedWeb-
     style domain balancing, deterministic across engines/partitionings.
     Runs the presample scale path (per-group bucket-threshold prefilter
-    bounds each window partition to ~n rows before the rank; a driver
-    guard raises on undershoot instead of silently biasing), which must
-    equal the plain windowed rank the DuckDB twin computes."""
+    bounds each window partition to ~n rows before the rank; the guard
+    raises on undershoot instead of silently biasing), in the r16
+    IN-PLAN form: thresholds broadcast-joined from the counts aggregate
+    and the guard a one-row broadcast raise_error — no construct-time
+    probe jobs or collects, so the query is a pure plan-builder whose
+    every action re-derives thresholds from parquet. Must equal the
+    plain windowed rank the DuckDB twin computes."""
     from vector_search_ai_assistant_mongodbvcore_spark.operators.splits import cap_per_group
 
     t = _tables(spark, sf_dir)
     return cap_per_group(
-        t["documents"], "source", n=10, id_col="doc_id", seed=42, presample=True
+        t["documents"], "source", n=10, id_col="doc_id", seed=42, presample="plan"
     ).select("doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
 
 
@@ -3163,7 +3167,9 @@ _EAGER_CONSTRUCT = frozenset(
         # collect at construction; the fit executes from parquet inside
         # every action, so memoizing the PLAN skips no computation)
         "semantic_contamination",   # KMeans fit job
-        "source_capped_sample",     # per-group count probe
+        # source_capped_sample left this set in r16: presample="plan"
+        # derives thresholds and the bias guard in-plan (no construct
+        # probe/collect; the guard raise_errors at action time)
         # lsh_neardup_pairs left this set in r15: dims passed statically
         # (len(_QV_ANN)), so construction no longer runs the first() probe
         "chat_turn",                # imperative lifecycle
